@@ -1,0 +1,69 @@
+package graft
+
+import graft.core.Transforms
+import graft.write.TableWriteOptions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.util.concurrent.ConcurrentHashMap
+
+/**
+ * Per-JVM cache of Iceberg tables built from the driver-provided parquet
+ * testdata. Query entries in [[SparkEntry]] route through these so the
+ * correctness harness exercises the REAL engine write+read path while the
+ * DuckDB oracle runs plain SQL over the same source parquet.
+ */
+object Fixtures {
+  private val cache = new ConcurrentHashMap[String, String]()
+
+  private def sanitize(s: String): String = s.replaceAll("[^A-Za-z0-9]+", "_")
+
+  def parquet(spark: SparkSession, sfDir: String, table: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$table.parquet")
+
+  /** Build (once per JVM per sfDir+variant) an Iceberg table and return its
+    * path. */
+  def iceberg(spark: SparkSession, sfDir: String, variant: String)(
+      build: String => Unit): String = {
+    val key = s"${sanitize(sfDir)}__$variant"
+    cache.computeIfAbsent(key, { _ =>
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_$variant").toString
+      build(dir)
+      dir
+    })
+  }
+
+  def lineitemPlain(spark: SparkSession, sfDir: String): String =
+    iceberg(spark, sfDir, "lineitem_plain") { dir =>
+      IcebergTable.write(parquet(spark, sfDir, "lineitem"), dir)
+    }
+
+  def ordersByMonth(spark: SparkSession, sfDir: String): String =
+    iceberg(spark, sfDir, "orders_month") { dir =>
+      IcebergTable.write(parquet(spark, sfDir, "orders"), dir,
+        TableWriteOptions(partitionBy = Seq(("o_orderdate", Transforms.Month))))
+    }
+
+  def lineitemBucketed(spark: SparkSession, sfDir: String): String =
+    iceberg(spark, sfDir, "lineitem_bucket") { dir =>
+      IcebergTable.write(parquet(spark, sfDir, "lineitem"), dir,
+        TableWriteOptions(partitionBy = Seq(("l_orderkey", Transforms.Bucket(8)))))
+    }
+
+  def lineitemSorted(spark: SparkSession, sfDir: String): String =
+    iceberg(spark, sfDir, "lineitem_sorted") { dir =>
+      IcebergTable.write(parquet(spark, sfDir, "lineitem"), dir,
+        TableWriteOptions(sortBy = Seq(("l_shipdate", true, true))))
+    }
+
+  /** Two-snapshot orders table (append of the same rows twice); returns
+    * (path, firstSnapshotId). */
+  def ordersTwoSnapshots(spark: SparkSession, sfDir: String): (String, Long) = {
+    val path = iceberg(spark, sfDir, "orders_2snap") { dir =>
+      val src = parquet(spark, sfDir, "orders")
+      IcebergTable.write(src, dir)
+      IcebergTable.append(src, dir)
+    }
+    val meta = graft.core.TableMetadata.load(path, spark.sessionState.newHadoopConf())
+    (path, meta.snapshots.minBy(_.sequenceNumber).snapshotId)
+  }
+}

@@ -1,0 +1,182 @@
+package graft
+
+import graft.core._
+import graft.manifest._
+import graft.read.{IcebergRead, ReadOptions, ScanPlan}
+import graft.write.{IcebergWrite, TableWriteOptions}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/**
+ * Public API of the graft Iceberg engine — the Spark-native equivalent of
+ * the reference's table + metadata functions surface
+ * (reference: src/function/scan/iceberg_scan.cpp `iceberg_scan`,
+ * src/function/metadata/iceberg_snapshots.cpp, iceberg_metadata.cpp,
+ * iceberg_column_stats.cpp, iceberg_partition_stats.cpp).
+ */
+object IcebergTable {
+
+  // ---------- reads ----------
+
+  /** `iceberg_scan('path')` equivalent. */
+  def load(spark: SparkSession, path: String, opts: ReadOptions = ReadOptions()): DataFrame =
+    IcebergRead.load(spark, path, opts)
+
+  def plan(spark: SparkSession, path: String, opts: ReadOptions = ReadOptions()): ScanPlan =
+    IcebergRead.plan(spark, path, opts)
+
+  /** Metadata-only count(*) — exact from manifests when no deletes apply
+    * (reference iceberg_multi_file_list.cpp:332-364,395-427); falls back to
+    * scanning. */
+  def count(spark: SparkSession, path: String, opts: ReadOptions = ReadOptions()): Long = {
+    val p = plan(spark, path, opts)
+    p.fastRowCount.getOrElse(load(spark, path, opts).count())
+  }
+
+  // ---------- writes ----------
+
+  /** COPY TO (FORMAT iceberg) equivalent: one-shot table write. */
+  def write(df: DataFrame, path: String, opts: TableWriteOptions = TableWriteOptions()): TableMetadata =
+    IcebergWrite.writeTable(df, path, opts)
+
+  def createTable(spark: SparkSession, path: String, schema: StructType,
+      opts: TableWriteOptions = TableWriteOptions()): TableMetadata =
+    IcebergWrite.createTable(spark, path, schema, opts)
+
+  def append(df: DataFrame, path: String): TableMetadata = IcebergWrite.append(df, path)
+
+  // ---------- metadata table functions ----------
+
+  /** `iceberg_snapshots(path)` (reference iceberg_snapshots.cpp:54-137). */
+  def snapshots(spark: SparkSession, path: String): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = TableMetadata.load(path, conf)
+    val schema = StructType(Seq(
+      StructField("sequence_number", LongType),
+      StructField("snapshot_id", LongType),
+      StructField("timestamp_ms", TimestampType),
+      StructField("manifest_list", StringType),
+      StructField("operation", StringType)))
+    val rows = meta.snapshots.map { s =>
+      Row(s.sequenceNumber, s.snapshotId,
+        java.time.Instant.ofEpochMilli(s.timestampMs), s.manifestList, s.operation)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** `iceberg_metadata(path)`: flattened manifest entries
+    * (reference iceberg_metadata.cpp:34-201). */
+  def manifestEntries(spark: SparkSession, path: String, opts: ReadOptions = ReadOptions()): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = TableMetadata.load(path, conf, opts.metadataVersion)
+    val snap = meta.selectSnapshot(opts.lookup)
+    val schema = StructType(Seq(
+      StructField("manifest_path", StringType),
+      StructField("manifest_sequence_number", LongType),
+      StructField("manifest_content", StringType),
+      StructField("status", StringType),
+      StructField("content", StringType),
+      StructField("file_path", StringType),
+      StructField("file_format", StringType),
+      StructField("record_count", LongType),
+      StructField("file_size_in_bytes", LongType),
+      StructField("data_sequence_number", LongType),
+      StructField("file_sequence_number", LongType)))
+    val rows = snap.toSeq.flatMap { s =>
+      val manifests = ManifestIO.readManifestList(TableMetadata.resolvePath(meta.location, s.manifestList), conf)
+      manifests.flatMap { m =>
+        val entries = ManifestIO.readManifest(TableMetadata.resolvePath(meta.location, m.path), conf, m)
+        entries.map { e =>
+          Row(m.path, m.sequenceNumber, if (m.content == 1) "DELETE" else "DATA",
+            e.status match { case 0 => "EXISTING"; case 1 => "ADDED"; case _ => "DELETED" },
+            e.dataFile.content match { case 0 => "EXISTING"; case 1 => "POSITION_DELETES"; case _ => "EQUALITY_DELETES" },
+            e.dataFile.filePath, e.dataFile.fileFormat, e.dataFile.recordCount,
+            e.dataFile.fileSizeInBytes, e.sequenceNumber.getOrElse(0L), e.fileSequenceNumber.getOrElse(0L))
+        }
+      }
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** `iceberg_column_stats(path)` (reference iceberg_column_stats.cpp). */
+  def columnStats(spark: SparkSession, path: String, opts: ReadOptions = ReadOptions()): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = TableMetadata.load(path, conf, opts.metadataVersion)
+    val p = IcebergRead.planWithMetadata(spark, meta, conf, opts)
+    val schema = StructType(Seq(
+      StructField("file_path", StringType),
+      StructField("content", StringType),
+      StructField("column_name", StringType),
+      StructField("column_type", StringType),
+      StructField("lower_bound", StringType),
+      StructField("upper_bound", StringType),
+      StructField("column_size", LongType),
+      StructField("value_count", LongType),
+      StructField("null_value_count", LongType),
+      StructField("nan_value_count", LongType),
+      StructField("file_sequence_number", LongType)))
+    val rows = (p.dataFiles ++ p.deleteFiles).flatMap { pf =>
+      val ids = (pf.info.valueCounts.keySet ++ pf.info.lowerBounds.keySet ++ pf.info.columnSizes.keySet).toSeq.sorted
+      ids.flatMap { id =>
+        p.schema.idToField.get(id).map { f =>
+          def b(m: Map[Int, Array[Byte]]): String =
+            m.get(id).map(bytes => String.valueOf(SingleValue.deserialize(bytes, f.fieldType))).orNull
+          Row(pf.recordedPath,
+            pf.info.content match { case 0 => "DATA"; case 1 => "POSITION_DELETES"; case _ => "EQUALITY_DELETES" },
+            f.name, f.fieldType.typeJsonString,
+            b(pf.info.lowerBounds), b(pf.info.upperBounds),
+            pf.info.columnSizes.get(id).map(Long.box).orNull,
+            pf.info.valueCounts.get(id).map(Long.box).orNull,
+            pf.info.nullValueCounts.get(id).map(Long.box).orNull,
+            pf.info.nanValueCounts.get(id).map(Long.box).orNull,
+            pf.dataSeq)
+        }
+      }
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** `iceberg_partition_stats(path)` (reference iceberg_partition_stats.cpp). */
+  def partitionStats(spark: SparkSession, path: String): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = TableMetadata.load(path, conf)
+    val schema = StructType(Seq(
+      StructField("manifest_path", StringType),
+      StructField("manifest_content", StringType),
+      StructField("added_snapshot_id", LongType),
+      StructField("partition_spec_id", IntegerType),
+      StructField("partition_field_name", StringType),
+      StructField("partition_field_id", IntegerType),
+      StructField("contains_null", BooleanType),
+      StructField("lower_bound", StringType),
+      StructField("upper_bound", StringType)))
+    val rows = meta.currentSnapshot.toSeq.flatMap { s =>
+      val manifests = ManifestIO.readManifestList(TableMetadata.resolvePath(meta.location, s.manifestList), conf)
+      manifests.flatMap { m =>
+        val spec = meta.spec(m.partitionSpecId)
+        val sch = meta.currentSchema
+        m.partitions.zipWithIndex.flatMap { case (summ, i) =>
+          spec.fields.lift(i).map { pf =>
+            val t = sch.idToField.get(pf.sourceId).map(f => pf.transform.resultType(f.fieldType))
+            def b(x: Option[Array[Byte]]): String =
+              (for (tt <- t; bytes <- x) yield String.valueOf(SingleValue.deserialize(bytes, tt))).orNull
+            Row(m.path, if (m.content == 1) "DELETE" else "DATA", m.addedSnapshotId,
+              m.partitionSpecId, pf.name, pf.fieldId, summ.containsNull,
+              b(summ.lowerBound), b(summ.upperBound))
+          }
+        }
+      }
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** Table properties as a DataFrame (reference
+    * iceberg_table_properties_functions.cpp). */
+  def tableProperties(spark: SparkSession, path: String): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = TableMetadata.load(path, conf)
+    val schema = StructType(Seq(StructField("key", StringType), StructField("value", StringType)))
+    val rows = meta.properties.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+}

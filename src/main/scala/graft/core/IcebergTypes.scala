@@ -1,0 +1,234 @@
+package graft.core
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.spark.sql.types._
+
+/**
+ * Iceberg type system and schema model.
+ *
+ * Type grammar follows the Iceberg table spec primitive/nested types as
+ * exercised by the reference parser
+ * (reference: src/core/metadata/schema/iceberg_column_definition.cpp:82-167
+ * primitives, :189-241 nested). The Spark mapping is SURVEY.md §1.2.
+ *
+ * Field ids are carried into Spark as `parquet.field.id` metadata on every
+ * StructField — load-bearing for field-id column resolution on read AND for
+ * writing parquet with field ids.
+ */
+sealed trait IcebergType {
+  /** Spark SQL equivalent type. */
+  def toSpark: DataType
+  /** Iceberg JSON representation (string for primitives, object for nested). */
+  def typeJsonString: String
+}
+
+object IcebergTypes {
+  case object BooleanT extends IcebergType { def toSpark = BooleanType; def typeJsonString = "boolean" }
+  case object IntT extends IcebergType { def toSpark = IntegerType; def typeJsonString = "int" }
+  case object LongT extends IcebergType { def toSpark = LongType; def typeJsonString = "long" }
+  case object FloatT extends IcebergType { def toSpark = FloatType; def typeJsonString = "float" }
+  case object DoubleT extends IcebergType { def toSpark = DoubleType; def typeJsonString = "double" }
+  case object DateT extends IcebergType { def toSpark = DateType; def typeJsonString = "date" }
+  /** No Spark TIME type — surfaced as LongType micros (documented gap). */
+  case object TimeT extends IcebergType { def toSpark = LongType; def typeJsonString = "time" }
+  case object TimestampT extends IcebergType { def toSpark = TimestampNTZType; def typeJsonString = "timestamp" }
+  case object TimestampTzT extends IcebergType { def toSpark = TimestampType; def typeJsonString = "timestamptz" }
+  /** ns variants floor to micros on read (documented precision loss). */
+  case object TimestampNsT extends IcebergType { def toSpark = TimestampNTZType; def typeJsonString = "timestamp_ns" }
+  case object TimestampTzNsT extends IcebergType { def toSpark = TimestampType; def typeJsonString = "timestamptz_ns" }
+  case object StringT extends IcebergType { def toSpark = StringType; def typeJsonString = "string" }
+  case object UuidT extends IcebergType { def toSpark = StringType; def typeJsonString = "uuid" }
+  case class FixedT(length: Int) extends IcebergType { def toSpark = BinaryType; def typeJsonString = s"fixed[$length]" }
+  case object BinaryT extends IcebergType { def toSpark = BinaryType; def typeJsonString = "binary" }
+  case class DecimalT(precision: Int, scale: Int) extends IcebergType {
+    def toSpark = DecimalType(precision, scale); def typeJsonString = s"decimal($precision, $scale)"
+  }
+  case object UnknownT extends IcebergType { def toSpark = NullType; def typeJsonString = "unknown" }
+
+  case class NestedField(
+      id: Int,
+      name: String,
+      required: Boolean,
+      fieldType: IcebergType,
+      doc: Option[String] = None,
+      initialDefaultJson: Option[JsonNode] = None,
+      writeDefaultJson: Option[JsonNode] = None) {
+    def toSpark: StructField = {
+      val md = new MetadataBuilder().putLong("parquet.field.id", id.toLong).build()
+      StructField(name, fieldType.toSpark, nullable = !required, metadata = md)
+    }
+  }
+
+  case class StructT(fields: Seq[NestedField]) extends IcebergType {
+    def toSpark: DataType = StructType(fields.map(_.toSpark))
+    def typeJsonString = "struct"
+    def fieldById(id: Int): Option[NestedField] = fields.find(_.id == id)
+  }
+  case class ListT(elementId: Int, element: IcebergType, elementRequired: Boolean) extends IcebergType {
+    def toSpark: DataType = ArrayType(element.toSpark, containsNull = !elementRequired)
+    def typeJsonString = "list"
+  }
+  case class MapT(keyId: Int, key: IcebergType, valueId: Int, value: IcebergType, valueRequired: Boolean) extends IcebergType {
+    def toSpark: DataType = MapType(key.toSpark, value.toSpark, valueContainsNull = !valueRequired)
+    def typeJsonString = "map"
+  }
+
+  private val DecimalRe = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+  private val FixedRe = """fixed\[(\d+)\]""".r
+
+  /** Parse a primitive type string (reference :82-167). */
+  def parsePrimitive(s: String): IcebergType = s match {
+    case "boolean" => BooleanT
+    case "int" | "integer" => IntT
+    case "long" => LongT
+    case "float" => FloatT
+    case "double" => DoubleT
+    case "date" => DateT
+    case "time" => TimeT
+    case "timestamp" => TimestampT
+    case "timestamptz" => TimestampTzT
+    case "timestamp_ns" => TimestampNsT
+    case "timestamptz_ns" => TimestampTzNsT
+    case "string" => StringT
+    case "uuid" => UuidT
+    case "binary" => BinaryT
+    case "unknown" => UnknownT
+    case DecimalRe(p, sc) => DecimalT(p.toInt, sc.toInt)
+    case FixedRe(n) => FixedT(n.toInt)
+    case other if other.startsWith("geometry") => BinaryT // WKB; crs not modeled
+    case other => throw new IllegalArgumentException(s"Unsupported Iceberg type: $other")
+  }
+
+  /** Parse a type JSON node: primitive string or nested object. */
+  def parseType(node: JsonNode): IcebergType = {
+    if (node.isTextual) parsePrimitive(node.asText())
+    else {
+      node.get("type").asText() match {
+        case "struct" =>
+          val fs = node.get("fields").elements()
+          val buf = Seq.newBuilder[NestedField]
+          while (fs.hasNext) buf += parseField(fs.next())
+          StructT(buf.result())
+        case "list" =>
+          ListT(node.get("element-id").asInt(), parseType(node.get("element")),
+            node.get("element-required").asBoolean(false))
+        case "map" =>
+          MapT(node.get("key-id").asInt(), parseType(node.get("key")),
+            node.get("value-id").asInt(), parseType(node.get("value")),
+            node.get("value-required").asBoolean(false))
+        case other => throw new IllegalArgumentException(s"Unsupported nested type: $other")
+      }
+    }
+  }
+
+  def parseField(node: JsonNode): NestedField = NestedField(
+    id = node.get("id").asInt(),
+    name = node.get("name").asText(),
+    required = node.has("required") && node.get("required").asBoolean(false),
+    fieldType = parseType(node.get("type")),
+    doc = Option(node.get("doc")).map(_.asText()),
+    initialDefaultJson = Option(node.get("initial-default")),
+    writeDefaultJson = Option(node.get("write-default")))
+
+  /** Parse a full schema object: {"type":"struct","schema-id":N,"fields":[...]}. */
+  def parseSchema(node: JsonNode): IcebergSchema = {
+    val st = parseType(node).asInstanceOf[StructT]
+    IcebergSchema(Option(node.get("schema-id")).map(_.asInt()).getOrElse(0), st)
+  }
+
+  // ---- JSON emission (write path) ----
+
+  def typeToJson(t: IcebergType, om: ObjectNode => Unit = _ => ()): JsonNode = {
+    val f = com.fasterxml.jackson.databind.node.JsonNodeFactory.instance
+    t match {
+      case StructT(fields) =>
+        val o = f.objectNode(); o.put("type", "struct")
+        val arr = o.putArray("fields")
+        fields.foreach(fl => arr.add(fieldToJson(fl)))
+        o
+      case ListT(eid, el, req) =>
+        val o = f.objectNode(); o.put("type", "list"); o.put("element-id", eid)
+        o.set[JsonNode]("element", typeToJson(el)); o.put("element-required", req); o
+      case MapT(kid, k, vid, v, vreq) =>
+        val o = f.objectNode(); o.put("type", "map"); o.put("key-id", kid)
+        o.set[JsonNode]("key", typeToJson(k)); o.put("value-id", vid)
+        o.set[JsonNode]("value", typeToJson(v)); o.put("value-required", vreq); o
+      case prim => f.textNode(prim.typeJsonString)
+    }
+  }
+
+  def fieldToJson(fl: NestedField): ObjectNode = {
+    val f = com.fasterxml.jackson.databind.node.JsonNodeFactory.instance
+    val o = f.objectNode()
+    o.put("id", fl.id); o.put("name", fl.name); o.put("required", fl.required)
+    o.set[JsonNode]("type", typeToJson(fl.fieldType))
+    fl.initialDefaultJson.foreach(d => o.set[JsonNode]("initial-default", d))
+    fl.writeDefaultJson.foreach(d => o.set[JsonNode]("write-default", d))
+    o
+  }
+
+  // ---- Spark -> Iceberg (write path schema derivation) ----
+
+  /** Derive an Iceberg schema from a Spark schema, assigning fresh field ids
+    * (pre-order, top-level first — matches fresh-id assignment semantics). */
+  def fromSpark(schema: StructType): IcebergSchema = {
+    var nextId = 0
+    def alloc(): Int = { nextId += 1; nextId }
+    def conv(dt: DataType): IcebergType = dt match {
+      case BooleanType => BooleanT
+      case ByteType | ShortType | IntegerType => IntT
+      case LongType => LongT
+      case FloatType => FloatT
+      case DoubleType => DoubleT
+      case DateType => DateT
+      case TimestampType => TimestampTzT
+      case TimestampNTZType => TimestampT
+      case StringType => StringT
+      case BinaryType => BinaryT
+      case d: DecimalType => DecimalT(d.precision, d.scale)
+      case ArrayType(et, containsNull) =>
+        val id = alloc(); ListT(id, conv(et), !containsNull)
+      case MapType(kt, vt, valueContainsNull) =>
+        val kid = alloc(); val vid = alloc()
+        MapT(kid, conv(kt), vid, conv(vt), !valueContainsNull)
+      case st: StructType =>
+        StructT(st.fields.toSeq.map { sf =>
+          val id = alloc()
+          NestedField(id, sf.name, required = !sf.nullable, conv(sf.dataType))
+        })
+      case other => throw new IllegalArgumentException(s"Cannot map Spark type $other to Iceberg")
+    }
+    // Two passes so top-level fields get ids 1..n before nested ids, matching
+    // the common fresh-assignment layout.
+    val topIds = schema.fields.map(_ => alloc())
+    val fields = schema.fields.toSeq.zip(topIds.toSeq).map { case (sf, id) =>
+      NestedField(id, sf.name, required = !sf.nullable, conv(sf.dataType))
+    }
+    IcebergSchema(0, StructT(fields), lastColumnId = nextId)
+  }
+}
+
+/** A versioned Iceberg schema: struct + schema-id. */
+case class IcebergSchema(schemaId: Int, struct: IcebergTypes.StructT, lastColumnId: Int = 0) {
+  def toSpark: StructType = struct.toSpark.asInstanceOf[StructType]
+  def fields: Seq[IcebergTypes.NestedField] = struct.fields
+  /** Flat map of field-id -> (dotted name path, type) including nested fields. */
+  lazy val idToField: Map[Int, IcebergTypes.NestedField] = {
+    val buf = Map.newBuilder[Int, IcebergTypes.NestedField]
+    def walk(t: IcebergType): Unit = t match {
+      case IcebergTypes.StructT(fs) => fs.foreach { f => buf += (f.id -> f); walk(f.fieldType) }
+      case IcebergTypes.ListT(_, el, _) => walk(el)
+      case IcebergTypes.MapT(_, k, _, v, _) => walk(k); walk(v)
+      case _ =>
+    }
+    walk(struct)
+    buf.result()
+  }
+  def maxFieldId: Int = if (idToField.isEmpty) 0 else idToField.keys.max
+  def toJson: com.fasterxml.jackson.databind.node.ObjectNode = {
+    val o = IcebergTypes.typeToJson(struct).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    o.put("schema-id", schemaId)
+    o
+  }
+}

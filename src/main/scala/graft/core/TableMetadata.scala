@@ -1,0 +1,335 @@
+package graft.core
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, JsonNodeFactory, ObjectNode}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import java.io.{BufferedInputStream, InputStream}
+import java.util.zip.GZIPInputStream
+import scala.jdk.CollectionConverters._
+
+/**
+ * Iceberg table metadata model + JSON (de)serialization + version discovery
+ * + snapshot lookup.
+ *
+ * Mirrors the capabilities of the reference metadata layer
+ * (reference: src/core/metadata/iceberg_table_metadata.cpp:354-475 parse,
+ * :157-282 version discovery incl. version-hint + gzip, :15-57,129-151
+ * snapshot lookup incl. timestamp-via-snapshot-log, :557-667 JSON write).
+ */
+case class SnapshotInfo(
+    snapshotId: Long,
+    parentSnapshotId: Option[Long],
+    sequenceNumber: Long,
+    timestampMs: Long,
+    manifestList: String,
+    summary: Map[String, String],
+    schemaId: Option[Int],
+    firstRowId: Option[Long] = None) {
+  def operation: String = summary.getOrElse("operation", "")
+}
+
+case class PartitionField(sourceId: Int, fieldId: Int, name: String, transform: Transform)
+case class PartitionSpec(specId: Int, fields: Seq[PartitionField]) {
+  def isUnpartitioned: Boolean = fields.forall(_.transform == Transforms.Void) || fields.isEmpty
+}
+case class SortField(sourceId: Int, transform: Transform, ascending: Boolean, nullsFirst: Boolean)
+case class SortOrder(orderId: Int, fields: Seq[SortField])
+
+case class TableMetadata(
+    formatVersion: Int,
+    tableUuid: String,
+    location: String,
+    lastSequenceNumber: Long,
+    lastUpdatedMs: Long,
+    lastColumnId: Int,
+    currentSchemaId: Int,
+    schemas: Seq[IcebergSchema],
+    defaultSpecId: Int,
+    specs: Seq[PartitionSpec],
+    lastPartitionId: Int,
+    defaultSortOrderId: Int,
+    sortOrders: Seq[SortOrder],
+    properties: Map[String, String],
+    currentSnapshotId: Option[Long],
+    snapshots: Seq[SnapshotInfo],
+    snapshotLog: Seq[(Long, Long)], // (timestampMs, snapshotId)
+    metadataLog: Seq[(Long, String)], // (timestampMs, metadataFile)
+    refs: Map[String, Long], // ref name -> snapshot id
+    nextRowId: Option[Long] = None) {
+
+  def schema(id: Int): IcebergSchema =
+    schemas.find(_.schemaId == id).getOrElse(throw new IllegalArgumentException(s"No schema with id $id"))
+  def currentSchema: IcebergSchema = schema(currentSchemaId)
+  def spec(id: Int): PartitionSpec =
+    specs.find(_.specId == id).getOrElse(PartitionSpec(id, Nil))
+  def defaultSpec: PartitionSpec = spec(defaultSpecId)
+  def currentSnapshot: Option[SnapshotInfo] = currentSnapshotId.flatMap(id => snapshots.find(_.snapshotId == id))
+  def sortOrder(id: Int): Option[SortOrder] = sortOrders.find(_.orderId == id)
+
+  /** Snapshot lookup: latest / by id / by timestamp. Timestamp lookup walks
+    * the snapshot-log (not the snapshots list) so side branches are ignored —
+    * matches reference GetSnapshotByTimestamp semantics. */
+  def selectSnapshot(lookup: SnapshotLookup): Option[SnapshotInfo] = lookup match {
+    case SnapshotLookup.Latest => currentSnapshot
+    case SnapshotLookup.ById(id) =>
+      Some(snapshots.find(_.snapshotId == id)
+        .getOrElse(throw new IllegalArgumentException(s"Snapshot $id not found")))
+    case SnapshotLookup.ByTimestamp(ts) =>
+      val candidates = snapshotLog.filter(_._1 <= ts)
+      if (candidates.isEmpty)
+        throw new IllegalArgumentException(s"No snapshot at or before timestamp $ts")
+      val id = candidates.maxBy(_._1)._2
+      Some(snapshots.find(_.snapshotId == id)
+        .getOrElse(throw new IllegalArgumentException(s"Snapshot $id from snapshot-log not found")))
+  }
+
+  /** Schema bound to a snapshot (falls back to current). */
+  def schemaFor(snap: Option[SnapshotInfo]): IcebergSchema =
+    snap.flatMap(_.schemaId).map(schema).getOrElse(currentSchema)
+}
+
+sealed trait SnapshotLookup
+object SnapshotLookup {
+  case object Latest extends SnapshotLookup
+  case class ById(id: Long) extends SnapshotLookup
+  case class ByTimestamp(tsMs: Long) extends SnapshotLookup
+}
+
+object TableMetadata {
+  private val mapper = new ObjectMapper()
+  private val F = JsonNodeFactory.instance
+
+  // ---------- path utilities ----------
+
+  /** Resolve a path recorded inside table metadata against the actual table
+    * location. Handles moved tables (reference allow_moved_paths): if the
+    * recorded path is absolute-but-stale or relative, graft the part from
+    * "/metadata/" or "/data/" onto the real location. */
+  def resolvePath(tableLocation: String, recorded: String): String = {
+    val loc = tableLocation.stripSuffix("/")
+    def graft(marker: String): Option[String] = {
+      val i = recorded.lastIndexOf(s"/$marker/")
+      if (i >= 0) Some(loc + recorded.substring(i)) else None
+    }
+    // Fast path: recorded under the table location already.
+    if (recorded.startsWith(loc + "/")) recorded
+    else graft("metadata").orElse(graft("data")).getOrElse {
+      if (recorded.startsWith("/") || recorded.contains("://")) recorded
+      else s"$loc/$recorded"
+    }
+  }
+
+  def fs(path: String, conf: Configuration): FileSystem = new Path(path).getFileSystem(conf)
+
+  private def openMaybeGz(fsys: FileSystem, p: Path): InputStream = {
+    val raw = new BufferedInputStream(fsys.open(p))
+    if (p.getName.endsWith(".gz") || p.getName.endsWith(".gz.metadata.json")) new GZIPInputStream(raw) else raw
+  }
+
+  /** Find the metadata JSON file for a table root (or accept a direct path to
+    * a metadata.json). Order: explicit file > version-hint.text > newest
+    * v*.metadata.json / *.metadata.json by version number. Gzip variants
+    * (vN.gz.metadata.json / vN.metadata.json.gz) supported. */
+  def findMetadataFile(tablePath: String, conf: Configuration, version: Option[String] = None): String = {
+    val fsys = fs(tablePath, conf)
+    val root = new Path(tablePath)
+    if (tablePath.endsWith(".metadata.json") || tablePath.endsWith(".metadata.json.gz")) return tablePath
+    val metaDir = new Path(root, "metadata")
+    def existing(cands: Seq[Path]): Option[Path] = cands.find(fsys.exists)
+    def candidatesFor(v: String): Seq[Path] = Seq(
+      new Path(metaDir, s"v$v.metadata.json"),
+      new Path(metaDir, s"$v.metadata.json"),
+      new Path(metaDir, s"v$v.gz.metadata.json"),
+      new Path(metaDir, s"v$v.metadata.json.gz"))
+    version.foreach { v =>
+      return existing(candidatesFor(v))
+        .getOrElse(throw new java.io.FileNotFoundException(s"No metadata for version $v under $metaDir"))
+        .toString
+    }
+    val hint = new Path(metaDir, "version-hint.text")
+    if (fsys.exists(hint)) {
+      val v = scala.io.Source.fromInputStream(fsys.open(hint)).mkString.trim
+      existing(candidatesFor(v)) match {
+        case Some(p) => return p.toString
+        case None => // stale hint: fall through to listing
+      }
+    }
+    // Guess: list metadata dir, pick highest numeric version prefix.
+    val VRe = """v?(\d+)(?:-[-\w]+)?(?:\.gz)?\.metadata\.json(?:\.gz)?""".r
+    val listed = if (fsys.exists(metaDir)) fsys.listStatus(metaDir).toSeq else Seq.empty
+    val versioned = listed.flatMap { st =>
+      st.getPath.getName match {
+        case VRe(n) => Some((n.toLong, st.getPath))
+        case _ => None
+      }
+    }
+    if (versioned.nonEmpty) versioned.maxBy(_._1)._2.toString
+    else throw new java.io.FileNotFoundException(s"No Iceberg metadata found under $metaDir")
+  }
+
+  // ---------- JSON parse ----------
+
+  def parse(json: String, actualLocation: Option[String] = None): TableMetadata =
+    parseNode(mapper.readTree(json), actualLocation)
+
+  def load(tablePath: String, conf: Configuration, version: Option[String] = None): TableMetadata = {
+    val metaFile = findMetadataFile(tablePath, conf, version)
+    val fsys = fs(metaFile, conf)
+    val in = openMaybeGz(fsys, new Path(metaFile))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val tableRoot =
+      if (tablePath.endsWith(".metadata.json") || tablePath.endsWith(".metadata.json.gz"))
+        new Path(tablePath).getParent.getParent.toString
+      else tablePath
+    parse(txt, Some(tableRoot))
+  }
+
+  private def strMap(n: JsonNode): Map[String, String] =
+    if (n == null) Map.empty
+    else n.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+
+  private def arr(n: JsonNode): Seq[JsonNode] =
+    if (n == null) Seq.empty else n.elements().asScala.toSeq
+
+  def parseNode(root: JsonNode, actualLocation: Option[String]): TableMetadata = {
+    val formatVersion = root.get("format-version").asInt()
+    val recordedLocation = Option(root.get("location")).map(_.asText()).getOrElse("")
+    val location = actualLocation.getOrElse(recordedLocation)
+
+    // v1 compat: single "schema" + "partition-spec"; v2+: arrays.
+    val schemas: Seq[IcebergSchema] =
+      if (root.has("schemas")) arr(root.get("schemas")).map(IcebergTypes.parseSchema)
+      else Seq(IcebergTypes.parseSchema(root.get("schema")))
+    val currentSchemaId = Option(root.get("current-schema-id")).map(_.asInt())
+      .getOrElse(schemas.head.schemaId)
+
+    def parseSpec(n: JsonNode): PartitionSpec = PartitionSpec(
+      Option(n.get("spec-id")).map(_.asInt()).getOrElse(0),
+      arr(n.get("fields")).map { f =>
+        PartitionField(f.get("source-id").asInt(), Option(f.get("field-id")).map(_.asInt()).getOrElse(1000),
+          f.get("name").asText(), Transforms.parse(f.get("transform").asText()))
+      })
+    val specs: Seq[PartitionSpec] =
+      if (root.has("partition-specs")) arr(root.get("partition-specs")).map(parseSpec)
+      else if (root.has("partition-spec"))
+        Seq(PartitionSpec(0, arr(root.get("partition-spec")).map { f =>
+          PartitionField(f.get("source-id").asInt(), Option(f.get("field-id")).map(_.asInt()).getOrElse(1000),
+            f.get("name").asText(), Transforms.parse(f.get("transform").asText()))
+        }))
+      else Seq(PartitionSpec(0, Nil))
+    val defaultSpecId = Option(root.get("default-spec-id")).map(_.asInt()).getOrElse(specs.head.specId)
+
+    val sortOrders = arr(root.get("sort-orders")).map { n =>
+      SortOrder(n.get("order-id").asInt(), arr(n.get("fields")).map { f =>
+        SortField(f.get("source-id").asInt(), Transforms.parse(f.get("transform").asText()),
+          f.get("direction").asText("asc") == "asc", f.get("null-order").asText("nulls-first") == "nulls-first")
+      })
+    }
+
+    val snapshots = arr(root.get("snapshots")).map { s =>
+      SnapshotInfo(
+        snapshotId = s.get("snapshot-id").asLong(),
+        parentSnapshotId = Option(s.get("parent-snapshot-id")).map(_.asLong()),
+        sequenceNumber = Option(s.get("sequence-number")).map(_.asLong()).getOrElse(0L),
+        timestampMs = s.get("timestamp-ms").asLong(),
+        manifestList = s.get("manifest-list").asText(),
+        summary = strMap(s.get("summary")),
+        schemaId = Option(s.get("schema-id")).map(_.asInt()),
+        firstRowId = Option(s.get("first-row-id")).map(_.asLong()))
+    }
+
+    TableMetadata(
+      formatVersion = formatVersion,
+      tableUuid = Option(root.get("table-uuid")).map(_.asText()).getOrElse(""),
+      location = location,
+      lastSequenceNumber = Option(root.get("last-sequence-number")).map(_.asLong()).getOrElse(0L),
+      lastUpdatedMs = Option(root.get("last-updated-ms")).map(_.asLong()).getOrElse(0L),
+      lastColumnId = Option(root.get("last-column-id")).map(_.asInt()).getOrElse(0),
+      currentSchemaId = currentSchemaId,
+      schemas = schemas,
+      defaultSpecId = defaultSpecId,
+      specs = specs,
+      lastPartitionId = Option(root.get("last-partition-id")).map(_.asInt()).getOrElse(999),
+      defaultSortOrderId = Option(root.get("default-sort-order-id")).map(_.asInt()).getOrElse(0),
+      sortOrders = sortOrders,
+      properties = strMap(root.get("properties")),
+      currentSnapshotId = Option(root.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L),
+      snapshots = snapshots,
+      snapshotLog = arr(root.get("snapshot-log")).map(n => (n.get("timestamp-ms").asLong(), n.get("snapshot-id").asLong())),
+      metadataLog = arr(root.get("metadata-log")).map(n => (n.get("timestamp-ms").asLong(), n.get("metadata-file").asText())),
+      refs = Option(root.get("refs")).map(_.properties().asScala.map(e => e.getKey -> e.getValue.get("snapshot-id").asLong()).toMap).getOrElse(Map.empty),
+      nextRowId = Option(root.get("next-row-id")).map(_.asLong()))
+  }
+
+  // ---------- JSON write ----------
+
+  def toJson(m: TableMetadata): String = {
+    val o = F.objectNode()
+    o.put("format-version", m.formatVersion)
+    o.put("table-uuid", m.tableUuid)
+    o.put("location", m.location)
+    o.put("last-sequence-number", m.lastSequenceNumber)
+    o.put("last-updated-ms", m.lastUpdatedMs)
+    o.put("last-column-id", m.lastColumnId)
+    o.put("current-schema-id", m.currentSchemaId)
+    val sArr = o.putArray("schemas"); m.schemas.foreach(s => sArr.add(s.toJson))
+    o.put("default-spec-id", m.defaultSpecId)
+    val pArr = o.putArray("partition-specs")
+    m.specs.foreach { sp =>
+      val so = F.objectNode(); so.put("spec-id", sp.specId)
+      val fa = so.putArray("fields")
+      sp.fields.foreach { f =>
+        val fo = F.objectNode()
+        fo.put("name", f.name); fo.put("transform", f.transform.toString)
+        fo.put("source-id", f.sourceId); fo.put("field-id", f.fieldId)
+        fa.add(fo)
+      }
+      pArr.add(so)
+    }
+    o.put("last-partition-id", m.lastPartitionId)
+    o.put("default-sort-order-id", m.defaultSortOrderId)
+    val soArr = o.putArray("sort-orders")
+    m.sortOrders.foreach { ord =>
+      val oo = F.objectNode(); oo.put("order-id", ord.orderId)
+      val fa = oo.putArray("fields")
+      ord.fields.foreach { f =>
+        val fo = F.objectNode()
+        fo.put("transform", f.transform.toString); fo.put("source-id", f.sourceId)
+        fo.put("direction", if (f.ascending) "asc" else "desc")
+        fo.put("null-order", if (f.nullsFirst) "nulls-first" else "nulls-last")
+        fa.add(fo)
+      }
+      soArr.add(oo)
+    }
+    val props = o.putObject("properties"); m.properties.foreach { case (k, v) => props.put(k, v) }
+    m.currentSnapshotId.foreach(id => o.put("current-snapshot-id", id))
+    val refs = o.putObject("refs")
+    m.refs.foreach { case (name, id) =>
+      val r = refs.putObject(name); r.put("snapshot-id", id); r.put("type", "branch")
+    }
+    val snaps = o.putArray("snapshots")
+    m.snapshots.foreach { s =>
+      val so = F.objectNode()
+      so.put("sequence-number", s.sequenceNumber)
+      so.put("snapshot-id", s.snapshotId)
+      s.parentSnapshotId.foreach(p => so.put("parent-snapshot-id", p))
+      so.put("timestamp-ms", s.timestampMs)
+      val sum = so.putObject("summary"); s.summary.foreach { case (k, v) => sum.put(k, v) }
+      so.put("manifest-list", s.manifestList)
+      s.schemaId.foreach(id => so.put("schema-id", id))
+      s.firstRowId.foreach(r => so.put("first-row-id", r))
+      snaps.add(so)
+    }
+    val slog = o.putArray("snapshot-log")
+    m.snapshotLog.foreach { case (ts, id) =>
+      val n = F.objectNode(); n.put("timestamp-ms", ts); n.put("snapshot-id", id); slog.add(n)
+    }
+    val mlog = o.putArray("metadata-log")
+    m.metadataLog.foreach { case (ts, pth) =>
+      val n = F.objectNode(); n.put("timestamp-ms", ts); n.put("metadata-file", pth); mlog.add(n)
+    }
+    m.nextRowId.foreach(r => o.put("next-row-id", r))
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(o)
+  }
+}

@@ -1,0 +1,407 @@
+package graft.write
+
+import graft.core._
+import graft.manifest._
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+
+/**
+ * Iceberg write path: parquet data files with field ids, per-file stats from
+ * parquet footers, v2 manifests + manifest list + metadata.json +
+ * version-hint — the COPY TO (FORMAT iceberg) equivalent plus partitioned /
+ * sorted appends.
+ *
+ * (reference: src/function/copy/iceberg_copy_function.cpp:11-62 one-shot
+ * table write; src/execution/operator/iceberg_insert.cpp:150-237,403-578,
+ * 781-869 insert planning, partition-transform projection, sorted writes;
+ * src/storage/statistics/iceberg_data_file_stats.cpp stats;
+ * src/catalog/rest/api/iceberg_add_snapshot.cpp snapshot assembly.)
+ *
+ * Scale notes: the data write is one Spark job (`repartition(partitionExprs)
+ * .sortWithinPartitions(...)` feeding a parquet write — executors do all row
+ * work, partition dirs give co-located files); footer stats are read on the
+ * driver with a thread pool (file count, not row count, bound) — at true
+ * 100 TB scale this step would move to `spark.parallelize(files)`.
+ * Commit is a driver-only metadata rename (HadoopTableOperations-style
+ * single-writer semantics, documented).
+ */
+case class TableWriteOptions(
+    partitionBy: Seq[(String, Transform)] = Nil,
+    sortBy: Seq[(String, Boolean, Boolean)] = Nil, // (column, ascending, nullsFirst)
+    properties: Map[String, String] = Map.empty,
+    formatVersion: Int = 2)
+
+object IcebergWrite {
+  private val rng = new java.security.SecureRandom()
+  private def newSnapshotId(): Long = math.abs(rng.nextLong()) | 1L
+
+  private def fieldMetadata(id: Int): Metadata =
+    new MetadataBuilder().putLong("parquet.field.id", id.toLong).build()
+
+  def tableExists(path: String, conf: Configuration): Boolean =
+    try { TableMetadata.findMetadataFile(path, conf); true } catch { case _: Exception => false }
+
+  /** Create an empty table (metadata.json v1, no snapshot). */
+  def createTable(spark: SparkSession, path: String, schema: StructType,
+      opts: TableWriteOptions = TableWriteOptions()): TableMetadata = {
+    val conf = spark.sessionState.newHadoopConf()
+    require(!tableExists(path, conf), s"Iceberg table already exists at $path")
+    val iceSchema = IcebergTypes.fromSpark(schema)
+    val nameToField = iceSchema.fields.map(f => f.name -> f).toMap
+    var nextPartId = 999
+    val specFields = opts.partitionBy.map { case (colName, t) =>
+      val src = nameToField.getOrElse(colName,
+        throw new IllegalArgumentException(s"Partition column $colName not in schema"))
+      nextPartId += 1
+      val name = t match {
+        case Transforms.Identity => colName
+        case Transforms.Bucket(n) => s"${colName}_bucket"
+        case Transforms.Truncate(w) => s"${colName}_trunc"
+        case other => s"${colName}_${other.toString}"
+      }
+      PartitionField(src.id, nextPartId, name, t)
+    }
+    val sortFields = opts.sortBy.map { case (colName, asc, nf) =>
+      val src = nameToField.getOrElse(colName,
+        throw new IllegalArgumentException(s"Sort column $colName not in schema"))
+      SortField(src.id, Transforms.Identity, asc, nf)
+    }
+    val sortOrderId = if (sortFields.nonEmpty) 1 else 0
+    val meta = TableMetadata(
+      formatVersion = opts.formatVersion,
+      tableUuid = UUID.randomUUID().toString,
+      location = path.stripSuffix("/"),
+      lastSequenceNumber = 0L,
+      lastUpdatedMs = System.currentTimeMillis(),
+      lastColumnId = iceSchema.lastColumnId,
+      currentSchemaId = 0,
+      schemas = Seq(iceSchema),
+      defaultSpecId = 0,
+      specs = Seq(PartitionSpec(0, specFields)),
+      lastPartitionId = nextPartId,
+      defaultSortOrderId = sortOrderId,
+      sortOrders = Seq(SortOrder(0, Nil)) ++ (if (sortFields.nonEmpty) Seq(SortOrder(1, sortFields)) else Nil),
+      properties = opts.properties,
+      currentSnapshotId = None,
+      snapshots = Nil, snapshotLog = Nil, metadataLog = Nil, refs = Map.empty)
+    commitMetadata(meta, 1, conf)
+    meta
+  }
+
+  /** COPY TO equivalent: create table (if needed) + append in one call. */
+  def writeTable(df: DataFrame, path: String,
+      opts: TableWriteOptions = TableWriteOptions()): TableMetadata = {
+    val spark = df.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    if (!tableExists(path, conf)) createTable(spark, path, df.schema, opts)
+    append(df, path)
+  }
+
+  /** Append `df` as a new APPEND snapshot. */
+  def append(df: DataFrame, path: String): TableMetadata = {
+    val spark = df.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = TableMetadata.load(path, conf)
+    val (entries, _) = writeDataFiles(df, meta, conf)
+    commitSnapshot(meta, entries, Nil, "append", conf)
+  }
+
+  /** Write data files for `df` under the table layout; returns ADDED
+    * manifest entries (stats included) without committing. */
+  private[graft] def writeDataFiles(df: DataFrame, meta: TableMetadata,
+      conf: Configuration): (Seq[ManifestEntry], String) = {
+    val spark = df.sparkSession
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val schema = meta.currentSchema
+    val spec = meta.defaultSpec
+
+    // Project df to the table schema, aliasing every column with its
+    // field-id metadata so parquet files carry ids.
+    val cols = schema.fields.map(f => col(f.name).cast(f.fieldType.toSpark).as(f.name, fieldMetadata(f.id)))
+    var out = df.select(cols.toIndexedSeq: _*)
+
+    // Partition-transform projection (reference iceberg_insert.cpp:403-475).
+    val gpCols: Seq[(String, Column)] = spec.fields.map { pf =>
+      val src = schema.idToField(pf.sourceId)
+      (s"_gp_${pf.name}", pf.transform.column(col(src.name), src.fieldType))
+    }
+    gpCols.foreach { case (n, c) => out = out.withColumn(n, c) }
+
+    // Sorted writes (reference iceberg_insert.cpp:477-511,767-794).
+    val sortCols: Seq[Column] = meta.sortOrder(meta.defaultSortOrderId).toSeq.flatMap(_.fields).map { sf =>
+      val src = schema.idToField(sf.sourceId)
+      val c = sf.transform.column(col(src.name), src.fieldType)
+      if (sf.nullsFirst) (if (sf.ascending) c.asc_nulls_first else c.desc_nulls_first)
+      else (if (sf.ascending) c.asc_nulls_last else c.desc_nulls_last)
+    }
+
+    val writeUuid = UUID.randomUUID().toString
+    val stagingDir = s"${meta.location}/data/$writeUuid"
+    if (gpCols.nonEmpty) {
+      // Co-locate rows per partition before the write: one shuffle, then one
+      // file per partition value (not per task x partition).
+      out = out.repartition(gpCols.map(c => col(c._1)).toIndexedSeq: _*)
+      if (sortCols.nonEmpty) out = out.sortWithinPartitions(sortCols.toIndexedSeq: _*)
+      out.write.partitionBy(gpCols.map(_._1): _*).parquet(stagingDir)
+    } else {
+      if (sortCols.nonEmpty) out = out.orderBy(sortCols.toIndexedSeq: _*)
+      out.write.parquet(stagingDir)
+    }
+
+    // Collect written files + their dir-encoded partition values.
+    val fsys = TableMetadata.fs(stagingDir, conf)
+    val files = listParquet(fsys, new Path(stagingDir))
+    val partResultTypes = spec.fields.map { pf =>
+      pf.transform.resultType(schema.idToField(pf.sourceId).fieldType)
+    }
+    val entries = graft.read.IcebergRead.parMap(files, 16) { st =>
+      val rel = st.getPath.toString.stripPrefix(new Path(stagingDir).toUri.toString).stripPrefix("/")
+      // Parse "_gp_name=value" segments, in spec order.
+      val segs = rel.split("/").dropRight(1)
+      val partValues: Seq[Any] = spec.fields.zip(partResultTypes).zipWithIndex.map { case ((pf, t), i) =>
+        val seg = segs.find(_.startsWith(s"_gp_${pf.name}=")).getOrElse(
+          throw new IllegalStateException(s"Missing partition dir for ${pf.name} in $rel"))
+        parseDirValue(seg.substring(seg.indexOf('=') + 1), t)
+      }
+      val stats = FooterStats.read(st.getPath, conf, schema)
+      ManifestEntry(EntryStatus.Added, None, None, None, DataFileInfo(
+        content = FileContent.Data,
+        filePath = st.getPath.toString,
+        fileFormat = "parquet",
+        partitionValues = partValues,
+        recordCount = stats.recordCount,
+        fileSizeInBytes = st.getLen,
+        columnSizes = stats.columnSizes,
+        valueCounts = stats.valueCounts,
+        nullValueCounts = stats.nullCounts,
+        nanValueCounts = Map.empty,
+        lowerBounds = stats.lowerBounds,
+        upperBounds = stats.upperBounds,
+        splitOffsets = stats.splitOffsets,
+        equalityIds = Nil,
+        sortOrderId = Some(meta.defaultSortOrderId)))
+    }
+    (entries, writeUuid)
+  }
+
+  private def listParquet(fsys: org.apache.hadoop.fs.FileSystem, dir: Path): Seq[FileStatus] = {
+    val out = Seq.newBuilder[FileStatus]
+    val it = fsys.listFiles(dir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet")) out += st
+    }
+    out.result()
+  }
+
+  /** Parse a hive-style dir value into the internal form of `t`. */
+  private[graft] def parseDirValue(raw: String, t: IcebergType): Any = {
+    import IcebergTypes._
+    if (raw == "__HIVE_DEFAULT_PARTITION__") return null
+    val s = unescapePathName(raw)
+    t match {
+      case BooleanT => s.toBoolean
+      case IntT => s.toInt
+      case LongT => s.toLong
+      case FloatT => s.toFloat
+      case DoubleT => s.toDouble
+      case StringT | UuidT => s
+      case DateT => java.time.LocalDate.parse(s).toEpochDay.toInt
+      case DecimalT(_, _) => new java.math.BigDecimal(s)
+      case TimestampT | TimestampTzT =>
+        val norm = s.replace(" ", "T")
+        val ldt = java.time.LocalDateTime.parse(norm)
+        ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
+      case other => throw new IllegalArgumentException(s"Cannot parse partition dir value '$s' as $other")
+    }
+  }
+
+  private def unescapePathName(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  // ---------- commit ----------
+
+  /** Assemble + commit a snapshot from added data-file entries and added
+    * delete-file entries. `operation`: append / delete / overwrite / replace.
+    * For "replace"/rewrite commits pass `removedDataPaths` so prior manifests
+    * are rewritten without those files. */
+  private[graft] def commitSnapshot(
+      meta: TableMetadata,
+      addedData: Seq[ManifestEntry],
+      addedDeletes: Seq[ManifestEntry],
+      operation: String,
+      conf: Configuration,
+      removedDataPaths: Set[String] = Set.empty): TableMetadata = {
+    val schema = meta.currentSchema
+    val spec = meta.defaultSpec
+    val snapshotId = newSnapshotId()
+    val seq = meta.lastSequenceNumber + 1
+    val commitUuid = UUID.randomUUID().toString
+    val partitionFields: Seq[(String, IcebergType, Int)] = spec.fields.map { pf =>
+      (pf.name, pf.transform.resultType(schema.idToField(pf.sourceId).fieldType), pf.fieldId)
+    }
+    val metaDir = s"${meta.location}/metadata"
+    val fsys = TableMetadata.fs(metaDir, conf)
+    fsys.mkdirs(new Path(metaDir))
+
+    def summariesFor(entries: Seq[ManifestEntry]): Seq[FieldSummary] =
+      partitionFields.zipWithIndex.map { case ((_, t, _), i) =>
+        val vals = entries.map(_.dataFile.partitionValues.lift(i).orNull)
+        val nonNull = vals.filter(_ != null)
+        val ser = nonNull.map(v => (v, SingleValue.serialize(Pruning2.internalForBounds(v, t), t)))
+        val sorted = ser.sortWith((a, b) => Pruning2.cmpAny(a._1, b._1) < 0)
+        FieldSummary(
+          containsNull = vals.exists(_ == null),
+          containsNan = None,
+          lowerBound = sorted.headOption.map(_._2),
+          upperBound = sorted.lastOption.map(_._2))
+      }
+
+    var newManifests = Seq.empty[ManifestFile]
+
+    // New data manifest.
+    if (addedData.nonEmpty) {
+      val mPath = s"$metaDir/$commitUuid-m0.avro"
+      val withSeq = addedData.map(e => e.copy(
+        snapshotId = Some(snapshotId), sequenceNumber = Some(seq), fileSequenceNumber = Some(seq)))
+      val len = ManifestIO.writeManifest(mPath, conf, partitionFields, withSeq,
+        Map("schema-id" -> schema.schemaId.toString, "partition-spec-id" -> spec.specId.toString, "content" -> "data"))
+      newManifests +:= ManifestFile(mPath, len, spec.specId, 0, seq, seq, snapshotId,
+        withSeq.size, 0, 0, withSeq.map(_.dataFile.recordCount).sum, 0L, 0L, summariesFor(withSeq))
+    }
+    // New delete manifest.
+    if (addedDeletes.nonEmpty) {
+      val mPath = s"$metaDir/$commitUuid-m1.avro"
+      val withSeq = addedDeletes.map(e => e.copy(
+        snapshotId = Some(snapshotId), sequenceNumber = Some(seq), fileSequenceNumber = Some(seq)))
+      val len = ManifestIO.writeManifest(mPath, conf, partitionFields, withSeq,
+        Map("schema-id" -> schema.schemaId.toString, "partition-spec-id" -> spec.specId.toString, "content" -> "deletes"))
+      newManifests +:= ManifestFile(mPath, len, spec.specId, 1, seq, seq, snapshotId,
+        withSeq.size, 0, 0, withSeq.map(_.dataFile.recordCount).sum, 0L, 0L, summariesFor(withSeq))
+    }
+
+    // Carry forward previous manifests (minus files removed by a rewrite).
+    val prevManifests: Seq[ManifestFile] = meta.currentSnapshot match {
+      case None => Nil
+      case Some(prev) =>
+        val prevList = ManifestIO.readManifestList(
+          TableMetadata.resolvePath(meta.location, prev.manifestList), conf)
+        if (removedDataPaths.isEmpty) prevList
+        else prevList.flatMap { m =>
+          val resolved = TableMetadata.resolvePath(meta.location, m.path)
+          val entries = ManifestIO.readManifest(resolved, conf, m)
+          val live = entries.filter(e => e.isLive && !removedDataPaths.contains(e.dataFile.filePath))
+          if (live.size == entries.count(_.isLive)) Some(m)
+          else if (live.isEmpty) None
+          else {
+            // Rewrite manifest without removed files, keeping entries EXISTING.
+            val mPath = s"$metaDir/${UUID.randomUUID().toString}-m0.avro"
+            val pf: Seq[(String, IcebergType, Int)] = {
+              val sp = meta.spec(m.partitionSpecId)
+              sp.fields.map(f => (f.name, f.transform.resultType(schema.idToField(f.sourceId).fieldType), f.fieldId))
+            }
+            val rewritten = live.map(e => e.copy(status = EntryStatus.Existing))
+            val len = ManifestIO.writeManifest(mPath, conf, pf, rewritten, Map("content" -> (if (m.content == 1) "deletes" else "data")))
+            Some(m.copy(path = mPath, length = len, addedFilesCount = 0,
+              existingFilesCount = rewritten.size, deletedFilesCount = 0,
+              addedRowsCount = 0L, existingRowsCount = rewritten.map(_.dataFile.recordCount).sum))
+          }
+        }
+    }
+
+    val allManifests = newManifests ++ prevManifests
+    val listPath = s"$metaDir/snap-$snapshotId-1-$commitUuid.avro"
+    ManifestIO.writeManifestList(listPath, conf, allManifests)
+
+    val dataManifests = allManifests.filter(_.content == 0)
+    val delManifests = allManifests.filter(_.content == 1)
+    val totalRecords = dataManifests.map(m => m.addedRowsCount + m.existingRowsCount).sum
+    val totalDataFiles = dataManifests.map(m => m.addedFilesCount + m.existingFilesCount).sum
+    val now = System.currentTimeMillis()
+    val summary = Map(
+      "operation" -> operation,
+      "added-data-files" -> addedData.size.toString,
+      "added-records" -> addedData.map(_.dataFile.recordCount).sum.toString,
+      "added-files-size" -> addedData.map(_.dataFile.fileSizeInBytes).sum.toString,
+      "added-delete-files" -> addedDeletes.size.toString,
+      "added-position-deletes" -> addedDeletes.filter(_.dataFile.content == FileContent.PositionDeletes).map(_.dataFile.recordCount).sum.toString,
+      "total-records" -> totalRecords.toString,
+      "total-data-files" -> totalDataFiles.toString,
+      "total-delete-files" -> delManifests.map(m => m.addedFilesCount + m.existingFilesCount).sum.toString,
+      "total-files-size" -> "0",
+      "total-position-deletes" -> delManifests.map(m => m.addedRowsCount + m.existingRowsCount).sum.toString,
+      "total-equality-deletes" -> "0")
+    val snap = SnapshotInfo(snapshotId, meta.currentSnapshotId, seq, now, listPath, summary, Some(schema.schemaId))
+
+    val prevVersion = currentVersion(meta.location, conf)
+    val newMeta = meta.copy(
+      lastSequenceNumber = seq,
+      lastUpdatedMs = now,
+      currentSnapshotId = Some(snapshotId),
+      snapshots = meta.snapshots :+ snap,
+      snapshotLog = meta.snapshotLog :+ (now, snapshotId),
+      refs = meta.refs + ("main" -> snapshotId))
+    commitMetadata(newMeta, prevVersion + 1, conf)
+    newMeta
+  }
+
+  private def currentVersion(location: String, conf: Configuration): Int =
+    try {
+      val f = TableMetadata.findMetadataFile(location, conf)
+      val VRe = """.*?v?(\d+)[^/]*\.metadata\.json.*""".r
+      new Path(f).getName match { case VRe(n) => n.toInt; case _ => 0 }
+    } catch { case _: Exception => 0 }
+
+  /** Write vN.metadata.json (atomic rename) + version-hint.text —
+    * HadoopTableOperations-style local commit (single-writer assumption,
+    * reference v1 equivalent: transaction commit without a REST catalog,
+    * iceberg_transaction.cpp:489-534). */
+  private def commitMetadata(meta: TableMetadata, version: Int, conf: Configuration): Unit = {
+    val metaDir = s"${meta.location}/metadata"
+    val fsys = TableMetadata.fs(metaDir, conf)
+    fsys.mkdirs(new Path(metaDir))
+    val tmp = new Path(metaDir, s".v$version.metadata.json.tmp${UUID.randomUUID().toString.take(8)}")
+    val fin = new Path(metaDir, s"v$version.metadata.json")
+    val out = fsys.create(tmp, true)
+    out.write(TableMetadata.toJson(meta).getBytes(StandardCharsets.UTF_8))
+    out.close()
+    if (!fsys.rename(tmp, fin)) {
+      fsys.delete(tmp, false)
+      throw new IllegalStateException(s"Concurrent commit detected: $fin already exists")
+    }
+    val hint = fsys.create(new Path(metaDir, "version-hint.text"), true)
+    hint.write(version.toString.getBytes(StandardCharsets.UTF_8))
+    hint.close()
+  }
+}
+
+/** Small comparison helpers shared by write-side summaries. */
+private[graft] object Pruning2 {
+  def internalForBounds(v: Any, t: IcebergType): Any = v
+  @annotation.nowarn
+  def cmpAny(a: Any, b: Any): Int = (a, b) match {
+    case (x: Int, y: Int) => Integer.compare(x, y)
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: Number, y: Number) => java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+    case (x: String, y: String) => x.compareTo(y)
+    case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+    case (x: Array[Byte], y: Array[Byte]) => java.util.Arrays.compareUnsigned(x, y)
+    case _ => 0
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import graft.read.ReadOptions
+import graft.write.TableWriteOptions
+import graft.core.Transforms
+import org.apache.spark.sql.functions._
+
+/** Milestone-2 slice: write sf0.001 lineitem as an Iceberg table, read it
+  * back, and match raw-parquet results exactly. */
+class EndToEndSpec extends SparkSpec {
+
+  test("unpartitioned roundtrip: lineitem write + read back, exact content") {
+    val src = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val path = tmpDir("graft_e2e_lineitem")
+    IcebergTable.write(src, path)
+    val back = IcebergTable.load(spark, path)
+    assert(back.schema.fieldNames.toSeq == src.schema.fieldNames.toSeq)
+    assertSameResult(src, back)
+  }
+
+  test("TPC-H q1-core over an Iceberg roundtrip matches raw parquet") {
+    val src = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val path = tmpDir("graft_e2e_q1")
+    IcebergTable.write(src, path)
+    def q1(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        sum("l_extendedprice").as("sum_base_price"),
+        avg("l_discount").as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+    assertSameResult(q1(src), q1(IcebergTable.load(spark, path)))
+  }
+
+  test("metadata count fast path matches actual row count") {
+    val src = spark.read.parquet(s"$sfDir/orders.parquet")
+    val path = tmpDir("graft_e2e_count")
+    IcebergTable.write(src, path)
+    val p = IcebergTable.plan(spark, path)
+    assert(p.fastRowCount.contains(src.count()))
+    assert(IcebergTable.count(spark, path) == src.count())
+  }
+
+  test("append adds a second snapshot; time travel reads the first") {
+    val src = spark.read.parquet(s"$sfDir/region.parquet")
+    val path = tmpDir("graft_e2e_append")
+    IcebergTable.write(src, path)
+    val metaV1 = graft.core.TableMetadata.load(path, spark.sessionState.newHadoopConf())
+    val firstSnap = metaV1.currentSnapshotId.get
+    IcebergTable.append(src, path)
+    assert(IcebergTable.count(spark, path) == 2 * src.count())
+    val old = IcebergTable.load(spark, path, ReadOptions(snapshotId = Some(firstSnap)))
+    assert(old.count() == src.count())
+    val snaps = IcebergTable.snapshots(spark, path)
+    assert(snaps.count() == 2)
+  }
+
+  test("partitioned write (identity) + partition pruning reads fewer files") {
+    val src = spark.read.parquet(s"$sfDir/nation.parquet")
+    val path = tmpDir("graft_e2e_part")
+    IcebergTable.write(src, path, TableWriteOptions(
+      partitionBy = Seq(("n_regionkey", Transforms.Identity))))
+    val full = IcebergTable.plan(spark, path)
+    val pruned = IcebergTable.plan(spark, path, ReadOptions(filterSql = Some("n_regionkey = 2")))
+    assert(full.dataFiles.size > 1)
+    assert(pruned.dataFiles.size < full.dataFiles.size,
+      s"expected pruning: ${pruned.dataFiles.size} < ${full.dataFiles.size}")
+    val expected = src.filter("n_regionkey = 2")
+    val got = IcebergTable.load(spark, path, ReadOptions(filterSql = Some("n_regionkey = 2")))
+    assertSameResult(expected, got)
+  }
+
+  test("stats pruning skips files on unpartitioned table") {
+    val src = spark.read.parquet(s"$sfDir/orders.parquet")
+      .orderBy("o_orderkey").repartitionByRange(4, col("o_orderkey"))
+    val path = tmpDir("graft_e2e_stats")
+    IcebergTable.write(src, path)
+    val full = IcebergTable.plan(spark, path)
+    assert(full.dataFiles.size >= 2)
+    val keys = spark.read.parquet(s"$sfDir/orders.parquet").agg(min("o_orderkey"), max("o_orderkey"))
+      .collect()(0)
+    val lo = keys.getLong(0)
+    val pruned = IcebergTable.plan(spark, path, ReadOptions(filterSql = Some(s"o_orderkey <= $lo")))
+    assert(pruned.dataFiles.size < full.dataFiles.size,
+      s"stats pruning: ${pruned.dataFiles.size} < ${full.dataFiles.size}")
+    val expected = spark.read.parquet(s"$sfDir/orders.parquet").filter(s"o_orderkey <= $lo")
+    assertSameResult(expected, IcebergTable.load(spark, path, ReadOptions(filterSql = Some(s"o_orderkey <= $lo"))))
+  }
+}
