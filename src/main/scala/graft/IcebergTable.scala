@@ -83,9 +83,9 @@ object IcebergTable {
       StructField("data_sequence_number", LongType),
       StructField("file_sequence_number", LongType)))
     val rows = snap.toSeq.flatMap { s =>
-      val manifests = ManifestIO.readManifestList(TableMetadata.resolvePath(meta.location, s.manifestList), conf)
+      val manifests = ManifestIO.readManifestList(TableMetadata.resolvePath(meta.location, s.manifestList, conf), conf)
       manifests.flatMap { m =>
-        val entries = ManifestIO.readManifest(TableMetadata.resolvePath(meta.location, m.path), conf, m)
+        val entries = ManifestIO.readManifest(TableMetadata.resolvePath(meta.location, m.path, conf), conf, m)
         entries.map { e =>
           Row(m.path, m.sequenceNumber, if (m.content == 1) "DELETE" else "DATA",
             e.status match { case 0 => "EXISTING"; case 1 => "ADDED"; case _ => "DELETED" },
@@ -151,7 +151,7 @@ object IcebergTable {
       StructField("lower_bound", StringType),
       StructField("upper_bound", StringType)))
     val rows = meta.currentSnapshot.toSeq.flatMap { s =>
-      val manifests = ManifestIO.readManifestList(TableMetadata.resolvePath(meta.location, s.manifestList), conf)
+      val manifests = ManifestIO.readManifestList(TableMetadata.resolvePath(meta.location, s.manifestList, conf), conf)
       manifests.flatMap { m =>
         val spec = meta.spec(m.partitionSpecId)
         val sch = meta.currentSchema

@@ -103,18 +103,44 @@ object TableMetadata {
   // ---------- path utilities ----------
 
   /** Resolve a path recorded inside table metadata against the actual table
-    * location. Handles moved tables (reference allow_moved_paths): if the
-    * recorded path is absolute-but-stale or relative, graft the part from
-    * "/metadata/" or "/data/" onto the real location. */
-  def resolvePath(tableLocation: String, recorded: String): String = {
+    * location. Handles moved tables (reference allow_moved_paths): grafts
+    * the "/metadata/" or "/data/" suffix onto the real location, and for
+    * working-dir-relative recorded paths (fixtures written with cwd-relative
+    * locations, possibly OUTSIDE the table root) probes ancestors of the
+    * table location, caching the discovered base per table so the probe cost
+    * is O(1) amortized across a snapshot's files. */
+  def resolvePath(tableLocation: String, recorded: String): String =
+    resolvePath(tableLocation, recorded, null)
+
+  private val baseCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stripScheme(s: String): String = s.replaceFirst("^file:/+", "/")
+
+  def resolvePath(tableLocation: String, recorded: String, conf: Configuration): String = {
     val loc = tableLocation.stripSuffix("/")
+    // Fast path: recorded already under the table location (scheme-insensitive).
+    if (stripScheme(recorded).startsWith(stripScheme(loc) + "/")) return recorded
+    def exists(p: String): Boolean =
+      conf != null && (try fs(p, conf).exists(new Path(p)) catch { case _: Exception => false })
+    val cached = baseCache.get(loc)
+    if (cached != null && exists(s"$cached/$recorded")) return s"$cached/$recorded"
     def graft(marker: String): Option[String] = {
       val i = recorded.lastIndexOf(s"/$marker/")
       if (i >= 0) Some(loc + recorded.substring(i)) else None
     }
-    // Fast path: recorded under the table location already.
-    if (recorded.startsWith(loc + "/")) recorded
-    else graft("metadata").orElse(graft("data")).getOrElse {
+    val grafted = graft("metadata").orElse(graft("data"))
+    grafted match {
+      case Some(g) if conf == null || exists(g) => return g
+      case _ =>
+    }
+    if (conf != null && !recorded.startsWith("/") && !recorded.contains("://")) {
+      var anc = new Path(loc).getParent
+      while (anc != null) {
+        val cand = new Path(anc, recorded).toString
+        if (exists(cand)) { baseCache.put(loc, anc.toString); return cand }
+        anc = anc.getParent
+      }
+    }
+    grafted.getOrElse {
       if (recorded.startsWith("/") || recorded.contains("://")) recorded
       else s"$loc/$recorded"
     }

@@ -92,6 +92,12 @@ object IcebergRead {
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    // Local-FS .crc sidecars (e.g. fixture trees copied without their
+    // checksums) must not fail reads; also mutes checksum files on write.
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+    try org.apache.hadoop.fs.FileSystem.get(new java.net.URI("file:///"), hc).setVerifyChecksum(false)
+    catch { case _: Exception => }
   }
 
   // ---------- planning ----------
@@ -109,7 +115,7 @@ object IcebergRead {
     snap match {
       case None => ScanPlan(meta, None, schema, Nil, Nil, 0, 0, 0, 0)
       case Some(s) =>
-        val manifests = ManifestIO.readManifestList(TableMetadata.resolvePath(meta.location, s.manifestList), conf)
+        val manifests = ManifestIO.readManifestList(TableMetadata.resolvePath(meta.location, s.manifestList, conf), conf)
         val preds = opts.filterSql.map(f => Pruning.extractPredicates(spark, f)).getOrElse(Nil)
 
         // Manifest-level pruning on partition-bound summaries.
@@ -120,11 +126,11 @@ object IcebergRead {
 
         val entriesByManifest: Seq[(ManifestFile, Seq[ManifestEntry])] =
           parMap(kept)(m => m -> ManifestIO.readManifest(
-            TableMetadata.resolvePath(meta.location, m.path), conf, m))
+            TableMetadata.resolvePath(meta.location, m.path, conf), conf, m))
 
         def planned(m: ManifestFile, e: ManifestEntry): PlannedFile = PlannedFile(
           e.dataFile,
-          TableMetadata.resolvePath(meta.location, e.dataFile.filePath),
+          TableMetadata.resolvePath(meta.location, e.dataFile.filePath, conf),
           m.partitionSpecId,
           e.sequenceNumber.getOrElse(0L),
           e.status,
@@ -183,28 +189,38 @@ object IcebergRead {
   def emptyDF(spark: SparkSession, schema: StructType): DataFrame =
     spark.createDataFrame(new java.util.ArrayList[Row](), schema)
 
-  /** Parse an initial-default JSON node into an internal value. */
+  /** Parse an initial-default JSON node into an internal value (spec: JSON
+    * single-value serialization). Defensive: unparseable defaults -> None
+    * (conservative null) rather than failing the whole scan. */
   private def defaultValue(f: IcebergTypes.NestedField): Option[Any] =
-    f.initialDefaultJson.map { n =>
+    f.initialDefaultJson.flatMap { n =>
       import IcebergTypes._
-      f.fieldType match {
-        case BooleanT => n.asBoolean()
-        case IntT => n.asInt()
-        case LongT => n.asLong()
-        case FloatT => n.floatValue()
-        case DoubleT => n.asDouble()
-        case DecimalT(_, s) => new java.math.BigDecimal(n.asText())
-        case DateT => java.time.LocalDate.parse(n.asText()).toEpochDay.toInt
-        case TimestampT | TimestampNsT =>
-          val t = java.time.LocalDateTime.parse(n.asText().replace(" ", "T"))
-          t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L
-        case TimestampTzT | TimestampTzNsT =>
-          val t = java.time.OffsetDateTime.parse(n.asText().replace(" ", "T"))
-          t.toInstant.getEpochSecond * 1000000L + t.getNano / 1000L
-        case StringT | UuidT => n.asText()
-        case BinaryT | FixedT(_) => n.binaryValue()
-        case _ => n.asText()
+      def hexBytes(s: String): Array[Byte] = {
+        val h = s.stripPrefix("0x").stripPrefix("0X")
+        h.sliding(2, 2).map(Integer.parseInt(_, 16).toByte).toArray
       }
+      scala.util.Try[Any] {
+        f.fieldType match {
+          case BooleanT => n.asBoolean()
+          case IntT => n.asInt()
+          case LongT => n.asLong()
+          case FloatT => n.floatValue()
+          case DoubleT => n.asDouble()
+          case DecimalT(_, s) => new java.math.BigDecimal(n.asText())
+          case DateT => java.time.LocalDate.parse(n.asText()).toEpochDay.toInt
+          case TimeT => java.time.LocalTime.parse(n.asText()).toNanoOfDay / 1000L
+          case TimestampT | TimestampNsT =>
+            val t = java.time.LocalDateTime.parse(n.asText().replace(" ", "T"))
+            t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L
+          case TimestampTzT | TimestampTzNsT =>
+            val t = java.time.OffsetDateTime.parse(n.asText().replace(" ", "T"))
+            t.toInstant.getEpochSecond * 1000000L + t.getNano / 1000L
+          case StringT | UuidT => n.asText()
+          case BinaryT | FixedT(_) =>
+            if (n.isTextual) hexBytes(n.asText()) else n.binaryValue()
+          case _ => n.asText()
+        }
+      }.toOption
     }
 
   /** Does this data file physically contain the column? Uses manifest stats
@@ -254,16 +270,26 @@ object IcebergRead {
       f.info.content == FileContent.PositionDeletes && f.info.contentOffset.isDefined)
     val needMeta = posDeletes.nonEmpty || dvs.nonEmpty || opts.withRowLineage
 
-    // Split by data sequence number only when equality deletes force it.
-    val seqGroups: Seq[(Long, Seq[PlannedFile])] =
-      if (eqDeletes.isEmpty) Seq(0L -> p.dataFiles)
-      else p.dataFiles.groupBy(_.dataSeq).toSeq.sortBy(_._1)
+    // Split by (data sequence, partition) only when equality deletes force
+    // it: an equality delete applies to strictly-older data sequences AND,
+    // when its spec is partitioned, only to data files in the same partition
+    // (reference iceberg_multi_file_reader.cpp:136-201 + delete planner
+    // partition matching — see equality_delete_cross_partition fixture).
+    def partKey(f: PlannedFile): String =
+      f.specId + "|" + f.info.partitionValues.map {
+        case b: Array[Byte] => java.util.Base64.getEncoder.encodeToString(b)
+        case v => String.valueOf(v)
+      }.mkString("|")
+    val seqGroups: Seq[((Long, String), Seq[PlannedFile])] =
+      if (eqDeletes.isEmpty) Seq((0L, "") -> p.dataFiles)
+      else p.dataFiles.groupBy(f => (f.dataSeq, partKey(f))).toSeq.sortBy(_._1)
 
-    val parts = seqGroups.map { case (seq, files) =>
+    val parts = seqGroups.map { case ((seq, pk), files) =>
       var df = buildScan(spark, p, files, conf, needMeta)
-      // Equality deletes apply to strictly-older data sequences
-      // (reference iceberg_multi_file_reader.cpp:136-201).
-      val applicable = eqDeletes.filter(_.dataSeq > seq)
+      val applicable = eqDeletes.filter { d =>
+        d.dataSeq > seq &&
+          (p.meta.spec(d.specId).isUnpartitioned || partKey(d) == pk)
+      }
       if (applicable.nonEmpty) df = applyEqualityDeletes(spark, df, applicable, p)
       df
     }
@@ -296,11 +322,22 @@ object IcebergRead {
     }
     val candidateFields = (defaultFields.map(_.id) ++ identitySources.keys).distinct
 
+    // Tables written without materialized partition columns declare it via
+    // properties (duckdb: write.parquet.write-partition-values=false,
+    // write.data.partition-columns=false) — manifest value_counts still list
+    // the field there, so the property wins over the stats signal.
+    val partitionValuesWritten =
+      props.getOrElse("write.parquet.write-partition-values",
+        props.getOrElse("write.data.partition-columns", "true")) != "false"
+    def hasField(pf: PlannedFile, fid: Int): Boolean =
+      if (identitySources.contains(fid) && !partitionValuesWritten) false
+      else fileHasField(pf, fid, conf)
+
     val groups: Map[Seq[(Int, Any)], Seq[PlannedFile]] =
       if (candidateFields.isEmpty) Map(Seq.empty[(Int, Any)] -> files)
       else files.groupBy { pf =>
         candidateFields.flatMap { fid =>
-          if (fileHasField(pf, fid, conf)) None
+          if (hasField(pf, fid)) None
           else {
             val f = schema.idToField(fid)
             val const: Any = identitySources.get(fid)
@@ -316,20 +353,86 @@ object IcebergRead {
         }.sortBy(_._1)
       }
 
-    val dfs = groups.toSeq.map { case (missing, gfiles) =>
+    // Optional name mapping for files without parquet field ids
+    // (`schema.name-mapping.default`; reference
+    // iceberg_table_metadata.cpp:443-459, applied per file at
+    // iceberg_multi_file_reader.cpp:203-238).
+    val nameMapping: Option[Map[Int, String]] = props.get("schema.name-mapping.default").map { json =>
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      val it = node.elements()
+      val b = Map.newBuilder[Int, String]
+      while (it.hasNext) {
+        val e = it.next()
+        val names = e.get("names")
+        if (names != null && names.size() > 0)
+          b += (e.get("field-id").asInt() -> names.get(0).asText())
+      }
+      b.result()
+    }
+
+    val uuidToString = udf((b: Array[Byte]) => {
+      if (b == null || b.length != 16) null
+      else {
+        val bb = java.nio.ByteBuffer.wrap(b)
+        new java.util.UUID(bb.getLong, bb.getLong).toString
+      }
+    })
+
+    /** Physical Spark type to request from parquet for a field (uuid is
+      * stored as fixed[16] -> read binary, convert after). */
+    def physType(t: IcebergType): DataType = t match {
+      case IcebergTypes.UuidT => BinaryType
+      case other => other.toSpark
+    }
+    def postConvert(df: DataFrame, f: IcebergTypes.NestedField): DataFrame = f.fieldType match {
+      case IcebergTypes.UuidT => df.withColumn(f.name, uuidToString(col(f.name)))
+      case _ => df
+    }
+
+    val dfs = groups.toSeq.flatMap { case (missing, gfiles) =>
       val missingIds = missing.map(_._1).toSet
-      val readFields = sparkSchema.fields.filter { sf =>
-        !missingIds.contains(sf.metadata.getLong("parquet.field.id").toInt)
+      val readFields = schema.fields.filter(f => !missingIds.contains(f.id))
+
+      // Files without field ids go through the name-mapping projection;
+      // everything else reads by field id.
+      val (mappedFiles, idFiles) = nameMapping match {
+        case Some(_) => gfiles.partition(pf => footerFieldIds(pf.resolvedPath, conf).isEmpty)
+        case None => (Nil, gfiles)
       }
-      var df = spark.read.schema(StructType(readFields)).parquet(gfiles.map(_.resolvedPath): _*)
-      if (needMeta)
-        df = df.select(col("*"), col("_metadata.file_path").as("_g_path"), col("_metadata.row_index").as("_g_pos"))
-      missing.foreach { case (fid, const) =>
-        val f = schema.idToField(fid)
-        df = df.withColumn(f.name, lit(SingleValue.toSparkValue(const, f.fieldType)).cast(f.fieldType.toSpark))
+
+      def finish(df0: DataFrame): DataFrame = {
+        var df = df0
+        if (needMeta)
+          df = df.select(col("*"), col("_metadata.file_path").as("_g_path"), col("_metadata.row_index").as("_g_pos"))
+        readFields.foreach(f => df = postConvert(df, f))
+        missing.foreach { case (fid, const) =>
+          val f = schema.idToField(fid)
+          df = df.withColumn(f.name, lit(SingleValue.toSparkValue(const, f.fieldType)).cast(f.fieldType.toSpark))
+        }
+        val cols = sparkSchema.fieldNames.map(col) ++ (if (needMeta) Seq(col("_g_path"), col("_g_pos")) else Nil)
+        df.select(cols.toIndexedSeq: _*)
       }
-      val cols = sparkSchema.fieldNames.map(col) ++ (if (needMeta) Seq(col("_g_path"), col("_g_pos")) else Nil)
-      df.select(cols.toIndexedSeq: _*)
+
+      val idDF = if (idFiles.nonEmpty) {
+        val fields = readFields.map { f =>
+          StructField(f.name, physType(f.fieldType), nullable = true, fieldMeta(f.id))
+        }
+        Some(finish(spark.read.schema(StructType(fields)).parquet(idFiles.map(_.resolvedPath): _*)))
+      } else None
+
+      val mappedDF = if (mappedFiles.nonEmpty) {
+        val mapping = nameMapping.get
+        val (inMapping, unmapped) = readFields.partition(f => mapping.contains(f.id))
+        val fields = inMapping.map(f => StructField(mapping(f.id), physType(f.fieldType), nullable = true))
+        var df = spark.read.schema(StructType(fields)).parquet(mappedFiles.map(_.resolvedPath): _*)
+        inMapping.foreach(f => df = df.withColumnRenamed(mapping(f.id), f.name))
+        // Fields absent from the mapping are null even if a same-named
+        // column physically exists (name_mapping fixture semantics).
+        unmapped.foreach(f => df = df.withColumn(f.name, lit(null).cast(physType(f.fieldType))))
+        Some(finish(df))
+      } else None
+
+      idDF.toSeq ++ mappedDF.toSeq
     }
     dfs.reduce(_ unionByName _)
   }

@@ -301,10 +301,10 @@ object IcebergWrite {
       case None => Nil
       case Some(prev) =>
         val prevList = ManifestIO.readManifestList(
-          TableMetadata.resolvePath(meta.location, prev.manifestList), conf)
+          TableMetadata.resolvePath(meta.location, prev.manifestList, conf), conf)
         if (removedDataPaths.isEmpty) prevList
         else prevList.flatMap { m =>
-          val resolved = TableMetadata.resolvePath(meta.location, m.path)
+          val resolved = TableMetadata.resolvePath(meta.location, m.path, conf)
           val entries = ManifestIO.readManifest(resolved, conf, m)
           val live = entries.filter(e => e.isLive && !removedDataPaths.contains(e.dataFile.filePath))
           if (live.size == entries.count(_.isLive)) Some(m)

@@ -15,6 +15,7 @@ object SparkTestBase {
       .config("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
       .config("spark.sql.parquet.fieldId.write.enabled", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.caseSensitive", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
