@@ -55,6 +55,50 @@ object Fixtures {
         TableWriteOptions(sortBy = Seq(("l_shipdate", true, true))))
     }
 
+  /** Orders table with MoR DELETE of 'F' orders applied. */
+  def ordersDeleted(spark: SparkSession, sfDir: String): String =
+    iceberg(spark, sfDir, "orders_deleted") { dir =>
+      IcebergTable.write(parquet(spark, sfDir, "orders"), dir)
+      IcebergTable.delete(spark, dir, "o_orderstatus = 'F'")
+    }
+
+  /** Orders table with MoR UPDATE (price bump on open orders). */
+  def ordersUpdated(spark: SparkSession, sfDir: String): String =
+    iceberg(spark, sfDir, "orders_updated") { dir =>
+      IcebergTable.write(parquet(spark, sfDir, "orders"), dir)
+      IcebergTable.update(spark, dir, "o_orderstatus = 'O'",
+        Map("o_totalprice" -> "o_totalprice * 1.1"))
+    }
+
+  /** Customer table merged with a source of balance updates + new rows. */
+  def customerMerged(spark: SparkSession, sfDir: String): String =
+    iceberg(spark, sfDir, "customer_merged") { dir =>
+      val c = parquet(spark, sfDir, "customer")
+      IcebergTable.write(c, dir)
+      val updates = c.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey").as("key"), lit(100.0).as("delta"))
+      val inserts = c.filter(col("c_custkey") < 10)
+        .select((col("c_custkey") + 1000000).as("key"), col("c_name"),
+          col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      val source = updates.join(inserts, updates("key") === inserts("key"), "full_outer")
+        .select(coalesce(updates("key"), inserts("key")).as("key"),
+          col("delta"), col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      IcebergTable.merge(spark, dir, source, "t.c_custkey = s.key",
+        graft.write.Dml.MergeActions(
+          matchedUpdate = Some(Map("c_acctbal" -> "t.c_acctbal + coalesce(s.delta, 0.0)")),
+          insert = Some(Map(
+            "c_custkey" -> "s.key", "c_name" -> "s.c_name", "c_nationkey" -> "s.c_nationkey",
+            "c_acctbal" -> "s.c_acctbal", "c_mktsegment" -> "s.c_mktsegment"))))
+    }
+
+  /** Small-file lineitem table: delete + compaction applied. */
+  def lineitemRewritten(spark: SparkSession, sfDir: String): String =
+    iceberg(spark, sfDir, "lineitem_rewritten") { dir =>
+      IcebergTable.write(parquet(spark, sfDir, "lineitem").repartition(8), dir)
+      IcebergTable.delete(spark, dir, "l_quantity < 5")
+      IcebergTable.rewriteDataFiles(spark, dir, rewriteAll = true)
+    }
+
   /** Two-snapshot orders table (append of the same rows twice); returns
     * (path, firstSnapshotId). */
   def ordersTwoSnapshots(spark: SparkSession, sfDir: String): (String, Long) = {

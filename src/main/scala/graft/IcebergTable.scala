@@ -3,7 +3,7 @@ package graft
 import graft.core._
 import graft.manifest._
 import graft.read.{IcebergRead, ReadOptions, ScanPlan}
-import graft.write.{IcebergWrite, TableWriteOptions}
+import graft.write.{Dml, IcebergWrite, TableWriteOptions}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
@@ -44,6 +44,24 @@ object IcebergTable {
     IcebergWrite.createTable(spark, path, schema, opts)
 
   def append(df: DataFrame, path: String): TableMetadata = IcebergWrite.append(df, path)
+
+  /** DELETE FROM ... WHERE cond (merge-on-read positional deletes). */
+  def delete(spark: SparkSession, path: String, condSql: String): TableMetadata =
+    Dml.delete(spark, path, condSql)
+
+  /** UPDATE ... SET col->expr WHERE cond (MoR delete + insert, one snapshot). */
+  def update(spark: SparkSession, path: String, condSql: String, set: Map[String, String]): TableMetadata =
+    Dml.update(spark, path, condSql, set)
+
+  /** MERGE INTO (join-based, WHEN MATCHED UPDATE/DELETE + WHEN NOT MATCHED INSERT). */
+  def merge(spark: SparkSession, path: String, source: DataFrame, onCond: String,
+      actions: Dml.MergeActions): TableMetadata =
+    Dml.merge(spark, path, source, onCond, actions)
+
+  /** iceberg_rewrite_data_files compaction. */
+  def rewriteDataFiles(spark: SparkSession, path: String,
+      targetFileSizeBytes: Long = 512L * 1024 * 1024, rewriteAll: Boolean = false): TableMetadata =
+    Dml.rewriteDataFiles(spark, path, targetFileSizeBytes, rewriteAll)
 
   // ---------- metadata table functions ----------
 

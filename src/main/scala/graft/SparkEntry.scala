@@ -133,6 +133,19 @@ object SparkEntry {
     "ice_sorted_write" -> ((s, dir) =>
       IcebergTable.load(s, Fixtures.lineitemSorted(s, dir))),
 
+    // ---- §2.4 row-level DML (merge-on-read) ----
+    "ice_delete_mor" -> ((s, dir) =>
+      IcebergTable.load(s, Fixtures.ordersDeleted(s, dir))),
+
+    "ice_update_mor" -> ((s, dir) =>
+      IcebergTable.load(s, Fixtures.ordersUpdated(s, dir))),
+
+    "ice_merge_into" -> ((s, dir) =>
+      IcebergTable.load(s, Fixtures.customerMerged(s, dir))),
+
+    "ice_rewrite_compact" -> ((s, dir) =>
+      IcebergTable.load(s, Fixtures.lineitemRewritten(s, dir))),
+
     // ---- §2.8 scalar functions ----
     "fn_truncate" -> ((s, dir) => {
       graft.functions.IcebergFunctions.register(s)
@@ -285,6 +298,25 @@ object SparkEntry {
 
     "ice_time_travel" -> "SELECT * FROM orders",
     "ice_sorted_write" -> "SELECT * FROM lineitem",
+
+    "ice_delete_mor" -> "SELECT * FROM orders WHERE o_orderstatus <> 'F'",
+
+    "ice_update_mor" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 1.1 ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders""".stripMargin,
+
+    "ice_merge_into" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  c_acctbal + CASE WHEN c_custkey % 2 = 0 THEN 100.0 ELSE 0.0 END AS c_acctbal,
+        |  c_mktsegment
+        |FROM customer
+        |UNION ALL
+        |SELECT CAST(c_custkey + 1000000 AS BIGINT), c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey < 10""".stripMargin,
+
+    "ice_rewrite_compact" -> "SELECT * FROM lineitem WHERE l_quantity >= 5",
 
     "fn_truncate" ->
       """SELECT DISTINCT l_orderkey,

@@ -39,7 +39,9 @@ case class ReadOptions(
     asOfTimestampMs: Option[Long] = None,
     metadataVersion: Option[String] = None,
     filterSql: Option[String] = None,
-    withRowLineage: Boolean = false) {
+    withRowLineage: Boolean = false,
+    /** Internal (DML): keep `_g_path`/`_g_pos` file-position columns. */
+    keepFileMeta: Boolean = false) {
   def lookup: SnapshotLookup = snapshotId.map(SnapshotLookup.ById.apply)
     .orElse(asOfTimestampMs.map(SnapshotLookup.ByTimestamp.apply))
     .getOrElse(SnapshotLookup.Latest)
@@ -261,14 +263,19 @@ object IcebergRead {
     ensureConfs(spark)
     val p = planWithMetadata(spark, meta, conf, opts)
     val sparkSchema = p.schema.toSpark
-    if (p.dataFiles.isEmpty) return emptyDF(spark, sparkSchema)
+    if (p.dataFiles.isEmpty) {
+      val base = if (opts.keepFileMeta)
+        StructType(sparkSchema.fields ++ Seq(StructField("_g_path", StringType), StructField("_g_pos", LongType)))
+      else sparkSchema
+      return emptyDF(spark, base)
+    }
 
     val eqDeletes = p.deleteFiles.filter(_.info.content == FileContent.EqualityDeletes)
     val posDeletes = p.deleteFiles.filter(f =>
       f.info.content == FileContent.PositionDeletes && f.info.contentOffset.isEmpty)
     val dvs = p.deleteFiles.filter(f =>
       f.info.content == FileContent.PositionDeletes && f.info.contentOffset.isDefined)
-    val needMeta = posDeletes.nonEmpty || dvs.nonEmpty || opts.withRowLineage
+    val needMeta = posDeletes.nonEmpty || dvs.nonEmpty || opts.withRowLineage || opts.keepFileMeta
 
     // Split by (data sequence, partition) only when equality deletes force
     // it: an equality delete applies to strictly-older data sequences AND,
@@ -299,10 +306,12 @@ object IcebergRead {
       df = applyPositionDeletes(spark, df, posDeletes, dvs, p, conf)
 
     if (opts.withRowLineage) df = addRowLineage(spark, df, p)
-    else if (needMeta) df = df.drop("_g_path", "_g_pos")
+    else if (needMeta && !opts.keepFileMeta) df = df.drop("_g_path", "_g_pos")
 
     opts.filterSql.foreach(f => df = df.where(expr(f)))
-    df.select(sparkSchema.fieldNames.map(col).toIndexedSeq: _*)
+    val outCols = sparkSchema.fieldNames.map(col) ++
+      (if (opts.keepFileMeta) Seq(col("_g_path"), col("_g_pos")) else Nil)
+    df.select(outCols.toIndexedSeq: _*)
   }
 
   /** Build the scan over a set of files: group by needed constant columns

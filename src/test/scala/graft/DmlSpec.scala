@@ -1,0 +1,92 @@
+package graft
+
+import graft.read.ReadOptions
+import org.apache.spark.sql.functions._
+
+/** Row-level DML: MoR delete/update/merge + compaction structure + content. */
+class DmlSpec extends SparkSpec {
+
+  test("MoR DELETE writes positional delete files; reads exclude matched rows") {
+    val src = spark.read.parquet(s"$sfDir/orders.parquet")
+    val path = tmpDir("graft_dml_delete")
+    IcebergTable.write(src, path)
+    IcebergTable.delete(spark, path, "o_orderstatus = 'F'")
+    val p = IcebergTable.plan(spark, path)
+    assert(p.deleteFiles.nonEmpty, "expected positional delete files")
+    assert(p.dataFiles.nonEmpty)
+    assertSameResult(src.filter("o_orderstatus <> 'F'"), IcebergTable.load(spark, path))
+    // Snapshot history: append then delete.
+    val ops = IcebergTable.snapshots(spark, path).select("operation")
+      .collect().map(_.getString(0)).toSeq
+    assert(ops == Seq("append", "delete"))
+  }
+
+  test("MoR UPDATE = delete + re-insert in one overwrite snapshot") {
+    val src = spark.read.parquet(s"$sfDir/orders.parquet")
+    val path = tmpDir("graft_dml_update")
+    IcebergTable.write(src, path)
+    IcebergTable.update(spark, path, "o_orderstatus = 'O'",
+      Map("o_totalprice" -> "o_totalprice * 2.0"))
+    val expected = src.withColumn("o_totalprice",
+      when(col("o_orderstatus") === "O", col("o_totalprice") * 2.0).otherwise(col("o_totalprice")))
+    assertSameResult(expected, IcebergTable.load(spark, path))
+    val meta = graft.core.TableMetadata.load(path, spark.sessionState.newHadoopConf())
+    assert(meta.currentSnapshot.get.operation == "overwrite")
+    assert(meta.snapshots.size == 2)
+  }
+
+  test("MERGE INTO: matched update + not-matched insert; multi-match errors") {
+    val src = spark.read.parquet(s"$sfDir/region.parquet")
+    val path = tmpDir("graft_dml_merge")
+    IcebergTable.write(src, path)
+    import spark.implicits._
+    val source = Seq((0, "RENAMED-0"), (99, "NEW-99")).toDF("key", "name")
+    IcebergTable.merge(spark, path, source, "t.r_regionkey = s.key",
+      graft.write.Dml.MergeActions(
+        matchedUpdate = Some(Map("r_name" -> "s.name")),
+        insert = Some(Map("r_regionkey" -> "s.key", "r_name" -> "s.name"))))
+    val out = IcebergTable.load(spark, path).orderBy("r_regionkey").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(out.size == src.count() + 1)
+    assert(out.contains((0, "RENAMED-0")))
+    assert(out.contains((99, "NEW-99")))
+    // duplicate source matches must error
+    val dupSource = Seq((1, "A"), (1, "B")).toDF("key", "name")
+    val ex = intercept[Exception] {
+      IcebergTable.merge(spark, path, dupSource, "t.r_regionkey = s.key",
+        graft.write.Dml.MergeActions(matchedUpdate = Some(Map("r_name" -> "s.name"))))
+    }
+    assert(ex.getMessage.contains("matched multiple"))
+  }
+
+  test("rewriteDataFiles compacts small files and drops dead delete files") {
+    val src = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val path = tmpDir("graft_dml_rewrite")
+    IcebergTable.write(src.repartition(8), path)
+    IcebergTable.delete(spark, path, "l_quantity < 5")
+    val before = IcebergTable.plan(spark, path)
+    assert(before.dataFiles.size == 8 && before.deleteFiles.nonEmpty)
+    IcebergTable.rewriteDataFiles(spark, path, rewriteAll = true)
+    val after = IcebergTable.plan(spark, path)
+    assert(after.dataFiles.size < before.dataFiles.size,
+      s"expected compaction: ${after.dataFiles.size} < ${before.dataFiles.size}")
+    assert(after.deleteFiles.isEmpty, "delete files should be merged away")
+    assertSameResult(src.filter("l_quantity >= 5"), IcebergTable.load(spark, path))
+    // count fast path valid again after rewrite
+    assert(after.fastRowCount.contains(src.filter("l_quantity >= 5").count()))
+  }
+
+  test("delete-file pruning: partition-scoped deletes not read for other partitions") {
+    val src = spark.read.parquet(s"$sfDir/orders.parquet")
+    val path = tmpDir("graft_dml_delprune")
+    IcebergTable.write(src, path, graft.write.TableWriteOptions(
+      partitionBy = Seq(("o_orderstatus", graft.core.Transforms.Identity))))
+    IcebergTable.delete(spark, path, "o_orderstatus = 'F'")
+    val all = IcebergTable.plan(spark, path)
+    assert(all.deleteFiles.nonEmpty)
+    // A filter on a different partition must prune the delete file too.
+    val other = IcebergTable.plan(spark, path, ReadOptions(filterSql = Some("o_orderstatus = 'O'")))
+    assert(other.deleteFiles.isEmpty,
+      s"delete files for partition F must be pruned, got ${other.deleteFiles.size}")
+  }
+}
