@@ -91,6 +91,15 @@ object Fixtures {
             "c_acctbal" -> "s.c_acctbal", "c_mktsegment" -> "s.c_mktsegment"))))
     }
 
+  /** Orders table after ALTER: add column w/ default, rename, drop. */
+  def ordersEvolved(spark: SparkSession, sfDir: String): String =
+    iceberg(spark, sfDir, "orders_evolved") { dir =>
+      IcebergTable.write(parquet(spark, sfDir, "orders"), dir)
+      IcebergTable.addColumn(spark, dir, "o_comment", "string", Some("\"none\""))
+      IcebergTable.renameColumn(spark, dir, "o_orderpriority", "o_priority")
+      IcebergTable.dropColumn(spark, dir, "o_custkey")
+    }
+
   /** Small-file lineitem table: delete + compaction applied. */
   def lineitemRewritten(spark: SparkSession, sfDir: String): String =
     iceberg(spark, sfDir, "lineitem_rewritten") { dir =>

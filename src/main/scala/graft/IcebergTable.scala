@@ -3,7 +3,7 @@ package graft
 import graft.core._
 import graft.manifest._
 import graft.read.{IcebergRead, ReadOptions, ScanPlan}
-import graft.write.{Dml, IcebergWrite, TableWriteOptions}
+import graft.write.{Dml, Evolution, IcebergWrite, TableWriteOptions}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
@@ -62,6 +62,24 @@ object IcebergTable {
   def rewriteDataFiles(spark: SparkSession, path: String,
       targetFileSizeBytes: Long = 512L * 1024 * 1024, rewriteAll: Boolean = false): TableMetadata =
     Dml.rewriteDataFiles(spark, path, targetFileSizeBytes, rewriteAll)
+
+  // ---------- ALTER TABLE (schema evolution, metadata-only) ----------
+
+  def addColumn(spark: SparkSession, path: String, name: String, typeString: String,
+      initialDefaultJson: Option[String] = None): TableMetadata =
+    Evolution.addColumn(spark, path, name, typeString, initialDefaultJson)
+
+  def dropColumn(spark: SparkSession, path: String, name: String): TableMetadata =
+    Evolution.dropColumn(spark, path, name)
+
+  def renameColumn(spark: SparkSession, path: String, from: String, to: String): TableMetadata =
+    Evolution.renameColumn(spark, path, from, to)
+
+  def setTableProperties(spark: SparkSession, path: String, props: Map[String, String]): TableMetadata =
+    Evolution.setProperties(spark, path, props)
+
+  def removeTableProperties(spark: SparkSession, path: String, keys: Seq[String]): TableMetadata =
+    Evolution.removeProperties(spark, path, keys)
 
   // ---------- metadata table functions ----------
 

@@ -146,6 +146,9 @@ object SparkEntry {
     "ice_rewrite_compact" -> ((s, dir) =>
       IcebergTable.load(s, Fixtures.lineitemRewritten(s, dir))),
 
+    "ice_schema_evolution" -> ((s, dir) =>
+      IcebergTable.load(s, Fixtures.ordersEvolved(s, dir))),
+
     // ---- §2.8 scalar functions ----
     "fn_truncate" -> ((s, dir) => {
       graft.functions.IcebergFunctions.register(s)
@@ -317,6 +320,11 @@ object SparkEntry {
         |FROM customer WHERE c_custkey < 10""".stripMargin,
 
     "ice_rewrite_compact" -> "SELECT * FROM lineitem WHERE l_quantity >= 5",
+
+    "ice_schema_evolution" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate,
+        |  o_orderpriority AS o_priority, 'none' AS o_comment
+        |FROM orders""".stripMargin,
 
     "fn_truncate" ->
       """SELECT DISTINCT l_orderkey,

@@ -1,0 +1,287 @@
+package graft.catalog
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, JsonNodeFactory, ObjectNode}
+import graft.core._
+import graft.manifest.ManifestIO
+import graft.read.{IcebergRead, ReadOptions}
+import graft.write.{IcebergWrite, TableWriteOptions}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.time.Duration
+
+/**
+ * Iceberg REST catalog client: config, OAuth2 client-credentials, namespace
+ * ops, table lifecycle, optimistic-concurrency commits with retry — plus
+ * DataFrame read/append through the catalog.
+ *
+ * (reference: src/catalog/rest/api/catalog_api.cpp:224-617 endpoints,
+ * src/catalog/rest/storage/authorization/oauth2.cpp token flow,
+ * src/iceberg_attach.cpp ATTACH options,
+ * src/catalog/rest/transaction/iceberg_transaction.cpp:184-534 commit with
+ * assert-requirements + retry.)
+ */
+case class CatalogOptions(
+    warehouse: Option[String] = None,
+    token: Option[String] = None,
+    oauth2ServerUri: Option[String] = None,
+    clientId: Option[String] = None,
+    clientSecret: Option[String] = None,
+    scope: Option[String] = None,
+    maxCommitRetries: Int = 3)
+
+class RestCatalogException(val status: Int, msg: String) extends RuntimeException(s"HTTP $status: $msg")
+
+class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
+  private val mapper = new ObjectMapper()
+  private val F = JsonNodeFactory.instance
+  private val http = HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(10)).build()
+  private val base = baseUri.stripSuffix("/")
+
+  // ---------- auth ----------
+  @volatile private var cachedToken: Option[(String, Long)] = None // (token, expiryMs)
+
+  private def bearer(): Option[String] = {
+    opts.token.orElse {
+      (opts.clientId, opts.clientSecret) match {
+        case (Some(id), Some(secret)) =>
+          cachedToken match {
+            case Some((t, exp)) if System.currentTimeMillis() < exp - 30000 => Some(t)
+            case _ =>
+              val tokenUri = opts.oauth2ServerUri.getOrElse(s"$base/v1/oauth/tokens")
+              val form = s"grant_type=client_credentials&client_id=$id&client_secret=$secret" +
+                opts.scope.map(s => s"&scope=$s").getOrElse("")
+              val req = HttpRequest.newBuilder(URI.create(tokenUri))
+                .header("Content-Type", "application/x-www-form-urlencoded")
+                .POST(HttpRequest.BodyPublishers.ofString(form)).build()
+              val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+              if (resp.statusCode() >= 300) throw new RestCatalogException(resp.statusCode(), resp.body())
+              val node = mapper.readTree(resp.body())
+              val token = node.get("access_token").asText()
+              val expiresIn = Option(node.get("expires_in")).map(_.asLong()).getOrElse(3600L)
+              cachedToken = Some((token, System.currentTimeMillis() + expiresIn * 1000))
+              Some(token)
+          }
+        case _ => None
+      }
+    }
+  }
+
+  private def request(method: String, path: String, body: Option[String] = None): JsonNode = {
+    val b = HttpRequest.newBuilder(URI.create(s"$base$path"))
+      .header("Content-Type", "application/json")
+    bearer().foreach(t => b.header("Authorization", s"Bearer $t"))
+    val req = (method match {
+      case "GET" => b.GET()
+      case "DELETE" => b.DELETE()
+      case "POST" => b.POST(HttpRequest.BodyPublishers.ofString(body.getOrElse("{}")))
+      case "HEAD" => b.method("HEAD", HttpRequest.BodyPublishers.noBody())
+    }).build()
+    val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() >= 300) throw new RestCatalogException(resp.statusCode(), resp.body())
+    if (resp.body() == null || resp.body().isEmpty) F.objectNode() else mapper.readTree(resp.body())
+  }
+
+  private def nsPath(ns: Seq[String]): String = ns.mkString("") // unit separator per REST spec
+
+  // ---------- config ----------
+
+  def config(): Map[String, String] = {
+    val node = request("GET", "/v1/config" + opts.warehouse.map(w => s"?warehouse=$w").getOrElse(""))
+    def m(n: JsonNode): Map[String, String] =
+      if (n == null) Map.empty
+      else {
+        val it = n.properties().iterator()
+        val b = Map.newBuilder[String, String]
+        while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue.asText()) }
+        b.result()
+      }
+    m(node.get("defaults")) ++ m(node.get("overrides"))
+  }
+
+  // ---------- namespaces ----------
+
+  def listNamespaces(): Seq[Seq[String]] = {
+    val node = request("GET", "/v1/namespaces")
+    val out = Seq.newBuilder[Seq[String]]
+    val it = node.get("namespaces").elements()
+    while (it.hasNext) {
+      val arr = it.next()
+      val parts = Seq.newBuilder[String]
+      val pit = arr.elements()
+      while (pit.hasNext) parts += pit.next().asText()
+      out += parts.result()
+    }
+    out.result()
+  }
+
+  def createNamespace(ns: Seq[String], properties: Map[String, String] = Map.empty): Unit = {
+    val o = F.objectNode()
+    val arr = o.putArray("namespace"); ns.foreach(arr.add)
+    val props = o.putObject("properties"); properties.foreach { case (k, v) => props.put(k, v) }
+    request("POST", "/v1/namespaces", Some(mapper.writeValueAsString(o)))
+  }
+
+  def dropNamespace(ns: Seq[String]): Unit =
+    request("DELETE", s"/v1/namespaces/${nsPath(ns)}")
+
+  def namespaceProperties(ns: Seq[String]): Map[String, String] = {
+    val node = request("GET", s"/v1/namespaces/${nsPath(ns)}")
+    val p = node.get("properties")
+    if (p == null) Map.empty
+    else {
+      val it = p.properties().iterator()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue.asText()) }
+      b.result()
+    }
+  }
+
+  def updateNamespaceProperties(ns: Seq[String], updates: Map[String, String],
+      removals: Seq[String] = Nil): Unit = {
+    val o = F.objectNode()
+    val rm = o.putArray("removals"); removals.foreach(rm.add)
+    val up = o.putObject("updates"); updates.foreach { case (k, v) => up.put(k, v) }
+    request("POST", s"/v1/namespaces/${nsPath(ns)}/properties", Some(mapper.writeValueAsString(o)))
+  }
+
+  // ---------- tables ----------
+
+  def listTables(ns: Seq[String]): Seq[String] = {
+    val node = request("GET", s"/v1/namespaces/${nsPath(ns)}/tables")
+    val out = Seq.newBuilder[String]
+    val it = node.get("identifiers").elements()
+    while (it.hasNext) out += it.next().get("name").asText()
+    out.result()
+  }
+
+  case class LoadedTable(metadata: TableMetadata, metadataLocation: String, config: Map[String, String])
+
+  def loadTable(ns: Seq[String], name: String): LoadedTable = {
+    val node = request("GET", s"/v1/namespaces/${nsPath(ns)}/tables/$name")
+    parseLoadResult(node)
+  }
+
+  /** Parse a LoadTableResult (also the debug surface behind the reference's
+    * iceberg_load_table_response — iceberg_load_table_response.cpp:68-248). */
+  def parseLoadResult(node: JsonNode): LoadedTable = {
+    val metaNode = node.get("metadata")
+    val loc = Option(node.get("metadata-location")).map(_.asText()).getOrElse("")
+    val meta = TableMetadata.parseNode(metaNode, None)
+    val cfg = Option(node.get("config")).map { c =>
+      val it = c.properties().iterator()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue.asText()) }
+      b.result()
+    }.getOrElse(Map.empty)
+    LoadedTable(meta, loc, cfg)
+  }
+
+  def tableExists(ns: Seq[String], name: String): Boolean =
+    try { loadTable(ns, name); true } catch { case e: RestCatalogException if e.status == 404 => false }
+
+  def createTable(ns: Seq[String], name: String, schema: IcebergSchema,
+      location: String, partitionSpec: Option[PartitionSpec] = None,
+      properties: Map[String, String] = Map.empty): LoadedTable = {
+    val o = F.objectNode()
+    o.put("name", name)
+    o.put("location", location)
+    o.set[JsonNode]("schema", schema.toJson)
+    partitionSpec.foreach { sp =>
+      val so = o.putObject("partition-spec")
+      so.put("spec-id", sp.specId)
+      val fa = so.putArray("fields")
+      sp.fields.foreach { f =>
+        val fo = F.objectNode()
+        fo.put("name", f.name); fo.put("transform", f.transform.toString)
+        fo.put("source-id", f.sourceId); fo.put("field-id", f.fieldId)
+        fa.add(fo)
+      }
+    }
+    val props = o.putObject("properties"); properties.foreach { case (k, v) => props.put(k, v) }
+    val node = request("POST", s"/v1/namespaces/${nsPath(ns)}/tables", Some(mapper.writeValueAsString(o)))
+    parseLoadResult(node)
+  }
+
+  def dropTable(ns: Seq[String], name: String, purge: Boolean = false): Unit =
+    request("DELETE", s"/v1/namespaces/${nsPath(ns)}/tables/$name${if (purge) "?purgeRequested=true" else ""}")
+
+  def renameTable(ns: Seq[String], from: String, to: String): Unit = {
+    val o = F.objectNode()
+    val s = o.putObject("source"); val sArr = s.putArray("namespace"); ns.foreach(sArr.add); s.put("name", from)
+    val d = o.putObject("destination"); val dArr = d.putArray("namespace"); ns.foreach(dArr.add); d.put("name", to)
+    request("POST", "/v1/tables/rename", Some(mapper.writeValueAsString(o)))
+  }
+
+  // ---------- commits ----------
+
+  /** Commit a new snapshot (already written to storage) with
+    * assert-ref-snapshot-id optimistic concurrency; on 409 the caller's
+    * rebase function recomputes the snapshot against fresh metadata. */
+  def commitSnapshot(ns: Seq[String], name: String, expectedRefSnapshot: Option[Long],
+      snapshot: SnapshotInfo, extraUpdates: Seq[ObjectNode] = Nil): LoadedTable = {
+    val o = F.objectNode()
+    val reqs = o.putArray("requirements")
+    val r = F.objectNode()
+    r.put("type", "assert-ref-snapshot-id"); r.put("ref", "main")
+    expectedRefSnapshot match {
+      case Some(id) => r.put("snapshot-id", id)
+      case None => r.putNull("snapshot-id")
+    }
+    reqs.add(r)
+    val ups = o.putArray("updates")
+    val add = F.objectNode()
+    add.put("action", "add-snapshot")
+    val snapNode = add.putObject("snapshot")
+    snapNode.put("snapshot-id", snapshot.snapshotId)
+    snapshot.parentSnapshotId.foreach(p => snapNode.put("parent-snapshot-id", p))
+    snapNode.put("sequence-number", snapshot.sequenceNumber)
+    snapNode.put("timestamp-ms", snapshot.timestampMs)
+    snapNode.put("manifest-list", snapshot.manifestList)
+    val summ = snapNode.putObject("summary"); snapshot.summary.foreach { case (k, v) => summ.put(k, v) }
+    snapshot.schemaId.foreach(id => snapNode.put("schema-id", id))
+    ups.add(add)
+    val ref = F.objectNode()
+    ref.put("action", "set-snapshot-ref"); ref.put("ref-name", "main")
+    ref.put("type", "branch"); ref.put("snapshot-id", snapshot.snapshotId)
+    ups.add(ref)
+    extraUpdates.foreach(ups.add)
+    val node = request("POST", s"/v1/namespaces/${nsPath(ns)}/tables/$name", Some(mapper.writeValueAsString(o)))
+    parseLoadResult(node)
+  }
+
+  // ---------- DataFrame integration ----------
+
+  /** Read a catalog table as a DataFrame (scan machinery shared with
+    * path-based reads). */
+  def loadDF(spark: SparkSession, ns: Seq[String], name: String,
+      readOpts: ReadOptions = ReadOptions()): DataFrame = {
+    val t = loadTable(ns, name)
+    IcebergRead.loadWithMetadata(spark, t.metadata, spark.sessionState.newHadoopConf(), readOpts)
+  }
+
+  /** Append a DataFrame to a catalog table: write data files + manifests to
+    * the table location, then REST-commit with retry on conflict
+    * (reference iceberg_transaction.cpp:369-489 retry loop). */
+  def appendDF(df: DataFrame, ns: Seq[String], name: String): LoadedTable = {
+    val spark = df.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    var attempt = 0
+    var lastErr: Throwable = null
+    while (attempt <= opts.maxCommitRetries) {
+      val t = loadTable(ns, name)
+      val meta = t.metadata
+      val (entries, _) = IcebergWrite.writeDataFiles(df, meta, conf)
+      val (snapshot, _) = IcebergWrite.buildSnapshotFiles(meta, entries, Nil, "append", conf)
+      try {
+        return commitSnapshot(ns, name, meta.currentSnapshotId, snapshot)
+      } catch {
+        case e: RestCatalogException if e.status == 409 =>
+          lastErr = e; attempt += 1 // conflict: reload + rewrite manifests against fresh metadata
+      }
+    }
+    throw new IllegalStateException(s"Commit failed after ${opts.maxCommitRetries} retries", lastErr)
+  }
+}

@@ -113,7 +113,12 @@ object IcebergRead {
   def planWithMetadata(spark: SparkSession, meta: TableMetadata, conf: Configuration,
       opts: ReadOptions): ScanPlan = {
     val snap = meta.selectSnapshot(opts.lookup)
-    val schema = meta.schemaFor(snap)
+    // Latest reads bind the table's CURRENT schema (post-ALTER); explicit
+    // time travel binds the snapshot's schema.
+    val schema = opts.lookup match {
+      case SnapshotLookup.Latest => meta.currentSchema
+      case _ => meta.schemaFor(snap)
+    }
     snap match {
       case None => ScanPlan(meta, None, schema, Nil, Nil, 0, 0, 0, 0)
       case Some(s) =>

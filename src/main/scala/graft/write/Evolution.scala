@@ -1,0 +1,101 @@
+package graft.write
+
+import graft.core._
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Metadata-only ALTER TABLE operations: add / drop / rename column,
+ * set / remove table properties. Each produces a NEW schema (bumped
+ * schema-id, fresh field ids for added columns) in a new metadata version —
+ * data files are untouched; the field-id read path resolves old files
+ * against the new schema (rename keeps the id, drop hides it, add fills the
+ * initial-default).
+ *
+ * (reference: iceberg_schema_entry.cpp:168-332 alter entry points,
+ * iceberg_table_properties_functions.cpp property functions,
+ * api/table_update.cpp update serialization.)
+ */
+object Evolution {
+
+  private def commit(meta: TableMetadata, conf: Configuration): TableMetadata = {
+    IcebergWrite.commitMetadataNextVersion(meta.copy(lastUpdatedMs = System.currentTimeMillis()), conf)
+  }
+
+  private def withNewSchema(meta: TableMetadata, fields: Seq[IcebergTypes.NestedField],
+      newLastColumnId: Int): TableMetadata = {
+    val newId = meta.schemas.map(_.schemaId).max + 1
+    val sch = IcebergSchema(newId, IcebergTypes.StructT(fields), newLastColumnId)
+    meta.copy(schemas = meta.schemas :+ sch, currentSchemaId = newId, lastColumnId = newLastColumnId)
+  }
+
+  /** ALTER TABLE ADD COLUMN (optionally with an initial-default visible on
+    * rows written before the column existed). */
+  def addColumn(spark: SparkSession, path: String, name: String, typeString: String,
+      initialDefaultJson: Option[String] = None, required: Boolean = false): TableMetadata = {
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = TableMetadata.load(path, conf)
+    val cur = meta.currentSchema
+    require(!cur.fields.exists(_.name == name), s"Column $name already exists")
+    require(!required || initialDefaultJson.isDefined,
+      "A required column added to a non-empty table needs an initial-default")
+    val t = IcebergTypes.parsePrimitive(typeString)
+    val id = meta.lastColumnId + 1
+    val defNode = initialDefaultJson.map(new com.fasterxml.jackson.databind.ObjectMapper().readTree)
+    val f = IcebergTypes.NestedField(id, name, required, t,
+      initialDefaultJson = defNode, writeDefaultJson = defNode)
+    commit(withNewSchema(meta, cur.fields :+ f, id), conf)
+  }
+
+  /** ALTER TABLE DROP COLUMN. Blocked when the column is referenced by the
+    * partition spec or the active sort order (reference
+    * iceberg_schema_entry.cpp:278-332). */
+  def dropColumn(spark: SparkSession, path: String, name: String): TableMetadata = {
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = TableMetadata.load(path, conf)
+    val cur = meta.currentSchema
+    val f = cur.fields.find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"No column $name"))
+    require(!meta.specs.exists(_.fields.exists(_.sourceId == f.id)),
+      s"Cannot drop $name: referenced by a partition spec")
+    require(!meta.sortOrder(meta.defaultSortOrderId).exists(_.fields.exists(_.sourceId == f.id)),
+      s"Cannot drop $name: referenced by the table sort order")
+    commit(withNewSchema(meta, cur.fields.filterNot(_.id == f.id), meta.lastColumnId), conf)
+  }
+
+  /** ALTER TABLE RENAME COLUMN — keeps the field id, so existing data files
+    * still resolve. */
+  def renameColumn(spark: SparkSession, path: String, from: String, to: String): TableMetadata = {
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = TableMetadata.load(path, conf)
+    val cur = meta.currentSchema
+    require(cur.fields.exists(_.name == from), s"No column $from")
+    require(!cur.fields.exists(_.name == to), s"Column $to already exists")
+    val fields = cur.fields.map(f => if (f.name == from) f.copy(name = to) else f)
+    commit(withNewSchema(meta, fields, meta.lastColumnId), conf)
+  }
+
+  /** SET NOT NULL / DROP NOT NULL. */
+  def setRequired(spark: SparkSession, path: String, name: String, required: Boolean): TableMetadata = {
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = TableMetadata.load(path, conf)
+    val cur = meta.currentSchema
+    require(cur.fields.exists(_.name == name), s"No column $name")
+    val fields = cur.fields.map(f => if (f.name == name) f.copy(required = required) else f)
+    commit(withNewSchema(meta, fields, meta.lastColumnId), conf)
+  }
+
+  /** Set (merge) table properties. */
+  def setProperties(spark: SparkSession, path: String, props: Map[String, String]): TableMetadata = {
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = TableMetadata.load(path, conf)
+    commit(meta.copy(properties = meta.properties ++ props), conf)
+  }
+
+  /** Remove table properties. */
+  def removeProperties(spark: SparkSession, path: String, keys: Seq[String]): TableMetadata = {
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = TableMetadata.load(path, conf)
+    commit(meta.copy(properties = meta.properties -- keys), conf)
+  }
+}

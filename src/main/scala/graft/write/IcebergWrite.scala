@@ -248,6 +248,30 @@ object IcebergWrite {
       operation: String,
       conf: Configuration,
       removedDataPaths: Set[String] = Set.empty): TableMetadata = {
+    val (snap, _) = buildSnapshotFiles(meta, addedData, addedDeletes, operation, conf, removedDataPaths)
+    val prevVersion = currentVersion(meta.location, conf)
+    val now = snap.timestampMs
+    val newMeta = meta.copy(
+      lastSequenceNumber = snap.sequenceNumber,
+      lastUpdatedMs = now,
+      currentSnapshotId = Some(snap.snapshotId),
+      snapshots = meta.snapshots :+ snap,
+      snapshotLog = meta.snapshotLog :+ (now, snap.snapshotId),
+      refs = meta.refs + ("main" -> snap.snapshotId))
+    commitMetadata(newMeta, prevVersion + 1, conf)
+    newMeta
+  }
+
+  /** Write manifests + the manifest list for a new snapshot and return the
+    * SnapshotInfo (no metadata.json commit — REST commits send the snapshot
+    * to the catalog instead; reference iceberg_add_snapshot.cpp). */
+  private[graft] def buildSnapshotFiles(
+      meta: TableMetadata,
+      addedData: Seq[ManifestEntry],
+      addedDeletes: Seq[ManifestEntry],
+      operation: String,
+      conf: Configuration,
+      removedDataPaths: Set[String] = Set.empty): (SnapshotInfo, Seq[ManifestFile]) = {
     val schema = meta.currentSchema
     val spec = meta.defaultSpec
     val snapshotId = newSnapshotId()
@@ -348,17 +372,14 @@ object IcebergWrite {
       "total-position-deletes" -> delManifests.map(m => m.addedRowsCount + m.existingRowsCount).sum.toString,
       "total-equality-deletes" -> "0")
     val snap = SnapshotInfo(snapshotId, meta.currentSnapshotId, seq, now, listPath, summary, Some(schema.schemaId))
+    (snap, allManifests)
+  }
 
-    val prevVersion = currentVersion(meta.location, conf)
-    val newMeta = meta.copy(
-      lastSequenceNumber = seq,
-      lastUpdatedMs = now,
-      currentSnapshotId = Some(snapshotId),
-      snapshots = meta.snapshots :+ snap,
-      snapshotLog = meta.snapshotLog :+ (now, snapshotId),
-      refs = meta.refs + ("main" -> snapshotId))
-    commitMetadata(newMeta, prevVersion + 1, conf)
-    newMeta
+  /** Commit `meta` as the next metadata version (ALTER-style metadata-only
+    * commit). */
+  private[graft] def commitMetadataNextVersion(meta: TableMetadata, conf: Configuration): TableMetadata = {
+    commitMetadata(meta, currentVersion(meta.location, conf) + 1, conf)
+    meta
   }
 
   private def currentVersion(location: String, conf: Configuration): Int =

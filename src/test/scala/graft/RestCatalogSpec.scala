@@ -1,0 +1,62 @@
+package graft
+
+import graft.catalog.{CatalogOptions, RestCatalog, RestCatalogException}
+import graft.core.IcebergTypes
+import org.scalatest.BeforeAndAfterAll
+
+/** REST catalog end-to-end against the in-process test server: OAuth2,
+  * namespaces, table lifecycle, DataFrame append/read, commit conflicts. */
+class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
+  private val server = new TestRestServer
+  private lazy val catalog = new RestCatalog(server.uri,
+    CatalogOptions(clientId = Some("id"), clientSecret = Some("secret")))
+
+  override def beforeAll(): Unit = server.start()
+  override def afterAll(): Unit = server.stop()
+
+  test("oauth2 + config + namespace lifecycle") {
+    assert(catalog.config()("warehouse") == "memory")
+    catalog.createNamespace(Seq("db"), Map("owner" -> "graft"))
+    assert(catalog.listNamespaces() == Seq(Seq("db")))
+    assert(catalog.namespaceProperties(Seq("db"))("owner") == "graft")
+    catalog.updateNamespaceProperties(Seq("db"), Map("x" -> "1"), Seq("owner"))
+    val props = catalog.namespaceProperties(Seq("db"))
+    assert(props.get("x").contains("1") && !props.contains("owner"))
+  }
+
+  test("create table via catalog, append + read DataFrames, snapshot accumulates") {
+    catalog.createNamespace(Seq("etl"))
+    val src = spark.read.parquet(s"$sfDir/region.parquet")
+    val loc = tmpDir("graft_rest_tbl")
+    val schema = IcebergTypes.fromSpark(src.schema)
+    catalog.createTable(Seq("etl"), "region", schema, loc)
+    assert(catalog.listTables(Seq("etl")) == Seq("region"))
+    assert(catalog.tableExists(Seq("etl"), "region"))
+    assert(!catalog.tableExists(Seq("etl"), "nope"))
+
+    catalog.appendDF(src, Seq("etl"), "region")
+    assertSameResult(src, catalog.loadDF(spark, Seq("etl"), "region"))
+    catalog.appendDF(src, Seq("etl"), "region")
+    assert(catalog.loadDF(spark, Seq("etl"), "region").count() == 2 * src.count())
+    val t = catalog.loadTable(Seq("etl"), "region")
+    assert(t.metadata.snapshots.size == 2)
+    assert(t.metadata.currentSnapshot.get.operation == "append")
+  }
+
+  test("commit with stale expected snapshot is rejected with 409") {
+    val t = catalog.loadTable(Seq("etl"), "region")
+    val snap = t.metadata.currentSnapshot.get
+    val stale = snap.copy(snapshotId = snap.snapshotId + 1)
+    val ex = intercept[RestCatalogException] {
+      catalog.commitSnapshot(Seq("etl"), "region", Some(123456789L), stale)
+    }
+    assert(ex.status == 409)
+  }
+
+  test("rename + drop table") {
+    catalog.renameTable(Seq("etl"), "region", "region2")
+    assert(catalog.listTables(Seq("etl")) == Seq("region2"))
+    catalog.dropTable(Seq("etl"), "region2")
+    assert(catalog.listTables(Seq("etl")).isEmpty)
+  }
+}

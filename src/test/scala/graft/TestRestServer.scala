@@ -1,0 +1,243 @@
+package graft
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{JsonNodeFactory, ObjectNode}
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import graft.core._
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+/**
+ * Minimal in-process Iceberg REST catalog (config, OAuth2 token, namespaces,
+ * table lifecycle, optimistic commits) backed by in-memory TableMetadata —
+ * the offline test double for RestCatalog.
+ */
+class TestRestServer {
+  private val mapper = new ObjectMapper()
+  private val F = JsonNodeFactory.instance
+  val token = "test-token"
+
+  case class Ns(props: TrieMap[String, String] = TrieMap.empty,
+      tables: TrieMap[String, TableMetadata] = TrieMap.empty)
+  val namespaces = new TrieMap[String, Ns]()
+
+  private var server: HttpServer = _
+  def port: Int = server.getAddress.getPort
+  def uri: String = s"http://127.0.0.1:$port"
+
+  def start(): Unit = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", handler)
+    server.start()
+  }
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  private def respond(ex: HttpExchange, status: Int, body: String = ""): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.sendResponseHeaders(status, if (bytes.isEmpty) -1 else bytes.length)
+    if (bytes.nonEmpty) { val os = ex.getResponseBody; os.write(bytes); os.close() }
+    ex.close()
+  }
+
+  private def loadResult(meta: TableMetadata): String = {
+    val o = F.objectNode()
+    o.put("metadata-location", s"${meta.location}/metadata/v-rest.metadata.json")
+    o.set[JsonNode]("metadata", mapper.readTree(TableMetadata.toJson(meta)))
+    o.putObject("config")
+    mapper.writeValueAsString(o)
+  }
+
+  private def parseSnapshot(n: JsonNode): SnapshotInfo = SnapshotInfo(
+    snapshotId = n.get("snapshot-id").asLong(),
+    parentSnapshotId = Option(n.get("parent-snapshot-id")).map(_.asLong()),
+    sequenceNumber = Option(n.get("sequence-number")).map(_.asLong()).getOrElse(0L),
+    timestampMs = n.get("timestamp-ms").asLong(),
+    manifestList = n.get("manifest-list").asText(),
+    summary = Option(n.get("summary")).map(_.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty),
+    schemaId = Option(n.get("schema-id")).map(_.asInt()))
+
+  private val handler = new HttpHandler {
+    override def handle(ex: HttpExchange): Unit = try route(ex) catch {
+      case e: Exception => respond(ex, 500, s"""{"error":"${e.getMessage}"}""")
+    }
+
+    private def route(ex: HttpExchange): Unit = {
+      val path = ex.getRequestURI.getPath
+      val method = ex.getRequestMethod
+      def body: JsonNode = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+
+      if (path == "/v1/oauth/tokens" && method == "POST") {
+        return respond(ex, 200, s"""{"access_token":"$token","token_type":"bearer","expires_in":3600}""")
+      }
+      // auth for everything else
+      val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
+      if (!auth.contains(s"Bearer $token")) return respond(ex, 401, """{"error":"unauthorized"}""")
+
+      val TablesRe = "/v1/namespaces/([^/]+)/tables".r
+      val TableRe = "/v1/namespaces/([^/]+)/tables/([^/]+)".r
+      val NsPropsRe = "/v1/namespaces/([^/]+)/properties".r
+      val NsRe = "/v1/namespaces/([^/]+)".r
+
+      (method, path) match {
+        case ("GET", "/v1/config") =>
+          respond(ex, 200, """{"defaults":{"warehouse":"memory"},"overrides":{}}""")
+
+        case ("GET", "/v1/namespaces") =>
+          val o = F.objectNode()
+          val arr = o.putArray("namespaces")
+          namespaces.keys.toSeq.sorted.foreach { ns => val a = F.arrayNode(); a.add(ns); arr.add(a) }
+          respond(ex, 200, mapper.writeValueAsString(o))
+
+        case ("POST", "/v1/namespaces") =>
+          val b = body
+          val ns = b.get("namespace").elements().asScala.map(_.asText()).mkString(".")
+          if (namespaces.contains(ns)) respond(ex, 409, """{"error":"namespace exists"}""")
+          else {
+            val n = Ns()
+            Option(b.get("properties")).foreach(_.properties().asScala.foreach(e => n.props.put(e.getKey, e.getValue.asText())))
+            namespaces.put(ns, n)
+            respond(ex, 200, mapper.writeValueAsString(b))
+          }
+
+        case ("POST", NsPropsRe(ns)) =>
+          namespaces.get(ns) match {
+            case None => respond(ex, 404, """{"error":"no such namespace"}""")
+            case Some(n) =>
+              val b = body
+              Option(b.get("removals")).foreach(_.elements().asScala.foreach(k => n.props.remove(k.asText())))
+              Option(b.get("updates")).foreach(_.properties().asScala.foreach(e => n.props.put(e.getKey, e.getValue.asText())))
+              respond(ex, 200, """{"updated":[],"removed":[]}""")
+          }
+
+        case ("GET", TablesRe(ns)) =>
+          namespaces.get(ns) match {
+            case None => respond(ex, 404, """{"error":"no such namespace"}""")
+            case Some(n) =>
+              val o = F.objectNode()
+              val arr = o.putArray("identifiers")
+              n.tables.keys.toSeq.sorted.foreach { t =>
+                val io = F.objectNode(); val na = io.putArray("namespace"); na.add(ns); io.put("name", t); arr.add(io)
+              }
+              respond(ex, 200, mapper.writeValueAsString(o))
+          }
+
+        case ("POST", TablesRe(ns)) =>
+          namespaces.get(ns) match {
+            case None => respond(ex, 404, """{"error":"no such namespace"}""")
+            case Some(n) =>
+              val b = body
+              val name = b.get("name").asText()
+              if (n.tables.contains(name)) return respond(ex, 409, """{"error":"table exists"}""")
+              val schema = IcebergTypes.parseSchema(b.get("schema"))
+              val spec = Option(b.get("partition-spec")).map { sn =>
+                PartitionSpec(Option(sn.get("spec-id")).map(_.asInt()).getOrElse(0),
+                  sn.get("fields").elements().asScala.map { f =>
+                    PartitionField(f.get("source-id").asInt(), f.get("field-id").asInt(),
+                      f.get("name").asText(), Transforms.parse(f.get("transform").asText()))
+                  }.toSeq)
+              }.getOrElse(PartitionSpec(0, Nil))
+              val props = Option(b.get("properties")).map(_.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty)
+              val meta = TableMetadata(
+                formatVersion = 2, tableUuid = java.util.UUID.randomUUID().toString,
+                location = b.get("location").asText(), lastSequenceNumber = 0L,
+                lastUpdatedMs = System.currentTimeMillis(),
+                lastColumnId = math.max(schema.lastColumnId, schema.maxFieldId),
+                currentSchemaId = schema.schemaId, schemas = Seq(schema),
+                defaultSpecId = spec.specId, specs = Seq(spec),
+                lastPartitionId = spec.fields.map(_.fieldId).maxOption.getOrElse(999),
+                defaultSortOrderId = 0, sortOrders = Seq(SortOrder(0, Nil)),
+                properties = props, currentSnapshotId = None,
+                snapshots = Nil, snapshotLog = Nil, metadataLog = Nil, refs = Map.empty)
+              n.tables.put(name, meta)
+              respond(ex, 200, loadResult(meta))
+          }
+
+        case ("GET", TableRe(ns, t)) =>
+          namespaces.get(ns).flatMap(_.tables.get(t)) match {
+            case None => respond(ex, 404, """{"error":"no such table"}""")
+            case Some(meta) => respond(ex, 200, loadResult(meta))
+          }
+
+        case ("POST", TableRe(ns, t)) => // commit
+          namespaces.get(ns) match {
+            case None => respond(ex, 404, """{"error":"no such namespace"}""")
+            case Some(n) => n.tables.get(t) match {
+              case None => respond(ex, 404, """{"error":"no such table"}""")
+              case Some(meta) =>
+                val b = body
+                // requirements
+                val reqOk = Option(b.get("requirements")).forall(_.elements().asScala.forall { r =>
+                  r.get("type").asText() match {
+                    case "assert-ref-snapshot-id" =>
+                      val expected = Option(r.get("snapshot-id")).filter(!_.isNull).map(_.asLong())
+                      meta.refs.get(r.get("ref").asText()) == expected
+                    case "assert-table-uuid" => r.get("uuid").asText() == meta.tableUuid
+                    case _ => true
+                  }
+                })
+                if (!reqOk) return respond(ex, 409, """{"error":"requirement failed"}""")
+                var m = meta
+                Option(b.get("updates")).foreach(_.elements().asScala.foreach { u =>
+                  u.get("action").asText() match {
+                    case "add-snapshot" =>
+                      val s = parseSnapshot(u.get("snapshot"))
+                      m = m.copy(snapshots = m.snapshots :+ s,
+                        lastSequenceNumber = math.max(m.lastSequenceNumber, s.sequenceNumber),
+                        snapshotLog = m.snapshotLog :+ (s.timestampMs, s.snapshotId))
+                    case "set-snapshot-ref" =>
+                      val id = u.get("snapshot-id").asLong()
+                      m = m.copy(refs = m.refs + (u.get("ref-name").asText() -> id),
+                        currentSnapshotId = Some(id))
+                    case "set-properties" =>
+                      val up = u.get("updates").properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+                      m = m.copy(properties = m.properties ++ up)
+                    case "remove-properties" =>
+                      val rm = u.get("removals").elements().asScala.map(_.asText()).toSeq
+                      m = m.copy(properties = m.properties -- rm)
+                    case _ =>
+                  }
+                })
+                n.tables.put(t, m)
+                respond(ex, 200, loadResult(m))
+            }
+          }
+
+        case ("DELETE", TableRe(ns, t)) =>
+          namespaces.get(ns).flatMap(_.tables.remove(t)) match {
+            case None => respond(ex, 404, """{"error":"no such table"}""")
+            case Some(_) => respond(ex, 204)
+          }
+
+        case ("DELETE", NsRe(ns)) =>
+          namespaces.remove(ns) match {
+            case None => respond(ex, 404, """{"error":"no such namespace"}""")
+            case Some(_) => respond(ex, 204)
+          }
+
+        case ("GET", NsRe(ns)) =>
+          namespaces.get(ns) match {
+            case None => respond(ex, 404, """{"error":"no such namespace"}""")
+            case Some(n) =>
+              val o = F.objectNode()
+              val na = o.putArray("namespace"); na.add(ns)
+              val p = o.putObject("properties"); n.props.foreach { case (k, v) => p.put(k, v) }
+              respond(ex, 200, mapper.writeValueAsString(o))
+          }
+
+        case ("POST", "/v1/tables/rename") =>
+          val b = body
+          val srcNs = b.get("source").get("namespace").elements().asScala.map(_.asText()).mkString(".")
+          val from = b.get("source").get("name").asText()
+          val to = b.get("destination").get("name").asText()
+          namespaces.get(srcNs).flatMap(n => n.tables.remove(from).map(m => n.tables.put(to, m))) match {
+            case None => respond(ex, 404, """{"error":"no such table"}""")
+            case Some(_) => respond(ex, 204)
+          }
+
+        case _ => respond(ex, 404, s"""{"error":"no route $method $path"}""")
+      }
+    }
+  }
+}
