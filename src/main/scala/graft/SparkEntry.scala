@@ -217,6 +217,37 @@ object SparkEntry {
         .select("rank", "vec_id")
     }),
 
+    // ---- streaming / incremental ----
+    "stream_incremental" -> ((s, dir) => {
+      val (path, firstSnap) = Fixtures.ordersTwoSnapshots(s, dir)
+      graft.streaming.Streams.appendsSince(s, path, firstSnap)
+    }),
+
+    "q_events_hourly" -> ((s, dir) => {
+      graft.read.IcebergRead.ensureConfs(s)
+      graft.streaming.Streams.windowedEventCounts(pq(s, dir, "events"), "ts")
+        .withColumn("window_start", col("window_start").cast("timestamp_ntz"))
+    }),
+
+    // ---- pipeline: multimodal columns ----
+    "mm_payload_meta" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents")
+        .withColumn("payload", graft.pipeline.Multimodal.syntheticPayload(col("text"), col("doc_id")))
+      graft.pipeline.Multimodal.attachMetadata(docs, "payload")
+        .groupBy(col("media_meta.media_type").as("media_type"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("media_meta.byte_length")).cast("long").as("total_bytes"))
+    }),
+
+    "mm_features" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents").limit(100)
+        .withColumn("payload", graft.pipeline.Multimodal.syntheticPayload(col("text"), col("doc_id")))
+      graft.pipeline.Multimodal.extractFeatures(
+        graft.pipeline.Multimodal.attachMetadata(docs, "payload"), "payload", dim = 8)
+        .select(col("doc_id"), col("media_meta.media_type").as("media_type"),
+          round(element_at(col("feature"), 1), 4).as("f0"))
+    }),
+
     // ---- pipeline: text analysis ----
     "text_stats" -> ((s, dir) =>
       pq(s, dir, "documents")
@@ -345,6 +376,21 @@ object SparkEntry {
         |  AS BIGINT) AS rank, e.vec_id
         |FROM embeddings e WHERE e.vec_id <> 1
         |ORDER BY rank LIMIT 20""".stripMargin,
+
+    "stream_incremental" -> "SELECT * FROM orders",
+
+    "q_events_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+        |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "mm_payload_meta" ->
+      """SELECT CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+        |            WHEN 2 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(octet_length(encode(text)) +
+        |    CASE doc_id % 4 WHEN 0 THEN 4 WHEN 1 THEN 3 WHEN 2 THEN 4 ELSE 8 END) AS BIGINT) AS total_bytes
+        |FROM documents GROUP BY 1""".stripMargin,
 
     "text_stats" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS docs,

@@ -94,6 +94,9 @@ object IcebergRead {
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    // parquet TIMESTAMP(NANOS) columns (e.g. the events table) read as
+    // nanosecond longs instead of erroring; converted at use sites.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Local-FS .crc sidecars (e.g. fixture trees copied without their
     // checksums) must not fail reads; also mutes checksum files on write.
     val hc = spark.sparkContext.hadoopConfiguration

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import graft.core._
+import graft.manifest.ManifestIO
+import graft.read.{IcebergRead, ReadOptions}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamReader
+
+/**
+ * Streaming + incremental-read surface.
+ *
+ * The reference has no streaming operators; its incremental hooks are
+ * snapshots + sequence numbers (SURVEY §2.9). Here:
+ *  - `appendsSince` is the batch incremental read (files added after a given
+ *    snapshot) that a Structured Streaming source polls per micro-batch.
+ *  - `readEventStream` is the Structured Streaming ingestion path (file
+ *    source -> watermark -> windowed aggregation), the Spark-native way to
+ *    keep an Iceberg table fed by a stream.
+ */
+object Streams {
+
+  /** Incremental read: rows from data files ADDED strictly after
+    * `afterSnapshotId` (exclusive), up to the current snapshot. The
+    * building block for a micro-batch Iceberg source: each batch calls this
+    * with the last processed snapshot id. */
+  def appendsSince(spark: SparkSession, path: String, afterSnapshotId: Long): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = TableMetadata.load(path, conf)
+    val after = meta.snapshots.find(_.snapshotId == afterSnapshotId)
+      .getOrElse(throw new IllegalArgumentException(s"Unknown snapshot $afterSnapshotId"))
+    val schema = meta.currentSchema
+    meta.currentSnapshot match {
+      case None => IcebergRead.emptyDF(spark, schema.toSpark)
+      case Some(cur) =>
+        val manifests = ManifestIO.readManifestList(
+          TableMetadata.resolvePath(meta.location, cur.manifestList, conf), conf)
+        // Only manifests added after the cutoff can contain new files.
+        val newer = manifests.filter(m => m.content == 0 && m.sequenceNumber > after.sequenceNumber)
+        val files = newer.flatMap { m =>
+          ManifestIO.readManifest(TableMetadata.resolvePath(meta.location, m.path, conf), conf, m)
+            .filter(e => e.isLive && e.sequenceNumber.exists(_ > after.sequenceNumber))
+            .map(e => TableMetadata.resolvePath(meta.location, e.dataFile.filePath, conf))
+        }
+        if (files.isEmpty) IcebergRead.emptyDF(spark, schema.toSpark)
+        else {
+          IcebergRead.ensureConfs(spark)
+          spark.read.schema(schema.toSpark).parquet(files: _*)
+        }
+    }
+  }
+
+  /** Structured Streaming reader over a directory of event parquet files
+    * (schema must be supplied for file streams). */
+  def readEventStream(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** Watermarked tumbling-window aggregation — the canonical streaming shape
+    * (event-time window + late-data bound). Works on both streaming and
+    * batch frames. Nanosecond-long event times (parquet TIMESTAMP(NANOS)
+    * read with `spark.sql.legacy.parquet.nanosAsLong`) are converted to
+    * microsecond timestamps first. */
+  def windowedEventCounts(events: DataFrame, tsCol: String, window: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val tsTyped =
+      if (events.schema(tsCol).dataType == org.apache.spark.sql.types.LongType)
+        events.withColumn(tsCol, timestamp_micros(floor(col(tsCol) / 1000).cast("long")))
+      else events
+    val withWm =
+      if (tsTyped.isStreaming) tsTyped.withWatermark(tsCol, watermark) else tsTyped
+    withWm
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window).as("w"), col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"), round(sum("value"), 2).as("total"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total"))
+  }
+}

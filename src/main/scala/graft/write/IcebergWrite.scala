@@ -349,7 +349,7 @@ object IcebergWrite {
         }
     }
 
-    val allManifests = newManifests ++ prevManifests
+    val allManifests = ManifestMerge.maybeMerge(meta, newManifests ++ prevManifests, conf)
     val listPath = s"$metaDir/snap-$snapshotId-1-$commitUuid.avro"
     ManifestIO.writeManifestList(listPath, conf, allManifests)
 

@@ -1,0 +1,87 @@
+package graft
+
+import graft.pipeline.Multimodal
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+
+class PipelineExtrasSpec extends SparkSpec {
+
+  test("commit-time manifest merge compacts manifests under min-count policy") {
+    val src = spark.read.parquet(s"$sfDir/region.parquet")
+    val path = tmpDir("graft_manifest_merge")
+    IcebergTable.write(src, path, graft.write.TableWriteOptions(
+      properties = Map("commit.manifest.min-count-to-merge" -> "3",
+        "commit.manifest.target-size-bytes" -> (64L * 1024 * 1024).toString)))
+    IcebergTable.append(src, path)
+    // third commit reaches min-count: manifests merge into one
+    IcebergTable.append(src, path)
+    val p = IcebergTable.plan(spark, path)
+    assert(p.scannedManifests == 1, s"expected 1 merged manifest, got ${p.scannedManifests}")
+    assert(p.fastRowCount.contains(3 * src.count()))
+    assert(IcebergTable.load(spark, path).count() == 3 * src.count())
+  }
+
+  test("multimodal: payload sniffing, metadata, features, resize, frame sampling") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("payload", Multimodal.syntheticPayload(col("text"), col("doc_id")))
+    val withMeta = Multimodal.attachMetadata(docs, "payload")
+    val types = withMeta.groupBy("media_meta.media_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(types.keySet == Set("image/png", "image/jpeg", "audio/wav", "video/mp4"))
+    assert(types.values.sum == docs.count())
+    // byte_length = magic + utf8 text bytes
+    val one = withMeta.filter(col("doc_id") === 0)
+      .select(col("media_meta.byte_length"), octet_length(col("text"))).collect()(0)
+    assert(one.getLong(0) == one.getInt(1) + 4) // doc 0 -> PNG magic of 4 bytes
+
+    val feats = Multimodal.extractFeatures(withMeta, "payload", dim = 8)
+    assert(feats.schema("feature").dataType.typeName == "array")
+    val f0 = feats.select("feature").limit(1).collect()(0).getSeq[Float](0)
+    assert(f0.size == 8)
+    // determinism
+    val f1 = Multimodal.extractFeatures(withMeta, "payload", dim = 8)
+      .select("feature").limit(1).collect()(0).getSeq[Float](0)
+    assert(f0 == f1)
+
+    val resized = Multimodal.resizeStub(withMeta, 256)
+    val maxEdge = resized.agg(max(col("media_meta.width")), max(col("media_meta.height"))).collect()(0)
+    assert(maxEdge.getInt(0) <= 256 && maxEdge.getInt(1) <= 256)
+
+    val frames = Multimodal.frameSampleStub(
+      withMeta.filter(col("media_meta.media_type") === "video/mp4"), "payload", everyK = 8)
+    assert(frames.count() == withMeta.filter(col("media_meta.media_type") === "video/mp4").count() * 4) // 32/8
+    assert(frames.schema.fieldNames.contains("frame_index"))
+  }
+
+  test("incremental read: appendsSince returns only files added after a snapshot") {
+    val src = spark.read.parquet(s"$sfDir/nation.parquet")
+    val path = tmpDir("graft_incremental")
+    IcebergTable.write(src, path)
+    val first = graft.core.TableMetadata.load(path, spark.sessionState.newHadoopConf())
+      .currentSnapshotId.get
+    val batch2 = src.withColumn("n_nationkey", col("n_nationkey") + 100)
+    IcebergTable.append(batch2, path)
+    val inc = Streams.appendsSince(spark, path, first)
+    assertSameResult(batch2, inc)
+    val cur = graft.core.TableMetadata.load(path, spark.sessionState.newHadoopConf())
+      .currentSnapshotId.get
+    assert(Streams.appendsSince(spark, path, cur).count() == 0)
+  }
+
+  test("structured streaming: watermarked windowed aggregation matches batch") {
+    val dir = tmpDir("graft_stream_events")
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    events.write.mode("overwrite").parquet(dir)
+    val stream = Streams.readEventStream(spark, dir, events.schema)
+    assert(stream.isStreaming)
+    val agg = Streams.windowedEventCounts(stream, "ts")
+    val q = agg.writeStream.format("memory").queryName("ev_counts")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ev_counts")
+      val expected = Streams.windowedEventCounts(events, "ts")
+      assertSameResult(expected, got)
+    } finally q.stop()
+  }
+}
