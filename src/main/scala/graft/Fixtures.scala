@@ -91,6 +91,30 @@ object Fixtures {
             "c_acctbal" -> "s.c_acctbal", "c_mktsegment" -> "s.c_mktsegment"))))
     }
 
+  /** Orders split across several range-partitioned files (top-k pruning). */
+  def ordersMultiFile(spark: SparkSession, sfDir: String): String =
+    iceberg(spark, sfDir, "orders_multifile") { dir =>
+      IcebergTable.write(
+        parquet(spark, sfDir, "orders").repartitionByRange(6, col("o_orderkey")), dir)
+    }
+
+  /** v3 orders table with a deletion-vector DELETE applied. */
+  def ordersDvDeleted(spark: SparkSession, sfDir: String): String =
+    iceberg(spark, sfDir, "orders_dv3") { dir =>
+      IcebergTable.write(parquet(spark, sfDir, "orders"), dir,
+        TableWriteOptions(formatVersion = 3))
+      IcebergTable.delete(spark, dir, "o_orderstatus = 'F'")
+    }
+
+  /** Customer table with an equality delete of every 10th key. */
+  def customerEqDeleted(spark: SparkSession, sfDir: String): String =
+    iceberg(spark, sfDir, "customer_eqdel") { dir =>
+      val c = parquet(spark, sfDir, "customer")
+      IcebergTable.write(c, dir)
+      IcebergTable.deleteEquality(spark, dir,
+        c.filter(col("c_custkey") % 10 === 0).select("c_custkey"))
+    }
+
   /** Orders table after ALTER: add column w/ default, rename, drop. */
   def ordersEvolved(spark: SparkSession, sfDir: String): String =
     iceberg(spark, sfDir, "orders_evolved") { dir =>

@@ -58,6 +58,16 @@ object IcebergTable {
       actions: Dml.MergeActions): TableMetadata =
     Dml.merge(spark, path, source, onCond, actions)
 
+  /** Equality delete: remove rows matching key rows (global delete file). */
+  def deleteEquality(spark: SparkSession, path: String, keys: DataFrame): TableMetadata =
+    Dml.deleteEquality(spark, path, keys)
+
+  /** ORDER BY col LIMIT k with stats-ordered file selection (scan-order
+    * pruning). */
+  def topK(spark: SparkSession, path: String, colName: String, k: Int,
+      descending: Boolean = true, opts: ReadOptions = ReadOptions()): DataFrame =
+    IcebergRead.topK(spark, path, colName, k, descending, opts)
+
   /** iceberg_rewrite_data_files compaction. */
   def rewriteDataFiles(spark: SparkSession, path: String,
       targetFileSizeBytes: Long = 512L * 1024 * 1024, rewriteAll: Boolean = false): TableMetadata =

@@ -149,6 +149,16 @@ object SparkEntry {
     "ice_schema_evolution" -> ((s, dir) =>
       IcebergTable.load(s, Fixtures.ordersEvolved(s, dir))),
 
+    "ice_dv_delete" -> ((s, dir) =>
+      IcebergTable.load(s, Fixtures.ordersDvDeleted(s, dir))),
+
+    "ice_eq_delete" -> ((s, dir) =>
+      IcebergTable.load(s, Fixtures.customerEqDeleted(s, dir))),
+
+    "ice_topk_scan_order" -> ((s, dir) =>
+      IcebergTable.topK(s, Fixtures.ordersMultiFile(s, dir), "o_orderkey", 10, descending = true)
+        .select("o_orderkey", "o_totalprice")),
+
     // ---- §2.8 scalar functions ----
     "fn_truncate" -> ((s, dir) => {
       graft.functions.IcebergFunctions.register(s)
@@ -351,6 +361,14 @@ object SparkEntry {
         |FROM customer WHERE c_custkey < 10""".stripMargin,
 
     "ice_rewrite_compact" -> "SELECT * FROM lineitem WHERE l_quantity >= 5",
+
+    "ice_dv_delete" -> "SELECT * FROM orders WHERE o_orderstatus <> 'F'",
+
+    "ice_eq_delete" -> "SELECT * FROM customer WHERE c_custkey % 10 <> 0",
+
+    "ice_topk_scan_order" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey DESC LIMIT 10""".stripMargin,
 
     "ice_schema_evolution" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate,

@@ -252,6 +252,28 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
     parseLoadResult(node)
   }
 
+  // ---------- vended credentials ----------
+
+  /** Map vended storage credentials from a LoadTableResult `config` onto a
+    * Hadoop Configuration (per-table scoped `fs.s3a.*`), so executors can
+    * open the table's files (reference
+    * src/catalog/rest/storage/iceberg_table_secret_provider.cpp). */
+  def applyVendedCredentials(conf: org.apache.hadoop.conf.Configuration,
+      config: Map[String, String]): org.apache.hadoop.conf.Configuration = {
+    val mapping = Map(
+      "s3.access-key-id" -> "fs.s3a.access.key",
+      "s3.secret-access-key" -> "fs.s3a.secret.key",
+      "s3.session-token" -> "fs.s3a.session.token",
+      "s3.endpoint" -> "fs.s3a.endpoint",
+      "s3.path-style-access" -> "fs.s3a.path.style.access",
+      "client.region" -> "fs.s3a.endpoint.region")
+    config.foreach { case (k, v) => mapping.get(k).foreach(h => conf.set(h, v)) }
+    if (config.get("s3.session-token").isDefined)
+      conf.set("fs.s3a.aws.credentials.provider",
+        "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider")
+    conf
+  }
+
   // ---------- DataFrame integration ----------
 
   /** Read a catalog table as a DataFrame (scan machinery shared with
@@ -259,7 +281,8 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
   def loadDF(spark: SparkSession, ns: Seq[String], name: String,
       readOpts: ReadOptions = ReadOptions()): DataFrame = {
     val t = loadTable(ns, name)
-    IcebergRead.loadWithMetadata(spark, t.metadata, spark.sessionState.newHadoopConf(), readOpts)
+    val conf = applyVendedCredentials(spark.sessionState.newHadoopConf(), t.config)
+    IcebergRead.loadWithMetadata(spark, t.metadata, conf, readOpts)
   }
 
   /** Append a DataFrame to a catalog table: write data files + manifests to

@@ -263,7 +263,13 @@ object ManifestIO {
   /** Build the v2 manifest_entry Avro schema for a given partition struct
     * (field name, result type, partition field id). Matches the spec schema
     * byte-for-byte in field names/ids. */
-  def manifestEntrySchema(partitionFields: Seq[(String, IcebergType, Int)]): Schema = {
+  def manifestEntrySchema(partitionFields: Seq[(String, IcebergType, Int)],
+      withDvFields: Boolean = false): Schema = {
+    // v3 deletion-vector columns (spec field ids 143-145).
+    val dvFieldsJson = if (!withDvFields) "" else """,
+        {"name":"referenced_data_file","type":["null","string"],"default":null,"field-id":143},
+        {"name":"content_offset","type":["null","long"],"default":null,"field-id":144},
+        {"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145}"""
     val partFields = partitionFields.map { case (name, t, fid) =>
       s"""{"name":"${name}","type":["null",${avroTypeFor(t)}],"default":null,"field-id":$fid}"""
     }.mkString(",")
@@ -293,7 +299,7 @@ object ManifestIO {
         {"name":"key_metadata","type":["null","bytes"],"default":null,"field-id":131},
         {"name":"split_offsets","type":["null",{"type":"array","items":"long","element-id":133}],"default":null,"field-id":132},
         {"name":"equality_ids","type":["null",{"type":"array","items":"int","element-id":136}],"default":null,"field-id":135},
-        {"name":"sort_order_id","type":["null","int"],"default":null,"field-id":140}
+        {"name":"sort_order_id","type":["null","int"],"default":null,"field-id":140}$dvFieldsJson
       ]},"field-id":2}]}
     """
     new Schema.Parser().parse(json)
@@ -347,7 +353,8 @@ object ManifestIO {
       partitionFields: Seq[(String, IcebergType, Int)],
       entries: Seq[ManifestEntry],
       metaProps: Map[String, String]): Long = {
-    val schema = manifestEntrySchema(partitionFields)
+    val withDv = entries.exists(_.dataFile.contentOffset.isDefined)
+    val schema = manifestEntrySchema(partitionFields, withDv)
     val dfSchema = schema.getField("data_file").schema()
     val partSchema = dfSchema.getField("partition").schema()
     val fsys = TableMetadata.fs(path, conf)
@@ -386,6 +393,11 @@ object ManifestIO {
       df.put("split_offsets", if (e.dataFile.splitOffsets.isEmpty) null else e.dataFile.splitOffsets.map(Long.box).asJava)
       df.put("equality_ids", if (e.dataFile.equalityIds.isEmpty) null else e.dataFile.equalityIds.map(Int.box).asJava)
       df.put("sort_order_id", e.dataFile.sortOrderId.map(Int.box).orNull)
+      if (withDv) {
+        df.put("referenced_data_file", e.dataFile.referencedDataFile.orNull)
+        df.put("content_offset", e.dataFile.contentOffset.map(Long.box).orNull)
+        df.put("content_size_in_bytes", e.dataFile.contentSizeInBytes.map(Long.box).orNull)
+      }
       r.put("data_file", df)
       w.append(r)
     }

@@ -303,7 +303,9 @@ object IcebergRead {
       var df = buildScan(spark, p, files, conf, needMeta)
       val applicable = eqDeletes.filter { d =>
         d.dataSeq > seq &&
-          (p.meta.spec(d.specId).isUnpartitioned || partKey(d) == pk)
+          (p.meta.spec(d.specId).isUnpartitioned ||
+            d.info.partitionValues.forall(_ == null) || // "global" eq delete
+            partKey(d) == pk)
       }
       if (applicable.nonEmpty) df = applyEqualityDeletes(spark, df, applicable, p)
       df
@@ -320,6 +322,60 @@ object IcebergRead {
     val outCols = sparkSchema.fieldNames.map(col) ++
       (if (opts.keepFileMeta) Seq(col("_g_path"), col("_g_pos")) else Nil)
     df.select(outCols.toIndexedSeq: _*)
+  }
+
+  /** `ORDER BY col LIMIT k` with stats-ordered file selection: only files
+    * whose bounds can still contain a top-k row are scanned (reference
+    * scan-order pruning src/planning/scan_order/iceberg_scan_order.cpp:16-50,
+    * disabled when delete manifests exist, iceberg_multi_file_list.cpp:500-510).
+    *
+    * Sound selection: the k-th best value is at least `guarantee` = the
+    * bound of the file where cumulative record counts (files ordered by
+    * their BEST bound) reach k; every file whose best bound beats
+    * `guarantee` must be scanned, everything else cannot contribute. */
+  def topK(spark: SparkSession, path: String, colName: String, k: Int,
+      descending: Boolean = true, opts: ReadOptions = ReadOptions()): DataFrame = {
+    ensureConfs(spark)
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = TableMetadata.load(path, conf, opts.metadataVersion)
+    val p = planWithMetadata(spark, meta, conf, opts)
+    val field = p.schema.fields.find(_.name == colName)
+      .getOrElse(throw new IllegalArgumentException(s"No column $colName"))
+    val order = if (descending) col(colName).desc else col(colName).asc
+
+    def bound(pf: PlannedFile, upper: Boolean): Option[Any] =
+      (if (upper) pf.info.upperBounds else pf.info.lowerBounds)
+        .get(field.id).map(SingleValue.deserialize(_, field.fieldType))
+
+    val allBounded = p.dataFiles.nonEmpty && p.dataFiles.forall(f => bound(f, descending).isDefined)
+    if (p.deleteFiles.nonEmpty || !allBounded || opts.filterSql.isDefined) {
+      return loadWithMetadata(spark, meta, conf, opts).orderBy(order).limit(k)
+    }
+    def cmp(a: Any, b: Any): Int = graft.write.Pruning2.cmpAny(a, b)
+    // Files by best bound (upper for desc, lower for asc), best first.
+    val sorted = p.dataFiles.sortWith { (a, b) =>
+      val c = cmp(bound(a, descending).get, bound(b, descending).get)
+      if (descending) c > 0 else c < 0
+    }
+    // guarantee = best-k-th value floor from worst-side bounds.
+    var acc = 0L
+    var guarantee: Option[Any] = None
+    val it = sorted.iterator
+    while (it.hasNext && acc < k) {
+      val f = it.next()
+      acc += f.info.recordCount
+      guarantee = bound(f, !descending) match {
+        case Some(w) => Some(guarantee.fold(w)(g => if (descending) { if (cmp(w, g) < 0) w else g } else { if (cmp(w, g) > 0) w else g }))
+        case None => None
+      }
+    }
+    val selected =
+      if (acc < k || guarantee.isEmpty) p.dataFiles
+      else sorted.filter { f =>
+        val best = bound(f, descending).get
+        if (descending) cmp(best, guarantee.get) >= 0 else cmp(best, guarantee.get) <= 0
+      }
+    buildScan(spark, p, selected, conf, needMeta = false).orderBy(order).limit(k)
   }
 
   /** Build the scan over a set of files: group by needed constant columns

@@ -31,6 +31,61 @@ object Puffin {
     } finally in.close()
   }
 
+  /** A written DV blob descriptor. */
+  case class DvBlob(referencedDataFile: String, offset: Long, length: Long, cardinality: Long)
+
+  /** Write a Puffin file containing one deletion-vector blob per referenced
+    * data file. `dvs` = (referencedDataFile, portableRoaringBytes,
+    * cardinality). Layout per the Puffin spec: magic, blobs, footer
+    * (magic + JSON payload + payload size LE + flags + magic); each DV blob
+    * is [combined length BE][D1 D3 39 64][bitmap][CRC-32 BE]. */
+  def writeDeletionVectors(path: String, conf: Configuration,
+      dvs: Seq[(String, Array[Byte], Long)]): Seq[DvBlob] = {
+    val fsys = new Path(path).getFileSystem(conf)
+    val out = fsys.create(new Path(path), true)
+    val magic = "PFA1".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    out.write(magic)
+    var offset = 4L
+    val blobs = Seq.newBuilder[DvBlob]
+    val blobJson = new StringBuilder("[")
+    var first = true
+    dvs.foreach { case (ref, bitmap, card) =>
+      val combined = 4 + bitmap.length
+      val crc = new java.util.zip.CRC32()
+      crc.update(DvMagic); crc.update(bitmap)
+      val bb = ByteBuffer.allocate(4 + 4 + bitmap.length + 4) // BE by default
+      bb.putInt(combined)
+      bb.put(DvMagic)
+      bb.put(bitmap)
+      bb.putInt(crc.getValue.toInt)
+      val blobBytes = bb.array()
+      out.write(blobBytes)
+      blobs += DvBlob(ref, offset, blobBytes.length.toLong, card)
+      if (!first) blobJson.append(",")
+      first = false
+      blobJson.append(
+        s"""{"type":"deletion-vector-v1","fields":[],"snapshot-id":-1,"sequence-number":-1,""" +
+          s""""offset":$offset,"length":${blobBytes.length},"properties":{""" +
+          s""""referenced-data-file":${jsonStr(ref)},"cardinality":"$card"}}""")
+      offset += blobBytes.length
+    }
+    blobJson.append("]")
+    val footerPayload = s"""{"blobs":${blobJson.toString},"properties":{}}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    out.write(magic)
+    out.write(footerPayload)
+    val tail = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    tail.putInt(footerPayload.length)
+    tail.putInt(0) // flags
+    out.write(tail.array())
+    out.write(magic)
+    out.close()
+    blobs.result()
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
   /** Decode a deletion-vector blob into sorted row positions. */
   def decodeDeletionVector(path: String, conf: Configuration, offset: Long, length: Long): Array[Long] = {
     val raw = readRange(path, conf, offset, math.max(length, 8L).toInt)

@@ -101,14 +101,121 @@ object Dml {
 
   private def normStr(s: String): String = s.replaceFirst("^file:/+", "/")
 
-  /** DELETE FROM table WHERE cond — merge-on-read positional deletes. */
+  /** DELETE FROM table WHERE cond — merge-on-read. v2 tables write
+    * positional-delete parquet; v3 tables write Puffin deletion vectors
+    * (reference iceberg_delete.cpp:165-208 DV write, 210-298 positional). */
   def delete(spark: SparkSession, path: String, condSql: String): TableMetadata = {
     val conf = spark.sessionState.newHadoopConf()
     val meta = TableMetadata.load(path, conf)
     val matched = IcebergRead.loadWithMetadata(spark, meta, conf,
       ReadOptions(filterSql = Some(condSql), keepFileMeta = true))
       .select("_g_path", "_g_pos")
-    val entries = writePositionDeletes(spark, meta, matched)
+    val entries =
+      if (meta.formatVersion >= 3) writeDeletionVectors(spark, meta, matched)
+      else writePositionDeletes(spark, meta, matched)
+    if (entries.isEmpty) meta
+    else IcebergWrite.commitSnapshot(meta, Nil, entries, "delete", conf)
+  }
+
+  /** v3 deletion vectors: one roaring bitmap per affected data file, built
+    * on EXECUTORS (groupByKey over matched positions), packed into a single
+    * Puffin file; only the compact serialized bitmaps travel to the driver. */
+  private def writeDeletionVectors(spark: SparkSession, meta: TableMetadata,
+      matched: DataFrame): Seq[ManifestEntry] = {
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    val p = IcebergRead.planWithMetadata(spark, meta, conf, ReadOptions())
+    val partTuples = p.dataFiles.map(f => f.info.partitionValues).distinct.zipWithIndex.toMap
+    val fileInfo = p.dataFiles.map { f =>
+      (normStr(f.resolvedPath), f.recordedPath, partTuples(f.info.partitionValues))
+    }.toDF("_m_path", "_m_recorded", "_m_pk")
+    val rows = matched
+      .select(normPath(col("_g_path")).as("_j_path"), col("_g_pos").cast("long").as("pos"))
+      .join(broadcast(fileInfo), col("_j_path") === col("_m_path"))
+      .select(col("_m_recorded").as("recorded"), col("pos"), col("_m_pk").as("pk"))
+      .as[(String, Long, Int)]
+    val dvs: Seq[(String, Array[Byte], Long, Int)] = rows.groupByKey(_._1)
+      .mapGroups { (recorded, it) =>
+        val bm = new org.roaringbitmap.longlong.Roaring64NavigableMap()
+        var pk = 0
+        var card = 0L
+        it.foreach { case (_, pos, k) => bm.addLong(pos); pk = k; card += 1 }
+        bm.runOptimize()
+        val baos = new java.io.ByteArrayOutputStream()
+        bm.serializePortable(new java.io.DataOutputStream(baos))
+        (recorded, baos.toByteArray, bm.getLongCardinality, pk)
+      }.collect().toSeq
+    if (dvs.isEmpty) return Nil
+    val puffinPath = s"${meta.location}/data/${UUID.randomUUID().toString}-deletes.puffin"
+    val blobs = graft.read.Puffin.writeDeletionVectors(puffinPath, conf,
+      dvs.map(d => (d._1, d._2, d._3)))
+    val fileLen = TableMetadata.fs(puffinPath, conf)
+      .getFileStatus(new Path(puffinPath)).getLen
+    val indexToTuple = partTuples.map(_.swap)
+    blobs.zip(dvs).map { case (b, (_, _, _, pk)) =>
+      ManifestEntry(EntryStatus.Added, None, None, None, DataFileInfo(
+        content = FileContent.PositionDeletes,
+        filePath = puffinPath,
+        fileFormat = "puffin",
+        partitionValues = indexToTuple(pk),
+        recordCount = b.cardinality,
+        fileSizeInBytes = fileLen,
+        columnSizes = Map.empty, valueCounts = Map.empty,
+        nullValueCounts = Map.empty, nanValueCounts = Map.empty,
+        lowerBounds = Map.empty, upperBounds = Map.empty,
+        splitOffsets = Nil, equalityIds = Nil, sortOrderId = None,
+        referencedDataFile = Some(b.referencedDataFile),
+        contentOffset = Some(b.offset),
+        contentSizeInBytes = Some(b.length)))
+    }
+  }
+
+  /** Equality-delete write: delete every row whose key columns match a row
+    * of `keys` (reference equality_delete_helpers.cpp:41-80 — the
+    * pure-equality-conjunction WHERE path). The delete file is written
+    * "global" (all-null partition tuple applies to every partition). */
+  def deleteEquality(spark: SparkSession, path: String, keys: DataFrame): TableMetadata = {
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = TableMetadata.load(path, conf)
+    val schema = meta.currentSchema
+    val eqFields = keys.schema.fieldNames.toSeq.map { n =>
+      schema.fields.find(_.name == n)
+        .getOrElse(throw new IllegalArgumentException(s"Unknown delete key column $n"))
+    }
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val staging = s"${meta.location}/data/${UUID.randomUUID().toString}-eqdel"
+    val out = keys.select(eqFields.map(f =>
+      col(f.name).cast(f.fieldType.toSpark).as(f.name, fieldMeta(f.id))).toIndexedSeq: _*)
+      .dropDuplicates(eqFields.map(_.name))
+    out.coalesce(1).write.parquet(staging)
+    val fsys = TableMetadata.fs(staging, conf)
+    val pseudoSchema = IcebergSchema(0, IcebergTypes.StructT(eqFields))
+    val files = {
+      val b = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+      val it = fsys.listFiles(new Path(staging), true)
+      while (it.hasNext) { val st = it.next(); if (st.getPath.getName.endsWith(".parquet")) b += st }
+      b.result()
+    }
+    val spec = meta.defaultSpec
+    val entries = files.map { st =>
+      val stats = FooterStats.read(st.getPath, conf, pseudoSchema)
+      ManifestEntry(EntryStatus.Added, None, None, None, DataFileInfo(
+        content = FileContent.EqualityDeletes,
+        filePath = st.getPath.toString,
+        fileFormat = "parquet",
+        partitionValues = spec.fields.map(_ => null),
+        recordCount = stats.recordCount,
+        fileSizeInBytes = st.getLen,
+        columnSizes = stats.columnSizes,
+        valueCounts = stats.valueCounts,
+        nullValueCounts = stats.nullCounts,
+        nanValueCounts = Map.empty,
+        lowerBounds = stats.lowerBounds,
+        upperBounds = stats.upperBounds,
+        splitOffsets = stats.splitOffsets,
+        equalityIds = eqFields.map(_.id),
+        sortOrderId = None))
+    }
     if (entries.isEmpty) meta
     else IcebergWrite.commitSnapshot(meta, Nil, entries, "delete", conf)
   }

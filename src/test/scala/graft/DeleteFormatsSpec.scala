@@ -1,0 +1,65 @@
+package graft
+
+import graft.read.ReadOptions
+import graft.write.TableWriteOptions
+import org.apache.spark.sql.functions._
+
+/** v3 deletion-vector writes, equality-delete writes, and top-k scan-order
+  * pruning. */
+class DeleteFormatsSpec extends SparkSpec {
+
+  test("v3 table DELETE writes Puffin deletion vectors; roundtrip read applies them") {
+    val src = spark.read.parquet(s"$sfDir/orders.parquet")
+    val path = tmpDir("graft_dv_v3")
+    IcebergTable.write(src, path, TableWriteOptions(formatVersion = 3))
+    IcebergTable.delete(spark, path, "o_orderstatus = 'F'")
+    val p = IcebergTable.plan(spark, path)
+    assert(p.deleteFiles.nonEmpty)
+    assert(p.deleteFiles.forall(_.info.contentOffset.isDefined), "expected DV entries with content offsets")
+    assert(p.deleteFiles.forall(_.info.fileFormat == "puffin"))
+    assert(p.deleteFiles.forall(_.info.referencedDataFile.isDefined))
+    assertSameResult(src.filter("o_orderstatus <> 'F'"), IcebergTable.load(spark, path))
+  }
+
+  test("equality-delete write: keys removed across the whole table") {
+    val src = spark.read.parquet(s"$sfDir/customer.parquet")
+    val path = tmpDir("graft_eqdel")
+    IcebergTable.write(src, path)
+    import spark.implicits._
+    val keys = src.filter(col("c_custkey") % 10 === 0).select("c_custkey")
+    IcebergTable.deleteEquality(spark, path, keys)
+    val p = IcebergTable.plan(spark, path)
+    assert(p.deleteFiles.exists(_.info.content == graft.manifest.FileContent.EqualityDeletes))
+    assert(p.deleteFiles.exists(_.info.equalityIds.nonEmpty))
+    assertSameResult(src.filter(col("c_custkey") % 10 =!= 0), IcebergTable.load(spark, path))
+  }
+
+  test("equality-delete on partitioned table applies globally") {
+    val src = spark.read.parquet(s"$sfDir/orders.parquet")
+    val path = tmpDir("graft_eqdel_part")
+    IcebergTable.write(src, path, TableWriteOptions(
+      partitionBy = Seq(("o_orderstatus", graft.core.Transforms.Identity))))
+    val keys = src.filter(col("o_orderkey") < 100).select("o_orderkey")
+    IcebergTable.deleteEquality(spark, path, keys)
+    assertSameResult(src.filter(col("o_orderkey") >= 100), IcebergTable.load(spark, path))
+  }
+
+  test("topK reads fewer files via bound-ordered selection and matches full sort") {
+    val src = spark.read.parquet(s"$sfDir/orders.parquet")
+      .orderBy("o_orderkey").repartitionByRange(6, col("o_orderkey"))
+    val path = tmpDir("graft_topk")
+    IcebergTable.write(src, path)
+    val p = IcebergTable.plan(spark, path)
+    assert(p.dataFiles.size >= 4)
+    val got = IcebergTable.topK(spark, path, "o_orderkey", 5, descending = true)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    val want = src.orderBy(col("o_orderkey").desc).limit(5)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    assert(got == want)
+    val gotAsc = IcebergTable.topK(spark, path, "o_orderkey", 5, descending = false)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    val wantAsc = src.orderBy(col("o_orderkey").asc).limit(5)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    assert(gotAsc == wantAsc)
+  }
+}
