@@ -285,6 +285,73 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
     IcebergRead.loadWithMetadata(spark, t.metadata, conf, readOpts)
   }
 
+  /** Server-side scan planning: POST /plan and build the DataFrame from the
+    * returned file-scan tasks — metadata stays on the catalog server
+    * (reference iceberg_server_scan_plan_provider.cpp:9-78,
+    * api/iceberg_scan_planning.cpp; the reference forces client-side
+    * planning under writes — callers doing DML should use loadDF). */
+  def loadDFServerPlanned(spark: SparkSession, ns: Seq[String], name: String,
+      readOpts: ReadOptions = ReadOptions()): DataFrame = {
+    val t = loadTable(ns, name)
+    val conf = applyVendedCredentials(spark.sessionState.newHadoopConf(), t.config)
+    val o = F.objectNode()
+    t.metadata.currentSnapshotId.foreach(id => o.put("snapshot-id", id))
+    val node = request("POST", s"/v1/namespaces/${nsPath(ns)}/tables/$name/plan",
+      Some(mapper.writeValueAsString(o)))
+    require(Option(node.get("plan-status")).map(_.asText()).contains("completed"),
+      s"scan planning not completed: $node")
+    val meta = t.metadata
+    val snap = meta.currentSnapshot
+    def parseTaskFile(n: JsonNode, content: Int): graft.read.PlannedFile = {
+      val path = n.get("file-path").asText()
+      graft.read.PlannedFile(
+        graft.manifest.DataFileInfo(
+          content = Option(n.get("content")).map(_.asInt()).getOrElse(content),
+          filePath = path,
+          fileFormat = Option(n.get("file-format")).map(_.asText().toLowerCase).getOrElse("parquet"),
+          partitionValues = Nil,
+          recordCount = Option(n.get("record-count")).map(_.asLong()).getOrElse(0L),
+          fileSizeInBytes = Option(n.get("file-size-in-bytes")).map(_.asLong()).getOrElse(0L),
+          columnSizes = Map.empty, valueCounts = Map.empty,
+          nullValueCounts = Map.empty, nanValueCounts = Map.empty,
+          lowerBounds = Map.empty, upperBounds = Map.empty,
+          splitOffsets = Nil,
+          equalityIds = Option(n.get("equality-ids")).map { a =>
+            val it = a.elements(); val b = Seq.newBuilder[Int]
+            while (it.hasNext) b += it.next().asInt(); b.result()
+          }.getOrElse(Nil),
+          sortOrderId = None,
+          referencedDataFile = Option(n.get("referenced-data-file")).map(_.asText()),
+          contentOffset = Option(n.get("content-offset")).map(_.asLong()),
+          contentSizeInBytes = Option(n.get("content-size-in-bytes")).map(_.asLong())),
+        TableMetadata.resolvePath(meta.location, path, null),
+        Option(n.get("spec-id")).map(_.asInt()).getOrElse(0),
+        Option(n.get("sequence-number")).map(_.asLong()).getOrElse(0L),
+        graft.manifest.EntryStatus.Added,
+        None)
+    }
+    val dataFiles = Seq.newBuilder[graft.read.PlannedFile]
+    val deleteFiles = Seq.newBuilder[graft.read.PlannedFile]
+    Option(node.get("file-scan-tasks")).foreach { tasks =>
+      val it = tasks.elements()
+      while (it.hasNext) {
+        val task = it.next()
+        dataFiles += parseTaskFile(task.get("data-file"), 0)
+        Option(task.get("delete-files")).foreach { dels =>
+          val dit = dels.elements()
+          while (dit.hasNext) deleteFiles += parseTaskFile(dit.next(), 1)
+        }
+      }
+    }
+    val data = dataFiles.result()
+    val dels = deleteFiles.result().distinctBy(_.recordedPath)
+    val plan = graft.read.ScanPlan(meta, snap, meta.currentSchema, data, dels,
+      data.size, dels.size, 0, 0)
+    var df = IcebergRead.assemble(spark, plan, conf, readOpts.copy(filterSql = None))
+    readOpts.filterSql.foreach(f => df = df.where(org.apache.spark.sql.functions.expr(f)))
+    df
+  }
+
   /** Append a DataFrame to a catalog table: write data files + manifests to
     * the table location, then REST-commit with retry on conflict
     * (reference iceberg_transaction.cpp:369-489 retry loop). */

@@ -270,6 +270,16 @@ object IcebergRead {
       opts: ReadOptions): DataFrame = {
     ensureConfs(spark)
     val p = planWithMetadata(spark, meta, conf, opts)
+    assemble(spark, p, conf, opts)
+  }
+
+  /** Assemble the DataFrame for an already-planned scan — shared by the
+    * client-side planner above and the server-side scan-plan provider
+    * (reference IcebergScanPlanProvider split,
+    * src/planning/scan_plan/iceberg_scan_plan_provider.cpp:40-80). */
+  def assemble(spark: SparkSession, p: ScanPlan, conf: Configuration,
+      opts: ReadOptions): DataFrame = {
+    ensureConfs(spark)
     val sparkSchema = p.schema.toSpark
     if (p.dataFiles.isEmpty) {
       val base = if (opts.keepFileMeta)

@@ -1,0 +1,58 @@
+package graft
+
+import graft.read.ReadOptions
+import org.apache.spark.sql.functions._
+
+/**
+ * Physical-plan assertions: the properties that matter at 100 TB must be
+ * visible in the plan, not assumed — parquet row-group pushdown beneath our
+ * file-level pruning, broadcast joins for small dimensions, broadcast
+ * anti-joins for delete application, and whole-stage codegen on the scan
+ * path.
+ */
+class PlanQualitySpec extends SparkSpec {
+
+  private def formatted(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("iceberg scan pushes filters into the parquet reader (row-group level)") {
+    val path = Fixtures.lineitemPlain(spark, sfDir)
+    val df = IcebergTable.load(spark, path, ReadOptions(filterSql = Some("l_orderkey = 42")))
+    val plan = formatted(df)
+    assert(plan.contains("PushedFilters") &&
+      (plan.contains("IsNotNull(l_orderkey)") || plan.contains("EqualTo(l_orderkey,42)")),
+      s"expected parquet pushdown in plan:\n$plan")
+    assert(plan.contains("WholeStageCodegen") || plan.contains("codegen id"),
+      "scan path should be codegen'd")
+  }
+
+  test("join of iceberg scan with small dimension broadcasts") {
+    val nationPath = Fixtures.iceberg(spark, sfDir, "nation_plain") { dir =>
+      IcebergTable.write(Fixtures.parquet(spark, sfDir, "nation"), dir)
+    }
+    val n = IcebergTable.load(spark, nationPath)
+    val c = spark.read.parquet(s"$sfDir/customer.parquet")
+    val joined = c.join(n, c("c_nationkey") === n("n_nationkey")).groupBy("n_name").count()
+    joined.collect() // let AQE finalize
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n${plan.take(2000)}")
+  }
+
+  test("positional-delete application is a broadcast anti-join, not a shuffle") {
+    val path = Fixtures.ordersDeleted(spark, sfDir)
+    val df = IcebergTable.load(spark, path)
+    val plan = formatted(df)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast left-anti for deletes:\n${plan.take(3000)}")
+  }
+
+  test("column pruning reaches the parquet scan (ReadSchema is narrow)") {
+    val path = Fixtures.lineitemPlain(spark, sfDir)
+    val df = IcebergTable.load(spark, path).select("l_orderkey", "l_quantity")
+    val plan = formatted(df)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity") &&
+      !readSchema.contains("l_comment") && !readSchema.contains("l_extendedprice"),
+      s"expected 2-column ReadSchema, got: $readSchema")
+  }
+}

@@ -53,6 +53,20 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     assert(ex.status == 409)
   }
 
+  test("server-side scan planning returns the same rows as client planning") {
+    val src = spark.read.parquet(s"$sfDir/nation.parquet")
+    val loc = tmpDir("graft_rest_planned")
+    catalog.createNamespace(Seq("planned"))
+    catalog.createTable(Seq("planned"), "nation", IcebergTypes.fromSpark(src.schema), loc)
+    catalog.appendDF(src, Seq("planned"), "nation")
+    val serverPlanned = catalog.loadDFServerPlanned(spark, Seq("planned"), "nation")
+    assertSameResult(src, serverPlanned)
+    // filters still apply on top of server-planned scans
+    val filtered = catalog.loadDFServerPlanned(spark, Seq("planned"), "nation",
+      graft.read.ReadOptions(filterSql = Some("n_regionkey = 2")))
+    assertSameResult(src.filter("n_regionkey = 2"), filtered)
+  }
+
   test("rename + drop table") {
     catalog.renameTable(Seq("etl"), "region", "region2")
     assert(catalog.listTables(Seq("etl")) == Seq("region2"))

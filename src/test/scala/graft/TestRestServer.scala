@@ -77,10 +77,55 @@ class TestRestServer {
 
       val TablesRe = "/v1/namespaces/([^/]+)/tables".r
       val TableRe = "/v1/namespaces/([^/]+)/tables/([^/]+)".r
+      val PlanRe = "/v1/namespaces/([^/]+)/tables/([^/]+)/plan".r
       val NsPropsRe = "/v1/namespaces/([^/]+)/properties".r
       val NsRe = "/v1/namespaces/([^/]+)".r
 
       (method, path) match {
+        case ("POST", PlanRe(ns, t)) => // server-side scan planning
+          namespaces.get(ns).flatMap(_.tables.get(t)) match {
+            case None => respond(ex, 404, """{"error":"no such table"}""")
+            case Some(meta) =>
+              val conf = new org.apache.hadoop.conf.Configuration()
+              val o = F.objectNode()
+              o.put("plan-status", "completed")
+              val tasks = o.putArray("file-scan-tasks")
+              meta.currentSnapshot.foreach { snap =>
+                val manifests = graft.manifest.ManifestIO.readManifestList(
+                  TableMetadata.resolvePath(meta.location, snap.manifestList, conf), conf)
+                def fileNode(e: graft.manifest.ManifestEntry, m: graft.manifest.ManifestFile): ObjectNode = {
+                  val f = F.objectNode()
+                  f.put("file-path", e.dataFile.filePath)
+                  f.put("file-format", e.dataFile.fileFormat)
+                  f.put("content", e.dataFile.content)
+                  f.put("record-count", e.dataFile.recordCount)
+                  f.put("file-size-in-bytes", e.dataFile.fileSizeInBytes)
+                  f.put("spec-id", m.partitionSpecId)
+                  f.put("sequence-number", e.sequenceNumber.getOrElse(0L))
+                  e.dataFile.referencedDataFile.foreach(r => f.put("referenced-data-file", r))
+                  e.dataFile.contentOffset.foreach(v => f.put("content-offset", v))
+                  e.dataFile.contentSizeInBytes.foreach(v => f.put("content-size-in-bytes", v))
+                  if (e.dataFile.equalityIds.nonEmpty) {
+                    val a = f.putArray("equality-ids"); e.dataFile.equalityIds.foreach(a.add)
+                  }
+                  f
+                }
+                val entries = manifests.flatMap { m =>
+                  graft.manifest.ManifestIO.readManifest(
+                    TableMetadata.resolvePath(meta.location, m.path, conf), conf, m)
+                    .filter(_.isLive).map(e => (m, e))
+                }
+                val (delEntries, dataEntries) = entries.partition(_._1.content == 1)
+                dataEntries.foreach { case (m, e) =>
+                  val task = F.objectNode()
+                  task.set[JsonNode]("data-file", fileNode(e, m))
+                  val dels = task.putArray("delete-files")
+                  delEntries.foreach { case (dm, de) => dels.add(fileNode(de, dm)) }
+                  tasks.add(task)
+                }
+              }
+              respond(ex, 200, mapper.writeValueAsString(o))
+          }
         case ("GET", "/v1/config") =>
           respond(ex, 200, """{"defaults":{"warehouse":"memory"},"overrides":{}}""")
 
