@@ -108,6 +108,49 @@ object SparkEntry {
         .agg(countDistinct("l_partkey").cast("long").as("distinct_parts"),
           countDistinct("l_suppkey").cast("long").as("distinct_supps"))),
 
+    "q_rollup" -> ((s, dir) =>
+      pq(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).cast("long").as("n"),
+          round(sum("l_quantity"), 2).as("qty"))),
+
+    "q_semi_join" -> ((s, dir) => {
+      val o = pq(s, dir, "orders")
+      val l = pq(s, dir, "lineitem").filter(col("l_quantity") > 45)
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+        .groupBy("o_orderstatus").agg(count(lit(1)).cast("long").as("n"))
+    }),
+
+    "q_anti_join" -> ((s, dir) => {
+      val p = pq(s, dir, "part")
+      val l = pq(s, dir, "lineitem")
+      p.join(l, p("p_partkey") === l("l_partkey"), "left_anti")
+        .select("p_partkey", "p_brand")
+    }),
+
+    "q_case_projection" -> ((s, dir) =>
+      pq(s, dir, "orders")
+        .withColumn("price_band",
+          when(col("o_totalprice") < 50000, "low")
+            .when(col("o_totalprice") < 150000, "mid")
+            .otherwise("high"))
+        .groupBy("price_band")
+        .agg(count(lit(1)).cast("long").as("n"),
+          round(avg("o_totalprice"), 2).as("avg_price"))),
+
+    "q_intersect" -> ((s, dir) => {
+      val o = pq(s, dir, "orders")
+      o.filter(year(col("o_orderdate")) === 1996).select("o_custkey")
+        .intersect(o.filter(year(col("o_orderdate")) === 1997).select("o_custkey"))
+    }),
+
+    "q_date_string_fns" -> ((s, dir) =>
+      pq(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"),
+          substring(col("o_orderpriority"), 1, 1).as("prio"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          round(sum(col("o_totalprice") * (lit(1.0) + lit(0.05))), 2).as("adj_total"))),
+
     // ---- §2.1/2.4 Iceberg write + scan roundtrips ----
     "ice_q1_roundtrip" -> ((s, dir) =>
       q1Shape(IcebergTable.load(s, Fixtures.lineitemPlain(s, dir)))),
@@ -328,6 +371,40 @@ object SparkEntry {
         |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts,
         |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS distinct_supps
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT p_partkey, p_brand FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""".stripMargin,
+
+    "q_case_projection" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+        |            WHEN o_totalprice < 150000 THEN 'mid'
+        |            ELSE 'high' END AS price_band,
+        |  CAST(count(*) AS BIGINT) AS n, round(avg(o_totalprice), 2) AS avg_price
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997""".stripMargin,
+
+    "q_date_string_fns" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  substring(o_orderpriority, 1, 1) AS prio,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(o_totalprice * (1.0 + 0.05)), 2) AS adj_total
+        |FROM orders GROUP BY 1, 2""".stripMargin,
 
     "ice_month_prune" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,

@@ -75,6 +75,29 @@ object Evolution {
     commit(withNewSchema(meta, fields, meta.lastColumnId), conf)
   }
 
+  /** ALTER TABLE ALTER COLUMN TYPE — widening promotions only (int->long,
+    * float->double, decimal precision growth), per the Iceberg evolution
+    * rules. Field id is kept; old files are read with their physical type
+    * and cast up. */
+  def updateColumnType(spark: SparkSession, path: String, name: String, newType: String): TableMetadata = {
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = TableMetadata.load(path, conf)
+    val cur = meta.currentSchema
+    val f = cur.fields.find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"No column $name"))
+    val t = IcebergTypes.parsePrimitive(newType)
+    import IcebergTypes._
+    val ok = (f.fieldType, t) match {
+      case (IntT, LongT) => true
+      case (FloatT, DoubleT) => true
+      case (DecimalT(p1, s1), DecimalT(p2, s2)) => s1 == s2 && p2 >= p1
+      case (a, b) => a == b
+    }
+    require(ok, s"Illegal type promotion ${f.fieldType.typeJsonString} -> ${t.typeJsonString}")
+    val fields = cur.fields.map(x => if (x.id == f.id) x.copy(fieldType = t) else x)
+    commit(withNewSchema(meta, fields, meta.lastColumnId), conf)
+  }
+
   /** SET NOT NULL / DROP NOT NULL. */
   def setRequired(spark: SparkSession, path: String, name: String, required: Boolean): TableMetadata = {
     val conf = spark.sessionState.newHadoopConf()
