@@ -105,7 +105,8 @@ object IcebergTable {
       StructField("operation", StringType)))
     val rows = meta.snapshots.map { s =>
       Row(s.sequenceNumber, s.snapshotId,
-        java.time.Instant.ofEpochMilli(s.timestampMs), s.manifestList, s.operation)
+        java.time.Instant.ofEpochMilli(s.timestampMs),
+        if (s.manifestList.isEmpty) null else s.manifestList, s.operation)
     }
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
@@ -129,7 +130,7 @@ object IcebergTable {
       StructField("data_sequence_number", LongType),
       StructField("file_sequence_number", LongType)))
     val rows = snap.toSeq.flatMap { s =>
-      val manifests = ManifestIO.readManifestList(TableMetadata.resolvePath(meta.location, s.manifestList, conf), conf)
+      val manifests = ManifestIO.manifestsOf(meta, s, conf)
       manifests.flatMap { m =>
         val entries = ManifestIO.readManifest(TableMetadata.resolvePath(meta.location, m.path, conf), conf, m)
         entries.map { e =>
@@ -197,7 +198,7 @@ object IcebergTable {
       StructField("lower_bound", StringType),
       StructField("upper_bound", StringType)))
     val rows = meta.currentSnapshot.toSeq.flatMap { s =>
-      val manifests = ManifestIO.readManifestList(TableMetadata.resolvePath(meta.location, s.manifestList, conf), conf)
+      val manifests = ManifestIO.manifestsOf(meta, s, conf)
       manifests.flatMap { m =>
         val spec = meta.spec(m.partitionSpecId)
         val sch = meta.currentSchema

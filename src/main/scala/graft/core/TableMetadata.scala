@@ -25,7 +25,10 @@ case class SnapshotInfo(
     manifestList: String,
     summary: Map[String, String],
     schemaId: Option[Int],
-    firstRowId: Option[Long] = None) {
+    firstRowId: Option[Long] = None,
+    /** Deprecated v1 layout: manifests embedded directly in the snapshot
+      * (no manifest list file). */
+    embeddedManifests: Seq[String] = Nil) {
   def operation: String = summary.getOrElse("operation", "")
 }
 
@@ -259,10 +262,11 @@ object TableMetadata {
         parentSnapshotId = Option(s.get("parent-snapshot-id")).map(_.asLong()),
         sequenceNumber = Option(s.get("sequence-number")).map(_.asLong()).getOrElse(0L),
         timestampMs = s.get("timestamp-ms").asLong(),
-        manifestList = s.get("manifest-list").asText(),
+        manifestList = Option(s.get("manifest-list")).map(_.asText()).getOrElse(""),
         summary = strMap(s.get("summary")),
         schemaId = Option(s.get("schema-id")).map(_.asInt()),
-        firstRowId = Option(s.get("first-row-id")).map(_.asLong()))
+        firstRowId = Option(s.get("first-row-id")).map(_.asLong()),
+        embeddedManifests = arr(s.get("manifests")).map(_.asText()))
     }
 
     TableMetadata(

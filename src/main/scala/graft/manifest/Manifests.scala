@@ -88,6 +88,18 @@ case class ManifestEntry(
 
 object ManifestIO {
 
+  /** Manifests of a snapshot: from its manifest list, or (deprecated v1)
+    * from manifests embedded directly in the snapshot JSON — those get v1
+    * defaults (data content, sequence number 0). */
+  def manifestsOf(meta: TableMetadata, snap: SnapshotInfo, conf: Configuration): Seq[ManifestFile] = {
+    if (snap.manifestList.nonEmpty)
+      readManifestList(TableMetadata.resolvePath(meta.location, snap.manifestList, conf), conf)
+    else snap.embeddedManifests.map { p =>
+      ManifestFile(p, 0L, meta.defaultSpecId, 0, 0L, 0L, snap.snapshotId,
+        0, 0, 0, 0L, 0L, 0L, Nil)
+    }
+  }
+
   // ---------- generic Avro value conversion ----------
 
   def fromAvro(v: Any): Any = v match {

@@ -125,7 +125,7 @@ object IcebergRead {
     snap match {
       case None => ScanPlan(meta, None, schema, Nil, Nil, 0, 0, 0, 0)
       case Some(s) =>
-        val manifests = ManifestIO.readManifestList(TableMetadata.resolvePath(meta.location, s.manifestList, conf), conf)
+        val manifests = ManifestIO.manifestsOf(meta, s, conf)
         val preds = opts.filterSql.map(f => Pruning.extractPredicates(spark, f)).getOrElse(Nil)
 
         // Manifest-level pruning on partition-bound summaries.

@@ -324,8 +324,7 @@ object IcebergWrite {
     val prevManifests: Seq[ManifestFile] = meta.currentSnapshot match {
       case None => Nil
       case Some(prev) =>
-        val prevList = ManifestIO.readManifestList(
-          TableMetadata.resolvePath(meta.location, prev.manifestList, conf), conf)
+        val prevList = ManifestIO.manifestsOf(meta, prev, conf)
         if (removedDataPaths.isEmpty) prevList
         else prevList.flatMap { m =>
           val resolved = TableMetadata.resolvePath(meta.location, m.path, conf)

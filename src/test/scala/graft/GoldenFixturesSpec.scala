@@ -105,6 +105,38 @@ class GoldenFixturesSpec extends SparkSpec {
     assert(df31.filter(col("b").isNull).count() == 10000)
   }
 
+  test("iceberg_v1_deprecated: embedded manifests, bare spec field list (iceberg_v1_deprecated_metadata.test:10-36)") {
+    val path = s"$P/iceberg_v1_deprecated/default/legacy_v1"
+    val df = IcebergTable.load(spark, path)
+    val rows = df.orderBy("id").collect()
+      .map(r => (r.getAs[Number](0).intValue(), r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Number].intValue())))
+    assert(rows.toSeq == Seq((1, "alpha", Some(10)), (2, "beta", Some(20)), (3, "alpha", None)))
+    val filtered = IcebergTable.load(spark, path, ReadOptions(filterSql = Some("category = 'beta'")))
+      .select("id", "amount").collect().map(r => (r.getAs[Number](0).intValue(), r.getAs[Number](1).intValue()))
+    assert(filtered.toSeq == Seq((2, 20)))
+    // embedded manifests: sequence numbers default to 0, no manifest list
+    val entries = IcebergTable.manifestEntries(spark, path)
+      .select("data_sequence_number").distinct().collect().map(_.getLong(0)).toSeq
+    assert(entries == Seq(0L))
+    val snaps = IcebergTable.snapshots(spark, path).select("manifest_list").collect()
+    assert(snaps.forall(_.isNullAt(0)))
+  }
+
+  test("custom_write_paths: empty table with write.data/metadata.path properties (test_custom_write_paths.test:14-22)") {
+    val path = s"$P/custom_write_paths"
+    assert(IcebergTable.load(spark, path).count() == 0)
+    assert(IcebergTable.manifestEntries(spark, path).count() == 0)
+  }
+
+  test("expression_filter: computed-expression filters never prune wrongly (expression_filter.test:20-40)") {
+    val path = s"$P/expression_filter"
+    val df = IcebergTable.load(spark, path)
+    assert(df.count() == 3)
+    val role = when(col("value") === "foo", "not null").otherwise(lit(null))
+    assert(df.withColumn("role", role).filter(col("role").isNull).count() == 2)
+    assert(df.withColumn("role", role).filter(col("role").isNotNull).count() == 1)
+  }
+
   test("partition_integer: identity partition pruning plans 1 of 2 files") {
     val path = s"$P/partition_integer"
     val full = IcebergTable.plan(spark, path)
