@@ -1,0 +1,77 @@
+package graft
+
+import graft.read.ReadOptions
+import org.apache.spark.sql.functions._
+
+/**
+ * Robustness goldens: metadata-only pruning at scale, v1 manifest defaults,
+ * null-stats filters, ns-timestamp schemas, and bad-metadata errors.
+ * Expectations from the cited reference tests.
+ */
+class RobustnessSpec extends SparkSpec {
+  private val P = "/root/reference/data/persistent"
+
+  test("generated_bounds: 3000+ files all pruned by stats, count 0 without touching storage (generated_bounds.test:12-20)") {
+    val path = s"$P/generated_bounds"
+    val filter = "block_number >= 5000000 AND block_number <= 5000100"
+    val p = IcebergTable.plan(spark, path, ReadOptions(filterSql = Some(filter)))
+    assert(p.totalDataFiles >= 3000, s"fixture should have thousands of files, got ${p.totalDataFiles}")
+    assert(p.dataFiles.isEmpty, s"stats pruning must drop every file, kept ${p.dataFiles.size}")
+    // The data files only exist on s3 — counting still works because the
+    // pruned plan never opens them.
+    assert(IcebergTable.load(spark, path, ReadOptions(filterSql = Some(filter))).count() == 0)
+  }
+
+  test("generated_bounds: column_stats surfaces deserialized bounds (generated_bounds.test:22-27)") {
+    val stats = IcebergTable.columnStats(spark, s"$P/generated_bounds")
+      .filter(col("column_name") === "block_number")
+    val bounds = stats.select("lower_bound").collect().map(_.getString(0)).toSet
+    assert(bounds.contains("299901") && bounds.contains("300001"))
+  }
+
+  test("iceberg_v1_repro: v1 manifests omit content/sequence fields; defaults supplied (iceberg_v1_existing_manifest_entry.test:10-30)") {
+    val path = s"$P/iceberg_v1_repro/repro/merch_v1/metadata/00003-8d01e4aa-d143-49c9-898e-b5e477577b70.metadata.json"
+    val rows = IcebergTable.load(spark, path).orderBy("id").collect()
+      .map(r => (r.getAs[Number](0).intValue(), r.getString(1), r.getAs[Number](2).intValue()))
+    assert(rows.toSeq == Seq((2, "nba", 20), (3, "mlb", 30), (4, "nhl", 40), (6, "nba", 60)))
+    val seqs = IcebergTable.manifestEntries(spark, path)
+      .select("data_sequence_number", "file_sequence_number").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(seqs == Seq((0L, 0L)))
+    // v3-upgraded metadata still referencing the v1 manifest list
+    val v3 = s"$P/iceberg_v1_repro/repro/merch_v1/metadata/00004-v3-upgraded-v1-null-counts.metadata.json"
+    assert(IcebergTable.load(spark, v3).count() == 4)
+  }
+
+  test("is_null_is_not_null: null-stats filters (is_not_null.test:24-44)") {
+    val path = s"$P/is_null_is_not_null"
+    val df = IcebergTable.load(spark, path)
+    assert(df.count() == 8)
+    assert(IcebergTable.load(spark, path, ReadOptions(filterSql = Some("value IS NULL"))).count() == 4)
+    assert(IcebergTable.load(spark, path, ReadOptions(filterSql = Some("value IS NOT NULL"))).count() == 4)
+    // the IS NULL filter prunes at least the all-non-null file (record_count 3)
+    val pruned = IcebergTable.plan(spark, path, ReadOptions(filterSql = Some("value IS NULL")))
+    val full = IcebergTable.plan(spark, path)
+    assert(pruned.dataFiles.size < full.dataFiles.size,
+      s"null-count pruning expected: ${pruned.dataFiles.size} < ${full.dataFiles.size}")
+  }
+
+  test("timestamptz_ns: ns-timestamp schema surfaces, zero rows (timestamptz_ns_type.test:17-24)") {
+    val df = IcebergTable.load(spark, s"$P/timestamptz_ns/metadata/v1.metadata.json")
+    assert(df.count() == 0)
+    assert(df.schema("val").dataType.typeName == "timestamp")
+  }
+
+  test("bad_data: corrupt metadata fails with an error, not a crash") {
+    intercept[Exception] {
+      IcebergTable.load(spark, s"$P/bad_data/bad_iceberg_metadata.json").count()
+    }
+  }
+
+  test("nested warehouse layouts load: partition_time and map_stats") {
+    val time = IcebergTable.load(spark, s"$P/partition_time/default.db/partition_time")
+    assert(time.count() >= 2)
+    val ms = IcebergTable.load(spark, s"$P/map_stats/default.db/map_stats")
+    assert(ms.count() >= 1)
+  }
+}
