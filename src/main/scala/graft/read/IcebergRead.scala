@@ -251,9 +251,15 @@ object IcebergRead {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p), conf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try {
-          val s = r.getFooter.getFileMetaData.getSchema
+          val sch = r.getFooter.getFileMetaData.getSchema
           import scala.jdk.CollectionConverters._
-          val ids = s.getFields.asScala.flatMap(f => Option(f.getId).map(_.intValue())).toSet
+          val b = Set.newBuilder[Int]
+          def walk(t: org.apache.parquet.schema.Type): Unit = {
+            Option(t.getId).foreach(id => b += id.intValue())
+            if (!t.isPrimitive) t.asGroupType().getFields.asScala.foreach(walk)
+          }
+          sch.getFields.asScala.foreach(walk)
+          val ids = b.result()
           if (ids.isEmpty) None else Some(ids)
         } finally r.close()
       } catch { case _: Exception => None }
@@ -397,8 +403,20 @@ object IcebergRead {
     val sparkSchema = schema.toSpark
     val props = p.meta.properties
 
-    // Fields that can need constants.
-    val defaultFields = schema.fields.filter(_.initialDefaultJson.isDefined)
+    // Fields that can need constants — at any nesting depth for
+    // initial-defaults (dotted paths patched via withField).
+    val idToPath: Map[Int, Seq[String]] = {
+      val b = Map.newBuilder[Int, Seq[String]]
+      def walk(t: IcebergType, prefix: Seq[String]): Unit = t match {
+        case IcebergTypes.StructT(fs) => fs.foreach { f =>
+          b += (f.id -> (prefix :+ f.name)); walk(f.fieldType, prefix :+ f.name)
+        }
+        case _ =>
+      }
+      walk(schema.struct, Nil)
+      b.result()
+    }
+    val defaultFields = schema.idToField.values.filter(_.initialDefaultJson.isDefined).toSeq
     val identitySources: Map[Int, Int] = { // sourceFieldId -> partition position
       val spec = p.meta.defaultSpec
       spec.fields.zipWithIndex.collect { case (pf, i) if pf.transform == Transforms.Identity => pf.sourceId -> i }.toMap
@@ -474,6 +492,9 @@ object IcebergRead {
 
     val dfs = groups.toSeq.flatMap { case (missing, gfiles) =>
       val missingIds = missing.map(_._1).toSet
+      // Top-level missing fields are excluded from the request and patched
+      // as literals; nested missing fields stay requested (ignoreMissing
+      // yields null) and are patched with withField.
       val readFields = schema.fields.filter(f => !missingIds.contains(f.id))
 
       // Files without field ids go through the name-mapping projection;
@@ -490,7 +511,13 @@ object IcebergRead {
         readFields.foreach(f => df = postConvert(df, f))
         missing.foreach { case (fid, const) =>
           val f = schema.idToField(fid)
-          df = df.withColumn(f.name, lit(SingleValue.toSparkValue(const, f.fieldType)).cast(f.fieldType.toSpark))
+          val v = lit(SingleValue.toSparkValue(const, f.fieldType)).cast(f.fieldType.toSpark)
+          idToPath.getOrElse(fid, Seq(f.name)) match {
+            case Seq(top) => df = df.withColumn(top, v)
+            case path => // nested default: fill inside the struct, keep null
+              // parents null (withField is a no-op on a null struct).
+              df = df.withColumn(path.head, col(path.head).withField(path.tail.mkString("."), v))
+          }
         }
         val cols = sparkSchema.fieldNames.map(col) ++ (if (needMeta) Seq(col("_g_path"), col("_g_pos")) else Nil)
         df.select(cols.toIndexedSeq: _*)
