@@ -282,6 +282,17 @@ object SparkEntry {
         .withColumn("window_start", col("window_start").cast("timestamp_ntz"))
     }),
 
+    "q_sessionize" -> ((s, dir) => {
+      graft.read.IcebergRead.ensureConfs(s)
+      // events.ts reads as nanosecond longs; 30-minute session gap.
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      pq(s, dir, "events")
+        .withColumn("gap_ns", col("ts") - lag(col("ts"), 1).over(w))
+        .groupBy("user_id")
+        .agg((lit(1) + sum(when(col("gap_ns") > 1800000000000L, 1).otherwise(0)))
+          .cast("long").as("sessions"))
+    }),
+
     // ---- pipeline: multimodal columns ----
     "mm_payload_meta" -> ((s, dir) => {
       val docs = pq(s, dir, "documents")
@@ -478,6 +489,13 @@ object SparkEntry {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
         |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_sessionize" ->
+      """SELECT user_id, CAST(1 + sum(CASE WHEN gap_ns > 1800000000000 THEN 1 ELSE 0 END) AS BIGINT) AS sessions
+        |FROM (SELECT user_id,
+        |        epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ns
+        |      FROM events)
+        |GROUP BY user_id""".stripMargin,
 
     "mm_payload_meta" ->
       """SELECT CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
