@@ -33,6 +33,13 @@ object IcebergTable {
     p.fastRowCount.getOrElse(load(spark, path, opts).count())
   }
 
+  /** Register the table as a temp view so `spark.sql` can query it (the
+    * lightweight SQL front-end; a DSv2 TableProvider is the long-term
+    * path noted in SURVEY §2.1). */
+  def createOrReplaceView(spark: SparkSession, path: String, viewName: String,
+      opts: ReadOptions = ReadOptions()): Unit =
+    load(spark, path, opts).createOrReplaceTempView(viewName)
+
   // ---------- writes ----------
 
   /** COPY TO (FORMAT iceberg) equivalent: one-shot table write. */
