@@ -33,6 +33,15 @@ object IcebergTable {
     p.fastRowCount.getOrElse(load(spark, path, opts).count())
   }
 
+  /** Post-pruning cardinality estimate: exact from manifest record counts
+    * minus nothing (upper bound when deletes/filters apply) — the planner
+    * statistic the reference serves for cost estimation
+    * (reference iceberg_multi_file_list.cpp:395-427 GetStatistics). */
+  def estimateRows(spark: SparkSession, path: String, filterSql: Option[String] = None): Long = {
+    val p = plan(spark, path, ReadOptions(filterSql = filterSql))
+    p.dataFiles.map(_.info.recordCount).sum
+  }
+
   /** Register the table as a temp view so `spark.sql` can query it (the
     * lightweight SQL front-end; a DSv2 TableProvider is the long-term
     * path noted in SURVEY §2.1). */

@@ -312,6 +312,14 @@ object SparkEntry {
           round(element_at(col("feature"), 1), 4).as("f0"))
     }),
 
+    "dedup_embedding" -> ((s, dir) => {
+      val e = pq(s, dir, "embeddings").select("vec_id", "embedding")
+      // exact copies under shifted ids guarantee cosine-1.0 near-dup pairs
+      val dup = e.union(e.select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+      graft.pipeline.Similarity.cosineNearDuplicates(dup, "embedding", "vec_id", threshold = 0.99)
+        .select("id_a", "id_b")
+    }),
+
     // ---- pipeline: text analysis ----
     "text_stats" -> ((s, dir) =>
       pq(s, dir, "documents")

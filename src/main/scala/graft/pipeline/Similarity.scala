@@ -65,6 +65,52 @@ object Similarity {
     })
   }
 
+  /** Embedding-cosine near-duplicate pairs: vectors sharing a signature
+    * band become candidates (shuffle on band keys — never an all-pairs
+    * crossJoin), then candidates are exactly re-scored and kept when cosine
+    * >= threshold. Oversized buckets are capped like MinHash-LSH. */
+  def cosineNearDuplicates(df: DataFrame, embCol: String, idCol: String,
+      threshold: Double = 0.95, bits: Int = 32, seed: Long = 42L,
+      maxBucket: Int = 1000): DataFrame = {
+    val dims = df.select(embCol).limit(1).collect() match {
+      case Array(r) => r.getSeq[Float](0).length
+      case _ => return df.sparkSession.emptyDataFrame
+        .select(lit(0L).as("id_a"), lit(0L).as("id_b"), lit(0.0).as("cosine")).limit(0)
+    }
+    val sigU = signatureUdf(dims, bits, seed)
+    val bands = bits / 8 // wider bands than topK: near-dups are near-identical
+    val withSig = df.select(col(idCol).cast("long").as("_id"), col(embCol).as("_emb"))
+      .withColumn("_sig", sigU(col("_emb")))
+    val banded = withSig.withColumn("_b", explode(array((0 until bands).map(lit): _*)))
+      .withColumn("_h", expr(s"shiftrightunsigned(_sig, _b * 8)").bitwiseAND(lit(0xFFL)))
+    val buckets = banded.groupBy("_b", "_h")
+      .agg(collect_list(struct(col("_id"), col("_emb"))).as("_members"))
+      .filter(size(col("_members")).between(2, maxBucket))
+    val pairUdf = udf((members: Seq[org.apache.spark.sql.Row]) => {
+      val ms = members.map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+      val out = Seq.newBuilder[(Long, Long, Double)]
+      var i = 0
+      while (i < ms.length) {
+        var j = i + 1
+        while (j < ms.length) {
+          val (ia, va) = ms(i); val (ib, vb) = ms(j)
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var k = 0
+          val n = math.min(va.length, vb.length)
+          while (k < n) { dot += va(k) * vb(k); na += va(k) * va(k); nb += vb(k) * vb(k); k += 1 }
+          val cos = if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+          out += ((ia, ib, cos))
+          j += 1
+        }
+        i += 1
+      }
+      out.result()
+    })
+    buckets.select(explode(pairUdf(col("_members"))).as("_p"))
+      .select(col("_p._1").as("id_a"), col("_p._2").as("id_b"), col("_p._3").as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** LSH-bucketed cosine top-k: score only vectors sharing at least one
     * 4-bit signature band with the query (approximate; recall grows with
     * band count, selectivity with band width). Scales as O(candidates),

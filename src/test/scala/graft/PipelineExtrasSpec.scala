@@ -53,6 +53,27 @@ class PipelineExtrasSpec extends SparkSpec {
     assert(frames.schema.fieldNames.contains("frame_index"))
   }
 
+  test("embedding-cosine near-dup finds exact duplicates without crossJoin") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet").select("vec_id", "embedding")
+    val dup = e.union(e.select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+    val pairs = graft.pipeline.Similarity.cosineNearDuplicates(dup, "embedding", "vec_id", 0.99)
+    val n = e.count()
+    val found = pairs.filter(col("id_b") - col("id_a") === 1000000).count()
+    // every original/copy pair shares all signature bands -> full recall
+    assert(found == n, s"expected $n exact-dup pairs, found $found")
+  }
+
+  test("estimateRows: manifest-derived cardinality with and without filters") {
+    val src = spark.read.parquet(s"$sfDir/nation.parquet")
+    val path = tmpDir("graft_cardinality")
+    IcebergTable.write(src, path, graft.write.TableWriteOptions(
+      partitionBy = Seq(("n_regionkey", graft.core.Transforms.Identity))))
+    assert(IcebergTable.estimateRows(spark, path) == src.count())
+    val est = IcebergTable.estimateRows(spark, path, Some("n_regionkey = 2"))
+    val actual = src.filter("n_regionkey = 2").count()
+    assert(est >= actual && est < src.count(), s"estimate $est should be pruned below ${src.count()}")
+  }
+
   test("incremental read: appendsSince returns only files added after a snapshot") {
     val src = spark.read.parquet(s"$sfDir/nation.parquet")
     val path = tmpDir("graft_incremental")
