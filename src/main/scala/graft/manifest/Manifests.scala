@@ -277,11 +277,12 @@ object ManifestIO {
     * byte-for-byte in field names/ids. */
   def manifestEntrySchema(partitionFields: Seq[(String, IcebergType, Int)],
       withDvFields: Boolean = false): Schema = {
-    // v3 deletion-vector columns (spec field ids 143-145).
+    // v3 deletion-vector + row-lineage columns (spec field ids 142-145).
     val dvFieldsJson = if (!withDvFields) "" else """,
         {"name":"referenced_data_file","type":["null","string"],"default":null,"field-id":143},
         {"name":"content_offset","type":["null","long"],"default":null,"field-id":144},
-        {"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145}"""
+        {"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145},
+        {"name":"first_row_id","type":["null","long"],"default":null,"field-id":142}"""
     val partFields = partitionFields.map { case (name, t, fid) =>
       s"""{"name":"${name}","type":["null",${avroTypeFor(t)}],"default":null,"field-id":$fid}"""
     }.mkString(",")
@@ -365,7 +366,8 @@ object ManifestIO {
       partitionFields: Seq[(String, IcebergType, Int)],
       entries: Seq[ManifestEntry],
       metaProps: Map[String, String]): Long = {
-    val withDv = entries.exists(_.dataFile.contentOffset.isDefined)
+    val withDv = entries.exists(e =>
+      e.dataFile.contentOffset.isDefined || e.dataFile.firstRowId.isDefined)
     val schema = manifestEntrySchema(partitionFields, withDv)
     val dfSchema = schema.getField("data_file").schema()
     val partSchema = dfSchema.getField("partition").schema()
@@ -409,6 +411,7 @@ object ManifestIO {
         df.put("referenced_data_file", e.dataFile.referencedDataFile.orNull)
         df.put("content_offset", e.dataFile.contentOffset.map(Long.box).orNull)
         df.put("content_size_in_bytes", e.dataFile.contentSizeInBytes.map(Long.box).orNull)
+        df.put("first_row_id", e.dataFile.firstRowId.map(Long.box).orNull)
       }
       r.put("data_file", df)
       w.append(r)

@@ -336,6 +336,7 @@ object IcebergRead {
 
     opts.filterSql.foreach(f => df = df.where(expr(f)))
     val outCols = sparkSchema.fieldNames.map(col) ++
+      (if (opts.withRowLineage) Seq(col("_row_id"), col("_last_updated_sequence_number")) else Nil) ++
       (if (opts.keepFileMeta) Seq(col("_g_path"), col("_g_pos")) else Nil)
     df.select(outCols.toIndexedSeq: _*)
   }

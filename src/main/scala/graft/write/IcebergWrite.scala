@@ -251,13 +251,17 @@ object IcebergWrite {
     val (snap, _) = buildSnapshotFiles(meta, addedData, addedDeletes, operation, conf, removedDataPaths)
     val prevVersion = currentVersion(meta.location, conf)
     val now = snap.timestampMs
+    val addedRows = addedData.filter(_.dataFile.content == FileContent.Data)
+      .map(_.dataFile.recordCount).sum
     val newMeta = meta.copy(
       lastSequenceNumber = snap.sequenceNumber,
       lastUpdatedMs = now,
       currentSnapshotId = Some(snap.snapshotId),
       snapshots = meta.snapshots :+ snap,
       snapshotLog = meta.snapshotLog :+ (now, snap.snapshotId),
-      refs = meta.refs + ("main" -> snap.snapshotId))
+      refs = meta.refs + ("main" -> snap.snapshotId),
+      nextRowId = if (meta.formatVersion >= 3)
+        Some(meta.nextRowId.getOrElse(0L) + addedRows) else meta.nextRowId)
     commitMetadata(newMeta, prevVersion + 1, conf)
     newMeta
   }
@@ -299,11 +303,23 @@ object IcebergWrite {
 
     var newManifests = Seq.empty[ManifestFile]
 
-    // New data manifest.
+    // New data manifest. v3 row lineage: assign each added data file a
+    // first_row_id from the table's next-row-id counter
+    // (reference iceberg_multi_file_reader.cpp:604-713 consumes these).
+    var rowIdCursor = meta.nextRowId.getOrElse(0L)
+    val firstRowIdStart = rowIdCursor
     if (addedData.nonEmpty) {
       val mPath = s"$metaDir/$commitUuid-m0.avro"
-      val withSeq = addedData.map(e => e.copy(
-        snapshotId = Some(snapshotId), sequenceNumber = Some(seq), fileSequenceNumber = Some(seq)))
+      val withSeq = addedData.map { e =>
+        val withLineage =
+          if (meta.formatVersion >= 3 && e.dataFile.content == FileContent.Data) {
+            val fid = rowIdCursor
+            rowIdCursor += e.dataFile.recordCount
+            e.dataFile.copy(firstRowId = Some(fid))
+          } else e.dataFile
+        e.copy(snapshotId = Some(snapshotId), sequenceNumber = Some(seq),
+          fileSequenceNumber = Some(seq), dataFile = withLineage)
+      }
       val len = ManifestIO.writeManifest(mPath, conf, partitionFields, withSeq,
         Map("schema-id" -> schema.schemaId.toString, "partition-spec-id" -> spec.specId.toString, "content" -> "data"))
       newManifests +:= ManifestFile(mPath, len, spec.specId, 0, seq, seq, snapshotId,
@@ -370,7 +386,9 @@ object IcebergWrite {
       "total-files-size" -> "0",
       "total-position-deletes" -> delManifests.map(m => m.addedRowsCount + m.existingRowsCount).sum.toString,
       "total-equality-deletes" -> "0")
-    val snap = SnapshotInfo(snapshotId, meta.currentSnapshotId, seq, now, listPath, summary, Some(schema.schemaId))
+    val snap = SnapshotInfo(snapshotId, meta.currentSnapshotId, seq, now, listPath, summary,
+      Some(schema.schemaId),
+      firstRowId = if (meta.formatVersion >= 3) Some(firstRowIdStart) else None)
     (snap, allManifests)
   }
 

@@ -44,6 +44,21 @@ class DeleteFormatsSpec extends SparkSpec {
     assertSameResult(src.filter(col("o_orderkey") >= 100), IcebergTable.load(spark, path))
   }
 
+  test("v3 row lineage: _row_id from committed first-row-ids, _last_updated_sequence_number from data seq") {
+    val src = spark.read.parquet(s"$sfDir/region.parquet")
+    val path = tmpDir("graft_lineage")
+    IcebergTable.write(src, path, TableWriteOptions(formatVersion = 3))
+    IcebergTable.append(src, path)
+    val df = IcebergTable.load(spark, path, ReadOptions(withRowLineage = true))
+    val n = 2 * src.count()
+    assert(df.count() == n)
+    val ids = df.select("_row_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == (0L until n).toSeq, s"expected dense row ids 0..${n - 1}, got $ids")
+    val seqs = df.select("_last_updated_sequence_number").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(seqs == Seq(1L, 2L))
+  }
+
   test("topK reads fewer files via bound-ordered selection and matches full sort") {
     val src = spark.read.parquet(s"$sfDir/orders.parquet")
       .orderBy("o_orderkey").repartitionByRange(6, col("o_orderkey"))
