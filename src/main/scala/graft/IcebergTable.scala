@@ -233,6 +233,38 @@ object IcebergTable {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
+  /** `iceberg_load_table_response(json)`: parse a REST LoadTableResult into
+    * rows — the debug surface for catalog responses (reference
+    * iceberg_load_table_response.cpp:68-248). */
+  def loadTableResponse(spark: SparkSession, json: String): DataFrame = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val metaNode = node.get("metadata")
+    val meta = TableMetadata.parseNode(metaNode, None)
+    val schema = StructType(Seq(
+      StructField("metadata_location", StringType),
+      StructField("table_uuid", StringType),
+      StructField("format_version", IntegerType),
+      StructField("location", StringType),
+      StructField("current_snapshot_id", LongType),
+      StructField("current_schema_id", IntegerType),
+      StructField("schema_json", StringType),
+      StructField("config_key", StringType),
+      StructField("config_value", StringType)))
+    val cfg: Seq[(String, String)] = Option(node.get("config")).map { c =>
+      val it = c.properties().iterator()
+      val b = Seq.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue.asText()) }
+      b.result()
+    }.getOrElse(Nil)
+    val base = (Option(node.get("metadata-location")).map(_.asText()).orNull,
+      meta.tableUuid, meta.formatVersion, meta.location,
+      meta.currentSnapshotId.map(Long.box).orNull,
+      meta.currentSchemaId, meta.currentSchema.toJson.toString)
+    val rows = if (cfg.isEmpty) Seq(Row(base._1, base._2, base._3, base._4, base._5, base._6, base._7, null, null))
+    else cfg.map { case (k, v) => Row(base._1, base._2, base._3, base._4, base._5, base._6, base._7, k, v) }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
   /** Table properties as a DataFrame (reference
     * iceberg_table_properties_functions.cpp). */
   def tableProperties(spark: SparkSession, path: String): DataFrame = {

@@ -67,6 +67,26 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     assertSameResult(src.filter("n_regionkey = 2"), filtered)
   }
 
+  test("iceberg_load_table_response parses a LoadTableResult JSON into rows") {
+    val src = spark.read.parquet(s"$sfDir/region.parquet")
+    val t = catalog.loadTable(Seq("etl"), "region")
+    // round-trip the LoadTableResult through the raw JSON debug function
+    val json = {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val o = m.createObjectNode()
+      o.put("metadata-location", t.metadataLocation)
+      o.set[com.fasterxml.jackson.databind.JsonNode]("metadata",
+        m.readTree(graft.core.TableMetadata.toJson(t.metadata)))
+      val c = o.putObject("config"); c.put("k", "v")
+      m.writeValueAsString(o)
+    }
+    val rows = IcebergTable.loadTableResponse(spark, json).collect()
+    assert(rows.nonEmpty)
+    assert(rows(0).getAs[String]("table_uuid") == t.metadata.tableUuid)
+    assert(rows(0).getAs[Int]("format_version") == t.metadata.formatVersion)
+    assert(rows.exists(r => r.getAs[String]("config_key") == "k" && r.getAs[String]("config_value") == "v"))
+  }
+
   test("rename + drop table") {
     catalog.renameTable(Seq("etl"), "region", "region2")
     assert(catalog.listTables(Seq("etl")) == Seq("region2"))
