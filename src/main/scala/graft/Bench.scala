@@ -27,7 +27,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Optional comma-separated query filter for local iteration.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // Warmup: fixture builds + JIT (failures surface in the timed pass).
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).count()

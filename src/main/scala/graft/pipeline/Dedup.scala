@@ -41,9 +41,9 @@ object Dedup {
 
   // ---------- MinHash + LSH ----------
 
-  private val MinhashPerms = 64
-  private val Bands = 16
-  private val RowsPerBand = MinhashPerms / Bands
+  val MinhashPerms = 64
+  val Bands = 16
+  val RowsPerBand = MinhashPerms / Bands
   // Deterministic permutation parameters (odd multipliers).
   private val permA: Array[Long] = Array.tabulate(MinhashPerms)(i => 0x9E3779B97F4A7C15L * (2 * i + 1) | 1L)
   private val permB: Array[Long] = Array.tabulate(MinhashPerms)(i => 0xC2B2AE3D27D4EB4FL * (i + 1))
@@ -73,7 +73,13 @@ object Dedup {
     * Returns (id_a, id_b, est_jaccard) with id_a < id_b and
     * est_jaccard >= threshold. `maxBucket` caps pathological buckets
     * (identical boilerplate at web scale) — dropped buckets trade recall
-    * for a hard O(maxBucket^2) per-bucket bound. */
+    * for a hard O(maxBucket^2) per-bucket bound.
+    *
+    * Shuffle shape: the 64-long signature never crosses the wire. Banding
+    * shuffles only (_id, _b, _h) — 3 longs per band row; candidate pairs
+    * (a tiny set relative to the corpus) are then re-scored by recomputing
+    * signatures for just the candidate ids via a broadcast semi-join. On a
+    * persistent table the signature would be a precomputed stored column. */
   def minhashNearDuplicates(
       df: DataFrame,
       textCol: String,
@@ -81,46 +87,65 @@ object Dedup {
       threshold: Double = 0.8,
       shingleSize: Int = 3,
       maxBucket: Int = 1000): DataFrame = {
-    val spark = df.sparkSession
+    // asNondeterministic: blocks Catalyst projection collapse from inlining
+    // the (expensive) signature UDF into all 16 band projections, which
+    // would re-evaluate it once per band row instead of once per document.
     val sigUdf = udf((t: String) => minhashSignature(if (t == null) "" else t, shingleSize))
-    val withSig = df.select(col(idCol).cast("long").as("_id"), col(textCol).as("_text"))
-      .withColumn("_sig", sigUdf(col("_text")))
-      .select("_id", "_sig")
+      .asNondeterministic()
+    val docs = df.select(col(idCol).cast("long").as("_id"), col(textCol).as("_text"))
 
-    // Band hashes: band index + hash of the band's signature slice.
-    val bandUdf = udf((sig: Seq[Long]) =>
-      (0 until Bands).map(b => (b, sig.slice(b * RowsPerBand, (b + 1) * RowsPerBand).mkString(":").hashCode.toLong)))
-    val banded = withSig
-      .withColumn("_band", explode(bandUdf(col("_sig"))))
-      .select(col("_id"), col("_sig"), col("_band._1").as("_b"), col("_band._2").as("_h"))
+    // Phase 1 — banding. One signature evaluation per doc; band hashes are
+    // codegen'd xxhash64 over array slices, not a second UDF.
+    val withSig = docs.select(col("_id"), sigUdf(col("_text")).as("_sig"))
+    val bandCols = (0 until Bands).map { b =>
+      struct(lit(b).as("_b"),
+        xxhash64(slice(col("_sig"), b * RowsPerBand + 1, RowsPerBand)).as("_h"))
+    }
+    val banded = withSig.select(col("_id"), explode(array(bandCols: _*)).as("_band"))
+      .select(col("_id"), col("_band._b").as("_b"), col("_band._h").as("_h"))
 
-    // Bucket join: pairs only within (band, hash) buckets; cap bucket size.
-    val buckets = banded.groupBy("_b", "_h")
-      .agg(collect_list(struct(col("_id"), col("_sig"))).as("_members"))
-      .filter(size(col("_members")).between(2, maxBucket))
-
-    val pairUdf = udf((members: Seq[org.apache.spark.sql.Row]) => {
-      val ms = members.map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
-      val out = Seq.newBuilder[(Long, Long, Double)]
+    // Bucket join: candidate pairs only within (band, hash) buckets.
+    val pairUdf = udf((ids: Seq[Long]) => {
+      val sorted = ids.sorted
+      val out = Seq.newBuilder[(Long, Long)]
       var i = 0
-      while (i < ms.length) {
+      while (i < sorted.length) {
         var j = i + 1
-        while (j < ms.length) {
-          val (ia, sa) = ms(i); val (ib, sb) = ms(j)
-          var eq = 0; var p = 0
-          while (p < MinhashPerms) { if (sa(p) == sb(p)) eq += 1; p += 1 }
-          val est = eq.toDouble / MinhashPerms
-          out += ((ia, ib, est))
-          j += 1
-        }
+        while (j < sorted.length) { out += ((sorted(i), sorted(j))); j += 1 }
         i += 1
       }
       out.result()
     })
-    buckets.select(explode(pairUdf(col("_members"))).as("_p"))
-      .select(col("_p._1").as("id_a"), col("_p._2").as("id_b"), col("_p._3").as("est_jaccard"))
-      .filter(col("est_jaccard") >= threshold)
+    // Candidate pairs are tiny relative to the corpus and referenced by
+    // three downstream branches — materialize once so the full banding
+    // pipeline (the only corpus-wide pass) executes exactly once.
+    val candPairs = banded.groupBy("_b", "_h")
+      .agg(collect_list(col("_id")).as("_ids"))
+      .filter(size(col("_ids")).between(2, maxBucket))
+      .select(explode(pairUdf(col("_ids"))).as("_p"))
+      .select(col("_p._1").as("id_a"), col("_p._2").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+      .persist()
+    candPairs.count()
+
+    // Phase 2 — score candidates only: recompute signatures for candidate
+    // ids (broadcast semi-join prunes the doc scan), then a codegen'd
+    // element-wise match count. No UDF touches non-candidate rows here;
+    // materialized so the corpus scan behind it runs once, not per join.
+    val candIds = candPairs.select(col("id_a").as("_id"))
+      .union(candPairs.select(col("id_b").as("_id"))).distinct()
+    val candSigs = docs.join(broadcast(candIds), "_id")
+      .select(col("_id"), sigUdf(col("_text")).as("_sig"))
+      .persist()
+
+    candPairs
+      .join(broadcast(candSigs.select(col("_id").as("id_a"), col("_sig").as("_sa"))), "id_a")
+      .join(broadcast(candSigs.select(col("_id").as("id_b"), col("_sig").as("_sb"))), "id_b")
+      .withColumn("est_jaccard",
+        expr(s"aggregate(zip_with(_sa, _sb, (x, y) -> IF(x = y, 1, 0)), 0, (a, v) -> a + v)" +
+          s" / cast($MinhashPerms as double)"))
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
   }
 
   // ---------- SimHash ----------
@@ -147,7 +172,9 @@ object Dedup {
     * hashes are within `maxHamming`. Bucketed exactly like MinHash-LSH. */
   def simhashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    val shUdf = udf((t: String) => simhash(if (t == null) "" else t))
+    // asNondeterministic: see minhashNearDuplicates — prevents projection
+    // collapse from re-evaluating the hash UDF once per band row.
+    val shUdf = udf((t: String) => simhash(if (t == null) "" else t)).asNondeterministic()
     val withH = df.select(col(idCol).cast("long").as("_id"), shUdf(col(textCol)).as("_sh"))
     val banded = withH.withColumn("_b", explode(array((0 until 4).map(lit): _*)))
       .withColumn("_h", expr("shiftrightunsigned(_sh, _b * 16)").bitwiseAND(lit(0xFFFFL)))
