@@ -241,7 +241,17 @@ object SparkEntry {
       // Mutated copy guarantees near-dup (not exact-dup) pairs.
       val mutated = d.select((col("doc_id") + 1000000).as("doc_id"),
         concat(col("text"), lit(" appended-tail-token")).as("text"))
-      Dedup.minhashNearDuplicates(d.union(mutated), "text", "doc_id", threshold = 0.7)
+      val all = d.union(mutated)
+      // LSH candidates (low threshold = high recall), re-scored with EXACT
+      // 3-shingle Jaccard — deterministic, so the quadratic DuckDB oracle
+      // computes the identical pair set.
+      val cands = Dedup.minhashNearDuplicates(all, "text", "doc_id", threshold = 0.5)
+      val texts = all.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val jac = udf((a: String, b: String) => Dedup.ngramJaccard(a, b))
+      cands
+        .join(texts.select(col("doc_id").as("id_a"), col("text").as("_ta")), "id_a")
+        .join(texts.select(col("doc_id").as("id_b"), col("text").as("_tb")), "id_b")
+        .filter(jac(col("_ta"), col("_tb")) >= 0.9)
         .select("id_a", "id_b")
     }),
 
@@ -304,12 +314,12 @@ object SparkEntry {
     }),
 
     "mm_features" -> ((s, dir) => {
-      val docs = pq(s, dir, "documents").limit(100)
+      val docs = pq(s, dir, "documents")
         .withColumn("payload", graft.pipeline.Multimodal.syntheticPayload(col("text"), col("doc_id")))
       graft.pipeline.Multimodal.extractFeatures(
         graft.pipeline.Multimodal.attachMetadata(docs, "payload"), "payload", dim = 8)
         .select(col("doc_id"), col("media_meta.media_type").as("media_type"),
-          round(element_at(col("feature"), 1), 4).as("f0"))
+          round(element_at(col("feature"), 1).cast("double"), 4).as("f0"))
     }),
 
     "dedup_embedding" -> ((s, dir) => {
@@ -331,7 +341,8 @@ object SparkEntry {
 
     "text_quality" -> ((s, dir) =>
       TextAnalysis.qualityFeatures(pq(s, dir, "documents"), "text")
-        .select("doc_id", "word_count", "quality_score")),
+        .select(col("doc_id"), col("word_count"),
+          round(col("quality_score"), 4).as("quality_score"))),
 
     "text_langid" -> ((s, dir) =>
       pq(s, dir, "documents")
@@ -517,5 +528,124 @@ object SparkEntry {
       """SELECT lang, CAST(count(*) AS BIGINT) AS docs,
         |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
         |  round(avg(n_chars), 2) AS avg_chars
-        |FROM documents GROUP BY lang""".stripMargin)
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    // Mirrors TextAnalysis.qualityFeatures exactly: words = lower(text)
+    // split on \W+ (non-empty), punct = chars neither letter/digit nor
+    // whitespace, composite score clamped to [0,1], rounded to 4dp.
+    "text_quality" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN text IS NULL OR text = '' THEN []
+        |         ELSE list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') END AS words,
+        |    CASE WHEN text IS NULL OR text = '' THEN 0
+        |         ELSE length(regexp_replace(text, '[\p{L}\p{Nd}\s]', '', 'g')) END AS punct
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CAST(len(words) AS INTEGER) AS word_count,
+        |    CASE WHEN text IS NULL OR text = '' THEN 0.0
+        |         ELSE punct * 1.0 / length(text) END AS punct_ratio,
+        |    CASE WHEN len(words) = 0 THEN 0.0
+        |         ELSE len(list_filter(words, w -> list_contains(
+        |           ['the','a','an','and','or','of','to','in','is','it','that','this','was','for','on','with','as','at','by','be'], w)))
+        |           * 1.0 / len(words) END AS stopword_ratio,
+        |    CASE WHEN len(words) = 0 THEN 0.0
+        |         ELSE list_sum(list_transform(words, w -> length(w))) * 1.0 / len(words) END AS mean_word_len
+        |  FROM f)
+        |SELECT doc_id, word_count,
+        |  round(least(1.0, greatest(0.0,
+        |    0.3 * (word_count / (word_count + 20.0)) +
+        |    0.3 * (1.0 - least(1.0, punct_ratio * 5)) +
+        |    0.2 * least(1.0, stopword_ratio * 4) +
+        |    0.2 * (1.0 - abs(mean_word_len - 5.0) / 5.0))), 4) AS quality_score
+        |FROM g""".stripMargin,
+
+    // Mirrors TextAnalysis.langId: HAN-density check, marker-word scores
+    // with en>de>fr>es tie priority, diacritic fallback when all scores 0.
+    "text_langid" ->
+      """WITH s AS (
+        |  SELECT lang, text,
+        |    CASE WHEN text IS NULL THEN [] ELSE list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') END AS words,
+        |    CASE WHEN text IS NULL THEN 0 ELSE length(regexp_replace(text, '[^\p{Han}]', '', 'g')) END AS cjk,
+        |    CASE WHEN text IS NULL THEN 0 ELSE length(text) END AS tlen
+        |  FROM documents),
+        |m AS (
+        |  SELECT lang, text, words, cjk, tlen,
+        |    len(list_filter(words, x -> list_contains(['the','and','of','to','is','you','that','it','with','for'], x))) AS s_en,
+        |    len(list_filter(words, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','von','zu'], x))) AS s_de,
+        |    len(list_filter(words, x -> list_contains(['le','la','les','et','est','une','que','pour','dans','pas'], x))) AS s_fr,
+        |    len(list_filter(words, x -> list_contains(['el','la','los','que','es','una','para','con','por','del'], x))) AS s_es
+        |  FROM s),
+        |p AS (
+        |  SELECT lang,
+        |    CASE
+        |      WHEN text IS NULL OR tlen = 0 THEN 'und'
+        |      WHEN cjk > tlen // 10 THEN 'zh'
+        |      WHEN len(words) = 0 THEN 'und'
+        |      WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN
+        |        CASE WHEN regexp_matches(text, '[äöüß]') THEN 'de'
+        |             WHEN regexp_matches(text, '[éèêàçù]') THEN 'fr'
+        |             WHEN regexp_matches(text, '[ñ¿¡]') THEN 'es'
+        |             ELSE 'und' END
+        |      WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |      WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |      WHEN s_fr >= s_es THEN 'fr'
+        |      ELSE 'es' END AS lang_pred
+        |  FROM m)
+        |SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2""".stripMargin,
+
+    // Exact pair set: the Spark query re-scores LSH candidates with exact
+    // 3-word-shingle Jaccard >= 0.9, which this quadratic shingle-join
+    // computes directly (LSH recall at J>=0.9 is 1 - ~4e-8 per pair).
+    "dedup_minhash" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' appended-tail-token' FROM documents),
+        |toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN text IS NULL THEN [] ELSE list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') END AS w
+        |  FROM docs),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |      ELSE list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+        |    FROM toks)),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS k
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT CAST(ia AS BIGINT) AS id_a, CAST(ib AS BIGINT) AS id_b
+        |FROM inter
+        |JOIN cnt ca ON ca.doc_id = ia
+        |JOIN cnt cb ON cb.doc_id = ib
+        |WHERE k * 1.0 / (ca.n + cb.n - k) >= 0.9""".stripMargin,
+
+    // Exact cosine >= 0.99 pair set over the duplicated corpus; the Spark
+    // banding has deterministic recall on the planted identical copies.
+    "dedup_embedding" ->
+      """WITH vecs AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM embeddings)
+        |SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b
+        |FROM vecs a, vecs b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.99""".stripMargin,
+
+    // Mirrors Multimodal.extractFeatures' length-seeded stub: payload =
+    // magic(doc_id % 4) ++ utf8(text); f0 from the closed-form arithmetic.
+    "mm_features" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+        |         WHEN 2 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type,
+        |    CAST(octet_length(encode(text)) +
+        |      CASE doc_id % 4 WHEN 0 THEN 4 WHEN 1 THEN 3 WHEN 2 THEN 4 ELSE 8 END AS HUGEINT) AS blen
+        |  FROM documents)
+        |SELECT doc_id, media_type,
+        |  round(CAST(((blen * 11400714819323198485) % 18446744073709551616) // 1099511627776 % 1000 AS DOUBLE) / 1000.0, 4) AS f0
+        |FROM f""".stripMargin)
 }

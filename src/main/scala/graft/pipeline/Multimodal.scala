@@ -82,7 +82,8 @@ object Multimodal {
   /**
    * Executor-side batch "decode + featurize" over partitions: the real
    * plumbing for a codec that amortizes setup per partition. The decode
-   * kernel itself is a deterministic STUB (payload-hash-seeded vector).
+   * kernel itself is a deterministic STUB seeded by the payload byte
+   * length (closed-form so the DuckDB oracle can mirror it exactly).
    */
   def extractFeatures(df: DataFrame, binCol: String, dim: Int = 16): DataFrame = {
     val schema = StructType(df.schema.fields :+ StructField("feature", ArrayType(FloatType, false)))
@@ -92,7 +93,7 @@ object Multimodal {
       // >>> per-partition codec init would go here (real decoder handle) <<<
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](idx)
-        val h = if (payload == null) 0L else Dedup.fnv64(new String(payload.map(b => (b & 0x7f).toChar)))
+        val h = if (payload == null) 0L else payload.length.toLong
         val feat = Array.tabulate(dim) { i =>
           (((h * (i + 1) * 0x9E3779B97F4A7C15L) >>> 40).toInt % 1000) / 1000.0f
         }

@@ -317,11 +317,12 @@ object IcebergRead {
 
     val parts = seqGroups.map { case ((seq, pk), files) =>
       var df = buildScan(spark, p, files, conf, needMeta)
+      // Global equality deletes are EXACTLY those under an unpartitioned
+      // spec; an all-null tuple under a partitioned spec means "the null
+      // partition", not "every partition" (Iceberg spec scoping rules).
       val applicable = eqDeletes.filter { d =>
         d.dataSeq > seq &&
-          (p.meta.spec(d.specId).isUnpartitioned ||
-            d.info.partitionValues.forall(_ == null) || // "global" eq delete
-            partKey(d) == pk)
+          (p.meta.spec(d.specId).isUnpartitioned || partKey(d) == pk)
       }
       if (applicable.nonEmpty) df = applyEqualityDeletes(spark, df, applicable, p)
       df

@@ -38,9 +38,12 @@ object Puffin {
     * data file. `dvs` = (referencedDataFile, portableRoaringBytes,
     * cardinality). Layout per the Puffin spec: magic, blobs, footer
     * (magic + JSON payload + payload size LE + flags + magic); each DV blob
-    * is [combined length BE][D1 D3 39 64][bitmap][CRC-32 BE]. */
+    * is [combined length BE][D1 D3 39 64][bitmap][CRC-32 BE].
+    * `snapshotId`/`sequenceNumber` stamp the blob metadata with the commit
+    * that adds the DV (the reference stamps them the same way). */
   def writeDeletionVectors(path: String, conf: Configuration,
-      dvs: Seq[(String, Array[Byte], Long)]): Seq[DvBlob] = {
+      dvs: Seq[(String, Array[Byte], Long)],
+      snapshotId: Long = -1L, sequenceNumber: Long = -1L): Seq[DvBlob] = {
     val fsys = new Path(path).getFileSystem(conf)
     val out = fsys.create(new Path(path), true)
     val magic = "PFA1".getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -64,7 +67,7 @@ object Puffin {
       if (!first) blobJson.append(",")
       first = false
       blobJson.append(
-        s"""{"type":"deletion-vector-v1","fields":[],"snapshot-id":-1,"sequence-number":-1,""" +
+        s"""{"type":"deletion-vector-v1","fields":[],"snapshot-id":$snapshotId,"sequence-number":$sequenceNumber,""" +
           s""""offset":$offset,"length":${blobBytes.length},"properties":{""" +
           s""""referenced-data-file":${jsonStr(ref)},"cardinality":"$card"}}""")
       offset += blobBytes.length
@@ -88,6 +91,18 @@ object Puffin {
 
   /** Decode a deletion-vector blob into sorted row positions. */
   def decodeDeletionVector(path: String, conf: Configuration, offset: Long, length: Long): Array[Long] = {
+    val bm = decodeDeletionVectorBitmap(path, conf, offset, length)
+    val out = new Array[Long](bm.getIntCardinality)
+    var i = 0
+    val it = bm.getLongIterator
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
+  }
+
+  /** Decode a deletion-vector blob into the roaring bitmap itself — used by
+    * DV rewrites that OR an existing vector into a new one (one-DV-per-file
+    * invariant; reference iceberg_delete.cpp:334-341). */
+  def decodeDeletionVectorBitmap(path: String, conf: Configuration, offset: Long, length: Long): Roaring64NavigableMap = {
     val raw = readRange(path, conf, offset, math.max(length, 8L).toInt)
     val bitmapBytes: Array[Byte] = {
       val bb = ByteBuffer.wrap(raw)
@@ -105,10 +120,6 @@ object Puffin {
     }
     val bm = new Roaring64NavigableMap()
     bm.deserializePortable(new DataInputStream(new ByteArrayInputStream(bitmapBytes)))
-    val out = new Array[Long](bm.getIntCardinality)
-    var i = 0
-    val it = bm.getLongIterator
-    while (it.hasNext) { out(i) = it.next(); i += 1 }
-    out
+    bm
   }
 }

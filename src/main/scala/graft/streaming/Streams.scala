@@ -40,12 +40,18 @@ object Streams {
         val files = newer.flatMap { m =>
           ManifestIO.readManifest(TableMetadata.resolvePath(meta.location, m.path, conf), conf, m)
             .filter(e => e.isLive && e.sequenceNumber.exists(_ > after.sequenceNumber))
-            .map(e => TableMetadata.resolvePath(meta.location, e.dataFile.filePath, conf))
+            .map(e => graft.read.PlannedFile(e.dataFile,
+              TableMetadata.resolvePath(meta.location, e.dataFile.filePath, conf),
+              m.partitionSpecId, e.sequenceNumber.getOrElse(0L), e.status, e.dataFile.firstRowId))
         }
         if (files.isEmpty) IcebergRead.emptyDF(spark, schema.toSpark)
         else {
-          IcebergRead.ensureConfs(spark)
-          spark.read.schema(schema.toSpark).parquet(files: _*)
+          // Route through the normal scan assembly so field-id projection,
+          // initial-defaults, and partition constants apply — a plain
+          // read-by-name returns nulls after a column rename/add.
+          val plan = graft.read.ScanPlan(meta, Some(cur), schema, files, Nil,
+            files.size, 0, newer.size, 0)
+          IcebergRead.assemble(spark, plan, conf, ReadOptions())
         }
     }
   }

@@ -2,7 +2,7 @@ package graft.write
 
 import graft.core._
 import graft.manifest._
-import graft.read.{IcebergRead, ReadOptions}
+import graft.read.{IcebergRead, PlannedFile, ReadOptions, SerializableHadoopConf}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -110,18 +110,34 @@ object Dml {
     val matched = IcebergRead.loadWithMetadata(spark, meta, conf,
       ReadOptions(filterSql = Some(condSql), keepFileMeta = true))
       .select("_g_path", "_g_pos")
-    val entries =
-      if (meta.formatVersion >= 3) writeDeletionVectors(spark, meta, matched)
-      else writePositionDeletes(spark, meta, matched)
-    if (entries.isEmpty) meta
-    else IcebergWrite.commitSnapshot(meta, Nil, entries, "delete", conf)
+    val rd = writeRowDeletes(spark, meta, matched)
+    if (rd.entries.isEmpty) meta
+    else IcebergWrite.commitSnapshot(meta, Nil, rd.entries, "delete", conf,
+      removedDvRefs = rd.removedDvRefs, preassignedSnapshotId = rd.snapshotId)
   }
 
+  /** Result of writing row-level deletes: manifest entries to add, data-file
+    * paths whose previous DV entries are superseded, and the preassigned
+    * snapshot id (v3 DV writes stamp it into Puffin blob metadata). */
+  private case class RowDeletes(entries: Seq[ManifestEntry],
+      removedDvRefs: Set[String], snapshotId: Option[Long])
+
+  /** Format-dispatch for matched-row deletes: v3 tables must use deletion
+    * vectors (position-delete parquet is forbidden in v3 — spec + reference
+    * iceberg_update.cpp:552); v2 writes positional-delete parquet. */
+  private def writeRowDeletes(spark: SparkSession, meta: TableMetadata,
+      matched: DataFrame): RowDeletes =
+    if (meta.formatVersion >= 3) writeDeletionVectors(spark, meta, matched)
+    else RowDeletes(writePositionDeletes(spark, meta, matched), Set.empty, None)
+
   /** v3 deletion vectors: one roaring bitmap per affected data file, built
-    * on EXECUTORS (groupByKey over matched positions), packed into a single
-    * Puffin file; only the compact serialized bitmaps travel to the driver. */
+    * AND written on executors — each (partition, salt) group writes its own
+    * Puffin file in `flatMapGroups`; only blob descriptors travel to the
+    * driver. A file that already has a live DV gets the old bitmap OR-ed in
+    * and the old entry superseded (one-DV-per-file invariant, reference
+    * iceberg_delete.cpp:334-341 PopulateAlteredManifests). */
   private def writeDeletionVectors(spark: SparkSession, meta: TableMetadata,
-      matched: DataFrame): Seq[ManifestEntry] = {
+      matched: DataFrame): RowDeletes = {
     import spark.implicits._
     val conf = spark.sessionState.newHadoopConf()
     val p = IcebergRead.planWithMetadata(spark, meta, conf, ReadOptions())
@@ -129,54 +145,84 @@ object Dml {
     val fileInfo = p.dataFiles.map { f =>
       (normStr(f.resolvedPath), f.recordedPath, partTuples(f.info.partitionValues))
     }.toDF("_m_path", "_m_recorded", "_m_pk")
+    // Existing live DVs by referenced data file (the invariant below keeps
+    // this at most one per file): merged into any new DV for the same file.
+    val existingDv: Map[String, (String, Long, Long)] = p.deleteFiles
+      .filter(d => d.info.content == FileContent.PositionDeletes && d.info.contentOffset.isDefined)
+      .flatMap(d => d.info.referencedDataFile.map(ref =>
+        ref -> (d.resolvedPath, d.info.contentOffset.get, d.info.contentSizeInBytes.getOrElse(0L))))
+      .toMap
+    val snapId = IcebergWrite.newSnapshotId()
+    val seq = meta.lastSequenceNumber + 1
+    val location = meta.location
+    val serConf = new SerializableHadoopConf(conf)
+
     val rows = matched
       .select(normPath(col("_g_path")).as("_j_path"), col("_g_pos").cast("long").as("pos"))
       .join(broadcast(fileInfo), col("_j_path") === col("_m_path"))
       .select(col("_m_recorded").as("recorded"), col("pos"), col("_m_pk").as("pk"))
       .as[(String, Long, Int)]
-    val dvs: Seq[(String, Array[Byte], Long, Int)] = rows.groupByKey(_._1)
-      .mapGroups { (recorded, it) =>
-        val bm = new org.roaringbitmap.longlong.Roaring64NavigableMap()
-        var pk = 0
-        var card = 0L
-        it.foreach { case (_, pos, k) => bm.addLong(pos); pk = k; card += 1 }
-        bm.runOptimize()
-        val baos = new java.io.ByteArrayOutputStream()
-        bm.serializePortable(new java.io.DataOutputStream(baos))
-        (recorded, baos.toByteArray, bm.getLongCardinality, pk)
+    // (puffinPath, fileLen, ref, offset, blobLen, cardinality, pk)
+    val descs: Seq[(String, Long, String, Long, Long, Long, Int)] = rows
+      .groupByKey(r => (r._3, (r._1.hashCode & 0x7fffffff) % 8))
+      .flatMapGroups { (key: (Int, Int), it: Iterator[(String, Long, Int)]) =>
+        val pk = key._1
+        val bitmaps = scala.collection.mutable.LinkedHashMap[String, org.roaringbitmap.longlong.Roaring64NavigableMap]()
+        it.foreach { case (recorded, pos, _) =>
+          bitmaps.getOrElseUpdate(recorded, new org.roaringbitmap.longlong.Roaring64NavigableMap()).addLong(pos)
+        }
+        val dvs = bitmaps.toSeq.map { case (recorded, bm) =>
+          existingDv.get(recorded).foreach { case (dvPath, off, len) =>
+            bm.or(graft.read.Puffin.decodeDeletionVectorBitmap(dvPath, serConf.value, off, len))
+          }
+          bm.runOptimize()
+          val baos = new java.io.ByteArrayOutputStream()
+          bm.serializePortable(new java.io.DataOutputStream(baos))
+          (recorded, baos.toByteArray, bm.getLongCardinality)
+        }
+        val puffinPath = s"$location/data/${UUID.randomUUID().toString}-deletes.puffin"
+        val blobs = graft.read.Puffin.writeDeletionVectors(puffinPath, serConf.value, dvs, snapId, seq)
+        val fileLen = TableMetadata.fs(puffinPath, serConf.value)
+          .getFileStatus(new Path(puffinPath)).getLen
+        blobs.map(b => (puffinPath, fileLen, b.referencedDataFile, b.offset, b.length, b.cardinality, pk)).iterator
       }.collect().toSeq
-    if (dvs.isEmpty) return Nil
-    val puffinPath = s"${meta.location}/data/${UUID.randomUUID().toString}-deletes.puffin"
-    val blobs = graft.read.Puffin.writeDeletionVectors(puffinPath, conf,
-      dvs.map(d => (d._1, d._2, d._3)))
-    val fileLen = TableMetadata.fs(puffinPath, conf)
-      .getFileStatus(new Path(puffinPath)).getLen
+    if (descs.isEmpty) return RowDeletes(Nil, Set.empty, None)
     val indexToTuple = partTuples.map(_.swap)
-    blobs.zip(dvs).map { case (b, (_, _, _, pk)) =>
+    val entries = descs.map { case (puffinPath, fileLen, ref, off, len, card, pk) =>
       ManifestEntry(EntryStatus.Added, None, None, None, DataFileInfo(
         content = FileContent.PositionDeletes,
         filePath = puffinPath,
         fileFormat = "puffin",
         partitionValues = indexToTuple(pk),
-        recordCount = b.cardinality,
+        recordCount = card,
         fileSizeInBytes = fileLen,
         columnSizes = Map.empty, valueCounts = Map.empty,
         nullValueCounts = Map.empty, nanValueCounts = Map.empty,
         lowerBounds = Map.empty, upperBounds = Map.empty,
         splitOffsets = Nil, equalityIds = Nil, sortOrderId = None,
-        referencedDataFile = Some(b.referencedDataFile),
-        contentOffset = Some(b.offset),
-        contentSizeInBytes = Some(b.length)))
+        referencedDataFile = Some(ref),
+        contentOffset = Some(off),
+        contentSizeInBytes = Some(len)))
     }
+    val superseded = existingDv.keySet.intersect(descs.map(_._3).toSet)
+    RowDeletes(entries, superseded, Some(snapId))
   }
 
   /** Equality-delete write: delete every row whose key columns match a row
     * of `keys` (reference equality_delete_helpers.cpp:41-80 — the
-    * pure-equality-conjunction WHERE path). The delete file is written
-    * "global" (all-null partition tuple applies to every partition). */
+    * pure-equality-conjunction WHERE path). Global equality deletes must be
+    * written under an UNPARTITIONED spec (an all-null tuple under a
+    * partitioned spec would mean "the null partition", not "every
+    * partition") — the spec id is added to table metadata if absent. */
   def deleteEquality(spark: SparkSession, path: String, keys: DataFrame): TableMetadata = {
     val conf = spark.sessionState.newHadoopConf()
-    val meta = TableMetadata.load(path, conf)
+    val meta0 = TableMetadata.load(path, conf)
+    val (meta, eqSpec) = meta0.specs.find(_.fields.isEmpty) match {
+      case Some(s) => (meta0, s)
+      case None =>
+        val s = PartitionSpec(meta0.specs.map(_.specId).max + 1, Nil)
+        (meta0.copy(specs = meta0.specs :+ s), s)
+    }
     val schema = meta.currentSchema
     val eqFields = keys.schema.fieldNames.toSeq.map { n =>
       schema.fields.find(_.name == n)
@@ -196,14 +242,13 @@ object Dml {
       while (it.hasNext) { val st = it.next(); if (st.getPath.getName.endsWith(".parquet")) b += st }
       b.result()
     }
-    val spec = meta.defaultSpec
     val entries = files.map { st =>
       val stats = FooterStats.read(st.getPath, conf, pseudoSchema)
       ManifestEntry(EntryStatus.Added, None, None, None, DataFileInfo(
         content = FileContent.EqualityDeletes,
         filePath = st.getPath.toString,
         fileFormat = "parquet",
-        partitionValues = spec.fields.map(_ => null),
+        partitionValues = Nil,
         recordCount = stats.recordCount,
         fileSizeInBytes = st.getLen,
         columnSizes = stats.columnSizes,
@@ -217,7 +262,8 @@ object Dml {
         sortOrderId = None))
     }
     if (entries.isEmpty) meta
-    else IcebergWrite.commitSnapshot(meta, Nil, entries, "delete", conf)
+    else IcebergWrite.commitSnapshot(meta, Nil, entries, "delete", conf,
+      deleteSpec = Some(eqSpec))
   }
 
   /** UPDATE table SET col=expr... WHERE cond — MoR delete + re-insert of
@@ -230,13 +276,14 @@ object Dml {
     val matched = IcebergRead.loadWithMetadata(spark, meta, conf,
       ReadOptions(filterSql = Some(condSql), keepFileMeta = true)).cache()
     try {
-      val delEntries = writePositionDeletes(spark, meta, matched.select("_g_path", "_g_pos"))
-      if (delEntries.isEmpty) return meta
+      val rd = writeRowDeletes(spark, meta, matched.select("_g_path", "_g_pos"))
+      if (rd.entries.isEmpty) return meta
       val updated = matched.select(schema.fields.map { f =>
         set.get(f.name).map(e => expr(e).cast(f.fieldType.toSpark).as(f.name)).getOrElse(col(f.name))
       }.toIndexedSeq: _*)
       val (dataEntries, _) = IcebergWrite.writeDataFiles(updated, meta, conf)
-      IcebergWrite.commitSnapshot(meta, dataEntries, delEntries, "overwrite", conf)
+      IcebergWrite.commitSnapshot(meta, dataEntries, rd.entries, "overwrite", conf,
+        removedDvRefs = rd.removedDvRefs, preassignedSnapshotId = rd.snapshotId)
     } finally matched.unpersist()
   }
 
@@ -270,11 +317,11 @@ object Dml {
         val dup = joined.groupBy(col("t._g_path"), col("t._g_pos")).count().filter(col("count") > 1).limit(1).count()
         require(dup == 0, "MERGE: a target row matched multiple source rows")
       }
-      val delEntries =
+      val rd =
         if (actions.matchedUpdate.isDefined || actions.matchedDelete)
-          writePositionDeletes(spark, meta,
+          writeRowDeletes(spark, meta,
             joined.select(col("t._g_path").as("_g_path"), col("t._g_pos").as("_g_pos")))
-        else Nil
+        else RowDeletes(Nil, Set.empty, None)
 
       val updatedRows: Option[DataFrame] = actions.matchedUpdate.map { set =>
         joined.select(schema.fields.map { f =>
@@ -295,8 +342,9 @@ object Dml {
       }
       val newRows = (updatedRows.toSeq ++ insertedRows.toSeq).reduceOption(_ unionByName _)
       val dataEntries = newRows.map(df => IcebergWrite.writeDataFiles(df, meta, conf)._1).getOrElse(Nil)
-      if (dataEntries.isEmpty && delEntries.isEmpty) meta
-      else IcebergWrite.commitSnapshot(meta, dataEntries, delEntries, "overwrite", conf)
+      if (dataEntries.isEmpty && rd.entries.isEmpty) meta
+      else IcebergWrite.commitSnapshot(meta, dataEntries, rd.entries, "overwrite", conf,
+        removedDvRefs = rd.removedDvRefs, preassignedSnapshotId = rd.snapshotId)
     } finally joined.unpersist()
   }
 
@@ -306,31 +354,69 @@ object Dml {
 
   /** iceberg_rewrite_data_files equivalent: bin-pack undersized files per
     * partition, rewrite each group delete-free, commit a REPLACE snapshot.
-    * (reference rewrite_data_files_planner.cpp:45-150 GroupCandidates.) */
+    * (reference rewrite_data_files_planner.cpp:45-150 GroupCandidates.)
+    *
+    * Scale shape: ONLY the candidate groups' files are scanned (the scan is
+    * assembled over the planned file subset, with just the deletes that
+    * apply to it) — compacting one partition of a 100 TB table reads one
+    * partition, not the table. Delete files survive the commit unless
+    * everything they can reference was rewritten. */
   def rewriteDataFiles(spark: SparkSession, path: String,
       targetFileSizeBytes: Long = 512L * 1024 * 1024,
       rewriteAll: Boolean = false): TableMetadata = {
     val conf = spark.sessionState.newHadoopConf()
     val meta = TableMetadata.load(path, conf)
     val p = IcebergRead.planWithMetadata(spark, meta, conf, ReadOptions())
+    if (p.dataFiles.isEmpty) return meta
+
+    def partKeyOf(f: PlannedFile): String =
+      f.specId + "|" + f.info.partitionValues.map {
+        case b: Array[Byte] => java.util.Base64.getEncoder.encodeToString(b)
+        case v => String.valueOf(v)
+      }.mkString("|")
+
+    /** Can delete file `d` affect any of `files`? Positional deletes match
+      * by referenced path (or file_path bounds); equality deletes by
+      * partition + strictly-older data sequence. Unknown -> conservative
+      * true (reference scopes candidates the same way,
+      * rewrite_data_files_planner.cpp:45-150). */
+    def deleteApplies(d: PlannedFile, files: Seq[PlannedFile]): Boolean =
+      d.info.content match {
+        case FileContent.PositionDeletes =>
+          d.info.referencedDataFile match {
+            case Some(ref) => files.exists(_.recordedPath == ref)
+            case None =>
+              (d.info.lowerBounds.get(PosDeletePathFieldId), d.info.upperBounds.get(PosDeletePathFieldId)) match {
+                case (Some(lo), Some(hi)) if java.util.Arrays.equals(lo, hi) =>
+                  val ref = new String(lo, java.nio.charset.StandardCharsets.UTF_8)
+                  files.exists(_.recordedPath == ref)
+                case _ => true
+              }
+          }
+        case FileContent.EqualityDeletes =>
+          val partOk = meta.spec(d.specId).isUnpartitioned ||
+            files.exists(f => partKeyOf(f) == partKeyOf(d))
+          partOk && files.exists(_.dataSeq < d.dataSeq)
+        case _ => true
+      }
 
     // Group candidates per partition tuple; a group qualifies when it has
-    // >1 undersized file (or rewriteAll), or any file carries deletes.
+    // >1 undersized file (or rewriteAll), or a delete file APPLIES TO IT.
     val byPartition = p.dataFiles.groupBy(f => (f.specId, f.info.partitionValues))
     val groups = byPartition.values.filter { files =>
-      rewriteAll || p.deleteFiles.nonEmpty ||
-        files.count(_.info.fileSizeInBytes < targetFileSizeBytes) > 1
+      rewriteAll ||
+        files.count(_.info.fileSizeInBytes < targetFileSizeBytes) > 1 ||
+        p.deleteFiles.exists(d => deleteApplies(d, files))
     }.toSeq
     if (groups.isEmpty) return meta
     val rewriting = groups.flatten
-    val rewritingNorm = rewriting.map(f => normStr(f.resolvedPath)).toSet
 
-    // Read the rows of rewritten groups through the full scan (deletes get
-    // merged in), then write fresh files via the normal write path.
-    val scan = IcebergRead.loadWithMetadata(spark, meta, conf, ReadOptions(keepFileMeta = true))
-    val normUdf = udf((s: String) => normStr(s))
-    var rows = scan.filter(normUdf(col("_g_path")).isInCollection(rewritingNorm))
-      .drop("_g_path", "_g_pos")
+    // Scan ONLY the candidate files, with only their applicable deletes —
+    // assembled from a reduced plan, so pruning/field-id projection and
+    // delete merging reuse the normal read machinery.
+    val subPlan = p.copy(dataFiles = rewriting,
+      deleteFiles = p.deleteFiles.filter(d => deleteApplies(d, rewriting)))
+    var rows = IcebergRead.assemble(spark, subPlan, conf, ReadOptions())
     // Bin toward the target size: one output file per targetFileSizeBytes of
     // input (per-partition layout is re-established by writeDataFiles).
     if (meta.defaultSpec.isUnpartitioned) {
@@ -339,8 +425,39 @@ object Dml {
       rows = rows.coalesce(n)
     }
     val (dataEntries, _) = IcebergWrite.writeDataFiles(rows, meta, conf)
-    // Remove rewritten data files AND all now-dead delete files.
-    val removed = rewriting.map(_.recordedPath).toSet ++ p.deleteFiles.map(_.recordedPath).toSet
-    IcebergWrite.commitSnapshot(meta, dataEntries, Nil, "replace", conf, removedDataPaths = removed)
+
+    // Remove rewritten data files, plus delete files that are now dead —
+    // i.e. everything they could reference was rewritten. DV entries share a
+    // Puffin path, so dead DVs are dropped per-entry via removedDvRefs.
+    val removedData = rewriting.map(_.recordedPath).toSet
+    val allRewritten = rewriting.size == p.dataFiles.size
+    val deadDeletes = p.deleteFiles.filter { d =>
+      d.info.content match {
+        case FileContent.PositionDeletes =>
+          d.info.referencedDataFile match {
+            case Some(ref) => removedData.contains(ref)
+            case None =>
+              (d.info.lowerBounds.get(PosDeletePathFieldId), d.info.upperBounds.get(PosDeletePathFieldId)) match {
+                case (Some(lo), Some(hi)) if java.util.Arrays.equals(lo, hi) =>
+                  removedData.contains(new String(lo, java.nio.charset.StandardCharsets.UTF_8))
+                case _ => allRewritten
+              }
+          }
+        case FileContent.EqualityDeletes =>
+          allRewritten || {
+            val dSpec = meta.spec(d.specId)
+            !dSpec.isUnpartitioned && {
+              val samePart = p.dataFiles.filter(f => partKeyOf(f) == partKeyOf(d))
+              samePart.nonEmpty && samePart.forall(f => removedData.contains(f.recordedPath))
+            }
+          }
+        case _ => allRewritten
+      }
+    }
+    val (dvDead, fileDead) = deadDeletes.partition(_.info.contentOffset.isDefined)
+    val removed = removedData ++ fileDead.map(_.recordedPath)
+    IcebergWrite.commitSnapshot(meta, dataEntries, Nil, "replace", conf,
+      removedDataPaths = removed,
+      removedDvRefs = dvDead.flatMap(_.info.referencedDataFile).toSet)
   }
 }

@@ -39,7 +39,7 @@ case class TableWriteOptions(
 
 object IcebergWrite {
   private val rng = new java.security.SecureRandom()
-  private def newSnapshotId(): Long = math.abs(rng.nextLong()) | 1L
+  private[graft] def newSnapshotId(): Long = math.abs(rng.nextLong()) | 1L
 
   private def fieldMetadata(id: Int): Metadata =
     new MetadataBuilder().putLong("parquet.field.id", id.toLong).build()
@@ -240,15 +240,24 @@ object IcebergWrite {
   /** Assemble + commit a snapshot from added data-file entries and added
     * delete-file entries. `operation`: append / delete / overwrite / replace.
     * For "replace"/rewrite commits pass `removedDataPaths` so prior manifests
-    * are rewritten without those files. */
+    * are rewritten without those files. `removedDvRefs`: data-file paths whose
+    * PREVIOUS deletion-vector entries are superseded by a DV in
+    * `addedDeletes` (one-DV-per-file invariant). `preassignedSnapshotId`:
+    * lets DV writers stamp the committing snapshot into Puffin blob metadata
+    * before the commit. `deleteSpec`: partition spec the delete manifest is
+    * written under (global equality deletes use an unpartitioned spec). */
   private[graft] def commitSnapshot(
       meta: TableMetadata,
       addedData: Seq[ManifestEntry],
       addedDeletes: Seq[ManifestEntry],
       operation: String,
       conf: Configuration,
-      removedDataPaths: Set[String] = Set.empty): TableMetadata = {
-    val (snap, _) = buildSnapshotFiles(meta, addedData, addedDeletes, operation, conf, removedDataPaths)
+      removedDataPaths: Set[String] = Set.empty,
+      removedDvRefs: Set[String] = Set.empty,
+      preassignedSnapshotId: Option[Long] = None,
+      deleteSpec: Option[PartitionSpec] = None): TableMetadata = {
+    val (snap, _) = buildSnapshotFiles(meta, addedData, addedDeletes, operation, conf,
+      removedDataPaths, removedDvRefs, preassignedSnapshotId, deleteSpec)
     val prevVersion = currentVersion(meta.location, conf)
     val now = snap.timestampMs
     val addedRows = addedData.filter(_.dataFile.content == FileContent.Data)
@@ -275,10 +284,13 @@ object IcebergWrite {
       addedDeletes: Seq[ManifestEntry],
       operation: String,
       conf: Configuration,
-      removedDataPaths: Set[String] = Set.empty): (SnapshotInfo, Seq[ManifestFile]) = {
+      removedDataPaths: Set[String] = Set.empty,
+      removedDvRefs: Set[String] = Set.empty,
+      preassignedSnapshotId: Option[Long] = None,
+      deleteSpec: Option[PartitionSpec] = None): (SnapshotInfo, Seq[ManifestFile]) = {
     val schema = meta.currentSchema
     val spec = meta.defaultSpec
-    val snapshotId = newSnapshotId()
+    val snapshotId = preassignedSnapshotId.getOrElse(newSnapshotId())
     val seq = meta.lastSequenceNumber + 1
     val commitUuid = UUID.randomUUID().toString
     val partitionFields: Seq[(String, IcebergType, Int)] = spec.fields.map { pf =>
@@ -288,7 +300,7 @@ object IcebergWrite {
     val fsys = TableMetadata.fs(metaDir, conf)
     fsys.mkdirs(new Path(metaDir))
 
-    def summariesFor(entries: Seq[ManifestEntry]): Seq[FieldSummary] =
+    def summariesWith(partitionFields: Seq[(String, IcebergType, Int)])(entries: Seq[ManifestEntry]): Seq[FieldSummary] =
       partitionFields.zipWithIndex.map { case ((_, t, _), i) =>
         val vals = entries.map(_.dataFile.partitionValues.lift(i).orNull)
         val nonNull = vals.filter(_ != null)
@@ -323,29 +335,46 @@ object IcebergWrite {
       val len = ManifestIO.writeManifest(mPath, conf, partitionFields, withSeq,
         Map("schema-id" -> schema.schemaId.toString, "partition-spec-id" -> spec.specId.toString, "content" -> "data"))
       newManifests +:= ManifestFile(mPath, len, spec.specId, 0, seq, seq, snapshotId,
-        withSeq.size, 0, 0, withSeq.map(_.dataFile.recordCount).sum, 0L, 0L, summariesFor(withSeq))
+        withSeq.size, 0, 0, withSeq.map(_.dataFile.recordCount).sum, 0L, 0L,
+        summariesWith(partitionFields)(withSeq))
     }
-    // New delete manifest.
+    // New delete manifest — written under `deleteSpec` when provided (e.g.
+    // global equality deletes use an unpartitioned spec per the spec).
     if (addedDeletes.nonEmpty) {
+      val dSpec = deleteSpec.getOrElse(spec)
+      val dPartitionFields: Seq[(String, IcebergType, Int)] = dSpec.fields.map { pf =>
+        (pf.name, pf.transform.resultType(schema.idToField(pf.sourceId).fieldType), pf.fieldId)
+      }
       val mPath = s"$metaDir/$commitUuid-m1.avro"
       val withSeq = addedDeletes.map(e => e.copy(
         snapshotId = Some(snapshotId), sequenceNumber = Some(seq), fileSequenceNumber = Some(seq)))
-      val len = ManifestIO.writeManifest(mPath, conf, partitionFields, withSeq,
-        Map("schema-id" -> schema.schemaId.toString, "partition-spec-id" -> spec.specId.toString, "content" -> "deletes"))
-      newManifests +:= ManifestFile(mPath, len, spec.specId, 1, seq, seq, snapshotId,
-        withSeq.size, 0, 0, withSeq.map(_.dataFile.recordCount).sum, 0L, 0L, summariesFor(withSeq))
+      val len = ManifestIO.writeManifest(mPath, conf, dPartitionFields, withSeq,
+        Map("schema-id" -> schema.schemaId.toString, "partition-spec-id" -> dSpec.specId.toString, "content" -> "deletes"))
+      newManifests +:= ManifestFile(mPath, len, dSpec.specId, 1, seq, seq, snapshotId,
+        withSeq.size, 0, 0, withSeq.map(_.dataFile.recordCount).sum, 0L, 0L,
+        summariesWith(dPartitionFields)(withSeq))
     }
 
-    // Carry forward previous manifests (minus files removed by a rewrite).
+    // Carry forward previous manifests (minus files removed by a rewrite and
+    // minus DV entries superseded by a new DV for the same data file).
+    def superseded(e: ManifestEntry): Boolean =
+      e.dataFile.content == FileContent.PositionDeletes &&
+        e.dataFile.contentOffset.isDefined &&
+        e.dataFile.referencedDataFile.exists(removedDvRefs.contains)
     val prevManifests: Seq[ManifestFile] = meta.currentSnapshot match {
       case None => Nil
       case Some(prev) =>
         val prevList = ManifestIO.manifestsOf(meta, prev, conf)
-        if (removedDataPaths.isEmpty) prevList
+        if (removedDataPaths.isEmpty && removedDvRefs.isEmpty) prevList
         else prevList.flatMap { m =>
+          // DV supersede touches only delete manifests; skip re-reading data
+          // manifests when no data paths are being removed.
+          if (removedDataPaths.isEmpty && m.content == 0) Seq(m)
+          else {
           val resolved = TableMetadata.resolvePath(meta.location, m.path, conf)
           val entries = ManifestIO.readManifest(resolved, conf, m)
-          val live = entries.filter(e => e.isLive && !removedDataPaths.contains(e.dataFile.filePath))
+          val live = entries.filter(e =>
+            e.isLive && !removedDataPaths.contains(e.dataFile.filePath) && !superseded(e))
           if (live.size == entries.count(_.isLive)) Some(m)
           else if (live.isEmpty) None
           else {
@@ -360,6 +389,7 @@ object IcebergWrite {
             Some(m.copy(path = mPath, length = len, addedFilesCount = 0,
               existingFilesCount = rewritten.size, deletedFilesCount = 0,
               addedRowsCount = 0L, existingRowsCount = rewritten.map(_.dataFile.recordCount).sum))
+          }
           }
         }
     }

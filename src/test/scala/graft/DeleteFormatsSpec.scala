@@ -21,6 +21,57 @@ class DeleteFormatsSpec extends SparkSpec {
     assertSameResult(src.filter("o_orderstatus <> 'F'"), IcebergTable.load(spark, path))
   }
 
+  test("repeated v3 DELETEs keep exactly one live DV per data file") {
+    val src = spark.read.parquet(s"$sfDir/orders.parquet")
+    val path = tmpDir("graft_dv_merge")
+    IcebergTable.write(src, path, TableWriteOptions(formatVersion = 3))
+    IcebergTable.delete(spark, path, "o_orderstatus = 'F'")
+    IcebergTable.delete(spark, path, "o_orderstatus = 'P'")
+    val p = IcebergTable.plan(spark, path)
+    val dvsByRef = p.deleteFiles.filter(_.info.contentOffset.isDefined)
+      .groupBy(_.info.referencedDataFile.get)
+    assert(dvsByRef.nonEmpty)
+    dvsByRef.foreach { case (ref, dvs) =>
+      assert(dvs.size == 1, s"expected one live DV for $ref, got ${dvs.size}")
+    }
+    // The surviving DV is the union of both deletes (old bitmap OR-ed in).
+    assertSameResult(src.filter("o_orderstatus NOT IN ('F', 'P')"), IcebergTable.load(spark, path))
+  }
+
+  test("v3 UPDATE and MERGE write deletion vectors, never position-delete parquet") {
+    val src = spark.read.parquet(s"$sfDir/region.parquet")
+    val path = tmpDir("graft_dv_update")
+    IcebergTable.write(src, path, TableWriteOptions(formatVersion = 3))
+    IcebergTable.update(spark, path, "r_regionkey < 2", Map("r_name" -> "upper(r_name)"))
+    import spark.implicits._
+    IcebergTable.merge(spark, path, Seq((3, "MERGED")).toDF("key", "name"),
+      "t.r_regionkey = s.key",
+      graft.write.Dml.MergeActions(matchedUpdate = Some(Map("r_name" -> "s.name"))))
+    val p = IcebergTable.plan(spark, path)
+    val dels = p.deleteFiles
+    assert(dels.nonEmpty)
+    assert(dels.forall(_.info.fileFormat == "puffin"),
+      s"v3 row-level deletes must be DVs, got formats ${dels.map(_.info.fileFormat).distinct}")
+    assert(dels.forall(_.info.contentOffset.isDefined))
+    val expected = src.withColumn("r_name",
+      when(col("r_regionkey") < 2, upper(col("r_name")))
+        .when(col("r_regionkey") === 3, lit("MERGED")).otherwise(col("r_name")))
+    assertSameResult(expected, IcebergTable.load(spark, path))
+  }
+
+  test("v3 DELETE across partitions writes per-group Puffin files on executors") {
+    val src = spark.read.parquet(s"$sfDir/orders.parquet")
+    val path = tmpDir("graft_dv_multigroup")
+    IcebergTable.write(src, path, TableWriteOptions(formatVersion = 3,
+      partitionBy = Seq(("o_orderstatus", graft.core.Transforms.Identity))))
+    IcebergTable.delete(spark, path, "o_orderkey % 7 = 0")
+    val p = IcebergTable.plan(spark, path)
+    val puffins = p.deleteFiles.filter(_.info.contentOffset.isDefined).map(_.recordedPath).distinct
+    assert(puffins.size > 1,
+      s"expected one Puffin file per (partition, salt) group, got ${puffins.size}")
+    assertSameResult(src.filter("o_orderkey % 7 <> 0"), IcebergTable.load(spark, path))
+  }
+
   test("equality-delete write: keys removed across the whole table") {
     val src = spark.read.parquet(s"$sfDir/customer.parquet")
     val path = tmpDir("graft_eqdel")
@@ -41,6 +92,14 @@ class DeleteFormatsSpec extends SparkSpec {
       partitionBy = Seq(("o_orderstatus", graft.core.Transforms.Identity))))
     val keys = src.filter(col("o_orderkey") < 100).select("o_orderkey")
     IcebergTable.deleteEquality(spark, path, keys)
+    // Global equality deletes must be recorded under an UNPARTITIONED spec
+    // (an all-null tuple under the partitioned spec would scope the delete
+    // to the null partition per the Iceberg spec).
+    val p = IcebergTable.plan(spark, path)
+    val eq = p.deleteFiles.filter(_.info.content == graft.manifest.FileContent.EqualityDeletes)
+    assert(eq.nonEmpty)
+    eq.foreach(d => assert(p.meta.spec(d.specId).isUnpartitioned,
+      s"global equality delete written under partitioned spec ${d.specId}"))
     assertSameResult(src.filter(col("o_orderkey") >= 100), IcebergTable.load(spark, path))
   }
 

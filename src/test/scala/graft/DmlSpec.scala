@@ -76,6 +76,51 @@ class DmlSpec extends SparkSpec {
     assert(after.fastRowCount.contains(src.filter("l_quantity >= 5").count()))
   }
 
+  test("rewriteDataFiles compacts ONLY the qualifying partition; others untouched") {
+    val src = spark.read.parquet(s"$sfDir/orders.parquet")
+    val path = tmpDir("graft_dml_rewrite_partial")
+    IcebergTable.write(src, path, graft.write.TableWriteOptions(
+      partitionBy = Seq(("o_orderstatus", graft.core.Transforms.Identity))))
+    // Second append only to partition F -> F has 2 undersized files, O/P 1.
+    IcebergTable.append(src.filter("o_orderstatus = 'F'"), path)
+    val before = IcebergTable.plan(spark, path)
+    def filesOf(p: graft.read.ScanPlan, status: String) =
+      p.dataFiles.filter(_.info.partitionValues == Seq(status)).map(_.recordedPath).toSet
+    assert(filesOf(before, "F").size == 2)
+    assert(filesOf(before, "O").size == 1 && filesOf(before, "P").size == 1)
+
+    IcebergTable.rewriteDataFiles(spark, path)
+    val after = IcebergTable.plan(spark, path)
+    // F compacted to one file; O and P keep their EXACT original files.
+    assert(filesOf(after, "F").size == 1)
+    assert(filesOf(after, "F") != filesOf(before, "F"))
+    assert(filesOf(after, "O") == filesOf(before, "O"), "partition O must not be rewritten")
+    assert(filesOf(after, "P") == filesOf(before, "P"), "partition P must not be rewritten")
+    val expected = src.union(src.filter("o_orderstatus = 'F'"))
+    assertSameResult(expected, IcebergTable.load(spark, path))
+  }
+
+  test("rewriteDataFiles with a delete in one partition rewrites only that partition") {
+    val src = spark.read.parquet(s"$sfDir/orders.parquet")
+    val path = tmpDir("graft_dml_rewrite_deltrigger")
+    IcebergTable.write(src, path, graft.write.TableWriteOptions(
+      partitionBy = Seq(("o_orderstatus", graft.core.Transforms.Identity))))
+    IcebergTable.delete(spark, path, "o_orderstatus = 'F' AND o_orderkey < 500")
+    val before = IcebergTable.plan(spark, path)
+    assert(before.deleteFiles.nonEmpty)
+    def filesOf(p: graft.read.ScanPlan, status: String) =
+      p.dataFiles.filter(_.info.partitionValues == Seq(status)).map(_.recordedPath).toSet
+    IcebergTable.rewriteDataFiles(spark, path)
+    val after = IcebergTable.plan(spark, path)
+    // One deleted row in partition F must NOT trigger a whole-table rewrite.
+    assert(filesOf(after, "O") == filesOf(before, "O"), "partition O must not be rewritten")
+    assert(filesOf(after, "P") == filesOf(before, "P"), "partition P must not be rewritten")
+    assert(filesOf(after, "F") != filesOf(before, "F"), "partition F must be rewritten")
+    assert(after.deleteFiles.isEmpty, "the F-scoped delete file is dead after the rewrite")
+    assertSameResult(src.filter("NOT (o_orderstatus = 'F' AND o_orderkey < 500)"),
+      IcebergTable.load(spark, path))
+  }
+
   test("delete-file pruning: partition-scoped deletes not read for other partitions") {
     val src = spark.read.parquet(s"$sfDir/orders.parquet")
     val path = tmpDir("graft_dml_delprune")

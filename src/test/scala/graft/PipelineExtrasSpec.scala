@@ -89,6 +89,24 @@ class PipelineExtrasSpec extends SparkSpec {
     assert(Streams.appendsSince(spark, path, cur).count() == 0)
   }
 
+  test("incremental read survives a column rename (field-id projection, not by-name)") {
+    val src = spark.read.parquet(s"$sfDir/nation.parquet")
+    val path = tmpDir("graft_incremental_rename")
+    IcebergTable.write(src, path)
+    val first = graft.core.TableMetadata.load(path, spark.sessionState.newHadoopConf())
+      .currentSnapshotId.get
+    // Append under the OLD name, then rename: the incremental files carry
+    // the old physical name — only field-id projection maps them to the
+    // current schema; a by-name read returns nulls.
+    val batch2 = src.withColumn("n_nationkey", col("n_nationkey") + 100)
+    IcebergTable.append(batch2, path)
+    graft.write.Evolution.renameColumn(spark, path, "n_name", "nation_name")
+    val inc = Streams.appendsSince(spark, path, first)
+    assertSameResult(batch2.withColumnRenamed("n_name", "nation_name"), inc)
+    assert(inc.filter(col("nation_name").isNull).count() == 0,
+      "incremental read returned nulls for a renamed column")
+  }
+
   test("structured streaming: watermarked windowed aggregation matches batch") {
     val dir = tmpDir("graft_stream_events")
     val events = spark.read.parquet(s"$sfDir/events.parquet")
