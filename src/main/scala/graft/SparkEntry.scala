@@ -156,8 +156,10 @@ object SparkEntry {
       q1Shape(IcebergTable.load(s, Fixtures.lineitemPlain(s, dir)))),
 
     "ice_month_prune" -> ((s, dir) =>
-      IcebergTable.load(s, Fixtures.ordersByMonth(s, dir),
-          ReadOptions(filterSql = Some("o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'")))
+      // Via the DSv2 front-end: Catalyst pushes the filter into the scan
+      // builder, which drives month-transform partition pruning.
+      s.read.format("graft").load(Fixtures.ordersByMonth(s, dir))
+        .where(col("o_orderdate") >= lit("2000-01-01 00:00:00").cast("timestamp_ntz"))
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).cast("long").as("n"),
           round(sum("o_totalprice"), 2).as("total"))),

@@ -45,6 +45,11 @@ object IcebergTypes {
     def toSpark = DecimalType(precision, scale); def typeJsonString = s"decimal($precision, $scale)"
   }
   case object UnknownT extends IcebergType { def toSpark = NullType; def typeJsonString = "unknown" }
+  /** Iceberg v3 variant — Spark 4 VariantType; pruning is conservative
+    * (always-match) since bounds use the rekeyed encoding we don't model
+    * (reference iceberg_column_definition.cpp:142-144,
+    * iceberg_file_pruner.cpp:117-135). */
+  case object VariantT extends IcebergType { def toSpark = VariantType; def typeJsonString = "variant" }
 
   case class NestedField(
       id: Int,
@@ -94,6 +99,7 @@ object IcebergTypes {
     case "uuid" => UuidT
     case "binary" => BinaryT
     case "unknown" => UnknownT
+    case "variant" => VariantT
     case DecimalRe(p, sc) => DecimalT(p.toInt, sc.toInt)
     case FixedRe(n) => FixedT(n.toInt)
     case other if other.startsWith("geometry") => BinaryT // WKB; crs not modeled
@@ -186,6 +192,7 @@ object IcebergTypes {
       case TimestampNTZType => TimestampT
       case StringType => StringT
       case BinaryType => BinaryT
+      case VariantType => VariantT
       case d: DecimalType => DecimalT(d.precision, d.scale)
       case ArrayType(et, containsNull) =>
         val id = alloc(); ListT(id, conv(et), !containsNull)

@@ -318,7 +318,9 @@ object ManifestIO {
     new Schema.Parser().parse(json)
   }
 
-  lazy val manifestListSchema: Schema = new Schema.Parser().parse("""
+  /** Manifest-list schema; v3 adds the first_row_id field (520) used for
+    * row-id inheritance (reference iceberg_manifest_list.cpp:688-689). */
+  private def manifestListSchemaJson(v3: Boolean): String = s"""
     {"type":"record","name":"manifest_file","fields":[
       {"name":"manifest_path","type":"string","field-id":500},
       {"name":"manifest_length","type":"long","field-id":501},
@@ -338,8 +340,13 @@ object ManifestIO {
         {"name":"contains_nan","type":["null","boolean"],"default":null,"field-id":518},
         {"name":"lower_bound","type":["null","bytes"],"default":null,"field-id":510},
         {"name":"upper_bound","type":["null","bytes"],"default":null,"field-id":511}
-      ]},"element-id":508}],"default":null,"field-id":507}
-    ]}""")
+      ]},"element-id":508}],"default":null,"field-id":507}${
+        if (v3) """,
+      {"name":"first_row_id","type":["null","long"],"default":null,"field-id":520}""" else ""}
+    ]}"""
+
+  lazy val manifestListSchema: Schema = new Schema.Parser().parse(manifestListSchemaJson(v3 = false))
+  lazy val manifestListSchemaV3: Schema = new Schema.Parser().parse(manifestListSchemaJson(v3 = true))
 
   // ---------- v2 write ----------
 
@@ -420,10 +427,11 @@ object ManifestIO {
     fsys.getFileStatus(new Path(path)).getLen
   }
 
-  /** Write a v2 manifest list. */
+  /** Write a manifest list (v2 schema; v3 adds first_row_id when
+    * `formatVersion >= 3`). */
   def writeManifestList(path: String, conf: Configuration, manifests: Seq[ManifestFile],
-      metaProps: Map[String, String] = Map.empty): Unit = {
-    val schema = manifestListSchema
+      metaProps: Map[String, String] = Map.empty, formatVersion: Int = 2): Unit = {
+    val schema = if (formatVersion >= 3) manifestListSchemaV3 else manifestListSchema
     val fsys = TableMetadata.fs(path, conf)
     val out = fsys.create(new Path(path), true)
     val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
@@ -446,6 +454,7 @@ object ManifestIO {
       r.put("added_rows_count", m.addedRowsCount)
       r.put("existing_rows_count", m.existingRowsCount)
       r.put("deleted_rows_count", m.deletedRowsCount)
+      if (formatVersion >= 3) r.put("first_row_id", m.firstRowId.map(Long.box).orNull)
       if (m.partitions.nonEmpty) {
         val list = new java.util.ArrayList[GenericRecord](m.partitions.size)
         m.partitions.foreach { s =>

@@ -50,11 +50,30 @@ object Multimodal {
   }
 
   /** STUB decode: deterministic pseudo-dimensions derived from the payload
-    * hash (`???` point for a real image decoder). */
+    * hash — fallback for payloads that are not decodable images (synthetic
+    * fixtures with magic headers but no real image data). */
   def fakeDecodeDims(payload: Array[Byte]): (Int, Int) = {
     val h = Dedup.fnv64(new String(payload.map(b => (b & 0x7f).toChar)))
     (256 + (Math.floorMod(h, 8L) * 64).toInt, 256 + (Math.floorMod(h >> 8, 8L) * 64).toInt)
   }
+
+  /** REAL image-dimension decode for PNG/JPEG via javax.imageio (in the
+    * JDK, no extra jars). Header-only: ImageReader.getWidth/getHeight read
+    * metadata without decoding pixel data. Returns None when no installed
+    * reader recognizes the payload. */
+  def decodeImageDims(payload: Array[Byte]): Option[(Int, Int)] =
+    try {
+      val in = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try { r.setInput(in); Some((r.getWidth(0), r.getHeight(0))) }
+          finally r.dispose()
+        }
+      } finally if (in != null) in.close()
+    } catch { case _: Exception => None }
 
   /** Attach a typed metadata struct next to `binCol`. byte_length is
     * computed natively (`length` on binary = octet count, codegen'd); only
@@ -62,7 +81,9 @@ object Multimodal {
   def attachMetadata(df: DataFrame, binCol: String): DataFrame = {
     val sniff = udf((b: Array[Byte]) => sniffType(b))
     val dims = udf((b: Array[Byte], t: String) =>
-      if (t != null && t.startsWith("image/")) fakeDecodeDims(b) else (0, 0))
+      if (t != null && t.startsWith("image/"))
+        decodeImageDims(b).getOrElse(fakeDecodeDims(b)) // real decode; stub fallback
+      else (0, 0))
     df.withColumn("_mt", sniff(col(binCol)))
       .withColumn("_dims", dims(col(binCol), col("_mt")))
       .withColumn("media_meta", struct(

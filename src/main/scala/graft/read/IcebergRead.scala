@@ -76,6 +76,9 @@ case class ScanPlan(
 object IcebergRead {
   private val PosDeletePathFieldId = 2147483546
   private val PosDeletePosFieldId = 2147483545
+  // v3 row-lineage reserved field ids (materialized by rewrites/updates).
+  private val RowIdFieldId = 2147483540
+  private val LastUpdatedSeqFieldId = 2147483539
 
   private[graft] def parMap[A, B](items: Seq[A], parallelism: Int = 8)(f: A => B): Seq[B] = {
     if (items.size <= 1) items.map(f)
@@ -146,8 +149,19 @@ object IcebergRead {
           e.status,
           e.dataFile.firstRowId)
 
+        // v3 row-id inheritance: files with null first_row_id draw from the
+        // manifest's first_row_id cursor, advanced by record_count
+        // (reference iceberg_manifest_list.cpp:688-689).
         val liveData = entriesByManifest.filter(_._1.content == 0).flatMap { case (m, es) =>
-          es.filter(_.isLive).map(e => planned(m, e))
+          var cursor = m.firstRowId
+          es.filter(_.isLive).map { e =>
+            val pf = planned(m, e)
+            if (pf.firstRowId.isEmpty && cursor.isDefined && pf.info.content == FileContent.Data) {
+              val assigned = cursor.get
+              cursor = Some(assigned + pf.info.recordCount)
+              pf.copy(firstRowId = Some(assigned))
+            } else pf
+          }
         }
         val liveDeletes = entriesByManifest.filter(_._1.content == 1).flatMap { case (m, es) =>
           es.filter(_.isLive).map(e => planned(m, e))
@@ -316,7 +330,7 @@ object IcebergRead {
       else p.dataFiles.groupBy(f => (f.dataSeq, partKey(f))).toSeq.sortBy(_._1)
 
     val parts = seqGroups.map { case ((seq, pk), files) =>
-      var df = buildScan(spark, p, files, conf, needMeta)
+      var df = buildScan(spark, p, files, conf, needMeta, needLineage = opts.withRowLineage)
       // Global equality deletes are EXACTLY those under an unpartitioned
       // spec; an all-null tuple under a partitioned spec means "the null
       // partition", not "every partition" (Iceberg spec scoping rules).
@@ -332,7 +346,7 @@ object IcebergRead {
     if (posDeletes.nonEmpty || dvs.nonEmpty)
       df = applyPositionDeletes(spark, df, posDeletes, dvs, p, conf)
 
-    if (opts.withRowLineage) df = addRowLineage(spark, df, p)
+    if (opts.withRowLineage) df = addRowLineage(spark, df, p, opts.keepFileMeta)
     else if (needMeta && !opts.keepFileMeta) df = df.drop("_g_path", "_g_pos")
 
     opts.filterSql.foreach(f => df = df.where(expr(f)))
@@ -400,7 +414,7 @@ object IcebergRead {
     * (initial-defaults + identity-partition constants for physically-missing
     * columns), one parquet read per group, patched with literals. */
   private def buildScan(spark: SparkSession, p: ScanPlan, files: Seq[PlannedFile],
-      conf: Configuration, needMeta: Boolean): DataFrame = {
+      conf: Configuration, needMeta: Boolean, needLineage: Boolean = false): DataFrame = {
     val schema = p.schema
     val sparkSchema = schema.toSpark
     val props = p.meta.properties
@@ -482,15 +496,31 @@ object IcebergRead {
     })
 
     /** Physical Spark type to request from parquet for a field (uuid is
-      * stored as fixed[16] -> read binary, convert after). */
+      * stored as fixed[16] -> read binary, convert after) — applied
+      * recursively so uuid/fixed INSIDE structs read correctly too. */
     def physType(t: IcebergType): DataType = t match {
       case IcebergTypes.UuidT => BinaryType
+      case IcebergTypes.StructT(fs) =>
+        StructType(fs.map(f => StructField(f.name, physType(f.fieldType), nullable = true, fieldMeta(f.id))))
+      case IcebergTypes.ListT(_, el, req) => ArrayType(physType(el), containsNull = !req)
+      case IcebergTypes.MapT(_, k, _, v, req) => MapType(physType(k), physType(v), valueContainsNull = !req)
       case other => other.toSpark
     }
-    def postConvert(df: DataFrame, f: IcebergTypes.NestedField): DataFrame = f.fieldType match {
-      case IcebergTypes.UuidT => df.withColumn(f.name, uuidToString(col(f.name)))
-      case _ => df
+    /** Dotted paths (through structs) of every uuid field under `t`; uuid
+      * inside list/map elements stays 16-byte binary (documented gap). */
+    def uuidPaths(t: IcebergType, prefix: Seq[String]): Seq[Seq[String]] = t match {
+      case IcebergTypes.UuidT => Seq(prefix)
+      case IcebergTypes.StructT(fs) => fs.flatMap(f => uuidPaths(f.fieldType, prefix :+ f.name))
+      case _ => Nil
     }
+    def postConvert(df: DataFrame, f: IcebergTypes.NestedField): DataFrame =
+      uuidPaths(f.fieldType, Seq(f.name)).foldLeft(df) { (d, path) =>
+        path match {
+          case Seq(top) => d.withColumn(top, uuidToString(col(top)))
+          case p => d.withColumn(p.head,
+            col(p.head).withField(p.tail.mkString("."), uuidToString(col(p.mkString(".")))))
+        }
+      }
 
     val dfs = groups.toSeq.flatMap { case (missing, gfiles) =>
       val missingIds = missing.map(_._1).toSet
@@ -521,14 +551,20 @@ object IcebergRead {
               df = df.withColumn(path.head, col(path.head).withField(path.tail.mkString("."), v))
           }
         }
-        val cols = sparkSchema.fieldNames.map(col) ++ (if (needMeta) Seq(col("_g_path"), col("_g_pos")) else Nil)
+        val cols = sparkSchema.fieldNames.map(col) ++
+          (if (needLineage) Seq(col("_g_mat_row_id"), col("_g_mat_seq")) else Nil) ++
+          (if (needMeta) Seq(col("_g_path"), col("_g_pos")) else Nil)
         df.select(cols.toIndexedSeq: _*)
       }
 
       val idDF = if (idFiles.nonEmpty) {
         val fields = readFields.map { f =>
           StructField(f.name, physType(f.fieldType), nullable = true, fieldMeta(f.id))
-        }
+        } ++ (if (needLineage) Seq(
+          // Materialized v3 lineage columns, matched by reserved field id;
+          // null (ignoreMissing) for files written without them.
+          StructField("_g_mat_row_id", LongType, nullable = true, fieldMeta(RowIdFieldId)),
+          StructField("_g_mat_seq", LongType, nullable = true, fieldMeta(LastUpdatedSeqFieldId))) else Nil)
         Some(finish(spark.read.schema(StructType(fields)).parquet(idFiles.map(_.resolvedPath): _*)))
       } else None
 
@@ -541,6 +577,10 @@ object IcebergRead {
         // Fields absent from the mapping are null even if a same-named
         // column physically exists (name_mapping fixture semantics).
         unmapped.foreach(f => df = df.withColumn(f.name, lit(null).cast(physType(f.fieldType))))
+        if (needLineage) {
+          df = df.withColumn("_g_mat_row_id", lit(null).cast(LongType))
+            .withColumn("_g_mat_seq", lit(null).cast(LongType))
+        }
         Some(finish(df))
       } else None
 
@@ -611,17 +651,22 @@ object IcebergRead {
     }
   }
 
-  /** v3 row lineage: _row_id = file first_row_id + position,
-    * _last_updated_sequence_number = file data sequence
-    * (reference iceberg_multi_file_reader.cpp:604-713). */
-  private def addRowLineage(spark: SparkSession, scan: DataFrame, p: ScanPlan): DataFrame = {
+  /** v3 row lineage: a MATERIALIZED _row_id / _last_updated_sequence_number
+    * column (written by rewrites/updates to preserve ids) wins; otherwise
+    * _row_id = file first_row_id + position and _last_updated = the file's
+    * data sequence (reference iceberg_multi_file_reader.cpp:604-713 builds
+    * the same COALESCE). */
+  private def addRowLineage(spark: SparkSession, scan: DataFrame, p: ScanPlan,
+      keepMeta: Boolean): DataFrame = {
     import spark.implicits._
     val fileInfo = p.dataFiles.map(f =>
       (f.resolvedPath, f.firstRowId.getOrElse(-1L), f.dataSeq)).toDF("_l_path", "_l_first", "_l_seq")
-    scan.join(broadcast(fileInfo), normPath(scan("_g_path")) === normPath(col("_l_path")), "left")
-      .withColumn("_row_id", when(col("_l_first") >= 0, col("_l_first") + col("_g_pos")).otherwise(lit(null)))
-      .withColumn("_last_updated_sequence_number", col("_l_seq"))
-      .drop("_l_path", "_l_first", "_l_seq", "_g_path", "_g_pos")
+    val out = scan.join(broadcast(fileInfo), normPath(scan("_g_path")) === normPath(col("_l_path")), "left")
+      .withColumn("_row_id", coalesce(col("_g_mat_row_id"),
+        when(col("_l_first") >= 0, col("_l_first") + col("_g_pos"))))
+      .withColumn("_last_updated_sequence_number", coalesce(col("_g_mat_seq"), col("_l_seq")))
+      .drop("_l_path", "_l_first", "_l_seq", "_g_mat_row_id", "_g_mat_seq")
+    if (keepMeta) out else out.drop("_g_path", "_g_pos")
   }
 }
 

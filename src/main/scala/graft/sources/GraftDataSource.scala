@@ -1,0 +1,172 @@
+package graft.sources
+
+import graft.core.{SnapshotLookup, TableMetadata}
+import graft.read.{IcebergRead, ReadOptions, ScanPlan}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/**
+ * DataSourceV2 front-end: `spark.read.format("graft").load(path)`.
+ *
+ * The reference exposes its scan as a SQL table function
+ * (`iceberg_scan(...)`, src/iceberg_extension.cpp:135-162); the Spark-native
+ * equivalent is a TableProvider. Catalyst pushes filters + required columns
+ * into the ScanBuilder; accepted filters drive manifest/file/stats pruning
+ * in [[graft.read.Pruning]] BEFORE any parquet footer is opened, and flow
+ * into the inner parquet scans (so parquet row-group pushdown still applies).
+ * The scan itself is the composed merge-on-read DataFrame plan (deletes,
+ * field-id projection, defaults), bridged through [[V1Scan]] — rebuilding
+ * Spark's vectorized parquet reader inside a custom Batch would duplicate
+ * the engine, not use it.
+ *
+ * Options: `snapshot-id`, `as-of-timestamp` (ms), `metadata-version`.
+ */
+class GraftDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft"
+  override def supportsExternalMetadata(): Boolean = false
+
+  private def pathOf(m: java.util.Map[String, String]): String = {
+    val p = m.get("path")
+    require(p != null, "graft source requires a path: spark.read.format(\"graft\").load(path)")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    val conf = spark.sessionState.newHadoopConf()
+    val opts = GraftDataSource.readOptions(options)
+    val meta = TableMetadata.load(pathOf(options), conf, opts.metadataVersion)
+    val schema = opts.lookup match {
+      case SnapshotLookup.Latest => meta.currentSchema
+      case _ => meta.schemaFor(meta.selectSnapshot(opts.lookup))
+    }
+    schema.toSpark
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new GraftTable(pathOf(properties), schema)
+}
+
+object GraftDataSource {
+  /** Last executed scan's (kept data files, total live data files) — a
+    * diagnostic hook for plan-quality tests and metrics. */
+  @volatile var lastScanFiles: Option[(Int, Int)] = None
+
+  private[sources] def readOptions(options: java.util.Map[String, String]): ReadOptions = ReadOptions(
+    snapshotId = Option(options.get("snapshot-id")).map(_.toLong),
+    asOfTimestampMs = Option(options.get("as-of-timestamp")).map(_.toLong),
+    metadataVersion = Option(options.get("metadata-version")))
+}
+
+private[sources] class GraftTable(path: String, tableSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft.`$path`"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(path, tableSchema, GraftDataSource.readOptions(options))
+}
+
+private[sources] class GraftScanBuilder(path: String, tableSchema: StructType, opts: ReadOptions)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var accepted: Array[Filter] = Array.empty
+  private var required: StructType = tableSchema
+
+  /** Record every filter we can express as SQL (they drive metadata pruning
+    * + parquet pushdown); return ALL filters as residual — Spark re-applies
+    * them, which keeps semantics exact even where stats pruning is
+    * conservative. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    accepted = filters.filter(f => FilterSql.convert(f).isDefined)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = new GraftScan(path, required, accepted, opts)
+}
+
+private[sources] class GraftScan(path: String, required: StructType,
+    pushed: Array[Filter], opts: ReadOptions) extends V1Scan {
+  private val filterSql: Option[String] = {
+    val parts = pushed.flatMap(FilterSql.convert)
+    if (parts.isEmpty) None else Some(parts.map(p => s"($p)").mkString(" AND "))
+  }
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"GraftIcebergScan path=$path pushed=[${filterSql.getOrElse("")}] columns=[${required.fieldNames.mkString(",")}]"
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
+    new GraftRelation(context, path, required, opts.copy(filterSql = filterSql)).asInstanceOf[T]
+}
+
+private[sources] class GraftRelation(context: SQLContext, path: String,
+    required: StructType, opts: ReadOptions) extends BaseRelation with TableScan {
+  override def sqlContext: SQLContext = context
+  override def schema: StructType = required
+  override def toString: String =
+    s"GraftIcebergScan path=$path pushed=[${opts.filterSql.getOrElse("")}] columns=[${required.fieldNames.mkString(",")}]"
+  override def buildScan(): RDD[Row] = {
+    val spark = context.sparkSession
+    IcebergRead.ensureConfs(spark)
+    val conf = spark.sessionState.newHadoopConf()
+    val p: ScanPlan = IcebergRead.plan(spark, path, opts)
+    GraftDataSource.lastScanFiles = Some((p.dataFiles.size, p.totalDataFiles))
+    val df = IcebergRead.assemble(spark, p, conf, opts)
+    val projected =
+      if (required.fieldNames.isEmpty) df
+      else df.select(required.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+    projected.rdd
+  }
+}
+
+/** Spark `Filter` -> ANSI SQL text (fed to Pruning.extractPredicates and the
+  * inner scan's residual filter). Unconvertible filters return None and are
+  * simply not pushed. */
+private[sources] object FilterSql {
+  private def lit(v: Any): Option[String] = v match {
+    case null => None
+    case s: String => Some("'" + s.replace("'", "''") + "'")
+    case t: java.sql.Timestamp => Some(s"TIMESTAMP '$t'")
+    case t: java.time.Instant => Some(s"TIMESTAMP '${java.sql.Timestamp.from(t)}'")
+    case t: java.time.LocalDateTime => Some(s"TIMESTAMP '${t.toString.replace("T", " ")}'")
+    case d: java.sql.Date => Some(s"DATE '$d'")
+    case d: java.time.LocalDate => Some(s"DATE '$d'")
+    case b: Boolean => Some(b.toString)
+    case d: java.math.BigDecimal => Some(d.toPlainString)
+    case d: BigDecimal => Some(d.toString)
+    case n @ (_: Int | _: Long | _: Short | _: Byte | _: Float | _: Double) => Some(n.toString)
+    case _ => None
+  }
+  private def col(name: String): Option[String] =
+    if (name.contains(".")) None // nested refs: skip (conservative)
+    else Some("`" + name.replace("`", "``") + "`")
+
+  def convert(f: Filter): Option[String] = f match {
+    case EqualTo(a, v) => for { c <- col(a); l <- lit(v) } yield s"$c = $l"
+    case EqualNullSafe(a, v) => for { c <- col(a); l <- lit(v) } yield s"$c <=> $l"
+    case GreaterThan(a, v) => for { c <- col(a); l <- lit(v) } yield s"$c > $l"
+    case GreaterThanOrEqual(a, v) => for { c <- col(a); l <- lit(v) } yield s"$c >= $l"
+    case LessThan(a, v) => for { c <- col(a); l <- lit(v) } yield s"$c < $l"
+    case LessThanOrEqual(a, v) => for { c <- col(a); l <- lit(v) } yield s"$c <= $l"
+    case In(a, vs) =>
+      val ls = vs.map(lit)
+      if (ls.isEmpty || ls.exists(_.isEmpty)) None
+      else col(a).map(c => s"$c IN (${ls.flatten.mkString(", ")})")
+    case IsNull(a) => col(a).map(c => s"$c IS NULL")
+    case IsNotNull(a) => col(a).map(c => s"$c IS NOT NULL")
+    case And(l, r) => for { a <- convert(l); b <- convert(r) } yield s"($a) AND ($b)"
+    case Or(l, r) => for { a <- convert(l); b <- convert(r) } yield s"($a) OR ($b)"
+    case Not(c) => convert(c).map(s => s"NOT ($s)")
+    case StringStartsWith(a, v) =>
+      for { c <- col(a); l <- lit(v + "%") } yield s"$c LIKE $l"
+    case _ => None
+  }
+}

@@ -267,20 +267,23 @@ object Dml {
   }
 
   /** UPDATE table SET col=expr... WHERE cond — MoR delete + re-insert of
-    * updated rows, one OVERWRITE snapshot. */
+    * updated rows, one OVERWRITE snapshot. On v3 tables the re-inserted
+    * rows materialize their original _row_id (spec: row ids survive
+    * updates; _last_updated inherits the new commit's sequence). */
   def update(spark: SparkSession, path: String, condSql: String,
       set: Map[String, String]): TableMetadata = {
     val conf = spark.sessionState.newHadoopConf()
     val meta = TableMetadata.load(path, conf)
     val schema = meta.currentSchema
+    val v3 = meta.formatVersion >= 3
     val matched = IcebergRead.loadWithMetadata(spark, meta, conf,
-      ReadOptions(filterSql = Some(condSql), keepFileMeta = true)).cache()
+      ReadOptions(filterSql = Some(condSql), keepFileMeta = true, withRowLineage = v3)).cache()
     try {
       val rd = writeRowDeletes(spark, meta, matched.select("_g_path", "_g_pos"))
       if (rd.entries.isEmpty) return meta
-      val updated = matched.select(schema.fields.map { f =>
+      val updated = matched.select((schema.fields.map { f =>
         set.get(f.name).map(e => expr(e).cast(f.fieldType.toSpark).as(f.name)).getOrElse(col(f.name))
-      }.toIndexedSeq: _*)
+      } ++ (if (v3) Seq(col("_row_id")) else Nil)).toIndexedSeq: _*)
       val (dataEntries, _) = IcebergWrite.writeDataFiles(updated, meta, conf)
       IcebergWrite.commitSnapshot(meta, dataEntries, rd.entries, "overwrite", conf,
         removedDvRefs = rd.removedDvRefs, preassignedSnapshotId = rd.snapshotId)
@@ -304,8 +307,9 @@ object Dml {
     val conf = spark.sessionState.newHadoopConf()
     val meta = TableMetadata.load(path, conf)
     val schema = meta.currentSchema
+    val v3 = meta.formatVersion >= 3
     val target = IcebergRead.loadWithMetadata(spark, meta, conf,
-      ReadOptions(keepFileMeta = true))
+      ReadOptions(keepFileMeta = true, withRowLineage = v3))
 
     val t = target.alias("t")
     val s = source.alias("s")
@@ -323,21 +327,24 @@ object Dml {
             joined.select(col("t._g_path").as("_g_path"), col("t._g_pos").as("_g_pos")))
         else RowDeletes(Nil, Set.empty, None)
 
+      // v3: updated rows keep their original _row_id (materialized); newly
+      // inserted rows carry null and draw fresh ids from first_row_id.
       val updatedRows: Option[DataFrame] = actions.matchedUpdate.map { set =>
-        joined.select(schema.fields.map { f =>
+        joined.select((schema.fields.map { f =>
           set.get(f.name).map(e => expr(e).cast(f.fieldType.toSpark).as(f.name))
             .getOrElse(col(s"t.${f.name}"))
-        }.toIndexedSeq: _*)
+        } ++ (if (v3) Seq(col("t._row_id").as("_row_id")) else Nil)).toIndexedSeq: _*)
       }
       val insertedRows: Option[DataFrame] = {
         val notMatched = s.join(t, expr(onCond), "left_anti")
+        val nullLineage = if (v3) Seq(lit(null).cast("long").as("_row_id")) else Nil
         if (actions.insertAll)
-          Some(notMatched.select(schema.fields.map(f => col(f.name)).toIndexedSeq: _*))
+          Some(notMatched.select((schema.fields.map(f => col(f.name)) ++ nullLineage).toIndexedSeq: _*))
         else actions.insert.map { ins =>
-          notMatched.select(schema.fields.map { f =>
+          notMatched.select((schema.fields.map { f =>
             ins.get(f.name).map(e => expr(e).cast(f.fieldType.toSpark).as(f.name))
               .getOrElse(lit(null).cast(f.fieldType.toSpark).as(f.name))
-          }.toIndexedSeq: _*)
+          } ++ nullLineage).toIndexedSeq: _*)
         }
       }
       val newRows = (updatedRows.toSeq ++ insertedRows.toSeq).reduceOption(_ unionByName _)
@@ -414,9 +421,13 @@ object Dml {
     // Scan ONLY the candidate files, with only their applicable deletes —
     // assembled from a reduced plan, so pruning/field-id projection and
     // delete merging reuse the normal read machinery.
+    // v3: surviving rows carry their _row_id AND _last_updated_sequence_
+    // number through the rewrite as materialized columns (spec: compaction
+    // must not reassign either).
     val subPlan = p.copy(dataFiles = rewriting,
       deleteFiles = p.deleteFiles.filter(d => deleteApplies(d, rewriting)))
-    var rows = IcebergRead.assemble(spark, subPlan, conf, ReadOptions())
+    var rows = IcebergRead.assemble(spark, subPlan, conf,
+      ReadOptions(withRowLineage = meta.formatVersion >= 3))
     // Bin toward the target size: one output file per targetFileSizeBytes of
     // input (per-partition layout is re-established by writeDataFiles).
     if (meta.defaultSpec.isUnpartitioned) {

@@ -123,8 +123,15 @@ object IcebergWrite {
     val spec = meta.defaultSpec
 
     // Project df to the table schema, aliasing every column with its
-    // field-id metadata so parquet files carry ids.
-    val cols = schema.fields.map(f => col(f.name).cast(f.fieldType.toSpark).as(f.name, fieldMetadata(f.id)))
+    // field-id metadata so parquet files carry ids. v3 row-lineage columns
+    // (_row_id / _last_updated_sequence_number, reserved ids 2147483540 /
+    // 2147483539) are materialized when present on the input — rewrites and
+    // updates preserve row ids this way (spec: row ids survive rewrites).
+    val lineageCols = Seq(
+      "_row_id" -> 2147483540, "_last_updated_sequence_number" -> 2147483539)
+      .filter { case (n, _) => df.columns.contains(n) }
+      .map { case (n, id) => col(n).cast("long").as(n, fieldMetadata(id)) }
+    val cols = schema.fields.map(f => col(f.name).cast(f.fieldType.toSpark).as(f.name, fieldMetadata(f.id))) ++ lineageCols
     var out = df.select(cols.toIndexedSeq: _*)
 
     // Partition-transform projection (reference iceberg_insert.cpp:403-475).
@@ -336,7 +343,8 @@ object IcebergWrite {
         Map("schema-id" -> schema.schemaId.toString, "partition-spec-id" -> spec.specId.toString, "content" -> "data"))
       newManifests +:= ManifestFile(mPath, len, spec.specId, 0, seq, seq, snapshotId,
         withSeq.size, 0, 0, withSeq.map(_.dataFile.recordCount).sum, 0L, 0L,
-        summariesWith(partitionFields)(withSeq))
+        summariesWith(partitionFields)(withSeq),
+        firstRowId = if (meta.formatVersion >= 3) Some(firstRowIdStart) else None)
     }
     // New delete manifest — written under `deleteSpec` when provided (e.g.
     // global equality deletes use an unpartitioned spec per the spec).
@@ -396,7 +404,7 @@ object IcebergWrite {
 
     val allManifests = ManifestMerge.maybeMerge(meta, newManifests ++ prevManifests, conf)
     val listPath = s"$metaDir/snap-$snapshotId-1-$commitUuid.avro"
-    ManifestIO.writeManifestList(listPath, conf, allManifests)
+    ManifestIO.writeManifestList(listPath, conf, allManifests, formatVersion = meta.formatVersion)
 
     val dataManifests = allManifests.filter(_.content == 0)
     val delManifests = allManifests.filter(_.content == 1)

@@ -72,6 +72,40 @@ class DeleteFormatsSpec extends SparkSpec {
     assertSameResult(src.filter("o_orderkey % 7 <> 0"), IcebergTable.load(spark, path))
   }
 
+  test("v3 row lineage survives UPDATE and compaction via materialized _row_id") {
+    val src = spark.read.parquet(s"$sfDir/region.parquet")
+    val path = tmpDir("graft_lineage_preserve")
+    IcebergTable.write(src, path, TableWriteOptions(formatVersion = 3))
+    val before = IcebergTable.load(spark, path, ReadOptions(withRowLineage = true))
+      .select("r_regionkey", "_row_id").collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+    IcebergTable.update(spark, path, "r_regionkey = 2", Map("r_name" -> "'UPDATED'"))
+    val afterUpdate = IcebergTable.load(spark, path, ReadOptions(withRowLineage = true))
+      .select("r_regionkey", "_row_id", "_last_updated_sequence_number").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val upd = afterUpdate.find(_._1 == 2).get
+    assert(upd._2 == before(2), s"updated row must keep _row_id ${before(2)}, got ${upd._2}")
+    assert(upd._3 == 2L, s"updated row's _last_updated must be the update seq, got ${upd._3}")
+    afterUpdate.filter(_._1 != 2).foreach { case (k, rid, seq) =>
+      assert(rid == before(k) && seq == 1L, s"untouched row $k changed lineage: ($rid, $seq)")
+    }
+
+    // Compaction must preserve BOTH _row_id and _last_updated_sequence_number.
+    IcebergTable.rewriteDataFiles(spark, path, rewriteAll = true)
+    val afterRewrite = IcebergTable.load(spark, path, ReadOptions(withRowLineage = true))
+      .select("r_regionkey", "_row_id", "_last_updated_sequence_number").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(afterRewrite.toSet == afterUpdate.toSet,
+      s"rewrite changed lineage:\n before=$afterUpdate\n after=$afterRewrite")
+
+    // v3 manifest list carries first_row_id (field 520) for data manifests.
+    val meta = graft.core.TableMetadata.load(path, spark.sessionState.newHadoopConf())
+    val manifests = graft.manifest.ManifestIO.manifestsOf(meta, meta.currentSnapshot.get,
+      spark.sessionState.newHadoopConf())
+    assert(manifests.filter(_.content == 0).forall(_.firstRowId.isDefined),
+      "v3 data manifests must carry first_row_id in the manifest list")
+  }
+
   test("equality-delete write: keys removed across the whole table") {
     val src = spark.read.parquet(s"$sfDir/customer.parquet")
     val path = tmpDir("graft_eqdel")

@@ -77,8 +77,6 @@ class GoldenFixturesSpec extends SparkSpec {
   test("initial-defaults INSIDE structs fill for files predating the subfields (initial_default_in_struct_all_types.test:13-18)") {
     val df = IcebergTable.load(spark,
       s"$P/add_columns_with_defaults_in_struct/default.db/add_columns_with_defaults_in_struct/metadata/00003-21a957f9-c2ee-431a-9d18-bf257b561198.metadata.json")
-    // col_uuid/col_fixed excluded: nested fixed[16] reads are out of scope
-    // (the reference's own test EXCLUDEs col_uuid for a similar reason).
     val rows = df.select(
         col("a.col1"), col("a.col_boolean"), col("a.col_integer"),
         col("a.col_long"), col("a.col_string"))
@@ -86,6 +84,15 @@ class GoldenFixturesSpec extends SparkSpec {
     assert(rows.size == 2)
     assert(rows.contains(("test", true, 342342, Long.MinValue, "HELLO")), s"defaulted row missing in $rows")
     assert(rows.contains(("test", false, 453243, 328725092345834L, "World")))
+    // Nested uuid/fixed: the defaulted (older-file) row fills the declared
+    // initial-defaults; the newer file stores physical NULLs (reference
+    // initial_default_in_struct_all_types.test expected output).
+    val uf = df.select(col("a.col_string"), col("a.col_uuid"), col("a.col_fixed"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.getAs[Array[Byte]](2)).map(_.toSeq))).toSeq
+    assert(uf.contains(("HELLO", "f79c3e09-677c-4bbd-a479-3f349cb785e7",
+      Some(Seq[Byte](1, 2, 3, 0xFF.toByte, 3)))), s"nested uuid/fixed defaults wrong: $uf")
+    assert(uf.contains(("World", null, None)))
   }
 
   test("uuid type: fixed[16] read as canonical strings + eq filter (uuid_type.test:16-37)") {

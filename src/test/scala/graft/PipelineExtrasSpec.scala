@@ -89,6 +89,25 @@ class PipelineExtrasSpec extends SparkSpec {
     assert(Streams.appendsSince(spark, path, cur).count() == 0)
   }
 
+  test("multimodal: real PNG dims decoded via javax.imageio; stub only for fakes") {
+    // Build a real 3x2 PNG in memory.
+    val img = new java.awt.image.BufferedImage(3, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val realPng = baos.toByteArray
+    assert(graft.pipeline.Multimodal.sniffType(realPng) == "image/png")
+    assert(graft.pipeline.Multimodal.decodeImageDims(realPng).contains((3, 2)))
+    import spark.implicits._
+    val df = Seq((1L, realPng)).toDF("id", "payload")
+    val meta = graft.pipeline.Multimodal.attachMetadata(df, "payload")
+      .select("media_meta.media_type", "media_meta.width", "media_meta.height")
+      .collect()(0)
+    assert((meta.getString(0), meta.getInt(1), meta.getInt(2)) == ("image/png", 3, 2))
+    // A synthetic payload (magic header, garbage body) falls back to the stub.
+    val fake = Array[Byte](0x89.toByte, 'P', 'N', 'G') ++ "not an image".getBytes
+    assert(graft.pipeline.Multimodal.decodeImageDims(fake).isEmpty)
+  }
+
   test("incremental read survives a column rename (field-id projection, not by-name)") {
     val src = spark.read.parquet(s"$sfDir/nation.parquet")
     val path = tmpDir("graft_incremental_rename")

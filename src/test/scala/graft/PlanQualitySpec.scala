@@ -26,6 +26,27 @@ class PlanQualitySpec extends SparkSpec {
       "scan path should be codegen'd")
   }
 
+  test("DSv2 front-end: format(\"graft\") reads, pushes filters, prunes files") {
+    val src = spark.read.parquet(s"$sfDir/orders.parquet")
+    val path = Fixtures.iceberg(spark, sfDir, "dsv2_orders") { dir =>
+      IcebergTable.write(src, dir, graft.write.TableWriteOptions(
+        partitionBy = Seq(("o_orderstatus", graft.core.Transforms.Identity))))
+    }
+    val df = spark.read.format("graft").load(path).where("o_orderstatus = 'F'")
+    // Catalyst pushed the filter into the scan (visible in the plan) ...
+    val plan = formatted(df)
+    assert(plan.contains("GraftIcebergScan") && plan.contains("o_orderstatus"),
+      s"expected pushed filter in DSv2 scan description:\n${plan.take(2000)}")
+    // ... and the filter pruned partitions at the metadata level.
+    assertSameResult(src.filter("o_orderstatus = 'F'"), df)
+    val (kept, total) = graft.sources.GraftDataSource.lastScanFiles.get
+    assert(kept < total, s"expected partition pruning via DSv2 path: kept $kept of $total")
+    // Column pruning flows through too.
+    val narrow = spark.read.format("graft").load(path).select("o_orderkey")
+    assert(narrow.columns.toSeq == Seq("o_orderkey"))
+    assert(narrow.count() == src.count())
+  }
+
   test("join of iceberg scan with small dimension broadcasts") {
     val nationPath = Fixtures.iceberg(spark, sfDir, "nation_plain") { dir =>
       IcebergTable.write(Fixtures.parquet(spark, sfDir, "nation"), dir)

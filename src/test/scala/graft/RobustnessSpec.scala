@@ -74,4 +74,23 @@ class RobustnessSpec extends SparkSpec {
     val ms = IcebergTable.load(spark, s"$P/map_stats/default.db/map_stats")
     assert(ms.count() >= 1)
   }
+
+  test("variant column: write + load + filter roundtrip, conservative pruning") {
+    import spark.implicits._
+    val path = tmpDir("graft_variant")
+    val df = spark.range(10).toDF("id")
+      .withColumn("v", parse_json(concat(lit("{\"a\": "), col("id"), lit(", \"s\": \"x\"}"))))
+    IcebergTable.write(df, path)
+    // Schema maps through Iceberg `variant` and back to Spark VariantType.
+    val meta = graft.core.TableMetadata.load(path, spark.sessionState.newHadoopConf())
+    assert(meta.currentSchema.fields.find(_.name == "v")
+      .exists(_.fieldType == graft.core.IcebergTypes.VariantT))
+    val back = IcebergTable.load(spark, path)
+    assert(back.schema("v").dataType.typeName == "variant")
+    assert(back.count() == 10)
+    // Filters over variant_get run (no pruning assumptions on variant bounds).
+    assert(back.filter("variant_get(v, '$.a', 'int') >= 5").count() == 5)
+    val js = back.select(to_json(col("v"))).collect().map(_.getString(0)).sorted.toSeq
+    assert(js == (0 until 10).map(i => s"""{"a":$i,"s":"x"}""").sorted)
+  }
 }
