@@ -143,4 +143,13 @@ object Fixtures {
     val meta = graft.core.TableMetadata.load(path, spark.sessionState.newHadoopConf())
     (path, meta.snapshots.minBy(_.sequenceNumber).snapshotId)
   }
+
+  /** Embeddings with the LSH signature materialized as a stored column
+    * (parquet) — the 100 TB shape: sign once at ingest, probe many times. */
+  def embeddingsSigIndexed(spark: SparkSession, sfDir: String): String =
+    iceberg(spark, sfDir, "embeddings_sig") { dir =>
+      graft.pipeline.Similarity
+        .buildSignatureIndex(parquet(spark, sfDir, "embeddings"), "embedding", "vec_id")
+        .write.mode("overwrite").parquet(s"$dir/indexed")
+    }
 }

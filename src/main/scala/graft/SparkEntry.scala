@@ -244,15 +244,18 @@ object SparkEntry {
       val mutated = d.select((col("doc_id") + 1000000).as("doc_id"),
         concat(col("text"), lit(" appended-tail-token")).as("text"))
       val all = d.union(mutated)
-      // LSH candidates (low threshold = high recall), re-scored with EXACT
-      // 3-shingle Jaccard — deterministic, so the quadratic DuckDB oracle
-      // computes the identical pair set.
-      val cands = Dedup.minhashNearDuplicates(all, "text", "doc_id", threshold = 0.5)
+      // MinHash-LSH banding candidates (a pair with exact-J >= 0.9 shares a
+      // band with probability 1 - ~4e-8), re-scored with EXACT 3-shingle
+      // Jaccard — deterministic, so the quadratic DuckDB oracle computes
+      // the identical pair set. The candidate set is broadcast; the corpus
+      // is scanned, never shuffled.
+      val cands = Dedup.minhashCandidatePairs(all, "text", "doc_id")
       val texts = all.select(col("doc_id").cast("long").as("doc_id"), col("text"))
       val jac = udf((a: String, b: String) => Dedup.ngramJaccard(a, b))
-      cands
-        .join(texts.select(col("doc_id").as("id_a"), col("text").as("_ta")), "id_a")
-        .join(texts.select(col("doc_id").as("id_b"), col("text").as("_tb")), "id_b")
+      val withTa = broadcast(
+        texts.select(col("doc_id").as("id_a"), col("text").as("_ta"))
+          .join(broadcast(cands), "id_a"))
+      withTa.join(texts.select(col("doc_id").as("id_b"), col("text").as("_tb")), "id_b")
         .filter(jac(col("_ta"), col("_tb")) >= 0.9)
         .select("id_a", "id_b")
     }),
@@ -275,10 +278,13 @@ object SparkEntry {
     }),
 
     "ann_topk_lsh" -> ((s, dir) => {
-      val e = pq(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") === 1).select("embedding").collect()(0)
-        .getSeq[Float](0)
-      Similarity.lshTopK(e.filter(col("vec_id") =!= 1), "embedding", "vec_id", q, 20)
+      // Probes a PRE-BUILT signature index (stored `_sig` column, built once
+      // per corpus) — candidate selection is a codegen'd bit test, no UDF at
+      // query time.
+      val idx = s.read.parquet(s"${Fixtures.embeddingsSigIndexed(s, dir)}/indexed")
+      val q = pq(s, dir, "embeddings").filter(col("vec_id") === 1)
+        .select("embedding").collect()(0).getSeq[Float](0)
+      Similarity.lshTopKIndexed(idx.filter(col("vec_id") =!= 1), "embedding", "vec_id", q, 20)
         .select("rank", "vec_id")
     }),
 

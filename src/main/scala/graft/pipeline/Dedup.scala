@@ -48,15 +48,22 @@ object Dedup {
   private val permA: Array[Long] = Array.tabulate(MinhashPerms)(i => 0x9E3779B97F4A7C15L * (2 * i + 1) | 1L)
   private val permB: Array[Long] = Array.tabulate(MinhashPerms)(i => 0xC2B2AE3D27D4EB4FL * (i + 1))
 
-  /** MinHash signature of a document: word-shingle set -> 64 min-hashes. */
+  /** MinHash signature of a document: word-shingle set -> 64 min-hashes.
+    * Shingle hashes are combined from per-word FNV hashes (order-sensitive
+    * mix) rather than materializing shingle strings — no per-shingle
+    * allocation in the hot loop. */
   def minhashSignature(text: String, shingleSize: Int): Array[Long] = {
     val words = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
     val sig = Array.fill(MinhashPerms)(Long.MaxValue)
     if (words.length >= shingleSize) {
+      val wh = new Array[Long](words.length)
+      var w = 0
+      while (w < words.length) { wh(w) = fnv64(words(w)); w += 1 }
       var i = 0
       while (i <= words.length - shingleSize) {
-        val shingle = words.slice(i, i + shingleSize).mkString(" ")
-        val h = fnv64(shingle)
+        var h = 0xcbf29ce484222325L
+        var k = 0
+        while (k < shingleSize) { h ^= wh(i + k); h *= 0x100000001b3L; k += 1 }
         var p = 0
         while (p < MinhashPerms) {
           val v = permA(p) * h + permB(p)
@@ -67,6 +74,23 @@ object Dedup {
       }
     }
     sig
+  }
+
+  /** The 16 LSH band hashes of a document's MinHash signature (index =
+    * band). Computed in one pass so the banding query plan is a single
+    * UDF + posexplode instead of 16 slice/hash expression trees. */
+  def minhashBandHashes(text: String, shingleSize: Int): Array[Long] = {
+    val sig = minhashSignature(text, shingleSize)
+    val bands = new Array[Long](Bands)
+    var b = 0
+    while (b < Bands) {
+      var h = 0xcbf29ce484222325L
+      var r = 0
+      while (r < RowsPerBand) { h ^= sig(b * RowsPerBand + r); h *= 0x100000001b3L; r += 1 }
+      bands(b) = h
+      b += 1
+    }
+    bands
   }
 
   /** Near-duplicate candidate pairs via MinHash-LSH banding.
@@ -80,29 +104,24 @@ object Dedup {
     * (a tiny set relative to the corpus) are then re-scored by recomputing
     * signatures for just the candidate ids via a broadcast semi-join. On a
     * persistent table the signature would be a precomputed stored column. */
-  def minhashNearDuplicates(
+  /** Banding-only candidate pairs (id_a < id_b), NOT scored — for callers
+    * that re-score candidates with an exact metric (e.g. exact shingle
+    * Jaccard). Shuffle shape: only (_id, band, hash) rows — 3 longs per
+    * band row — ever cross the wire; the signature itself stays in the
+    * producing task. */
+  def minhashCandidatePairs(
       df: DataFrame,
       textCol: String,
       idCol: String,
-      threshold: Double = 0.8,
       shingleSize: Int = 3,
       maxBucket: Int = 1000): DataFrame = {
-    // asNondeterministic: blocks Catalyst projection collapse from inlining
-    // the (expensive) signature UDF into all 16 band projections, which
-    // would re-evaluate it once per band row instead of once per document.
-    val sigUdf = udf((t: String) => minhashSignature(if (t == null) "" else t, shingleSize))
-      .asNondeterministic()
+    // One UDF evaluation per document emits all 16 band hashes; posexplode
+    // fans them out to (id, band, hash) rows. The 64-long signature never
+    // appears in the plan at all.
+    val bandsUdf = udf((t: String) => minhashBandHashes(if (t == null) "" else t, shingleSize))
     val docs = df.select(col(idCol).cast("long").as("_id"), col(textCol).as("_text"))
-
-    // Phase 1 — banding. One signature evaluation per doc; band hashes are
-    // codegen'd xxhash64 over array slices, not a second UDF.
-    val withSig = docs.select(col("_id"), sigUdf(col("_text")).as("_sig"))
-    val bandCols = (0 until Bands).map { b =>
-      struct(lit(b).as("_b"),
-        xxhash64(slice(col("_sig"), b * RowsPerBand + 1, RowsPerBand)).as("_h"))
-    }
-    val banded = withSig.select(col("_id"), explode(array(bandCols: _*)).as("_band"))
-      .select(col("_id"), col("_band._b").as("_b"), col("_band._h").as("_h"))
+    val banded = docs.select(col("_id"), posexplode(bandsUdf(col("_text"))))
+      .toDF("_id", "_b", "_h")
 
     // Bucket join: candidate pairs only within (band, hash) buckets.
     val pairUdf = udf((ids: Seq[Long]) => {
@@ -116,16 +135,29 @@ object Dedup {
       }
       out.result()
     })
-    // Candidate pairs are tiny relative to the corpus and referenced by
-    // three downstream branches — materialize once so the full banding
-    // pipeline (the only corpus-wide pass) executes exactly once.
-    val candPairs = banded.groupBy("_b", "_h")
+    banded.groupBy("_b", "_h")
       .agg(collect_list(col("_id")).as("_ids"))
       .filter(size(col("_ids")).between(2, maxBucket))
       .select(explode(pairUdf(col("_ids"))).as("_p"))
       .select(col("_p._1").as("id_a"), col("_p._2").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .persist()
+  }
+
+  def minhashNearDuplicates(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.8,
+      shingleSize: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    val sigUdf = udf((t: String) => minhashSignature(if (t == null) "" else t, shingleSize))
+      .asNondeterministic()
+    val docs = df.select(col(idCol).cast("long").as("_id"), col(textCol).as("_text"))
+
+    // Candidate pairs are tiny relative to the corpus and referenced by
+    // three downstream branches — materialize once so the full banding
+    // pipeline (the only corpus-wide pass) executes exactly once.
+    val candPairs = minhashCandidatePairs(df, textCol, idCol, shingleSize, maxBucket).persist()
     candPairs.count()
 
     // Phase 2 — score candidates only: recompute signatures for candidate

@@ -111,35 +111,58 @@ object Similarity {
       .dropDuplicates("id_a", "id_b")
   }
 
-  /** LSH-bucketed cosine top-k: score only vectors sharing at least one
-    * 4-bit signature band with the query (approximate; recall grows with
-    * band count, selectivity with band width). Scales as O(candidates),
-    * not O(n): at cluster scale the band match is a semi-join on band keys
-    * and only the surviving fraction is exactly scored. */
-  def lshTopK(df: DataFrame, embCol: String, idCol: String, query: Seq[Float],
-      k: Int, bits: Int = 32, seed: Long = 42L): DataFrame = {
-    val dims = query.length
-    val sigU = signatureUdf(dims, bits, seed)
-    val qSig = {
-      // compute the query signature with the same planes, driver-side
-      val planes = hyperplanes(dims, bits, seed)
-      var sig = 0L
-      var b = 0
-      while (b < bits) {
-        var dot = 0.0
-        var i = 0
-        while (i < dims) { dot += planes(b)(i) * query(i); i += 1 }
-        if (dot >= 0) sig |= (1L << b)
-        b += 1
-      }
-      sig
+  /** Signature of a single vector, driver-side, with the same planes the
+    * distributed [[signatureUdf]] uses. */
+  def signatureOf(vec: Seq[Float], bits: Int, seed: Long = 42L): Long = {
+    val dims = vec.length
+    val planes = hyperplanes(dims, bits, seed)
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      var dot = 0.0
+      var i = 0
+      while (i < dims) { dot += planes(b)(i) * vec(i); i += 1 }
+      if (dot >= 0) sig |= (1L << b)
+      b += 1
     }
+    sig
+  }
+
+  /** Materializable LSH index: the input plus a stored `_sig` column. At
+    * 100 TB this is computed ONCE at ingest and persisted alongside the
+    * embeddings (parquet/Iceberg column); every top-k probe then reads the
+    * stored column and never touches the signature UDF. */
+  def buildSignatureIndex(df: DataFrame, embCol: String, idCol: String,
+      bits: Int = 32, seed: Long = 42L): DataFrame = {
+    val dims = df.select(embCol).limit(1).collect() match {
+      case Array(r) => r.getSeq[Float](0).length
+      case _ => return df.select(col(idCol), col(embCol), lit(0L).as("_sig")).limit(0)
+    }
+    df.select(col(idCol), col(embCol), signatureUdf(dims, bits, seed)(col(embCol)).as("_sig"))
+  }
+
+  /** Top-k probe over a PRE-BUILT signature index (`_sig` a stored column —
+    * see [[buildSignatureIndex]]). Candidate selection is a codegen'd bit
+    * test on the stored long (no UDF at query time, pushdown-friendly);
+    * only candidates sharing >= one 4-bit band with the query are exactly
+    * scored. Scales as O(candidates), not O(n). */
+  def lshTopKIndexed(index: DataFrame, embCol: String, idCol: String,
+      query: Seq[Float], k: Int, bits: Int = 32, seed: Long = 42L): DataFrame = {
+    val qSig = signatureOf(query, bits, seed)
     val bands = bits / 4
     val qBands = (0 until bands).map(b => ((qSig >>> (b * 4)) & 0xF).toInt)
-    val withSig = df.withColumn("_sig", sigU(col(embCol)))
     val candidate = (0 until bands).map { b =>
       (shiftrightunsigned(col("_sig"), b * 4).bitwiseAND(lit(0xFL)) === lit(qBands(b).toLong))
     }.reduce(_ || _)
-    bruteForceTopK(withSig.filter(candidate), embCol, idCol, query, k)
+    bruteForceTopK(index.filter(candidate), embCol, idCol, query, k)
   }
+
+  /** LSH-bucketed cosine top-k over a raw table: builds the signature
+    * in-flight, then probes. Prefer [[buildSignatureIndex]] +
+    * [[lshTopKIndexed]] when more than one query runs — the in-flight
+    * variant re-signs the full corpus per query. */
+  def lshTopK(df: DataFrame, embCol: String, idCol: String, query: Seq[Float],
+      k: Int, bits: Int = 32, seed: Long = 42L): DataFrame =
+    lshTopKIndexed(buildSignatureIndex(df, embCol, idCol, bits, seed),
+      embCol, idCol, query, k, bits, seed)
 }
