@@ -50,6 +50,18 @@ object IcebergTypes {
     * (reference iceberg_column_definition.cpp:142-144,
     * iceberg_file_pruner.cpp:117-135). */
   case object VariantT extends IcebergType { def toSpark = VariantType; def typeJsonString = "variant" }
+  /** WKB-encoded geometry/geography with an optional CRS parameter —
+    * `geometry(<crs>)` / `geography(<crs>)` (v3 spec; reference
+    * iceberg_column_definition.cpp:148-166). Spark has no geometry type, so
+    * the physical mapping is binary; the crs survives round-trips through
+    * typeJsonString and is surfaced to Spark as column metadata. */
+  case class GeometryT(crs: Option[String], geography: Boolean = false) extends IcebergType {
+    def toSpark = BinaryType
+    def typeJsonString = {
+      val base = if (geography) "geography" else "geometry"
+      crs.map(c => s"$base($c)").getOrElse(base)
+    }
+  }
 
   case class NestedField(
       id: Int,
@@ -60,8 +72,14 @@ object IcebergTypes {
       initialDefaultJson: Option[JsonNode] = None,
       writeDefaultJson: Option[JsonNode] = None) {
     def toSpark: StructField = {
-      val md = new MetadataBuilder().putLong("parquet.field.id", id.toLong).build()
-      StructField(name, fieldType.toSpark, nullable = !required, metadata = md)
+      val mb = new MetadataBuilder().putLong("parquet.field.id", id.toLong)
+      fieldType match {
+        case GeometryT(crs, geography) =>
+          mb.putString("iceberg.type", if (geography) "geography" else "geometry")
+          crs.foreach(c => mb.putString("iceberg.crs", c))
+        case _ =>
+      }
+      StructField(name, fieldType.toSpark, nullable = !required, metadata = mb.build())
     }
   }
 
@@ -81,6 +99,8 @@ object IcebergTypes {
 
   private val DecimalRe = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
   private val FixedRe = """fixed\[(\d+)\]""".r
+  private val GeomRe = """geometry\((.+)\)""".r
+  private val GeogRe = """geography\((.+)\)""".r
 
   /** Parse a primitive type string (reference :82-167). */
   def parsePrimitive(s: String): IcebergType = s match {
@@ -102,7 +122,10 @@ object IcebergTypes {
     case "variant" => VariantT
     case DecimalRe(p, sc) => DecimalT(p.toInt, sc.toInt)
     case FixedRe(n) => FixedT(n.toInt)
-    case other if other.startsWith("geometry") => BinaryT // WKB; crs not modeled
+    case "geometry" => GeometryT(None)
+    case "geography" => GeometryT(None, geography = true)
+    case GeomRe(crs) => GeometryT(Some(crs))
+    case GeogRe(crs) => GeometryT(Some(crs), geography = true)
     case other => throw new IllegalArgumentException(s"Unsupported Iceberg type: $other")
   }
 

@@ -258,8 +258,14 @@ object IcebergRead {
     else footerFieldIds(pf.resolvedPath, conf).forall(_.contains(fieldId))
   }
 
+  // Bounded (files are immutable, so any eviction policy is safe): a
+  // long-lived driver planning over many tables must not grow this without
+  // limit. Cleared wholesale when full — O(1), no LRU bookkeeping in the
+  // planning hot path.
+  private val FooterCacheMax = 65536
   private val footerCache = new java.util.concurrent.ConcurrentHashMap[String, Option[Set[Int]]]()
-  private def footerFieldIds(path: String, conf: Configuration): Option[Set[Int]] =
+  private def footerFieldIds(path: String, conf: Configuration): Option[Set[Int]] = {
+    if (footerCache.size > FooterCacheMax) footerCache.clear()
     footerCache.computeIfAbsent(path, { p =>
       try {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p), conf)
@@ -278,6 +284,7 @@ object IcebergRead {
         } finally r.close()
       } catch { case _: Exception => None }
     })
+  }
 
   def load(spark: SparkSession, path: String, opts: ReadOptions = ReadOptions()): DataFrame = {
     ensureConfs(spark)
@@ -325,19 +332,29 @@ object IcebergRead {
         case b: Array[Byte] => java.util.Base64.getEncoder.encodeToString(b)
         case v => String.valueOf(v)
       }.mkString("|")
-    val seqGroups: Seq[((Long, String), Seq[PlannedFile])] =
-      if (eqDeletes.isEmpty) Seq((0L, "") -> p.dataFiles)
-      else p.dataFiles.groupBy(f => (f.dataSeq, partKey(f))).toSeq.sortBy(_._1)
-
-    val parts = seqGroups.map { case ((seq, pk), files) =>
-      var df = buildScan(spark, p, files, conf, needMeta, needLineage = opts.withRowLineage)
-      // Global equality deletes are EXACTLY those under an unpartitioned
-      // spec; an all-null tuple under a partitioned spec means "the null
-      // partition", not "every partition" (Iceberg spec scoping rules).
-      val applicable = eqDeletes.filter { d =>
-        d.dataSeq > seq &&
+    // Global equality deletes are EXACTLY those under an unpartitioned
+    // spec; an all-null tuple under a partitioned spec means "the null
+    // partition", not "every partition" (Iceberg spec scoping rules).
+    def applicableTo(f: PlannedFile): Seq[PlannedFile] = {
+      val pk = partKey(f)
+      eqDeletes.filter { d =>
+        d.dataSeq > f.dataSeq &&
           (p.meta.spec(d.specId).isUnpartitioned || partKey(d) == pk)
       }
+    }
+    // Group data files by their APPLICABLE-DELETE SET, not by raw
+    // (sequence, partition): a long append history with many partitions
+    // would otherwise explode the plan into one scan subtree per
+    // (seq, partition) even though most files share the same (often empty)
+    // delete set. Files with identical applicable deletes scan together.
+    val groups: Seq[(Seq[PlannedFile], Seq[PlannedFile])] =
+      if (eqDeletes.isEmpty) Seq((p.dataFiles, Nil))
+      else p.dataFiles.groupBy(f => applicableTo(f).map(_.info.filePath).sorted)
+        .toSeq.sortBy(_._1.mkString(","))
+        .map { case (_, files) => (files, applicableTo(files.head)) }
+
+    val parts = groups.map { case (files, applicable) =>
+      var df = buildScan(spark, p, files, conf, needMeta, needLineage = opts.withRowLineage)
       if (applicable.nonEmpty) df = applyEqualityDeletes(spark, df, applicable, p)
       df
     }

@@ -233,7 +233,14 @@ object Dml {
     val out = keys.select(eqFields.map(f =>
       col(f.name).cast(f.fieldType.toSpark).as(f.name, fieldMeta(f.id))).toIndexedSeq: _*)
       .dropDuplicates(eqFields.map(_.name))
-    out.coalesce(1).write.parquet(staging)
+    // One file for typical small key sets; large key sets (e.g. a billion-id
+    // GDPR purge) fan out to ~1M-key files instead of funneling the whole
+    // set through a single task. Registration below handles either shape.
+    val keyCount = out.count()
+    val perFile = 1L << 20
+    val numFiles = math.max(1L, (keyCount + perFile - 1) / perFile).toInt
+    (if (numFiles == 1) out.coalesce(1) else out.repartition(numFiles))
+      .write.parquet(staging)
     val fsys = TableMetadata.fs(staging, conf)
     val pseudoSchema = IcebergSchema(0, IcebergTypes.StructT(eqFields))
     val files = {

@@ -87,6 +87,57 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     assert(rows.exists(r => r.getAs[String]("config_key") == "k" && r.getAs[String]("config_value") == "v"))
   }
 
+  test("multi-table transaction commits atomically") {
+    catalog.createNamespace(Seq("tx"))
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    catalog.createTable(Seq("tx"), "region", IcebergTypes.fromSpark(region.schema), tmpDir("tx_region"))
+    catalog.createTable(Seq("tx"), "nation", IcebergTypes.fromSpark(nation.schema), tmpDir("tx_nation"))
+
+    catalog.appendAllDF(Seq(
+      (region, Seq("tx"), "region"),
+      (nation, Seq("tx"), "nation")))
+    assertSameResult(region, catalog.loadDF(spark, Seq("tx"), "region"))
+    assertSameResult(nation, catalog.loadDF(spark, Seq("tx"), "nation"))
+
+    // Atomicity: a transaction where the SECOND table's requirement fails
+    // must leave the FIRST table untouched.
+    val t1 = catalog.loadTable(Seq("tx"), "region")
+    val t2 = catalog.loadTable(Seq("tx"), "nation")
+    val conf = spark.sessionState.newHadoopConf()
+    val (e1, _) = graft.write.IcebergWrite.writeDataFiles(region, t1.metadata, conf)
+    val (s1, _) = graft.write.IcebergWrite.buildSnapshotFiles(t1.metadata, e1, Nil, "append", conf)
+    val (e2, _) = graft.write.IcebergWrite.writeDataFiles(nation, t2.metadata, conf)
+    val (s2, _) = graft.write.IcebergWrite.buildSnapshotFiles(t2.metadata, e2, Nil, "append", conf)
+    val ex = intercept[RestCatalogException] {
+      catalog.commitTransaction(Seq(
+        catalog.TableChange(Seq("tx"), "region", t1.metadata.currentSnapshotId, s1),
+        catalog.TableChange(Seq("tx"), "nation", Some(-42L), s2))) // stale requirement
+    }
+    assert(ex.status == 409)
+    assert(catalog.loadTable(Seq("tx"), "region").metadata.currentSnapshotId ==
+      t1.metadata.currentSnapshotId, "failed transaction must not advance any table")
+  }
+
+  test("max_table_staleness caches loads; writes invalidate eagerly") {
+    val cached = new RestCatalog(server.uri,
+      CatalogOptions(token = Some(server.token), maxTableStalenessMs = 60000L))
+    catalog.createNamespace(Seq("stale"))
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+    catalog.createTable(Seq("stale"), "r", IcebergTypes.fromSpark(region.schema), tmpDir("stale_r"))
+    val before = cached.loadTable(Seq("stale"), "r")
+    // another writer commits behind the cache's back
+    catalog.appendDF(region, Seq("stale"), "r")
+    val after = catalog.loadTable(Seq("stale"), "r")
+    assert(after.metadata.currentSnapshotId != before.metadata.currentSnapshotId)
+    // within the staleness window the cached client still sees the old state
+    assert(cached.loadTable(Seq("stale"), "r").metadata.currentSnapshotId ==
+      before.metadata.currentSnapshotId)
+    // the cached client's OWN write invalidates: read-your-writes holds
+    cached.appendDF(region, Seq("stale"), "r")
+    assert(cached.loadTable(Seq("stale"), "r").metadata.snapshots.size == 2)
+  }
+
   test("rename + drop table") {
     catalog.renameTable(Seq("etl"), "region", "region2")
     assert(catalog.listTables(Seq("etl")) == Seq("region2"))

@@ -93,4 +93,18 @@ class RobustnessSpec extends SparkSpec {
     val js = back.select(to_json(col("v"))).collect().map(_.getString(0)).sorted.toSeq
     assert(js == (0 until 10).map(i => s"""{"a":$i,"s":"x"}""").sorted)
   }
+
+  test("geometry/geography types: crs parses, round-trips, and surfaces as column metadata") {
+    import graft.core.IcebergTypes._
+    assert(parsePrimitive("geometry") == GeometryT(None))
+    assert(parsePrimitive("geometry(srid:3857)") == GeometryT(Some("srid:3857")))
+    assert(parsePrimitive("geography(srid:4326)") == GeometryT(Some("srid:4326"), geography = true))
+    assert(GeometryT(Some("srid:3857")).typeJsonString == "geometry(srid:3857)")
+    assert(parsePrimitive(GeometryT(Some("srid:4326"), geography = true).typeJsonString)
+      == GeometryT(Some("srid:4326"), geography = true))
+    val f = NestedField(7, "geom", required = false, GeometryT(Some("srid:3857"))).toSpark
+    assert(f.dataType.typeName == "binary")
+    assert(f.metadata.getString("iceberg.crs") == "srid:3857")
+    assert(f.metadata.getString("iceberg.type") == "geometry")
+  }
 }

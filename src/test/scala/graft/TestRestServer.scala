@@ -58,6 +58,44 @@ class TestRestServer {
     summary = Option(n.get("summary")).map(_.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty),
     schemaId = Option(n.get("schema-id")).map(_.asInt()))
 
+  /** Do `requirements` hold against `meta`? */
+  private def requirementsOk(b: JsonNode, meta: TableMetadata): Boolean =
+    Option(b.get("requirements")).forall(_.elements().asScala.forall { r =>
+      r.get("type").asText() match {
+        case "assert-ref-snapshot-id" =>
+          val expected = Option(r.get("snapshot-id")).filter(!_.isNull).map(_.asLong())
+          meta.refs.get(r.get("ref").asText()) == expected
+        case "assert-table-uuid" => r.get("uuid").asText() == meta.tableUuid
+        case _ => true
+      }
+    })
+
+  /** Apply `updates` to `meta`, returning the new metadata. */
+  private def applyUpdates(b: JsonNode, meta: TableMetadata): TableMetadata = {
+    var m = meta
+    Option(b.get("updates")).foreach(_.elements().asScala.foreach { u =>
+      u.get("action").asText() match {
+        case "add-snapshot" =>
+          val s = parseSnapshot(u.get("snapshot"))
+          m = m.copy(snapshots = m.snapshots :+ s,
+            lastSequenceNumber = math.max(m.lastSequenceNumber, s.sequenceNumber),
+            snapshotLog = m.snapshotLog :+ (s.timestampMs, s.snapshotId))
+        case "set-snapshot-ref" =>
+          val id = u.get("snapshot-id").asLong()
+          m = m.copy(refs = m.refs + (u.get("ref-name").asText() -> id),
+            currentSnapshotId = Some(id))
+        case "set-properties" =>
+          val up = u.get("updates").properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+          m = m.copy(properties = m.properties ++ up)
+        case "remove-properties" =>
+          val rm = u.get("removals").elements().asScala.map(_.asText()).toSeq
+          m = m.copy(properties = m.properties -- rm)
+        case _ =>
+      }
+    })
+    m
+  }
+
   private val handler = new HttpHandler {
     override def handle(ex: HttpExchange): Unit = try route(ex) catch {
       case e: Exception => respond(ex, 500, s"""{"error":"${e.getMessage}"}""")
@@ -212,41 +250,35 @@ class TestRestServer {
               case None => respond(ex, 404, """{"error":"no such table"}""")
               case Some(meta) =>
                 val b = body
-                // requirements
-                val reqOk = Option(b.get("requirements")).forall(_.elements().asScala.forall { r =>
-                  r.get("type").asText() match {
-                    case "assert-ref-snapshot-id" =>
-                      val expected = Option(r.get("snapshot-id")).filter(!_.isNull).map(_.asLong())
-                      meta.refs.get(r.get("ref").asText()) == expected
-                    case "assert-table-uuid" => r.get("uuid").asText() == meta.tableUuid
-                    case _ => true
-                  }
-                })
-                if (!reqOk) return respond(ex, 409, """{"error":"requirement failed"}""")
-                var m = meta
-                Option(b.get("updates")).foreach(_.elements().asScala.foreach { u =>
-                  u.get("action").asText() match {
-                    case "add-snapshot" =>
-                      val s = parseSnapshot(u.get("snapshot"))
-                      m = m.copy(snapshots = m.snapshots :+ s,
-                        lastSequenceNumber = math.max(m.lastSequenceNumber, s.sequenceNumber),
-                        snapshotLog = m.snapshotLog :+ (s.timestampMs, s.snapshotId))
-                    case "set-snapshot-ref" =>
-                      val id = u.get("snapshot-id").asLong()
-                      m = m.copy(refs = m.refs + (u.get("ref-name").asText() -> id),
-                        currentSnapshotId = Some(id))
-                    case "set-properties" =>
-                      val up = u.get("updates").properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
-                      m = m.copy(properties = m.properties ++ up)
-                    case "remove-properties" =>
-                      val rm = u.get("removals").elements().asScala.map(_.asText()).toSeq
-                      m = m.copy(properties = m.properties -- rm)
-                    case _ =>
-                  }
-                })
+                if (!requirementsOk(b, meta))
+                  return respond(ex, 409, """{"error":"requirement failed"}""")
+                val m = applyUpdates(b, meta)
                 n.tables.put(t, m)
                 respond(ex, 200, loadResult(m))
             }
+          }
+
+        case ("POST", "/v1/transactions/commit") => // atomic multi-table commit
+          val b = body
+          val changes = Option(b.get("table-changes"))
+            .map(_.elements().asScala.toSeq).getOrElse(Nil)
+          // Resolve every table and check every requirement BEFORE applying
+          // anything — all-or-nothing semantics.
+          val resolved = changes.map { c =>
+            val ident = c.get("identifier")
+            val ns = ident.get("namespace").elements().asScala.map(_.asText()).mkString("")
+            val t = ident.get("name").asText()
+            (c, ns, t, namespaces.get(ns).flatMap(_.tables.get(t)))
+          }
+          if (resolved.exists(_._4.isEmpty))
+            respond(ex, 404, """{"error":"no such table"}""")
+          else if (resolved.exists { case (c, _, _, m) => !requirementsOk(c, m.get) })
+            respond(ex, 409, """{"error":"requirement failed"}""")
+          else {
+            resolved.foreach { case (c, ns, t, m) =>
+              namespaces(ns).tables.put(t, applyUpdates(c, m.get))
+            }
+            respond(ex, 204)
           }
 
         case ("DELETE", TableRe(ns, t)) =>
