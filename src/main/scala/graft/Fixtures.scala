@@ -32,10 +32,14 @@ object Fixtures {
     })
   }
 
-  def lineitemPlain(spark: SparkSession, sfDir: String): String =
-    iceberg(spark, sfDir, "lineitem_plain") { dir =>
-      IcebergTable.write(parquet(spark, sfDir, "lineitem"), dir)
+  /** Plain (unpartitioned) Iceberg roundtrip of any testdata table. */
+  def plain(spark: SparkSession, sfDir: String, table: String): String =
+    iceberg(spark, sfDir, s"${table}_plain") { dir =>
+      IcebergTable.write(parquet(spark, sfDir, table), dir)
     }
+
+  def lineitemPlain(spark: SparkSession, sfDir: String): String =
+    plain(spark, sfDir, "lineitem")
 
   def ordersByMonth(spark: SparkSession, sfDir: String): String =
     iceberg(spark, sfDir, "orders_month") { dir =>

@@ -50,8 +50,9 @@ object SparkEntry {
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus""".stripMargin
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * adapted TPC-H q2/q4/q7–q22 regression net (TpchExtra). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = TpchExtra.queries ++ Map(
     // ---- §2.10 delegated engine capabilities (joins/aggs/windows/setops) ----
     "q1_pricing" -> ((s, dir) => q1Shape(pq(s, dir, "lineitem"))),
 
@@ -249,15 +250,9 @@ object SparkEntry {
       // Jaccard — deterministic, so the quadratic DuckDB oracle computes
       // the identical pair set. The candidate set is broadcast; the corpus
       // is scanned, never shuffled.
-      val cands = Dedup.minhashCandidatePairs(all, "text", "doc_id")
-      val texts = all.select(col("doc_id").cast("long").as("doc_id"), col("text"))
-      val jac = udf((a: String, b: String) => Dedup.ngramJaccard(a, b))
-      val withTa = broadcast(
-        texts.select(col("doc_id").as("id_a"), col("text").as("_ta"))
-          .join(broadcast(cands), "id_a"))
-      withTa.join(texts.select(col("doc_id").as("id_b"), col("text").as("_tb")), "id_b")
-        .filter(jac(col("_ta"), col("_tb")) >= 0.9)
-        .select("id_a", "id_b")
+      // Candidate broadcast is size-gated (Dedup.broadcastCandidateLimit);
+      // past the limit the re-score joins shuffle instead.
+      Dedup.minhashNearDuplicatesExact(all, "text", "doc_id", threshold = 0.9)
     }),
 
     "dedup_simhash" -> ((s, dir) => {
@@ -364,7 +359,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (metadata tables, hash-based ops) -> driver records rows-only check. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = TpchExtra.oracleSql ++ Map(
     "q1_pricing" -> q1OracleShape,
     "ice_q1_roundtrip" -> q1OracleShape,
 

@@ -143,6 +143,15 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Candidate-pair count at/above which the re-score joins fall back from
+    * broadcast to shuffle. A boilerplate-heavy corpus at web scale can
+    * inflate candidates past driver memory — the gate keeps the broadcast
+    * path for the common tiny-candidate case only. Overridable for tests. */
+  @volatile var broadcastCandidateLimit: Long = 100000L
+
+  private def gated(d: DataFrame, nCand: Long): DataFrame =
+    if (nCand < broadcastCandidateLimit) broadcast(d) else d
+
   def minhashNearDuplicates(
       df: DataFrame,
       textCol: String,
@@ -156,28 +165,53 @@ object Dedup {
 
     // Candidate pairs are tiny relative to the corpus and referenced by
     // three downstream branches — materialize once so the full banding
-    // pipeline (the only corpus-wide pass) executes exactly once.
+    // pipeline (the only corpus-wide pass) executes exactly once. The
+    // count also drives the broadcast/shuffle cutover below.
     val candPairs = minhashCandidatePairs(df, textCol, idCol, shingleSize, maxBucket).persist()
-    candPairs.count()
+    val nCand = candPairs.count()
 
     // Phase 2 — score candidates only: recompute signatures for candidate
-    // ids (broadcast semi-join prunes the doc scan), then a codegen'd
-    // element-wise match count. No UDF touches non-candidate rows here;
-    // materialized so the corpus scan behind it runs once, not per join.
+    // ids (semi-join prunes the doc scan), then a codegen'd element-wise
+    // match count. No UDF touches non-candidate rows here; materialized so
+    // the corpus scan behind it runs once, not per join.
     val candIds = candPairs.select(col("id_a").as("_id"))
       .union(candPairs.select(col("id_b").as("_id"))).distinct()
-    val candSigs = docs.join(broadcast(candIds), "_id")
+    val candSigs = docs.join(gated(candIds, nCand), "_id")
       .select(col("_id"), sigUdf(col("_text")).as("_sig"))
       .persist()
 
     candPairs
-      .join(broadcast(candSigs.select(col("_id").as("id_a"), col("_sig").as("_sa"))), "id_a")
-      .join(broadcast(candSigs.select(col("_id").as("id_b"), col("_sig").as("_sb"))), "id_b")
+      .join(gated(candSigs.select(col("_id").as("id_a"), col("_sig").as("_sa")), nCand), "id_a")
+      .join(gated(candSigs.select(col("_id").as("id_b"), col("_sig").as("_sb")), nCand), "id_b")
       .withColumn("est_jaccard",
         expr(s"aggregate(zip_with(_sa, _sb, (x, y) -> IF(x = y, 1, 0)), 0, (a, v) -> a + v)" +
           s" / cast($MinhashPerms as double)"))
       .filter(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** LSH candidates re-scored with EXACT n-gram Jaccard (deterministic —
+    * oracle-matchable). The candidate-text broadcast is size-gated on the
+    * materialized candidate count: small candidate sets broadcast (two
+    * corpus scans, zero corpus shuffle); past the limit both re-score
+    * joins shuffle instead of inflating the driver. */
+  def minhashNearDuplicatesExact(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double = 0.9,
+      shingleSize: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    val cands = minhashCandidatePairs(df, textCol, idCol, shingleSize, maxBucket).persist()
+    val nCand = cands.count()
+    val texts = df.select(col(idCol).cast("long").as("_id"), col(textCol).as("_text"))
+    val jac = udf((a: String, b: String) => ngramJaccard(a, b, shingleSize))
+    val withTa = gated(
+      texts.select(col("_id").as("id_a"), col("_text").as("_ta"))
+        .join(gated(cands, nCand), "id_a"), nCand)
+    withTa.join(texts.select(col("_id").as("id_b"), col("_text").as("_tb")), "id_b")
+      .filter(jac(col("_ta"), col("_tb")) >= threshold)
+      .select("id_a", "id_b")
   }
 
   // ---------- SimHash ----------

@@ -233,14 +233,11 @@ object Dml {
     val out = keys.select(eqFields.map(f =>
       col(f.name).cast(f.fieldType.toSpark).as(f.name, fieldMeta(f.id))).toIndexedSeq: _*)
       .dropDuplicates(eqFields.map(_.name))
-    // One file for typical small key sets; large key sets (e.g. a billion-id
-    // GDPR purge) fan out to ~1M-key files instead of funneling the whole
-    // set through a single task. Registration below handles either shape.
-    val keyCount = out.count()
-    val perFile = 1L << 20
-    val numFiles = math.max(1L, (keyCount + perFile - 1) / perFile).toInt
-    (if (numFiles == 1) out.coalesce(1) else out.repartition(numFiles))
-      .write.parquet(staging)
+    // One job, no pre-count: maxRecordsPerFile caps each output file at ~1M
+    // keys so a billion-id GDPR purge fans out across files, while AQE
+    // coalesces the dropDuplicates shuffle for typical small key sets
+    // (1-few files). Registration below handles either shape.
+    out.write.option("maxRecordsPerFile", 1L << 20).parquet(staging)
     val fsys = TableMetadata.fs(staging, conf)
     val pseudoSchema = IcebergSchema(0, IcebergTypes.StructT(eqFields))
     val files = {

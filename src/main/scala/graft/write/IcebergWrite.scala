@@ -162,40 +162,79 @@ object IcebergWrite {
       out.write.parquet(stagingDir)
     }
 
-    // Collect written files + their dir-encoded partition values.
+    // Collect written files + their dir-encoded partition values. Footer
+    // stats are read where the file count dictates: small appends stay on a
+    // driver thread pool; beyond the threshold the reads run as a Spark job
+    // so a 100 TB append (tens of thousands of files) never serializes
+    // footer IO on the driver — only the stat descriptors come back.
     val fsys = TableMetadata.fs(stagingDir, conf)
     val files = listParquet(fsys, new Path(stagingDir))
     val partResultTypes = spec.fields.map { pf =>
       pf.transform.resultType(schema.idToField(pf.sourceId).fieldType)
     }
-    val entries = graft.read.IcebergRead.parMap(files, 16) { st =>
-      val rel = st.getPath.toString.stripPrefix(new Path(stagingDir).toUri.toString).stripPrefix("/")
-      // Parse "_gp_name=value" segments, in spec order.
-      val segs = rel.split("/").dropRight(1)
-      val partValues: Seq[Any] = spec.fields.zip(partResultTypes).zipWithIndex.map { case ((pf, t), i) =>
-        val seg = segs.find(_.startsWith(s"_gp_${pf.name}=")).getOrElse(
-          throw new IllegalStateException(s"Missing partition dir for ${pf.name} in $rel"))
-        parseDirValue(seg.substring(seg.indexOf('=') + 1), t)
+    val stagingUri = new Path(stagingDir).toUri.toString
+    val specFields = spec.fields
+    val sortOrderId = meta.defaultSortOrderId
+    val sch = schema
+    val fileInfos = files.map(st => (st.getPath.toString, st.getLen))
+    val entries: Seq[ManifestEntry] =
+      if (fileInfos.length >= statsDistributeThreshold) {
+        lastStatsMode = "distributed"
+        val bconf = spark.sparkContext.broadcast(
+          new org.apache.spark.util.SerializableConfiguration(conf))
+        val slices = math.min(fileInfos.length, spark.sparkContext.defaultParallelism * 2)
+        spark.sparkContext.parallelize(fileInfos, slices)
+          .map { case (p, len) =>
+            buildEntry(p, len, stagingUri, sch, specFields, partResultTypes,
+              sortOrderId, bconf.value.value)
+          }.collect().toSeq
+      } else {
+        lastStatsMode = "driver"
+        graft.read.IcebergRead.parMap(fileInfos, 16) { case (p, len) =>
+          buildEntry(p, len, stagingUri, sch, specFields, partResultTypes,
+            sortOrderId, conf)
+        }
       }
-      val stats = FooterStats.read(st.getPath, conf, schema)
-      ManifestEntry(EntryStatus.Added, None, None, None, DataFileInfo(
-        content = FileContent.Data,
-        filePath = st.getPath.toString,
-        fileFormat = "parquet",
-        partitionValues = partValues,
-        recordCount = stats.recordCount,
-        fileSizeInBytes = st.getLen,
-        columnSizes = stats.columnSizes,
-        valueCounts = stats.valueCounts,
-        nullValueCounts = stats.nullCounts,
-        nanValueCounts = Map.empty,
-        lowerBounds = stats.lowerBounds,
-        upperBounds = stats.upperBounds,
-        splitOffsets = stats.splitOffsets,
-        equalityIds = Nil,
-        sortOrderId = Some(meta.defaultSortOrderId)))
-    }
     (entries, writeUuid)
+  }
+
+  /** File count at/above which footer-stats reads run as a Spark job instead
+    * of on the driver. Overridable for tests. */
+  @volatile private[graft] var statsDistributeThreshold: Int = 64
+  /** Last stats-collection mode ("driver" | "distributed") — test hook. */
+  @volatile private[graft] var lastStatsMode: String = ""
+
+  /** Build one ADDED manifest entry for a staged data file (runs on the
+    * driver or inside a Spark task — everything it touches is serializable). */
+  private def buildEntry(pathStr: String, len: Long, stagingUri: String,
+      schema: IcebergSchema, specFields: Seq[PartitionField],
+      partResultTypes: Seq[IcebergType], sortOrderId: Int,
+      conf: Configuration): ManifestEntry = {
+    val rel = pathStr.stripPrefix(stagingUri).stripPrefix("/")
+    // Parse "_gp_name=value" segments, in spec order.
+    val segs = rel.split("/").dropRight(1)
+    val partValues: Seq[Any] = specFields.zip(partResultTypes).map { case (pf, t) =>
+      val seg = segs.find(_.startsWith(s"_gp_${pf.name}=")).getOrElse(
+        throw new IllegalStateException(s"Missing partition dir for ${pf.name} in $rel"))
+      parseDirValue(seg.substring(seg.indexOf('=') + 1), t)
+    }
+    val stats = FooterStats.read(new Path(pathStr), conf, schema)
+    ManifestEntry(EntryStatus.Added, None, None, None, DataFileInfo(
+      content = FileContent.Data,
+      filePath = pathStr,
+      fileFormat = "parquet",
+      partitionValues = partValues,
+      recordCount = stats.recordCount,
+      fileSizeInBytes = len,
+      columnSizes = stats.columnSizes,
+      valueCounts = stats.valueCounts,
+      nullValueCounts = stats.nullCounts,
+      nanValueCounts = Map.empty,
+      lowerBounds = stats.lowerBounds,
+      upperBounds = stats.upperBounds,
+      splitOffsets = stats.splitOffsets,
+      equalityIds = Nil,
+      sortOrderId = Some(sortOrderId)))
   }
 
   private def listParquet(fsys: org.apache.hadoop.fs.FileSystem, dir: Path): Seq[FileStatus] = {
