@@ -650,5 +650,71 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, media_type,
         |  round(CAST(((blen * 11400714819323198485) % 18446744073709551616) // 1099511627776 % 1000 AS DOUBLE) / 1000.0, 4) AS f0
-        |FROM f""".stripMargin)
+        |FROM f""".stripMargin,
+
+    // Mirrors TextAnalysis.fingerprintUdf exactly: h = h*31 + utf16unit over
+    // trim(lower(text) with \s+ collapsed), wrapping 64-bit arithmetic done
+    // in HUGEINT mod 2^64, re-signed at the end. Integer-exact throughout
+    // (no float division — doubles cannot hold 64-bit intermediates).
+    "text_fingerprint" ->
+      """WITH n AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN fp_u >= CAST('9223372036854775808' AS HUGEINT)
+        |       THEN fp_u - CAST('18446744073709551616' AS HUGEINT) ELSE fp_u END AS BIGINT) AS fp
+        |FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN norm IS NULL OR norm = '' THEN CAST(0 AS HUGEINT) ELSE
+        |      list_reduce(
+        |        list_prepend(CAST(0 AS HUGEINT),
+        |          list_transform(range(1, length(norm) + 1),
+        |            i -> CAST(unicode(substr(norm, CAST(i AS INT), 1)) AS HUGEINT))),
+        |        (h, c) -> (h * 31 + c) % CAST('18446744073709551616' AS HUGEINT))
+        |    END AS fp_u
+        |  FROM n)""".stripMargin,
+
+    // Mirrors Dedup.simhash exactly (FNV-1a word hashes in HUGEINT mod 2^64,
+    // per-bit majority vote) then computes the EXACT Hamming<=3 pair set
+    // quadratically. The Spark side's 4x16-bit banding is lossless at this
+    // radius (pigeonhole: <=3 differing bits leave one band identical), so
+    // the LSH-bucketed pair set equals this exhaustive one. Bit extraction
+    // uses signed shifts, never float division.
+    "dedup_simhash" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text || ' tail' AS text FROM documents),
+        |words AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\W+'), w -> w <> '')) AS w
+        |  FROM docs),
+        |wh AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN h_u >= CAST('9223372036854775808' AS HUGEINT)
+        |         THEN h_u - CAST('18446744073709551616' AS HUGEINT) ELSE h_u END AS BIGINT) AS hs
+        |  FROM (
+        |    SELECT doc_id,
+        |      list_reduce(
+        |        list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |          list_transform(range(1, length(w) + 1),
+        |            i -> CAST(unicode(substr(w, CAST(i AS INT), 1)) AS HUGEINT))),
+        |        (h, c) -> (xor(h, c) * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)) AS h_u
+        |    FROM words)),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN (hs >> b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+        |  FROM wh, (SELECT unnest(range(64)) AS b)
+        |  GROUP BY doc_id, b),
+        |sims AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN sh_u >= CAST('9223372036854775808' AS HUGEINT)
+        |         THEN sh_u - CAST('18446744073709551616' AS HUGEINT) ELSE sh_u END AS BIGINT) AS sh
+        |  FROM (
+        |    SELECT doc_id,
+        |      sum(CASE WHEN acc > 0 THEN CAST(power(2, b) AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS sh_u
+        |    FROM bits GROUP BY doc_id))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        |FROM sims a, sims b
+        |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin)
 }

@@ -126,6 +126,42 @@ class PipelineExtrasSpec extends SparkSpec {
       "incremental read returned nulls for a renamed column")
   }
 
+  test("LSH ANN top-k recall vs brute-force cosine") {
+    val sf01 = "/root/testdata/sf0.01"
+    val e = spark.read.parquet(s"$sf01/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 1).select("embedding").collect()(0).getSeq[Float](0)
+    val rest = e.filter(col("vec_id") =!= 1)
+    val brute = graft.pipeline.Similarity.bruteForceTopK(rest, "embedding", "vec_id", q, 20)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val idx = graft.pipeline.Similarity.buildSignatureIndex(rest, "embedding", "vec_id")
+    val lsh = graft.pipeline.Similarity.lshTopKIndexed(idx, "embedding", "vec_id", q, 20)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    assert(recall >= 0.75, s"LSH top-20 recall $recall below 0.75 (hits ${brute.intersect(lsh).size}/20)")
+  }
+
+  test("multi-hundred-file append collects footer stats in a Spark job, not on the driver") {
+    val src = spark.read.parquet(s"$sfDir/lineitem.parquet").repartition(80)
+    val path = tmpDir("graft_dist_stats")
+    val saved = graft.write.IcebergWrite.statsDistributeThreshold
+    try {
+      graft.write.IcebergWrite.statsDistributeThreshold = 64
+      IcebergTable.write(src, path)
+      assert(graft.write.IcebergWrite.lastStatsMode == "distributed",
+        s"80-file append used '${graft.write.IcebergWrite.lastStatsMode}' stats mode")
+      // Stats must be identical to the driver path: bounds feed pruning.
+      val loaded = IcebergTable.load(spark, path)
+      assertSameResult(src, loaded)
+      val p = IcebergTable.plan(spark, path,
+        graft.read.ReadOptions(filterSql = Some("l_quantity > 1e9")))
+      assert(p.dataFiles.isEmpty, "distributed stats failed to prune an impossible predicate")
+      // Small appends stay on the driver thread pool.
+      val small = tmpDir("graft_driver_stats")
+      IcebergTable.write(src.limit(100).coalesce(1), small)
+      assert(graft.write.IcebergWrite.lastStatsMode == "driver")
+    } finally graft.write.IcebergWrite.statsDistributeThreshold = saved
+  }
+
   test("structured streaming: watermarked windowed aggregation matches batch") {
     val dir = tmpDir("graft_stream_events")
     val events = spark.read.parquet(s"$sfDir/events.parquet")
