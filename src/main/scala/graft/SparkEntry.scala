@@ -17,6 +17,8 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
+  private val streamSinkSeq = new java.util.concurrent.atomic.AtomicInteger()
+
   private def pq(s: SparkSession, dir: String, t: String): DataFrame =
     s.read.parquet(s"$dir/$t.parquet")
 
@@ -283,10 +285,47 @@ object SparkEntry {
         .select("rank", "vec_id")
     }),
 
+    // ---- SQL catalog front-end (CatalogPlugin) ----
+    "sql_catalog_q6" -> ((s, dir) => {
+      // Pure SQL through spark.sql.catalog.graft over an Iceberg roundtrip:
+      // filter pushdown + pruning run inside the catalog-resolved DSv2 scan.
+      val path = Fixtures.lineitemPlain(s, dir)
+      s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftSparkCatalog")
+      s.sql(
+        s"""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           |  CAST(count(*) AS BIGINT) AS n
+           |FROM graft.`$path`
+           |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+           |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)
+    }),
+
+    "sql_time_travel" -> ((s, dir) => {
+      // `VERSION AS OF` via a warehouse-backed catalog name (Spark only
+      // applies SQL time travel to catalog-resolved relations).
+      val (path, firstSnap) = Fixtures.ordersTwoSnapshots(s, dir)
+      val p = java.nio.file.Paths.get(path)
+      s.conf.set("spark.sql.catalog.graft_wh", "graft.catalog.GraftSparkCatalog")
+      s.conf.set("spark.sql.catalog.graft_wh.warehouse", p.getParent.toString)
+      s.sql(s"SELECT * FROM graft_wh.`${p.getFileName}` VERSION AS OF $firstSnap")
+    }),
+
     // ---- streaming / incremental ----
     "stream_incremental" -> ((s, dir) => {
       val (path, firstSnap) = Fixtures.ordersTwoSnapshots(s, dir)
       graft.streaming.Streams.appendsSince(s, path, firstSnap)
+    }),
+
+    "stream_microbatch" -> ((s, dir) => {
+      // readStream.format("graft"): one AvailableNow-style pass over the
+      // table delivers every snapshot's files through the micro-batch path.
+      val (path, _) = Fixtures.ordersTwoSnapshots(s, dir)
+      val sink = s"graft_stream_sink_${streamSinkSeq.incrementAndGet()}"
+      val q = s.readStream.format("graft").load(path)
+        .writeStream.format("memory").queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+      q.awaitTermination()
+      s.table(sink)
     }),
 
     "q_events_hourly" -> ((s, dir) => {
@@ -506,6 +545,19 @@ object SparkEntry {
         |ORDER BY rank LIMIT 20""".stripMargin,
 
     "stream_incremental" -> "SELECT * FROM orders",
+
+    "sql_catalog_q6" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "sql_time_travel" -> "SELECT * FROM orders",
+
+    "stream_microbatch" ->
+      "SELECT * FROM orders UNION ALL SELECT * FROM orders",
 
     "q_events_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,

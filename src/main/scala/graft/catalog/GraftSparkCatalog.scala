@@ -1,0 +1,244 @@
+package graft.catalog
+
+import graft.core.{IcebergTypes, SnapshotLookup, TableMetadata}
+import graft.read.ReadOptions
+import graft.sources.GraftTable
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import java.util
+import scala.jdk.CollectionConverters._
+
+/**
+ * Spark SQL catalog front-end (`CatalogPlugin`): lets users type the SQL the
+ * reference's users type (`ATTACH ... TYPE iceberg` then `SELECT * FROM
+ * cat.ns.t` — src/iceberg_extension.cpp:135-162, iceberg_attach.cpp:14-175),
+ * Spark-style:
+ *
+ * {{{
+ *   spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftSparkCatalog")
+ *   spark.conf.set("spark.sql.catalog.graft.uri", "http://rest-catalog:8181")   // REST-backed
+ *   // and/or spark.conf.set("spark.sql.catalog.graft.warehouse", "/data/wh")   // path-backed
+ *   spark.sql("SELECT * FROM graft.db.tbl VERSION AS OF 123456789")
+ *   spark.sql("SELECT * FROM graft.`/abs/path/to/table`")                        // direct path
+ * }}}
+ *
+ * Resolution order: a name containing `/` is a direct table path; otherwise
+ * REST (`uri`) when configured, else `warehouse/ns.../name` on the
+ * filesystem. All reads route through the same DSv2 [[GraftTable]] scan
+ * (filter pushdown → manifest/file/stats pruning), so SQL entry costs
+ * nothing over the library API. `VERSION AS OF` binds a snapshot id;
+ * `TIMESTAMP AS OF` an as-of timestamp — both resolved against table
+ * metadata at analysis time (snapshot-specific schema included).
+ */
+class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
+  private var catalogName: String = _
+  private var rest: Option[RestCatalog] = None
+  private var warehouse: Option[String] = None
+
+  override def name(): String = catalogName
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).map(_.stripSuffix("/"))
+    rest = Option(options.get("uri")).map { uri =>
+      val sigv4 = Option(options.get("sigv4.access-key")).map { ak =>
+        SigV4Credentials(ak,
+          Option(options.get("sigv4.secret-key")).getOrElse(""),
+          Option(options.get("sigv4.region")).getOrElse("us-east-1"),
+          Option(options.get("sigv4.service")).getOrElse("execute-api"),
+          Option(options.get("sigv4.session-token")))
+      }
+      new RestCatalog(uri, CatalogOptions(
+        warehouse = Option(options.get("rest-warehouse")),
+        token = Option(options.get("token")),
+        oauth2ServerUri = Option(options.get("oauth2-server-uri")),
+        clientId = Option(options.get("credential")).map(_.split(":")(0))
+          .orElse(Option(options.get("client-id"))),
+        clientSecret = Option(options.get("credential")).filter(_.contains(":"))
+          .map(_.split(":", 2)(1)).orElse(Option(options.get("client-secret"))),
+        scope = Option(options.get("scope")),
+        sigv4 = sigv4))
+    }
+  }
+
+  private def spark: SparkSession = SparkSession.active
+  private def hconf = spark.sessionState.newHadoopConf()
+
+  private def isPathIdent(ident: Identifier): Boolean =
+    ident.name.contains("/") && ident.namespace.isEmpty
+
+  /** Resolve an identifier to a loadable location: a direct path, a REST
+    * table's metadata location, or `warehouse/ns.../name`. For REST tables
+    * also returns the already-parsed metadata from the LoadTableResult (the
+    * catalog server is the source of truth — no second fetch, and the
+    * metadata location need not be client-readable). */
+  private def resolve(ident: Identifier): (String, Option[TableMetadata]) = {
+    if (isPathIdent(ident)) (ident.name, None)
+    else rest match {
+      case Some(r) =>
+        try {
+          val t = r.loadTable(ident.namespace.toSeq, ident.name)
+          (t.metadataLocation, Some(t.metadata))
+        } catch {
+          case e: RestCatalogException if e.status == 404 => throw new NoSuchTableException(ident)
+        }
+      case None =>
+        val wh = warehouse.getOrElse(throw new NoSuchTableException(ident))
+        ((wh +: ident.namespace.toSeq :+ ident.name).mkString("/"), None)
+    }
+  }
+
+  private def tableFor(ident: Identifier, opts: ReadOptions): Table = {
+    val (loc, preloaded) = resolve(ident)
+    val meta = preloaded.getOrElse {
+      try TableMetadata.load(loc, hconf, opts.metadataVersion)
+      catch { case _: Exception if !isPathIdent(ident) => throw new NoSuchTableException(ident) }
+    }
+    val schema = opts.lookup match {
+      case SnapshotLookup.Latest => meta.currentSchema
+      case lk => meta.schemaFor(meta.selectSnapshot(lk))
+    }
+    new GraftTable(loc, schema.toSpark, opts,
+      Some((catalogName +: ident.namespace.toSeq :+ ident.name).mkString(".")), preloaded)
+  }
+
+  override def loadTable(ident: Identifier): Table = tableFor(ident, ReadOptions())
+
+  /** `VERSION AS OF <snapshot-id>` */
+  override def loadTable(ident: Identifier, version: String): Table =
+    tableFor(ident, ReadOptions(snapshotId = Some(version.toLong)))
+
+  /** `TIMESTAMP AS OF` — Spark passes microseconds since epoch. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    tableFor(ident, ReadOptions(asOfTimestampMs = Some(timestamp / 1000)))
+
+  override def tableExists(ident: Identifier): Boolean =
+    try {
+      val (loc, preloaded) = resolve(ident)
+      preloaded.isDefined ||
+        (try { TableMetadata.load(loc, hconf); true } catch { case _: Exception => false })
+    } catch { case _: NoSuchTableException => false }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = rest match {
+    case Some(r) => r.listTables(namespace.toSeq).map(t => Identifier.of(namespace, t)).toArray
+    case None =>
+      val wh = warehouse.getOrElse(return Array.empty)
+      val dir = new Path((wh +: namespace.toSeq).mkString("/"))
+      val fs = dir.getFileSystem(hconf)
+      if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace.toSeq)
+      fs.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
+        .filter(n => fs.exists(new Path(dir, s"$n/metadata")))
+        .map(n => Identifier.of(namespace, n))
+  }
+
+  /** CREATE TABLE — REST-backed creates through the catalog; path-backed
+    * writes an empty Iceberg table at `warehouse/ns/name`. */
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "partitioned CREATE TABLE via SQL not supported yet — use the library API (IcebergWrite)")
+    rest match {
+      case Some(r) =>
+        val loc = Option(properties.get(TableCatalog.PROP_LOCATION))
+          .getOrElse((warehouse.getOrElse("/tmp/graft-wh") +: ident.namespace.toSeq :+ ident.name).mkString("/"))
+        r.createTable(ident.namespace.toSeq, ident.name, IcebergTypes.fromSpark(schema), loc)
+      case None =>
+        val loc = (warehouse.getOrElse(throw new IllegalStateException(
+          s"catalog $catalogName has neither uri nor warehouse")) +: ident.namespace.toSeq :+ ident.name).mkString("/")
+        graft.write.IcebergWrite.createTable(spark, loc, schema)
+    }
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE via SQL catalog not supported — use graft.write.Evolution")
+
+  override def dropTable(ident: Identifier): Boolean = rest match {
+    case Some(r) =>
+      try { r.dropTable(ident.namespace.toSeq, ident.name); true }
+      catch { case e: RestCatalogException if e.status == 404 => false }
+    case None =>
+      if (!tableExists(ident)) false
+      else {
+        val p = new Path(resolve(ident)._1)
+        p.getFileSystem(hconf).delete(p, true)
+      }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = rest match {
+    case Some(r) =>
+      require(oldIdent.namespace.sameElements(newIdent.namespace),
+        "rename across namespaces not supported")
+      r.renameTable(oldIdent.namespace.toSeq, oldIdent.name, newIdent.name)
+    case None => throw new UnsupportedOperationException("rename requires a REST catalog")
+  }
+
+  // ---------- SupportsNamespaces ----------
+
+  override def listNamespaces(): Array[Array[String]] = rest match {
+    case Some(r) => r.listNamespaces().map(_.toArray).toArray
+    case None =>
+      val wh = warehouse.getOrElse(return Array.empty)
+      val dir = new Path(wh)
+      val fs = dir.getFileSystem(hconf)
+      if (!fs.exists(dir)) Array.empty
+      else fs.listStatus(dir).filter(_.isDirectory).map(s => Array(s.getPath.getName))
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else rest match {
+      case Some(r) =>
+        r.listNamespaces().filter(ns => ns.length > namespace.length &&
+          ns.take(namespace.length) == namespace.toSeq).map(_.toArray).toArray
+      case None => Array.empty
+    }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
+    rest match {
+      case Some(r) =>
+        try r.namespaceProperties(namespace.toSeq).asJava
+        catch { case e: RestCatalogException if e.status == 404 =>
+          throw new NoSuchNamespaceException(namespace.toSeq) }
+      case None =>
+        val wh = warehouse.getOrElse(throw new NoSuchNamespaceException(namespace.toSeq))
+        val dir = new Path((wh +: namespace.toSeq).mkString("/"))
+        if (!dir.getFileSystem(hconf).exists(dir)) throw new NoSuchNamespaceException(namespace.toSeq)
+        Map.empty[String, String].asJava
+    }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = rest match {
+    case Some(r) => r.createNamespace(namespace.toSeq, metadata.asScala.toMap)
+    case None =>
+      val wh = warehouse.getOrElse(throw new IllegalStateException("no warehouse configured"))
+      val dir = new Path((wh +: namespace.toSeq).mkString("/"))
+      dir.getFileSystem(hconf).mkdirs(dir)
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    rest match {
+      case Some(r) =>
+        val sets = changes.collect { case s: NamespaceChange.SetProperty => s.property -> s.value }.toMap
+        val removes = changes.collect { case rm: NamespaceChange.RemoveProperty => rm.property }
+        r.updateNamespaceProperties(namespace.toSeq, sets, removes)
+      case None => throw new UnsupportedOperationException("namespace properties require a REST catalog")
+    }
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = rest match {
+    case Some(r) =>
+      try { r.dropNamespace(namespace.toSeq); true }
+      catch { case e: RestCatalogException if e.status == 404 => false }
+    case None =>
+      val wh = warehouse.getOrElse(return false)
+      val dir = new Path((wh +: namespace.toSeq).mkString("/"))
+      val fs = dir.getFileSystem(hconf)
+      fs.exists(dir) && fs.delete(dir, cascade)
+  }
+}

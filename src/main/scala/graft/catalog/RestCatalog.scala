@@ -34,7 +34,12 @@ case class CatalogOptions(
     /** Reuse a cached LoadTableResult for this long (ms) before re-fetching —
       * the reference's `max_table_staleness` ATTACH option
       * (iceberg_attach.cpp:230-237). 0 = always fresh. */
-    maxTableStalenessMs: Long = 0L)
+    maxTableStalenessMs: Long = 0L,
+    /** SigV4 request signing for AWS-hosted catalogs (Glue, S3 Tables) —
+      * the reference's `authorization_type 'sigv4'` ATTACH option
+      * (src/catalog/rest/storage/authorization/sigv4.cpp). Takes precedence
+      * over bearer/OAuth2 auth when set. */
+    sigv4: Option[SigV4Credentials] = None)
 
 class RestCatalogException(val status: Int, msg: String) extends RuntimeException(s"HTTP $status: $msg")
 
@@ -74,9 +79,19 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
   }
 
   private def request(method: String, path: String, body: Option[String] = None): JsonNode = {
-    val b = HttpRequest.newBuilder(URI.create(s"$base$path"))
+    val uri = URI.create(s"$base$path")
+    val b = HttpRequest.newBuilder(uri)
       .header("Content-Type", "application/json")
-    bearer().foreach(t => b.header("Authorization", s"Bearer $t"))
+    opts.sigv4 match {
+      case Some(creds) =>
+        val payload = body.map(_.getBytes(StandardCharsets.UTF_8))
+          .getOrElse(if (method == "POST") "{}".getBytes(StandardCharsets.UTF_8)
+                     else Array.empty[Byte])
+        SigV4.sign(method, uri, Map("content-type" -> "application/json"), payload, creds)
+          .foreach { case (k, v) => b.header(k, v) }
+      case None =>
+        bearer().foreach(t => b.header("Authorization", s"Bearer $t"))
+    }
     val req = (method match {
       case "GET" => b.GET()
       case "DELETE" => b.DELETE()

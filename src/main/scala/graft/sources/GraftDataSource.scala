@@ -27,7 +27,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  *
  * Options: `snapshot-id`, `as-of-timestamp` (ms), `metadata-version`.
  */
-class GraftDataSource extends TableProvider with DataSourceRegister {
+class GraftDataSource extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSourceProvider {
   override def shortName(): String = "graft"
   override def supportsExternalMetadata(): Boolean = false
 
@@ -35,6 +36,29 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     val p = m.get("path")
     require(p != null, "graft source requires a path: spark.read.format(\"graft\").load(path)")
     p
+  }
+
+  // ---- Structured Streaming micro-batch source (SURVEY §2.9) ----
+  // `spark.readStream.format("graft").load(path)`: each micro-batch reads
+  // the data files that became live since the last processed snapshot
+  // (offset = snapshot id + snapshot-log ordinal).
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) = {
+    val inferred = schema.getOrElse {
+      val conf = ctx.sparkSession.sessionState.newHadoopConf()
+      TableMetadata.load(parameters("path"), conf).currentSchema.toSpark
+    }
+    (shortName(), inferred)
+  }
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
+    val path = parameters("path")
+    val conf = ctx.sparkSession.sessionState.newHadoopConf()
+    val s = schema.getOrElse(TableMetadata.load(path, conf).currentSchema.toSpark)
+    new GraftMicroBatchSource(ctx.sparkSession, path, s)
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
@@ -65,17 +89,30 @@ object GraftDataSource {
     metadataVersion = Option(options.get("metadata-version")))
 }
 
-private[sources] class GraftTable(path: String, tableSchema: StructType)
+/** `path` may be a table directory OR a direct `.metadata.json` location
+  * (how the SQL catalog resolves REST-loaded tables). `baseOpts` carries
+  * catalog-level time travel (`VERSION AS OF` / `TIMESTAMP AS OF`);
+  * per-scan options override it. */
+private[graft] class GraftTable(path: String, tableSchema: StructType,
+    baseOpts: ReadOptions = ReadOptions(), displayName: Option[String] = None,
+    preloaded: Option[TableMetadata] = None)
     extends Table with SupportsRead {
-  override def name(): String = s"graft.`$path`"
+  override def name(): String = displayName.getOrElse(s"graft.`$path`")
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(path, tableSchema, GraftDataSource.readOptions(options))
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val o = GraftDataSource.readOptions(options)
+    val merged = baseOpts.copy(
+      snapshotId = o.snapshotId.orElse(baseOpts.snapshotId),
+      asOfTimestampMs = o.asOfTimestampMs.orElse(baseOpts.asOfTimestampMs),
+      metadataVersion = o.metadataVersion.orElse(baseOpts.metadataVersion))
+    new GraftScanBuilder(path, tableSchema, merged, preloaded)
+  }
 }
 
-private[sources] class GraftScanBuilder(path: String, tableSchema: StructType, opts: ReadOptions)
+private[sources] class GraftScanBuilder(path: String, tableSchema: StructType, opts: ReadOptions,
+    preloaded: Option[TableMetadata] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
@@ -90,11 +127,12 @@ private[sources] class GraftScanBuilder(path: String, tableSchema: StructType, o
   }
   override def pushedFilters(): Array[Filter] = accepted
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new GraftScan(path, required, accepted, opts)
+  override def build(): Scan = new GraftScan(path, required, accepted, opts, preloaded)
 }
 
 private[sources] class GraftScan(path: String, required: StructType,
-    pushed: Array[Filter], opts: ReadOptions) extends V1Scan {
+    pushed: Array[Filter], opts: ReadOptions,
+    preloaded: Option[TableMetadata] = None) extends V1Scan {
   private val filterSql: Option[String] = {
     val parts = pushed.flatMap(FilterSql.convert)
     if (parts.isEmpty) None else Some(parts.map(p => s"($p)").mkString(" AND "))
@@ -104,11 +142,12 @@ private[sources] class GraftScan(path: String, required: StructType,
     s"GraftIcebergScan path=$path pushed=[${filterSql.getOrElse("")}] columns=[${required.fieldNames.mkString(",")}]"
 
   override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
-    new GraftRelation(context, path, required, opts.copy(filterSql = filterSql)).asInstanceOf[T]
+    new GraftRelation(context, path, required, opts.copy(filterSql = filterSql), preloaded).asInstanceOf[T]
 }
 
 private[sources] class GraftRelation(context: SQLContext, path: String,
-    required: StructType, opts: ReadOptions) extends BaseRelation with TableScan {
+    required: StructType, opts: ReadOptions,
+    preloaded: Option[TableMetadata] = None) extends BaseRelation with TableScan {
   override def sqlContext: SQLContext = context
   override def schema: StructType = required
   override def toString: String =
@@ -117,7 +156,10 @@ private[sources] class GraftRelation(context: SQLContext, path: String,
     val spark = context.sparkSession
     IcebergRead.ensureConfs(spark)
     val conf = spark.sessionState.newHadoopConf()
-    val p: ScanPlan = IcebergRead.plan(spark, path, opts)
+    val p: ScanPlan = preloaded match {
+      case Some(m) => IcebergRead.planWithMetadata(spark, m, conf, opts)
+      case None => IcebergRead.plan(spark, path, opts)
+    }
     GraftDataSource.lastScanFiles = Some((p.dataFiles.size, p.totalDataFiles))
     val df = IcebergRead.assemble(spark, p, conf, opts)
     val projected =
@@ -125,6 +167,53 @@ private[sources] class GraftRelation(context: SQLContext, path: String,
       else df.select(required.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
     projected.rdd
   }
+}
+
+/** Micro-batch offset: the snapshot id plus its ordinal in the snapshot
+  * log (ordinal gives cheap monotonic comparison; id gives exact replay). */
+private[graft] case class GraftStreamOffset(snapshotId: Long, ordinal: Long)
+    extends org.apache.spark.sql.execution.streaming.Offset {
+  override def json(): String = s"""{"snapshotId":$snapshotId,"ordinal":$ordinal}"""
+}
+
+private[graft] object GraftStreamOffset {
+  private val P = """\{"snapshotId":(-?\d+),"ordinal":(-?\d+)\}""".r
+  def fromJson(s: String): GraftStreamOffset = s match {
+    case P(id, ord) => GraftStreamOffset(id.toLong, ord.toLong)
+    case other => throw new IllegalArgumentException(s"Bad graft stream offset: $other")
+  }
+  def of(o: org.apache.spark.sql.connector.read.streaming.Offset): GraftStreamOffset = o match {
+    case g: GraftStreamOffset => g
+    case other => fromJson(other.json())
+  }
+}
+
+/** V1 streaming `Source` over an Iceberg table: `getOffset` polls the
+  * current snapshot; `getBatch(a, b)` returns rows from data files live at
+  * `b` but not at `a` (Streams.appendsBetween), re-planned through the
+  * normal scan assembly (field-id projection, defaults, deletes). The same
+  * shape as the reference's incremental hooks — snapshots ARE the offsets
+  * (SURVEY §2.9). */
+private[graft] class GraftMicroBatchSource(spark: SparkSession, path: String,
+    sourceSchema: StructType) extends org.apache.spark.sql.execution.streaming.Source {
+
+  override def schema: StructType = sourceSchema
+
+  override def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] =
+    graft.streaming.Streams.latestCursor(spark, path)
+      .map { case (id, ord) => GraftStreamOffset(id, ord) }
+
+  override def getBatch(start: Option[org.apache.spark.sql.execution.streaming.Offset],
+      end: org.apache.spark.sql.execution.streaming.Offset): org.apache.spark.sql.DataFrame = {
+    val endOff = GraftStreamOffset.of(end)
+    val startId = start.map(GraftStreamOffset.of(_).snapshotId)
+    val df = graft.streaming.Streams.appendsBetween(spark, path, startId, endOff.snapshotId)
+    org.apache.spark.sql.GraftStreamShim.asStreamingDF(df)
+  }
+
+  override def commit(end: org.apache.spark.sql.execution.streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String = s"GraftMicroBatchSource[$path]"
 }
 
 /** Spark `Filter` -> ANSI SQL text (fed to Pruning.extractPredicates and the

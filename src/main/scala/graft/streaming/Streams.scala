@@ -56,6 +56,37 @@ object Streams {
     }
   }
 
+  /** Bounded incremental read for the micro-batch source: rows from data
+    * files live at `toSnapshotId` but NOT live at `fromSnapshotId`
+    * (set-difference on file paths — robust across v1 tables where data
+    * sequence numbers are all 0, and across manifest rewrites/compaction
+    * that re-sequence entries). `fromSnapshotId = None` reads the table from
+    * the beginning up to `toSnapshotId`. Deletes that apply to the fresh
+    * files at `to` are honored via the normal scan assembly. */
+  def appendsBetween(spark: SparkSession, path: String,
+      fromSnapshotId: Option[Long], toSnapshotId: Long): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = TableMetadata.load(path, conf)
+    val toOpts = ReadOptions(snapshotId = Some(toSnapshotId))
+    val toPlan = IcebergRead.planWithMetadata(spark, meta, conf, toOpts)
+    val prevPaths: Set[String] = fromSnapshotId match {
+      case None => Set.empty
+      case Some(id) =>
+        IcebergRead.planWithMetadata(spark, meta, conf, ReadOptions(snapshotId = Some(id)))
+          .dataFiles.map(_.resolvedPath).toSet
+    }
+    val fresh = toPlan.dataFiles.filterNot(f => prevPaths(f.resolvedPath))
+    if (fresh.isEmpty) IcebergRead.emptyDF(spark, toPlan.schema.toSpark)
+    else IcebergRead.assemble(spark, toPlan.copy(dataFiles = fresh), conf, toOpts)
+  }
+
+  /** Latest snapshot id + its ordinal in the snapshot log (the micro-batch
+    * offset), or None for an empty table. */
+  def latestCursor(spark: SparkSession, path: String): Option[(Long, Long)] = {
+    val meta = TableMetadata.load(path, spark.sessionState.newHadoopConf())
+    meta.currentSnapshot.map(s => (s.snapshotId, meta.snapshots.indexWhere(_.snapshotId == s.snapshotId).toLong))
+  }
+
   /** Structured Streaming reader over a directory of event parquet files
     * (schema must be supplied for file streams). */
   def readEventStream(spark: SparkSession, dir: String,

@@ -1,0 +1,24 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.classic.{Dataset => CDataset, SparkSession => CSparkSession}
+import org.apache.spark.sql.execution.LogicalRDD
+
+/**
+ * Minimal `private[sql]` bridge for graft's V1 streaming source: micro-batch
+ * `Source.getBatch` must return a DataFrame whose logical plan is flagged
+ * `isStreaming = true` (MicroBatchExecution asserts it), and the only way to
+ * stamp that flag onto an arbitrary batch plan is the internal
+ * [[LogicalRDD]] constructor — the same pattern file/Kafka/Delta sources
+ * use. This is the entire internal surface graft touches.
+ */
+object GraftStreamShim {
+  /** Re-wrap a batch DataFrame's physical RDD as a streaming-flagged plan.
+    * Planning stays lazy: `toRdd` builds the RDD DAG, execution happens when
+    * the micro-batch sink runs it. */
+  def asStreamingDF(df: DataFrame): DataFrame = {
+    val cdf = df.asInstanceOf[CDataset[Row]]
+    val session = cdf.sparkSession.asInstanceOf[CSparkSession]
+    val qe = cdf.queryExecution
+    CDataset.ofRows(session, LogicalRDD(qe.analyzed.output, qe.toRdd, isStreaming = true)(session))
+  }
+}

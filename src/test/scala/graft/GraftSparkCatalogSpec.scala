@@ -1,0 +1,102 @@
+package graft
+
+import graft.catalog.{CatalogOptions, RestCatalog}
+import graft.core.IcebergTypes
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+
+/** SQL catalog front-end: `spark.sql.catalog.<name>` → SELECT over
+  * direct-path, warehouse-backed, and REST-backed tables, with
+  * `VERSION AS OF` / `TIMESTAMP AS OF` time travel. */
+class GraftSparkCatalogSpec extends SparkSpec with BeforeAndAfterAll {
+  private val server = new TestRestServer
+
+  override def beforeAll(): Unit = {
+    server.start()
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.catalog.GraftSparkCatalog].getName)
+  }
+  override def afterAll(): Unit = server.stop()
+
+  test("TPC-H q6 via pure SQL through the catalog (direct-path identifier)") {
+    val path = Fixtures.lineitemPlain(spark, sfDir)
+    val viaSql = spark.sql(
+      s"""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM graft.`$path`
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin)
+    val viaParquet = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).cast("long").as("n"))
+    assertSameResult(viaSql, viaParquet)
+  }
+
+  test("catalog SQL pushes filters into the graft scan (partition pruning happens)") {
+    val path = Fixtures.ordersByMonth(spark, sfDir)
+    graft.sources.GraftDataSource.lastScanFiles = None
+    val n = spark.sql(
+      s"""SELECT count(*) FROM graft.`$path`
+         |WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(n > 0)
+    val (kept, total) = graft.sources.GraftDataSource.lastScanFiles.get
+    assert(kept < total, s"expected partition pruning, scanned $kept of $total")
+  }
+
+  test("VERSION AS OF + TIMESTAMP AS OF time travel via SQL") {
+    // Time travel requires catalog-resolved names (Spark's SQL-on-files rule
+    // intercepts `format.`path`` relations before catalog time travel).
+    val wh = tmpDir("graft_tt_wh")
+    spark.conf.set("spark.sql.catalog.ttcat", classOf[graft.catalog.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ttcat.warehouse", wh)
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val path = s"$wh/db/orders2"
+    IcebergTable.write(orders, path)
+    IcebergTable.append(orders, path)
+    val meta = graft.core.TableMetadata.load(path, spark.sessionState.newHadoopConf())
+    val firstSnap = meta.snapshots.minBy(_.sequenceNumber).snapshotId
+    val v1 = spark.sql(s"SELECT * FROM ttcat.db.orders2 VERSION AS OF $firstSnap")
+    assert(v1.count() == orders.count())
+    val latest = spark.sql(s"SELECT * FROM ttcat.db.orders2")
+    assert(latest.count() == 2 * orders.count())
+    val firstTs = meta.snapshots.find(_.snapshotId == firstSnap).get.timestampMs
+    val t1 = spark.sql(
+      s"SELECT * FROM ttcat.db.orders2 TIMESTAMP AS OF to_timestamp(${firstTs / 1000.0})")
+    assert(t1.count() == orders.count())
+  }
+
+  test("warehouse-backed catalog: namespaces, listing, SELECT by name") {
+    val wh = tmpDir("graft_wh")
+    spark.conf.set("spark.sql.catalog.whcat", classOf[graft.catalog.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.whcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE whcat.db")
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+    IcebergTable.write(region, s"$wh/db/region")
+    assert(spark.sql("SHOW TABLES IN whcat.db").collect().map(_.getString(1)).toSeq == Seq("region"))
+    assertSameResult(spark.sql("SELECT * FROM whcat.db.region"), region)
+    assert(spark.sql("SHOW NAMESPACES IN whcat").collect().map(_.getString(0)).contains("db"))
+  }
+
+  test("REST-backed catalog: SQL SELECT through a served LoadTableResult") {
+    val cat = new RestCatalog(server.uri, CatalogOptions(token = Some(server.token)))
+    cat.createNamespace(Seq("sqlns"))
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    val loc = tmpDir("graft_rest_sql_tbl")
+    cat.createTable(Seq("sqlns"), "nation", IcebergTypes.fromSpark(nation.schema), loc)
+    cat.appendDF(nation, Seq("sqlns"), "nation")
+
+    spark.conf.set("spark.sql.catalog.restcat", classOf[graft.catalog.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.restcat.uri", server.uri)
+    spark.conf.set("spark.sql.catalog.restcat.token", server.token)
+    assertSameResult(spark.sql("SELECT * FROM restcat.sqlns.nation"), nation)
+    assert(spark.sql("SHOW TABLES IN restcat.sqlns").collect().map(_.getString(1)).toSeq == Seq("nation"))
+    val agg = spark.sql(
+      "SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n FROM restcat.sqlns.nation GROUP BY n_regionkey")
+    assertSameResult(agg,
+      nation.groupBy("n_regionkey").agg(count(lit(1)).cast("long").as("n")))
+  }
+}
