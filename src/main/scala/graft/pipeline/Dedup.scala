@@ -191,10 +191,14 @@ object Dedup {
   }
 
   /** LSH candidates re-scored with EXACT n-gram Jaccard (deterministic —
-    * oracle-matchable). The candidate-text broadcast is size-gated on the
-    * materialized candidate count: small candidate sets broadcast (two
-    * corpus scans, zero corpus shuffle); past the limit both re-score
-    * joins shuffle instead of inflating the driver. */
+    * oracle-matchable). Each candidate doc's shingle set is computed ONCE
+    * (docs appear in many pairs — dense near-dup corpora would otherwise
+    * re-shingle every doc per pair); the per-pair score is then a
+    * codegen'd `array_intersect` with J = i / (|a| + |b| - i). The
+    * candidate-side broadcast is size-gated on the materialized candidate
+    * count: small candidate sets broadcast (two corpus scans, zero corpus
+    * shuffle); past the limit both re-score joins shuffle instead of
+    * inflating the driver. */
   def minhashNearDuplicatesExact(
       df: DataFrame,
       textCol: String,
@@ -205,12 +209,19 @@ object Dedup {
     val cands = minhashCandidatePairs(df, textCol, idCol, shingleSize, maxBucket).persist()
     val nCand = cands.count()
     val texts = df.select(col(idCol).cast("long").as("_id"), col(textCol).as("_text"))
-    val jac = udf((a: String, b: String) => ngramJaccard(a, b, shingleSize))
-    val withTa = gated(
-      texts.select(col("_id").as("id_a"), col("_text").as("_ta"))
-        .join(gated(cands, nCand), "id_a"), nCand)
-    withTa.join(texts.select(col("_id").as("id_b"), col("_text").as("_tb")), "id_b")
-      .filter(jac(col("_ta"), col("_tb")) >= threshold)
+    val gramsUdf = udf((t: String) => ngrams(if (t == null) "" else t, shingleSize).toArray)
+      .asNondeterministic()
+    val candIds = cands.select(col("id_a").as("_id"))
+      .union(cands.select(col("id_b").as("_id"))).distinct()
+    val candGrams = texts.join(gated(candIds, nCand), "_id")
+      .select(col("_id"), gramsUdf(col("_text")).as("_g"))
+      .persist()
+    cands
+      .join(gated(candGrams.select(col("_id").as("id_a"), col("_g").as("_ga")), nCand), "id_a")
+      .join(gated(candGrams.select(col("_id").as("id_b"), col("_g").as("_gb")), nCand), "id_b")
+      .withColumn("_i", size(array_intersect(col("_ga"), col("_gb"))).cast("double"))
+      .withColumn("_u", size(col("_ga")) + size(col("_gb")) - col("_i"))
+      .filter(when(col("_u") === 0, lit(1.0)).otherwise(col("_i") / col("_u")) >= threshold)
       .select("id_a", "id_b")
   }
 
@@ -268,14 +279,17 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Word n-gram shingle set (the unit of exact Jaccard). */
+  def ngrams(s: String, n: Int = 3): Set[String] = {
+    val w = s.toLowerCase.split("\\W+").filter(_.nonEmpty)
+    if (w.length < n) Set(w.mkString(" "))
+    else (0 to w.length - n).map(i => w.slice(i, i + n).mkString(" ")).toSet
+  }
+
   /** N-gram Jaccard similarity for a verified pair (exact, not estimated) —
     * used to re-score LSH candidates. */
   def ngramJaccard(a: String, b: String, n: Int = 3): Double = {
-    def grams(s: String): Set[String] = {
-      val w = s.toLowerCase.split("\\W+").filter(_.nonEmpty)
-      if (w.length < n) Set(w.mkString(" ")) else (0 to w.length - n).map(i => w.slice(i, i + n).mkString(" ")).toSet
-    }
-    val (ga, gb) = (grams(a), grams(b))
+    val (ga, gb) = (ngrams(a, n), ngrams(b, n))
     if (ga.isEmpty && gb.isEmpty) 1.0
     else ga.intersect(gb).size.toDouble / ga.union(gb).size.toDouble
   }
