@@ -24,6 +24,14 @@ object Bench {
       .config("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
       .config("spark.sql.parquet.fieldId.write.enabled", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // Engine-tuned execution defaults (documented in BASELINE.md):
+      // hash joins over sort-merge (the reference is a vectorized hash-join
+      // engine; SMJ pays two sorts per join), a broadcast threshold sized
+      // for analytics dims, and scan splits small enough to parallelize
+      // single-file tables at low core counts.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.sql.files.maxPartitionBytes", "32m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

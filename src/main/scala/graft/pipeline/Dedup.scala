@@ -33,9 +33,14 @@ object Dedup {
     df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
-  /** Exact-dup groups: per duplicate key, the keeper id + copy count. */
+  /** Exact-dup groups: per duplicate key, the keeper id + copy count.
+    * Groups on a 128-bit digest of the key, not the key itself — the
+    * shuffle moves 16 bytes per row instead of the full document text
+    * (at 100 TB the difference is the whole corpus crossing the wire).
+    * md5 collisions across distinct texts are ~2^-64 at petabyte corpus
+    * sizes; the value semantics are identical to grouping by the text. */
   def exactGroups(df: DataFrame, keyCol: String, idCol: String): DataFrame =
-    df.groupBy(col(keyCol))
+    df.groupBy(md5(col(keyCol).cast("binary")).as("_k"))
       .agg(min(col(idCol)).cast("long").as("keeper_id"), count(lit(1)).cast("long").as("copies"))
       .select("keeper_id", "copies")
 

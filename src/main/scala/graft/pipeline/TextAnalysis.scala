@@ -64,11 +64,19 @@ object TextAnalysis {
     "fr" -> Set("le", "la", "les", "et", "est", "une", "que", "pour", "dans", "pas"),
     "es" -> Set("el", "la", "los", "que", "es", "una", "para", "con", "por", "del"))
 
+  // O(1) Han test: UnicodeScript.of is a per-char binary search — over a
+  // corpus it dominates langId. One BMP-sized lookup table built per JVM
+  // gives the identical classification (supplementary-plane chars appear
+  // as surrogates, which UnicodeScript also maps off-Han).
+  private lazy val hanBmp: Array[Boolean] =
+    Array.tabulate(0x10000)(c => Character.UnicodeScript.of(c) == Character.UnicodeScript.HAN)
+  private val wordSplit = java.util.regex.Pattern.compile("\\W+")
+
   def langId(s: String): String = {
     if (s == null || s.isEmpty) return "und"
-    val cjk = s.count(c => Character.UnicodeScript.of(c) == Character.UnicodeScript.HAN)
+    val cjk = s.count(c => hanBmp(c))
     if (cjk > s.length / 10) return "zh"
-    val words = s.toLowerCase.split("\\W+").filter(_.nonEmpty)
+    val words = wordSplit.split(s.toLowerCase).filter(_.nonEmpty)
     if (words.isEmpty) return "und"
     val scores = markers.map { case (lang, set) => lang -> words.count(set) }
     val (best, score) = scores.maxBy(_._2)

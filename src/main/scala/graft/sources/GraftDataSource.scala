@@ -4,9 +4,10 @@ import graft.core.{SnapshotLookup, TableMetadata}
 import graft.read.{IcebergRead, ReadOptions, ScanPlan}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Row, SQLContext, SparkSession}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -92,15 +93,38 @@ object GraftDataSource {
 /** `path` may be a table directory OR a direct `.metadata.json` location
   * (how the SQL catalog resolves REST-loaded tables). `baseOpts` carries
   * catalog-level time travel (`VERSION AS OF` / `TIMESTAMP AS OF`);
-  * per-scan options override it. */
+  * per-scan options override it. `appendFn` overrides how INSERTs commit
+  * (REST-catalog tables commit through the REST transaction path); the
+  * default appends to the table path through the engine write path. */
 private[graft] class GraftTable(path: String, tableSchema: StructType,
     baseOpts: ReadOptions = ReadOptions(), displayName: Option[String] = None,
-    preloaded: Option[TableMetadata] = None)
-    extends Table with SupportsRead {
+    preloaded: Option[TableMetadata] = None,
+    appendFn: Option[org.apache.spark.sql.DataFrame => Unit] = None)
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = displayName.getOrElse(s"graft.`$path`")
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE)
+
+  /** INSERT INTO / DataFrame append — bridged to the engine's write path
+    * via the V1 write fallback (the write itself is a normal distributed
+    * parquet write + manifest commit; see IcebergWrite). Time-traveled
+    * relations refuse writes. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder {
+    override def build(): Write = new V1Write {
+      override def toInsertableRelation: InsertableRelation = new InsertableRelation {
+        override def insert(data: org.apache.spark.sql.DataFrame, overwrite: Boolean): Unit = {
+          require(baseOpts.snapshotId.isEmpty && baseOpts.asOfTimestampMs.isEmpty,
+            "cannot INSERT into a time-traveled relation")
+          require(!overwrite,
+            "INSERT OVERWRITE is not supported; use DELETE then INSERT, or rewriteDataFiles")
+          appendFn.getOrElse((df: org.apache.spark.sql.DataFrame) =>
+            graft.write.IcebergWrite.append(df, path))(data)
+        }
+      }
+    }
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val o = GraftDataSource.readOptions(options)
     val merged = baseOpts.copy(

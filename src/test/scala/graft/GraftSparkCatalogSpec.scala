@@ -81,6 +81,46 @@ class GraftSparkCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     assert(spark.sql("SHOW NAMESPACES IN whcat").collect().map(_.getString(0)).contains("db"))
   }
 
+  test("INSERT INTO + CTAS through the catalog commit real Iceberg snapshots") {
+    val wh = tmpDir("graft_ins_wh")
+    spark.conf.set("spark.sql.catalog.inscat", classOf[graft.catalog.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.inscat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE inscat.db")
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+    region.createOrReplaceTempView("region_src")
+
+    // CTAS: createTable + append through the V1 write bridge
+    spark.sql("CREATE TABLE inscat.db.region_ctas AS SELECT * FROM region_src")
+    assertSameResult(spark.sql("SELECT * FROM inscat.db.region_ctas"), region)
+
+    // INSERT INTO appends a second snapshot
+    spark.sql("INSERT INTO inscat.db.region_ctas SELECT * FROM region_src WHERE r_regionkey < 2")
+    assert(spark.sql("SELECT * FROM inscat.db.region_ctas").count() == region.count() + 2)
+    val meta = graft.core.TableMetadata.load(s"$wh/db/region_ctas",
+      spark.sessionState.newHadoopConf())
+    assert(meta.snapshots.size >= 2)
+
+    // the committed table reads back identically through the library API
+    assertSameResult(spark.sql("SELECT * FROM inscat.db.region_ctas"),
+      IcebergTable.load(spark, s"$wh/db/region_ctas"))
+  }
+
+  test("INSERT INTO a REST-catalog table commits through the REST transaction path") {
+    val cat = new RestCatalog(server.uri, CatalogOptions(token = Some(server.token)))
+    cat.createNamespace(Seq("insns"))
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+    val loc = tmpDir("graft_rest_ins_tbl")
+    cat.createTable(Seq("insns"), "region", IcebergTypes.fromSpark(region.schema), loc)
+    spark.conf.set("spark.sql.catalog.insrest", classOf[graft.catalog.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.insrest.uri", server.uri)
+    spark.conf.set("spark.sql.catalog.insrest.token", server.token)
+    region.createOrReplaceTempView("region_src2")
+    spark.sql("INSERT INTO insrest.insns.region SELECT * FROM region_src2")
+    assertSameResult(spark.sql("SELECT * FROM insrest.insns.region"), region)
+    spark.sql("INSERT INTO insrest.insns.region SELECT * FROM region_src2")
+    assert(cat.loadDF(spark, Seq("insns"), "region").count() == 2 * region.count())
+  }
+
   test("REST-backed catalog: SQL SELECT through a served LoadTableResult") {
     val cat = new RestCatalog(server.uri, CatalogOptions(token = Some(server.token)))
     cat.createNamespace(Seq("sqlns"))
