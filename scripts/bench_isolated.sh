@@ -1,0 +1,52 @@
+#!/bin/bash
+# Isolated-per-query bench (measurement tooling): one fresh JVM per query so
+# no query's GC/cache residue pollutes another's wall clock — the same
+# fresh-process protocol the reference's benchmark runner uses. Fixtures
+# persist across JVMs via SPARK_GRAFT_FIXTURE_DIR (built on first use).
+#
+# Usage: bench_isolated.sh <sf_dir> <out.json> [query ...]
+# With no query list, runs every SparkEntry query.
+set -u
+SF_DIR=$1; OUT=$2; shift 2
+CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
+OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
+         java.util java.util.concurrent java.util.concurrent.atomic; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+export SPARK_GRAFT_SF_DIR=$SF_DIR
+export SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-4}
+export SPARK_GRAFT_FIXTURE_DIR=${SPARK_GRAFT_FIXTURE_DIR:-/root/repo/localdata/fixtures}
+mkdir -p "$SPARK_GRAFT_FIXTURE_DIR"
+
+if [ $# -eq 0 ]; then
+  QUERIES=$(java -cp "$CP" $OPENS -Dspark.ui.enabled=false graft.ListQueries 2>/dev/null)
+else
+  QUERIES="$*"
+fi
+
+echo "{" > "$OUT".tmp
+first=1
+for q in $QUERIES; do
+  line=$(SPARK_GRAFT_ONLY=$q java -cp "$CP" $OPENS -Xmx24g \
+    -Dspark.ui.enabled=false graft.Bench 2>/dev/null | grep '"metric"')
+  sec=$(echo "$line" | sed -n "s/.*\"$q\":\([0-9.]*\).*/\1/p")
+  [ -z "$sec" ] && sec=-1
+  [ $first -eq 0 ] && echo "," >> "$OUT".tmp
+  printf '  "%s": %s' "$q" "$sec" >> "$OUT".tmp
+  first=0
+  echo "$q $sec" >&2
+done
+echo "" >> "$OUT".tmp
+echo "}" >> "$OUT".tmp
+python3 - "$OUT" <<'EOF'
+import json, sys
+qs = json.load(open(sys.argv[1] + ".tmp"))
+total = sum(v for v in qs.values() if v > 0)
+json.dump({"metric": "total", "value": round(total, 3), "unit": "sec",
+           "queries": qs, "sf": "isolated-per-query"}, open(sys.argv[1], "w"))
+EOF
+rm -f "$OUT".tmp

@@ -39,16 +39,31 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    // Per-query isolation: operators persist() intermediates and the
+    // streaming entry materializes a memory sink; without clearing, 68
+    // queries x 2 passes accumulate gigabytes of cached state and late
+    // queries measure GC pressure, not their own plan (observed 27s -> 737s
+    // on identical code at sf1). The reference benchmark runs each query
+    // against fresh state too.
+    def cleanup(): Unit = {
+      spark.catalog.clearCache()
+      spark.catalog.listTables().collect()
+        .filter(t => t.name.startsWith("graft_stream_sink_") && t.isTemporary)
+        .foreach(t => spark.catalog.dropTempView(t.name))
+    }
     // Warmup: fixture builds + JIT (failures surface in the timed pass).
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case e: Throwable => System.err.println(s"[bench-warmup] $name: ${e.getMessage}") }
+      cleanup()
     }
     val results = names.map { name =>
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      cleanup()
+      name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""":${v}%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -21,10 +21,41 @@ object Fixtures {
     spark.read.parquet(s"$sfDir/$table.parquet")
 
   /** Build (once per JVM per sfDir+variant) an Iceberg table and return its
-    * path. */
+    * path.
+    *
+    * With `SPARK_GRAFT_FIXTURE_DIR` set (bench tooling only — tests and
+    * Verify keep fresh temp dirs), fixtures persist across JVMs under that
+    * root and are reused when a `_fixture_complete` marker exists: per-query
+    * isolated bench JVMs then skip the multi-minute rebuild. A dir without
+    * the marker (crashed build) is wiped and rebuilt. */
   def iceberg(spark: SparkSession, sfDir: String, variant: String)(
       build: String => Unit): String = {
     val key = s"${sanitize(sfDir)}__$variant"
+    sys.env.get("SPARK_GRAFT_FIXTURE_DIR") match {
+      case Some(root) =>
+        cache.computeIfAbsent(key, { _ =>
+          val dir = new java.io.File(root, s"graft_fix_$key")
+          val marker = new java.io.File(dir, "_fixture_complete")
+          if (!marker.exists()) {
+            if (dir.exists()) {
+              def rm(f: java.io.File): Unit = {
+                if (f.isDirectory) f.listFiles().foreach(rm)
+                f.delete()
+              }
+              rm(dir)
+            }
+            dir.mkdirs()
+            build(dir.toString)
+            marker.createNewFile()
+          }
+          dir.toString
+        })
+      case None => icebergTemp(spark, sfDir, variant, key)(build)
+    }
+  }
+
+  private def icebergTemp(spark: SparkSession, sfDir: String, variant: String, key: String)(
+      build: String => Unit): String = {
     cache.computeIfAbsent(key, { _ =>
       val dir = java.nio.file.Files.createTempDirectory(s"graft_$variant").toString
       build(dir)

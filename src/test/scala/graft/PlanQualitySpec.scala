@@ -67,6 +67,26 @@ class PlanQualitySpec extends SparkSpec {
       s"expected broadcast left-anti for deletes:\n${plan.take(3000)}")
   }
 
+  test("fact-fact join under bench tuning is a shuffled hash join, not sort-merge") {
+    // The Bench session sets preferSortMergeJoin=false (BASELINE.md): on
+    // fact⋈fact shapes SMJ pays two full sorts that a hash join skips —
+    // at sf1 this single default cut dedup_minhash 452s → 27s and every
+    // tq* multi-join 2–5×. This test pins the resulting plan shape.
+    val before = spark.conf.get("spark.sql.join.preferSortMergeJoin", "true")
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    try {
+      val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val o = spark.read.parquet(s"$sfDir/orders.parquet")
+        .hint("shuffle_hash") // pin vs broadcast so the asserted shape is deterministic
+      val j = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderstatus").count()
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("ShuffledHashJoin") && !plan.contains("SortMergeJoin"),
+        s"expected shuffled hash join:\n${plan.take(2000)}")
+    } finally spark.conf.set("spark.sql.join.preferSortMergeJoin", before)
+  }
+
   test("column pruning reaches the parquet scan (ReadSchema is narrow)") {
     val path = Fixtures.lineitemPlain(spark, sfDir)
     val df = IcebergTable.load(spark, path).select("l_orderkey", "l_quantity")
