@@ -45,12 +45,7 @@ object Bench {
     // queries measure GC pressure, not their own plan (observed 27s -> 737s
     // on identical code at sf1). The reference benchmark runs each query
     // against fresh state too.
-    def cleanup(): Unit = {
-      spark.catalog.clearCache()
-      spark.catalog.listTables().collect()
-        .filter(t => t.name.startsWith("graft_stream_sink_") && t.isTemporary)
-        .foreach(t => spark.catalog.dropTempView(t.name))
-    }
+    def cleanup(): Unit = spark.catalog.clearCache()
     // Warmup: fixture builds + JIT (failures surface in the timed pass).
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).count()

@@ -319,13 +319,20 @@ object SparkEntry {
     "stream_microbatch" -> ((s, dir) => {
       // readStream.format("graft"): one AvailableNow-style pass over the
       // table delivers every snapshot's files through the micro-batch path.
+      // The sink is parquet, not memory: a memory sink collects every row
+      // to the driver (at sf1 that is 3M rows and was the dominant, noisy
+      // cost of this entry), while the parquet sink keeps the row traffic
+      // executor-side — the shape a real stream-to-table pipeline has.
       val (path, _) = Fixtures.ordersTwoSnapshots(s, dir)
-      val sink = s"graft_stream_sink_${streamSinkSeq.incrementAndGet()}"
+      val out = java.nio.file.Files
+        .createTempDirectory(s"graft_stream_sink_${streamSinkSeq.incrementAndGet()}_")
       val q = s.readStream.format("graft").load(path)
-        .writeStream.format("memory").queryName(sink)
+        .writeStream.format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/chk")
         .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
       q.awaitTermination()
-      s.table(sink)
+      s.read.parquet(s"$out/data")
     }),
 
     "q_events_hourly" -> ((s, dir) => {
