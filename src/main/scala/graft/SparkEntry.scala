@@ -335,6 +335,26 @@ object SparkEntry {
       s.read.parquet(s"$out/data")
     }),
 
+    "stream_to_table" -> ((s, dir) => {
+      // The full streaming loop: readStream.format("graft") from one Iceberg
+      // table -> writeStream.format("graft") into another. Each micro-batch
+      // commits one APPEND snapshot with an exactly-once watermark in the
+      // snapshot summary; rows never touch the driver.
+      val (src, _) = Fixtures.ordersTwoSnapshots(s, dir)
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_stream_tbl_${streamSinkSeq.incrementAndGet()}_")
+      val dst = s"$tmp/dst"
+      graft.write.IcebergWrite.createTable(s, dst,
+        s.read.format("graft").load(src).schema)
+      val q = s.readStream.format("graft").load(src)
+        .writeStream.format("graft")
+        .option("path", dst)
+        .option("checkpointLocation", s"$tmp/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+      q.awaitTermination()
+      IcebergTable.load(s, dst)
+    }),
+
     "q_events_hourly" -> ((s, dir) => {
       graft.read.IcebergRead.ensureConfs(s)
       graft.streaming.Streams.windowedEventCounts(pq(s, dir, "events"), "ts")
@@ -564,6 +584,9 @@ object SparkEntry {
     "sql_time_travel" -> "SELECT * FROM orders",
 
     "stream_microbatch" ->
+      "SELECT * FROM orders UNION ALL SELECT * FROM orders",
+
+    "stream_to_table" ->
       "SELECT * FROM orders UNION ALL SELECT * FROM orders",
 
     "q_events_hourly" ->

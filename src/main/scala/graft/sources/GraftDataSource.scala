@@ -29,7 +29,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  * Options: `snapshot-id`, `as-of-timestamp` (ms), `metadata-version`.
  */
 class GraftDataSource extends TableProvider with DataSourceRegister
-    with org.apache.spark.sql.sources.StreamSourceProvider {
+    with org.apache.spark.sql.sources.StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
   override def shortName(): String = "graft"
   override def supportsExternalMetadata(): Boolean = false
 
@@ -60,6 +61,23 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     val conf = ctx.sparkSession.sessionState.newHadoopConf()
     val s = schema.getOrElse(TableMetadata.load(path, conf).currentSchema.toSpark)
     new GraftMicroBatchSource(ctx.sparkSession, path, s)
+  }
+
+  // ---- Structured Streaming micro-batch sink (SURVEY §2.9) ----
+  // `df.writeStream.format("graft").option("path", table).start()`: each
+  // micro-batch commits one APPEND snapshot. The target table must already
+  // exist (create it with IcebergWrite.createTable / CREATE TABLE).
+
+  override def createSink(ctx: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft sink supports Append output mode only, got $outputMode " +
+        "(aggregate in the table, not the stream, or use foreachBatch + MERGE)")
+    require(partitionColumns.isEmpty,
+      "graft sink ignores partitionBy; partitioning comes from the table's partition spec")
+    new GraftStreamSink(ctx.sparkSession, parameters("path"))
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
@@ -238,6 +256,41 @@ private[graft] class GraftMicroBatchSource(spark: SparkSession, path: String,
   override def commit(end: org.apache.spark.sql.execution.streaming.Offset): Unit = ()
   override def stop(): Unit = ()
   override def toString: String = s"GraftMicroBatchSource[$path]"
+}
+
+/** V1 streaming `Sink` into an Iceberg table: each micro-batch commits one
+  * APPEND snapshot through the normal engine write path (distributed parquet
+  * write, footer stats, manifest + atomic metadata commit).
+  *
+  * Exactly-once: Structured Streaming replays the last uncommitted batch
+  * after a failure, so the sink stamps `spark.sql.streaming.queryId` +
+  * `spark.sql.streaming.epochId` into each snapshot's summary (the same
+  * convention Iceberg's own Spark sink uses) and skips any batch whose id is
+  * <= the newest committed batch of the same query. Idempotence is thus
+  * table-side state — it survives driver restarts because it rides the
+  * table's own atomic snapshot commit. */
+private[graft] class GraftStreamSink(spark: SparkSession, path: String)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = TableMetadata.load(path, conf)
+    val queryId =
+      Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId")).getOrElse("")
+    val lastCommitted = meta.snapshots.reverseIterator.collectFirst {
+      case s if s.summary.get("spark.sql.streaming.queryId").contains(queryId) &&
+        s.summary.contains("spark.sql.streaming.epochId") =>
+        s.summary("spark.sql.streaming.epochId").toLong
+    }
+    if (lastCommitted.exists(_ >= batchId)) return // replayed batch, already in the table
+    graft.write.IcebergWrite.append(
+      org.apache.spark.sql.GraftStreamShim.asBatchDF(data), path,
+      extraSummary = Map(
+        "spark.sql.streaming.queryId" -> queryId,
+        "spark.sql.streaming.epochId" -> batchId.toString))
+  }
+
+  override def toString: String = s"GraftStreamSink[$path]"
 }
 
 /** Spark `Filter` -> ANSI SQL text (fed to Pruning.extractPredicates and the

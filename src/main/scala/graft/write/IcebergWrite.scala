@@ -103,13 +103,16 @@ object IcebergWrite {
     append(df, path)
   }
 
-  /** Append `df` as a new APPEND snapshot. */
-  def append(df: DataFrame, path: String): TableMetadata = {
+  /** Append `df` as a new APPEND snapshot. `extraSummary` entries are
+    * merged into the snapshot summary (used by the streaming sink to stamp
+    * its exactly-once watermark: query id + batch id). */
+  def append(df: DataFrame, path: String,
+      extraSummary: Map[String, String] = Map.empty): TableMetadata = {
     val spark = df.sparkSession
     val conf = spark.sessionState.newHadoopConf()
     val meta = TableMetadata.load(path, conf)
     val (entries, _) = writeDataFiles(df, meta, conf)
-    commitSnapshot(meta, entries, Nil, "append", conf)
+    commitSnapshot(meta, entries, Nil, "append", conf, extraSummary = extraSummary)
   }
 
   /** Write data files for `df` under the table layout; returns ADDED
@@ -301,9 +304,12 @@ object IcebergWrite {
       removedDataPaths: Set[String] = Set.empty,
       removedDvRefs: Set[String] = Set.empty,
       preassignedSnapshotId: Option[Long] = None,
-      deleteSpec: Option[PartitionSpec] = None): TableMetadata = {
-    val (snap, _) = buildSnapshotFiles(meta, addedData, addedDeletes, operation, conf,
+      deleteSpec: Option[PartitionSpec] = None,
+      extraSummary: Map[String, String] = Map.empty): TableMetadata = {
+    val (snap0, _) = buildSnapshotFiles(meta, addedData, addedDeletes, operation, conf,
       removedDataPaths, removedDvRefs, preassignedSnapshotId, deleteSpec)
+    val snap = if (extraSummary.isEmpty) snap0
+      else snap0.copy(summary = snap0.summary ++ extraSummary)
     val prevVersion = currentVersion(meta.location, conf)
     val now = snap.timestampMs
     val addedRows = addedData.filter(_.dataFile.content == FileContent.Data)

@@ -21,4 +21,16 @@ object GraftStreamShim {
     val qe = cdf.queryExecution
     CDataset.ofRows(session, LogicalRDD(qe.analyzed.output, qe.toRdd, isStreaming = true)(session))
   }
+
+  /** The inverse, for the V1 streaming sink: `Sink.addBatch` receives a
+    * DataFrame whose plan is flagged streaming (batch writers refuse it).
+    * Re-wrap its physical RDD as a batch plan so the normal distributed
+    * write path (`df.write.parquet`) can execute it — rows flow straight
+    * from the micro-batch scan into the write tasks, never to the driver. */
+  def asBatchDF(df: DataFrame): DataFrame = {
+    val cdf = df.asInstanceOf[CDataset[Row]]
+    val session = cdf.sparkSession.asInstanceOf[CSparkSession]
+    val qe = cdf.queryExecution
+    CDataset.ofRows(session, LogicalRDD(qe.analyzed.output, qe.toRdd, isStreaming = false)(session))
+  }
 }
