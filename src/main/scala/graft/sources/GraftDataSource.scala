@@ -118,7 +118,8 @@ private[graft] class GraftTable(path: String, tableSchema: StructType,
     baseOpts: ReadOptions = ReadOptions(), displayName: Option[String] = None,
     preloaded: Option[TableMetadata] = None,
     appendFn: Option[org.apache.spark.sql.DataFrame => Unit] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = displayName.getOrElse(s"graft.`$path`")
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -150,6 +151,25 @@ private[graft] class GraftTable(path: String, tableSchema: StructType,
       asOfTimestampMs = o.asOfTimestampMs.orElse(baseOpts.asOfTimestampMs),
       metadataVersion = o.metadataVersion.orElse(baseOpts.metadataVersion))
     new GraftScanBuilder(path, tableSchema, merged, preloaded)
+  }
+
+  /** SQL `DELETE FROM` — delegates to the engine's merge-on-read delete
+    * (positional deletes on v2, Puffin deletion vectors on v3; Dml.delete).
+    * Refused when any filter can't be rendered as SQL (Spark then reports
+    * the DELETE as unsupported rather than deleting the wrong rows), on
+    * time-traveled relations, and on REST-named tables (their commits must
+    * flow through the catalog transaction, not the path commit). */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    baseOpts.snapshotId.isEmpty && baseOpts.asOfTimestampMs.isEmpty &&
+      appendFn.isEmpty && filters.forall(f => FilterSql.convert(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(canDeleteWhere(filters),
+      s"${name()} cannot DELETE WHERE ${filters.mkString(" AND ")}")
+    val condSql =
+      if (filters.isEmpty) "TRUE" // DELETE FROM t (also backs TRUNCATE)
+      else filters.flatMap(FilterSql.convert).map(p => s"($p)").mkString(" AND ")
+    graft.write.Dml.delete(SparkSession.active, path, condSql)
   }
 }
 

@@ -121,6 +121,40 @@ class GraftSparkCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     assert(cat.loadDF(spark, Seq("insns"), "region").count() == 2 * region.count())
   }
 
+  test("SQL DELETE FROM through the catalog is a merge-on-read snapshot") {
+    val wh = tmpDir("graft_del_wh")
+    spark.conf.set("spark.sql.catalog.delcat", classOf[graft.catalog.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.delcat.warehouse", wh)
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val path = s"$wh/db/orders_del"
+    IcebergTable.write(orders, path)
+    val expect = orders.filter(!(col("o_orderstatus") === "F" && col("o_totalprice") > 100000.0))
+
+    spark.sql("DELETE FROM delcat.db.orders_del WHERE o_orderstatus = 'F' AND o_totalprice > 100000.0")
+
+    assert(spark.sql("SELECT count(*) FROM delcat.db.orders_del").collect()(0).getLong(0)
+      == expect.count())
+    assertSameResult(spark.sql("SELECT * FROM delcat.db.orders_del"), expect)
+    // merge-on-read: the original data files survive; a delete snapshot was added
+    val meta = graft.core.TableMetadata.load(path, spark.sessionState.newHadoopConf())
+    assert(meta.snapshots.size == 2)
+    assert(meta.snapshots.maxBy(_.sequenceNumber).summary.get("operation").forall(_ != "overwrite"))
+  }
+
+  test("DELETE with an untranslatable predicate is refused, not mis-executed") {
+    val wh = tmpDir("graft_del_refuse_wh")
+    spark.conf.set("spark.sql.catalog.delref", classOf[graft.catalog.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.delref.warehouse", wh)
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+    IcebergTable.write(region, s"$wh/db/region_del")
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM delref.db.region_del WHERE length(r_name) + r_regionkey > 6")
+    }
+    assert(e.getMessage.toLowerCase.contains("delete"))
+    assert(spark.sql("SELECT count(*) FROM delref.db.region_del").collect()(0).getLong(0)
+      == region.count())
+  }
+
   test("REST-backed catalog: SQL SELECT through a served LoadTableResult") {
     val cat = new RestCatalog(server.uri, CatalogOptions(token = Some(server.token)))
     cat.createNamespace(Seq("sqlns"))
