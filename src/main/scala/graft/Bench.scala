@@ -32,6 +32,7 @@ object Bench {
       .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.files.maxPartitionBytes", "32m")
+      .config("spark.sql.extensions", classOf[graft.catalog.GraftSparkExtensions].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -126,6 +126,47 @@ object Fixtures {
             "c_acctbal" -> "s.c_acctbal", "c_mktsegment" -> "s.c_mktsegment"))))
     }
 
+  /** Same update as [[ordersUpdated]], driven through a SQL `UPDATE`
+    * statement (GraftSparkExtensions rewrite → Dml.update). Requires the
+    * session to carry `spark.sql.extensions=graft.catalog.GraftSparkExtensions`. */
+  def sqlOrdersUpdated(spark: SparkSession, sfDir: String): String =
+    iceberg(spark, sfDir, "orders_sql_updated") { dir =>
+      IcebergTable.write(parquet(spark, sfDir, "orders"), dir)
+      val p = java.nio.file.Paths.get(dir)
+      spark.conf.set("spark.sql.catalog.graft_sqlupd", "graft.catalog.GraftSparkCatalog")
+      spark.conf.set("spark.sql.catalog.graft_sqlupd.warehouse", p.getParent.toString)
+      spark.sql(s"""UPDATE graft_sqlupd.`${p.getFileName}`
+                   |SET o_totalprice = o_totalprice * 1.1
+                   |WHERE o_orderstatus = 'O'""".stripMargin)
+    }
+
+  /** Same merge as [[customerMerged]], driven through a SQL `MERGE INTO`
+    * statement (GraftSparkExtensions rewrite → Dml.merge). */
+  def sqlCustomerMerged(spark: SparkSession, sfDir: String): String =
+    iceberg(spark, sfDir, "customer_sql_merged") { dir =>
+      val c = parquet(spark, sfDir, "customer")
+      IcebergTable.write(c, dir)
+      val updates = c.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey").as("key"), lit(100.0).as("delta"))
+      val inserts = c.filter(col("c_custkey") < 10)
+        .select((col("c_custkey") + 1000000).as("key"), col("c_name"),
+          col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      updates.join(inserts, updates("key") === inserts("key"), "full_outer")
+        .select(coalesce(updates("key"), inserts("key")).as("key"),
+          col("delta"), col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+        .createOrReplaceTempView("sql_merge_src")
+      val p = java.nio.file.Paths.get(dir)
+      spark.conf.set("spark.sql.catalog.graft_sqlmrg", "graft.catalog.GraftSparkCatalog")
+      spark.conf.set("spark.sql.catalog.graft_sqlmrg.warehouse", p.getParent.toString)
+      spark.sql(s"""MERGE INTO graft_sqlmrg.`${p.getFileName}` tgt
+                   |USING sql_merge_src src ON tgt.c_custkey = src.key
+                   |WHEN MATCHED THEN
+                   |  UPDATE SET c_acctbal = tgt.c_acctbal + coalesce(src.delta, 0.0)
+                   |WHEN NOT MATCHED THEN
+                   |  INSERT (c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+                   |  VALUES (src.key, src.c_name, src.c_nationkey, src.c_acctbal, src.c_mktsegment)""".stripMargin)
+    }
+
   /** Orders split across several range-partitioned files (top-k pruning). */
   def ordersMultiFile(spark: SparkSession, sfDir: String): String =
     iceberg(spark, sfDir, "orders_multifile") { dir =>

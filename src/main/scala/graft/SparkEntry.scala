@@ -191,6 +191,12 @@ object SparkEntry {
     "ice_merge_into" -> ((s, dir) =>
       IcebergTable.load(s, Fixtures.customerMerged(s, dir))),
 
+    "sql_update_mor" -> ((s, dir) =>
+      IcebergTable.load(s, Fixtures.sqlOrdersUpdated(s, dir))),
+
+    "sql_merge_into" -> ((s, dir) =>
+      IcebergTable.load(s, Fixtures.sqlCustomerMerged(s, dir))),
+
     "ice_rewrite_compact" -> ((s, dir) =>
       IcebergTable.load(s, Fixtures.lineitemRewritten(s, dir))),
 
@@ -528,6 +534,21 @@ object SparkEntry {
         |FROM orders""".stripMargin,
 
     "ice_merge_into" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  c_acctbal + CASE WHEN c_custkey % 2 = 0 THEN 100.0 ELSE 0.0 END AS c_acctbal,
+        |  c_mktsegment
+        |FROM customer
+        |UNION ALL
+        |SELECT CAST(c_custkey + 1000000 AS BIGINT), c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey < 10""".stripMargin,
+
+    "sql_update_mor" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 1.1 ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders""".stripMargin,
+
+    "sql_merge_into" ->
       """SELECT c_custkey, c_name, c_nationkey,
         |  c_acctbal + CASE WHEN c_custkey % 2 = 0 THEN 100.0 ELSE 0.0 END AS c_acctbal,
         |  c_mktsegment

@@ -1,0 +1,120 @@
+package graft.catalog
+
+import graft.sources.GraftTable
+import graft.write.Dml
+import org.apache.spark.sql.{Row, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, AttributeSet, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+/**
+ * SQL row-level DML for graft tables: `spark.sql.extensions=graft.catalog.GraftSparkExtensions`
+ * makes `UPDATE` and `MERGE INTO` statements over catalog-resolved graft
+ * tables execute through the engine's merge-on-read DML
+ * ([[graft.write.Dml.update]] / [[graft.write.Dml.merge]] — positional
+ * deletes on v2, deletion vectors on v3, one OVERWRITE snapshot).
+ *
+ * The reference front-end accepts full SQL DML (src/iceberg_extension.cpp:135-162);
+ * Spark-side, tables without `SupportsRowLevelOperations` reject UPDATE/MERGE
+ * at analysis, so this extension rewrites the analyzed `UpdateTable` /
+ * `MergeIntoTable` nodes into runnable commands before that check fires.
+ * DELETE needs no rule — GraftTable implements `SupportsDelete`.
+ *
+ * The rewrite re-renders analyzed expressions as SQL text (`Expression.sql`)
+ * with qualifiers normalized to Dml.merge's `t`/`s` aliases (target/source),
+ * so a user's own aliases don't have to match. Unsupported shapes —
+ * conditional WHEN clauses, WHEN NOT MATCHED BY SOURCE, nested-field
+ * assignment, schema evolution — fail loudly rather than mis-executing.
+ */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectResolutionRule(_ => GraftDmlRewrite)
+}
+
+private[graft] object GraftDmlRewrite extends Rule[LogicalPlan] {
+
+  private def graftTarget(plan: LogicalPlan): Option[(GraftTable, AttributeSet)] = plan match {
+    case SubqueryAlias(_, child) => graftTarget(child)
+    case r: DataSourceV2Relation => r.table match {
+      case g: GraftTable => Some((g, r.outputSet))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** Render with qualifiers dropped — for UPDATE, whose condition/values
+    * re-resolve against the bare table scan. */
+  private def bareSql(e: Expression): String =
+    e.transform { case a: AttributeReference => a.withQualifier(Nil) }.sql
+
+  /** Render with qualifiers normalized to `t` (target) / `s` (source) — the
+    * aliases Dml.merge joins under. */
+  private def tsSql(e: Expression, tSet: AttributeSet, sSet: AttributeSet): String =
+    e.transform {
+      case a: AttributeReference if tSet.contains(a) => a.withQualifier(Seq("t"))
+      case a: AttributeReference if sSet.contains(a) => a.withQualifier(Seq("s"))
+    }.sql
+
+  private def assignKey(op: String, k: Expression): String = k match {
+    case a: AttributeReference => a.name
+    case other => throw new UnsupportedOperationException(
+      s"graft $op supports top-level column assignment only, got ${other.sql}")
+  }
+
+  private def unsupported(what: String): Nothing =
+    throw new UnsupportedOperationException(s"graft MERGE INTO does not support $what")
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case u: UpdateTable if u.resolved && graftTarget(u.table).isDefined =>
+      val (g, _) = graftTarget(u.table).get
+      g.dmlRefusal("UPDATE").foreach(msg => throw new UnsupportedOperationException(msg))
+      val set = u.assignments.map(a => assignKey("UPDATE", a.key) -> bareSql(a.value)).toMap
+      val cond = u.condition.map(bareSql).getOrElse("TRUE")
+      GraftDmlCommand(s"GraftUpdate ${g.name()}",
+        spark => { Dml.update(spark, g.tablePath, cond, set); () })
+
+    case m: MergeIntoTable if m.resolved && graftTarget(m.targetTable).isDefined =>
+      val (g, tSet) = graftTarget(m.targetTable).get
+      g.dmlRefusal("MERGE INTO").foreach(msg => throw new UnsupportedOperationException(msg))
+      if (m.withSchemaEvolution) unsupported("WITH SCHEMA EVOLUTION")
+      if (m.notMatchedBySourceActions.nonEmpty) unsupported("WHEN NOT MATCHED BY SOURCE")
+      val sSet = AttributeSet(m.sourceTable.output)
+      val onCond = tsSql(m.mergeCondition, tSet, sSet)
+
+      var actions = Dml.MergeActions()
+      m.matchedActions match {
+        case Seq() =>
+        case Seq(UpdateAction(None, assigns, _)) =>
+          actions = actions.copy(matchedUpdate = Some(
+            assigns.map(a => assignKey("MERGE", a.key) -> tsSql(a.value, tSet, sSet)).toMap))
+        case Seq(DeleteAction(None)) => actions = actions.copy(matchedDelete = true)
+        case _ => unsupported(
+          "conditional or multiple WHEN MATCHED clauses (one unconditional UPDATE or DELETE)")
+      }
+      m.notMatchedActions match {
+        case Seq() =>
+        case Seq(InsertAction(None, assigns)) =>
+          actions = actions.copy(insert = Some(
+            assigns.map(a => assignKey("MERGE", a.key) -> tsSql(a.value, tSet, sSet)).toMap))
+        case _ => unsupported(
+          "conditional or multiple WHEN NOT MATCHED clauses (one unconditional INSERT)")
+      }
+      val sourcePlan = m.sourceTable
+      GraftDmlCommand(s"GraftMergeInto ${g.name()}",
+        spark => {
+          val source = org.apache.spark.sql.GraftStreamShim.dfFromPlan(spark, sourcePlan)
+          Dml.merge(spark, g.tablePath, source, onCond, actions); ()
+        })
+  }
+}
+
+/** A resolved DML statement, lowered to a driver-side call into the engine's
+  * DML (which itself runs distributed jobs); planned by Spark's built-in
+  * command execution. */
+private[graft] case class GraftDmlCommand(desc: String, exec: SparkSession => Unit)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = { exec(spark); Nil }
+  override def simpleString(maxFields: Int): String = desc
+}

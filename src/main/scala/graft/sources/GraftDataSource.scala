@@ -122,6 +122,18 @@ private[graft] class GraftTable(path: String, tableSchema: StructType,
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = displayName.getOrElse(s"graft.`$path`")
   override def schema(): StructType = tableSchema
+  /** Table location, for the SQL DML rewrite (graft.catalog.GraftSparkExtensions). */
+  private[graft] def tablePath: String = path
+  /** DML precondition shared by DELETE/UPDATE/MERGE: no time travel, and not
+    * a REST-named table (those must commit through the catalog transaction,
+    * not the path commit — use the library API / RestCatalog for now). */
+  private[graft] def dmlRefusal(op: String): Option[String] =
+    if (baseOpts.snapshotId.nonEmpty || baseOpts.asOfTimestampMs.nonEmpty)
+      Some(s"cannot $op a time-traveled relation ${name()}")
+    else if (appendFn.nonEmpty)
+      Some(s"$op on REST-catalog table ${name()} is not supported through SQL; " +
+        "it must commit through the REST transaction path (graft.write.Dml + RestCatalog)")
+    else None
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE)
@@ -160,8 +172,7 @@ private[graft] class GraftTable(path: String, tableSchema: StructType,
     * time-traveled relations, and on REST-named tables (their commits must
     * flow through the catalog transaction, not the path commit). */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    baseOpts.snapshotId.isEmpty && baseOpts.asOfTimestampMs.isEmpty &&
-      appendFn.isEmpty && filters.forall(f => FilterSql.convert(f).isDefined)
+    dmlRefusal("DELETE").isEmpty && filters.forall(f => FilterSql.convert(f).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(canDeleteWhere(filters),

@@ -33,4 +33,10 @@ object GraftStreamShim {
     val qe = cdf.queryExecution
     CDataset.ofRows(session, LogicalRDD(qe.analyzed.output, qe.toRdd, isStreaming = false)(session))
   }
+
+  /** Wrap an (already analyzed) logical plan as a DataFrame — used by the
+    * SQL MERGE rewrite to hand the source relation to Dml.merge. */
+  def dfFromPlan(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    CDataset.ofRows(spark.asInstanceOf[CSparkSession], plan)
 }

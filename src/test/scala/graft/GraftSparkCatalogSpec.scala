@@ -155,6 +155,75 @@ class GraftSparkCatalogSpec extends SparkSpec with BeforeAndAfterAll {
       == region.count())
   }
 
+  test("SQL UPDATE through the catalog executes the merge-on-read update") {
+    val wh = tmpDir("graft_upd_wh")
+    spark.conf.set("spark.sql.catalog.updcat", classOf[graft.catalog.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.updcat.warehouse", wh)
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val path = s"$wh/db/orders_upd"
+    IcebergTable.write(orders, path)
+
+    spark.sql("""UPDATE updcat.db.orders_upd
+                |SET o_orderpriority = 'AUDITED', o_totalprice = round(o_totalprice * 1.1, 2)
+                |WHERE o_orderstatus = 'F'""".stripMargin)
+
+    val expect = orders
+      .withColumn("o_orderpriority",
+        when(col("o_orderstatus") === "F", lit("AUDITED")).otherwise(col("o_orderpriority")))
+      .withColumn("o_totalprice",
+        when(col("o_orderstatus") === "F", round(col("o_totalprice") * 1.1, 2))
+          .otherwise(col("o_totalprice")))
+    assertSameResult(spark.sql("SELECT * FROM updcat.db.orders_upd"), expect)
+    val meta = graft.core.TableMetadata.load(path, spark.sessionState.newHadoopConf())
+    assert(meta.snapshots.size == 2)
+  }
+
+  test("SQL MERGE INTO through the catalog: update + insert in one snapshot") {
+    val wh = tmpDir("graft_mrg_wh")
+    spark.conf.set("spark.sql.catalog.mrgcat", classOf[graft.catalog.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.mrgcat.warehouse", wh)
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    val path = s"$wh/db/nation_mrg"
+    IcebergTable.write(nation, path)
+
+    // source: renames for keys 0..4, plus two brand-new nations
+    nation.filter(col("n_nationkey") < 5)
+      .withColumn("n_name", concat(col("n_name"), lit("_X")))
+      .unionByName(nation.limit(2)
+        .withColumn("n_nationkey", col("n_nationkey") + 1000))
+      .createOrReplaceTempView("nation_mrg_src")
+
+    spark.sql("""MERGE INTO mrgcat.db.nation_mrg tgt USING nation_mrg_src src
+                |ON tgt.n_nationkey = src.n_nationkey
+                |WHEN MATCHED THEN UPDATE SET n_name = src.n_name
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+
+    val src = spark.table("nation_mrg_src")
+    val expect = nation.alias("t")
+      .join(src.select(col("n_nationkey").as("k"), col("n_name").as("new_name")),
+        col("n_nationkey") === col("k"), "left")
+      .select(col("n_nationkey"), coalesce(col("new_name"), col("t.n_name")).as("n_name"),
+        col("n_regionkey"))
+      .unionByName(src.filter(col("n_nationkey") >= 1000))
+    assertSameResult(spark.sql("SELECT * FROM mrgcat.db.nation_mrg"), expect)
+    val meta = graft.core.TableMetadata.load(path, spark.sessionState.newHadoopConf())
+    assert(meta.snapshots.size == 2)
+  }
+
+  test("SQL MERGE INTO WHEN MATCHED THEN DELETE") {
+    val wh = tmpDir("graft_mrgdel_wh")
+    spark.conf.set("spark.sql.catalog.mdcat", classOf[graft.catalog.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.mdcat.warehouse", wh)
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+    IcebergTable.write(region, s"$wh/db/region_mrgdel")
+    region.filter(col("r_regionkey") < 2).createOrReplaceTempView("region_del_src")
+    spark.sql("""MERGE INTO mdcat.db.region_mrgdel t USING region_del_src s
+                |ON t.r_regionkey = s.r_regionkey
+                |WHEN MATCHED THEN DELETE""".stripMargin)
+    assertSameResult(spark.sql("SELECT * FROM mdcat.db.region_mrgdel"),
+      region.filter(col("r_regionkey") >= 2))
+  }
+
   test("REST-backed catalog: SQL SELECT through a served LoadTableResult") {
     val cat = new RestCatalog(server.uri, CatalogOptions(token = Some(server.token)))
     cat.createNamespace(Seq("sqlns"))

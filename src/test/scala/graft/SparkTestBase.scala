@@ -17,6 +17,7 @@ object SparkTestBase {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.caseSensitive", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", classOf[graft.catalog.GraftSparkExtensions].getName)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
