@@ -3,6 +3,7 @@ package graft.catalog
 import graft.core.{IcebergTypes, SnapshotLookup, TableMetadata}
 import graft.read.ReadOptions
 import graft.sources.GraftTable
+import graft.write.Evolution
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
@@ -141,28 +142,101 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
         .map(n => Identifier.of(namespace, n))
   }
 
+  /** `PARTITIONED BY` transform → graft partition transform. Spark parses
+    * `months(ts)`, `bucket(16, id)`, `truncate(4, name)` etc. as generic
+    * named transforms; the int argument (bucket count / truncate width) can
+    * appear on either side of the column reference. */
+  private def toGraftPartition(t: Transform): (String, graft.core.Transform) = {
+    import graft.core.{Transforms => GT}
+    val refs = t.references()
+    require(refs.length == 1, s"partition transform ${t.describe()} must reference exactly one column")
+    val colName = refs(0).fieldNames.mkString(".")
+    lazy val intArg = t.arguments().collectFirst {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_]
+          if l.value().isInstanceOf[Number] => l.value().asInstanceOf[Number].intValue()
+    }.getOrElse(throw new IllegalArgumentException(
+      s"partition transform ${t.describe()} needs an integer argument"))
+    t.name().toLowerCase(java.util.Locale.ROOT) match {
+      case "identity" => (colName, GT.Identity)
+      case "years" | "year" => (colName, GT.Year)
+      case "months" | "month" => (colName, GT.Month)
+      case "days" | "day" | "date" => (colName, GT.Day)
+      case "hours" | "hour" | "date_hour" => (colName, GT.Hour)
+      case "bucket" => (colName, GT.Bucket(intArg))
+      case "truncate" => (colName, GT.Truncate(intArg))
+      case "void" => (colName, GT.Void)
+      case other => throw new UnsupportedOperationException(s"Unsupported partition transform $other")
+    }
+  }
+
   /** CREATE TABLE — REST-backed creates through the catalog; path-backed
-    * writes an empty Iceberg table at `warehouse/ns/name`. */
+    * writes an empty Iceberg table at `warehouse/ns/name`, honoring
+    * `PARTITIONED BY` (identity + year/month/day/hour/bucket/truncate)
+    * and `TBLPROPERTIES`. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "partitioned CREATE TABLE via SQL not supported yet — use the library API (IcebergWrite)")
     rest match {
-      case Some(r) =>
+      case Some(r) if !isPathIdent(ident) =>
+        require(partitions.isEmpty,
+          "partitioned CREATE TABLE on a REST catalog is not supported yet — use the library API (IcebergWrite + RestCatalog)")
         val loc = Option(properties.get(TableCatalog.PROP_LOCATION))
           .getOrElse((warehouse.getOrElse("/tmp/graft-wh") +: ident.namespace.toSeq :+ ident.name).mkString("/"))
         r.createTable(ident.namespace.toSeq, ident.name, IcebergTypes.fromSpark(schema), loc)
-      case None =>
-        val loc = (warehouse.getOrElse(throw new IllegalStateException(
-          s"catalog $catalogName has neither uri nor warehouse")) +: ident.namespace.toSeq :+ ident.name).mkString("/")
-        graft.write.IcebergWrite.createTable(spark, loc, schema)
+      case _ =>
+        val loc =
+          if (isPathIdent(ident)) ident.name
+          else (warehouse.getOrElse(throw new IllegalStateException(
+            s"catalog $catalogName has neither uri nor warehouse")) +: ident.namespace.toSeq :+ ident.name).mkString("/")
+        val props = {
+          import scala.jdk.CollectionConverters._
+          properties.asScala.toMap - TableCatalog.PROP_LOCATION - "provider" - "owner"
+        }
+        graft.write.IcebergWrite.createTable(spark, loc, schema,
+          graft.write.TableWriteOptions(
+            partitionBy = partitions.toSeq.map(toGraftPartition),
+            properties = props))
     }
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE via SQL catalog not supported — use graft.write.Evolution")
+  /** ALTER TABLE over path/warehouse tables — metadata-only schema evolution
+    * through [[graft.write.Evolution]] (add/drop/rename column, widening
+    * type promotion, nullability, properties). REST-named tables must evolve
+    * through the catalog transaction — refused here. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    import org.apache.spark.sql.connector.catalog.TableChange._
+    require(rest.isEmpty || isPathIdent(ident),
+      "ALTER TABLE on a REST-catalog table must commit through the REST transaction path — use graft.write.Evolution + RestCatalog")
+    val (loc, _) = resolve(ident)
+    def single(fieldNames: Array[String]): String = {
+      require(fieldNames.length == 1,
+        s"ALTER on nested field ${fieldNames.mkString(".")} is not supported via SQL")
+      fieldNames(0)
+    }
+    def iceType(dt: org.apache.spark.sql.types.DataType): String =
+      IcebergTypes.fromSpark(new StructType().add("x", dt)).fields.head.fieldType.typeJsonString
+    changes.foreach {
+      case a: AddColumn =>
+        require(a.position() == null, "ALTER TABLE ADD COLUMN ... FIRST/AFTER is not supported")
+        Evolution.addColumn(spark, loc, single(a.fieldNames()), iceType(a.dataType()),
+          required = !a.isNullable())
+      case d: DeleteColumn =>
+        Evolution.dropColumn(spark, loc, single(d.fieldNames()))
+      case rn: RenameColumn =>
+        Evolution.renameColumn(spark, loc, single(rn.fieldNames()), rn.newName())
+      case u: UpdateColumnType =>
+        Evolution.updateColumnType(spark, loc, single(u.fieldNames()), iceType(u.newDataType()))
+      case n: UpdateColumnNullability =>
+        Evolution.setRequired(spark, loc, single(n.fieldNames()), required = !n.nullable())
+      case p: SetProperty =>
+        Evolution.setProperties(spark, loc, Map(p.property() -> p.value()))
+      case p: RemoveProperty =>
+        Evolution.removeProperties(spark, loc, Seq(p.property()))
+      case other => throw new UnsupportedOperationException(
+        s"Unsupported ALTER TABLE change: $other")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = rest match {
     case Some(r) =>

@@ -224,6 +224,59 @@ class GraftSparkCatalogSpec extends SparkSpec with BeforeAndAfterAll {
       region.filter(col("r_regionkey") >= 2))
   }
 
+  test("CREATE TABLE ... PARTITIONED BY writes a real partition spec; scans prune on it") {
+    val wh = tmpDir("graft_ptn_wh")
+    spark.conf.set("spark.sql.catalog.ptncat", classOf[graft.catalog.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ptncat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE ptncat.db")
+    spark.sql("""CREATE TABLE ptncat.db.events_p (
+                |  event_id BIGINT, user_id BIGINT, ts TIMESTAMP, event_type STRING)
+                |PARTITIONED BY (months(ts), bucket(4, user_id))""".stripMargin)
+    val meta = graft.core.TableMetadata.load(s"$wh/db/events_p", spark.sessionState.newHadoopConf())
+    assert(meta.specs.head.fields.map(_.transform.toString) == Seq("month", "bucket[4]"))
+
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("event_id", "user_id", "ts", "event_type")
+      // ts arrives as nanosecond longs (legacy.parquet.nanosAsLong) — make
+      // it the TIMESTAMP the created schema declares
+      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000).cast("long")))
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    IcebergTable.append(events, s"$wh/db/events_p")
+    assertSameResult(spark.sql("SELECT * FROM ptncat.db.events_p"), events)
+    // month-partition pruning via the catalog-resolved scan
+    graft.sources.GraftDataSource.lastScanFiles = None
+    val bound = events.agg(min("ts")).collect()(0).getTimestamp(0)
+    val n = spark.sql(
+      s"SELECT count(*) FROM ptncat.db.events_p WHERE ts < TIMESTAMP '$bound'")
+      .collect()(0).getLong(0)
+    assert(n == 0)
+    val (kept, total) = graft.sources.GraftDataSource.lastScanFiles.get
+    assert(kept < total, s"expected month pruning, scanned $kept of $total")
+  }
+
+  test("ALTER TABLE via SQL: add/rename/drop column and properties evolve the schema") {
+    val wh = tmpDir("graft_alt_wh")
+    spark.conf.set("spark.sql.catalog.altcat", classOf[graft.catalog.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.altcat.warehouse", wh)
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+    val path = s"$wh/db/region_alt"
+    IcebergTable.write(region, path)
+
+    spark.sql("ALTER TABLE altcat.db.region_alt ADD COLUMN score DOUBLE")
+    spark.sql("ALTER TABLE altcat.db.region_alt RENAME COLUMN r_name TO region_name")
+    spark.sql("ALTER TABLE altcat.db.region_alt SET TBLPROPERTIES ('owner.team' = 'data')")
+    val afterAdd = spark.sql("SELECT * FROM altcat.db.region_alt")
+    assert(afterAdd.columns.toSeq == Seq("r_regionkey", "region_name", "score"))
+    assert(afterAdd.filter(col("score").isNull).count() == region.count()) // default fill
+    assertSameResult(afterAdd.select(col("region_name")), region.select(col("r_name").as("region_name")))
+
+    spark.sql("ALTER TABLE altcat.db.region_alt DROP COLUMN score")
+    assert(spark.sql("SELECT * FROM altcat.db.region_alt").columns.toSeq
+      == Seq("r_regionkey", "region_name"))
+    val meta = graft.core.TableMetadata.load(path, spark.sessionState.newHadoopConf())
+    assert(meta.properties.get("owner.team").contains("data"))
+  }
+
   test("REST-backed catalog: SQL SELECT through a served LoadTableResult") {
     val cat = new RestCatalog(server.uri, CatalogOptions(token = Some(server.token)))
     cat.createNamespace(Seq("sqlns"))
