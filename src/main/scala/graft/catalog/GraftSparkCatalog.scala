@@ -104,13 +104,15 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
       case SnapshotLookup.Latest => meta.currentSchema
       case lk => meta.schemaFor(meta.selectSnapshot(lk))
     }
-    val appendFn = rest.filter(_ => !isPathIdent(ident)).map { r =>
+    val restNamed = rest.filter(_ => !isPathIdent(ident))
+    val appendFn = restNamed.map { r =>
       (df: org.apache.spark.sql.DataFrame) =>
         { r.appendDF(df, ident.namespace.toSeq, ident.name); () }
     }
+    val restDml = restNamed.map(_.tableOps(ident.namespace.toSeq, ident.name))
     new GraftTable(loc, schema.toSpark, opts,
       Some((catalogName +: ident.namespace.toSeq :+ ident.name).mkString(".")), preloaded,
-      appendFn)
+      appendFn, restDml)
   }
 
   override def loadTable(ident: Identifier): Table = tableFor(ident, ReadOptions())

@@ -73,7 +73,7 @@ private[graft] object GraftDmlRewrite extends Rule[LogicalPlan] {
       val set = u.assignments.map(a => assignKey("UPDATE", a.key) -> bareSql(a.value)).toMap
       val cond = u.condition.map(bareSql).getOrElse("TRUE")
       GraftDmlCommand(s"GraftUpdate ${g.name()}",
-        spark => { Dml.update(spark, g.tablePath, cond, set); () })
+        spark => { Dml.update(spark, g.dmlOps, cond, set); () })
 
     case m: MergeIntoTable if m.resolved && graftTarget(m.targetTable).isDefined =>
       val (g, tSet) = graftTarget(m.targetTable).get
@@ -105,7 +105,7 @@ private[graft] object GraftDmlRewrite extends Rule[LogicalPlan] {
       GraftDmlCommand(s"GraftMergeInto ${g.name()}",
         spark => {
           val source = org.apache.spark.sql.GraftStreamShim.dfFromPlan(spark, sourcePlan)
-          Dml.merge(spark, g.tablePath, source, onCond, actions); ()
+          Dml.merge(spark, g.dmlOps, source, onCond, actions); ()
         })
   }
 }

@@ -459,6 +459,28 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
   /** Append a DataFrame to a catalog table: write data files + manifests to
     * the table location, then REST-commit with retry on conflict
     * (reference iceberg_transaction.cpp:369-489 retry loop). */
+  /** [[graft.write.Dml.TableOps]] committing through this catalog: DELETE /
+    * UPDATE / MERGE on a REST-named table stage their delete+data files
+    * under the table's location, then commit one snapshot via assert-ref +
+    * add-snapshot. Single-attempt: a 409 surfaces to the caller, who re-runs
+    * the statement against fresh metadata (re-staging a row-level operation
+    * means re-computing its matched rows). */
+  def tableOps(ns: Seq[String], name: String): graft.write.Dml.TableOps =
+    new graft.write.Dml.TableOps {
+      def load(conf: org.apache.hadoop.conf.Configuration): TableMetadata =
+        loadTable(ns, name).metadata
+      def commit(meta: TableMetadata, addedData: Seq[graft.manifest.ManifestEntry],
+          addedDeletes: Seq[graft.manifest.ManifestEntry], operation: String,
+          conf: org.apache.hadoop.conf.Configuration,
+          removedDvRefs: Set[String], preassignedSnapshotId: Option[Long],
+          deleteSpec: Option[graft.core.PartitionSpec]): TableMetadata = {
+        val (snapshot, _) = IcebergWrite.buildSnapshotFiles(meta, addedData, addedDeletes,
+          operation, conf, removedDvRefs = removedDvRefs,
+          preassignedSnapshotId = preassignedSnapshotId, deleteSpec = deleteSpec)
+        commitSnapshot(ns, name, meta.currentSnapshotId, snapshot).metadata
+      }
+    }
+
   def appendDF(df: DataFrame, ns: Seq[String], name: String): LoadedTable = {
     val spark = df.sparkSession
     val conf = spark.sessionState.newHadoopConf()

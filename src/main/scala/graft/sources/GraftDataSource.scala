@@ -117,22 +117,22 @@ object GraftDataSource {
 private[graft] class GraftTable(path: String, tableSchema: StructType,
     baseOpts: ReadOptions = ReadOptions(), displayName: Option[String] = None,
     preloaded: Option[TableMetadata] = None,
-    appendFn: Option[org.apache.spark.sql.DataFrame => Unit] = None)
+    appendFn: Option[org.apache.spark.sql.DataFrame => Unit] = None,
+    restDmlOps: Option[graft.write.Dml.TableOps] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = displayName.getOrElse(s"graft.`$path`")
   override def schema(): StructType = tableSchema
   /** Table location, for the SQL DML rewrite (graft.catalog.GraftSparkExtensions). */
   private[graft] def tablePath: String = path
-  /** DML precondition shared by DELETE/UPDATE/MERGE: no time travel, and not
-    * a REST-named table (those must commit through the catalog transaction,
-    * not the path commit — use the library API / RestCatalog for now). */
+  /** How SQL DELETE/UPDATE/MERGE load + commit this table: REST-named tables
+    * commit through the catalog transaction, path tables by metadata rename. */
+  private[graft] def dmlOps: graft.write.Dml.TableOps =
+    restDmlOps.getOrElse(graft.write.Dml.PathOps(path))
+  /** DML precondition shared by DELETE/UPDATE/MERGE: no time travel. */
   private[graft] def dmlRefusal(op: String): Option[String] =
     if (baseOpts.snapshotId.nonEmpty || baseOpts.asOfTimestampMs.nonEmpty)
       Some(s"cannot $op a time-traveled relation ${name()}")
-    else if (appendFn.nonEmpty)
-      Some(s"$op on REST-catalog table ${name()} is not supported through SQL; " +
-        "it must commit through the REST transaction path (graft.write.Dml + RestCatalog)")
     else None
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
@@ -168,9 +168,9 @@ private[graft] class GraftTable(path: String, tableSchema: StructType,
   /** SQL `DELETE FROM` — delegates to the engine's merge-on-read delete
     * (positional deletes on v2, Puffin deletion vectors on v3; Dml.delete).
     * Refused when any filter can't be rendered as SQL (Spark then reports
-    * the DELETE as unsupported rather than deleting the wrong rows), on
-    * time-traveled relations, and on REST-named tables (their commits must
-    * flow through the catalog transaction, not the path commit). */
+    * the DELETE as unsupported rather than deleting the wrong rows) and on
+    * time-traveled relations. REST-named tables commit through the catalog
+    * transaction ([[dmlOps]]). */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     dmlRefusal("DELETE").isEmpty && filters.forall(f => FilterSql.convert(f).isDefined)
 
@@ -180,7 +180,7 @@ private[graft] class GraftTable(path: String, tableSchema: StructType,
     val condSql =
       if (filters.isEmpty) "TRUE" // DELETE FROM t (also backs TRUNCATE)
       else filters.flatMap(FilterSql.convert).map(p => s"($p)").mkString(" AND ")
-    graft.write.Dml.delete(SparkSession.active, path, condSql)
+    graft.write.Dml.delete(SparkSession.active, dmlOps, condSql)
   }
 }
 

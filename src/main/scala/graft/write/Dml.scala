@@ -3,6 +3,7 @@ package graft.write
 import graft.core._
 import graft.manifest._
 import graft.read.{IcebergRead, PlannedFile, ReadOptions, SerializableHadoopConf}
+import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -101,18 +102,48 @@ object Dml {
 
   private def normStr(s: String): String = s.replaceFirst("^file:/+", "/")
 
+  /** Where a row-level DML statement loads table metadata from and how its
+    * one snapshot commits. Path tables commit by atomic metadata-file
+    * rename; REST-named tables commit through the catalog's assert-ref +
+    * add-snapshot transaction ([[graft.catalog.RestCatalog.tableOps]]).
+    * Single-attempt on conflict: re-staging a row-level operation means
+    * re-computing its matched rows, so the retry belongs to the caller. */
+  trait TableOps {
+    def load(conf: Configuration): TableMetadata
+    def commit(meta: TableMetadata, addedData: Seq[ManifestEntry],
+        addedDeletes: Seq[ManifestEntry], operation: String, conf: Configuration,
+        removedDvRefs: Set[String] = Set.empty,
+        preassignedSnapshotId: Option[Long] = None,
+        deleteSpec: Option[PartitionSpec] = None): TableMetadata
+  }
+
+  /** The default: a directly-addressed table path (or metadata.json). */
+  case class PathOps(path: String) extends TableOps {
+    def load(conf: Configuration): TableMetadata = TableMetadata.load(path, conf)
+    def commit(meta: TableMetadata, addedData: Seq[ManifestEntry],
+        addedDeletes: Seq[ManifestEntry], operation: String, conf: Configuration,
+        removedDvRefs: Set[String], preassignedSnapshotId: Option[Long],
+        deleteSpec: Option[PartitionSpec]): TableMetadata =
+      IcebergWrite.commitSnapshot(meta, addedData, addedDeletes, operation, conf,
+        removedDvRefs = removedDvRefs, preassignedSnapshotId = preassignedSnapshotId,
+        deleteSpec = deleteSpec)
+  }
+
   /** DELETE FROM table WHERE cond — merge-on-read. v2 tables write
     * positional-delete parquet; v3 tables write Puffin deletion vectors
     * (reference iceberg_delete.cpp:165-208 DV write, 210-298 positional). */
-  def delete(spark: SparkSession, path: String, condSql: String): TableMetadata = {
+  def delete(spark: SparkSession, path: String, condSql: String): TableMetadata =
+    delete(spark, PathOps(path), condSql)
+
+  def delete(spark: SparkSession, ops: TableOps, condSql: String): TableMetadata = {
     val conf = spark.sessionState.newHadoopConf()
-    val meta = TableMetadata.load(path, conf)
+    val meta = ops.load(conf)
     val matched = IcebergRead.loadWithMetadata(spark, meta, conf,
       ReadOptions(filterSql = Some(condSql), keepFileMeta = true))
       .select("_g_path", "_g_pos")
     val rd = writeRowDeletes(spark, meta, matched)
     if (rd.entries.isEmpty) meta
-    else IcebergWrite.commitSnapshot(meta, Nil, rd.entries, "delete", conf,
+    else ops.commit(meta, Nil, rd.entries, "delete", conf,
       removedDvRefs = rd.removedDvRefs, preassignedSnapshotId = rd.snapshotId)
   }
 
@@ -275,9 +306,13 @@ object Dml {
     * rows materialize their original _row_id (spec: row ids survive
     * updates; _last_updated inherits the new commit's sequence). */
   def update(spark: SparkSession, path: String, condSql: String,
+      set: Map[String, String]): TableMetadata =
+    update(spark, PathOps(path), condSql, set)
+
+  def update(spark: SparkSession, ops: TableOps, condSql: String,
       set: Map[String, String]): TableMetadata = {
     val conf = spark.sessionState.newHadoopConf()
-    val meta = TableMetadata.load(path, conf)
+    val meta = ops.load(conf)
     val schema = meta.currentSchema
     val v3 = meta.formatVersion >= 3
     val matched = IcebergRead.loadWithMetadata(spark, meta, conf,
@@ -289,7 +324,7 @@ object Dml {
         set.get(f.name).map(e => expr(e).cast(f.fieldType.toSpark).as(f.name)).getOrElse(col(f.name))
       } ++ (if (v3) Seq(col("_row_id")) else Nil)).toIndexedSeq: _*)
       val (dataEntries, _) = IcebergWrite.writeDataFiles(updated, meta, conf)
-      IcebergWrite.commitSnapshot(meta, dataEntries, rd.entries, "overwrite", conf,
+      ops.commit(meta, dataEntries, rd.entries, "overwrite", conf,
         removedDvRefs = rd.removedDvRefs, preassignedSnapshotId = rd.snapshotId)
     } finally matched.unpersist()
   }
@@ -307,9 +342,13 @@ object Dml {
   /** MERGE INTO target t USING source s ON cond — join-based MoR merge
     * producing one OVERWRITE snapshot. */
   def merge(spark: SparkSession, path: String, source: DataFrame, onCond: String,
+      actions: MergeActions): TableMetadata =
+    merge(spark, PathOps(path), source, onCond, actions)
+
+  def merge(spark: SparkSession, ops: TableOps, source: DataFrame, onCond: String,
       actions: MergeActions): TableMetadata = {
     val conf = spark.sessionState.newHadoopConf()
-    val meta = TableMetadata.load(path, conf)
+    val meta = ops.load(conf)
     val schema = meta.currentSchema
     val v3 = meta.formatVersion >= 3
     val target = IcebergRead.loadWithMetadata(spark, meta, conf,
@@ -354,7 +393,7 @@ object Dml {
       val newRows = (updatedRows.toSeq ++ insertedRows.toSeq).reduceOption(_ unionByName _)
       val dataEntries = newRows.map(df => IcebergWrite.writeDataFiles(df, meta, conf)._1).getOrElse(Nil)
       if (dataEntries.isEmpty && rd.entries.isEmpty) meta
-      else IcebergWrite.commitSnapshot(meta, dataEntries, rd.entries, "overwrite", conf,
+      else ops.commit(meta, dataEntries, rd.entries, "overwrite", conf,
         removedDvRefs = rd.removedDvRefs, preassignedSnapshotId = rd.snapshotId)
     } finally joined.unpersist()
   }

@@ -277,6 +277,29 @@ class GraftSparkCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     assert(meta.properties.get("owner.team").contains("data"))
   }
 
+  test("SQL DELETE and UPDATE on a REST-catalog table commit through the REST transaction") {
+    val cat = new RestCatalog(server.uri, CatalogOptions(token = Some(server.token)))
+    cat.createNamespace(Seq("dmlns"))
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val loc = tmpDir("graft_rest_dml_tbl")
+    cat.createTable(Seq("dmlns"), "orders", IcebergTypes.fromSpark(orders.schema), loc)
+    cat.appendDF(orders, Seq("dmlns"), "orders")
+    spark.conf.set("spark.sql.catalog.dmlrest", classOf[graft.catalog.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.dmlrest.uri", server.uri)
+    spark.conf.set("spark.sql.catalog.dmlrest.token", server.token)
+
+    spark.sql("DELETE FROM dmlrest.dmlns.orders WHERE o_orderstatus = 'F'")
+    spark.sql("UPDATE dmlrest.dmlns.orders SET o_totalprice = 0.0 WHERE o_orderstatus = 'P'")
+
+    val expect = orders.filter(col("o_orderstatus") =!= "F")
+      .withColumn("o_totalprice",
+        when(col("o_orderstatus") === "P", lit(0.0)).otherwise(col("o_totalprice")))
+    assertSameResult(spark.sql("SELECT * FROM dmlrest.dmlns.orders"), expect)
+    // the delete + update snapshots are visible through the catalog's own view
+    assert(cat.loadTable(Seq("dmlns"), "orders").metadata.snapshots.size == 3)
+    assertSameResult(cat.loadDF(spark, Seq("dmlns"), "orders"), expect)
+  }
+
   test("REST-backed catalog: SQL SELECT through a served LoadTableResult") {
     val cat = new RestCatalog(server.uri, CatalogOptions(token = Some(server.token)))
     cat.createNamespace(Seq("sqlns"))
