@@ -136,26 +136,32 @@ private[graft] class GraftTable(path: String, tableSchema: StructType,
     else None
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.V1_BATCH_WRITE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
-  /** INSERT INTO / DataFrame append — bridged to the engine's write path
-    * via the V1 write fallback (the write itself is a normal distributed
-    * parquet write + manifest commit; see IcebergWrite). Time-traveled
-    * relations refuse writes. */
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder {
-    override def build(): Write = new V1Write {
-      override def toInsertableRelation: InsertableRelation = new InsertableRelation {
-        override def insert(data: org.apache.spark.sql.DataFrame, overwrite: Boolean): Unit = {
-          require(baseOpts.snapshotId.isEmpty && baseOpts.asOfTimestampMs.isEmpty,
-            "cannot INSERT into a time-traveled relation")
-          require(!overwrite,
-            "INSERT OVERWRITE is not supported; use DELETE then INSERT, or rewriteDataFiles")
-          appendFn.getOrElse((df: org.apache.spark.sql.DataFrame) =>
-            graft.write.IcebergWrite.append(df, path))(data)
+  /** INSERT INTO / INSERT OVERWRITE / DataFrame append — bridged to the
+    * engine's write path via the V1 write fallback (the write itself is a
+    * normal distributed parquet write + manifest commit; see IcebergWrite).
+    * OVERWRITE is a full-table replace in one snapshot (prior state stays
+    * time-travelable). Time-traveled relations refuse writes. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var overwriteAll = false
+      override def truncate(): WriteBuilder = { overwriteAll = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation = new InsertableRelation {
+          override def insert(data: org.apache.spark.sql.DataFrame, overwrite: Boolean): Unit = {
+            require(baseOpts.snapshotId.isEmpty && baseOpts.asOfTimestampMs.isEmpty,
+              "cannot INSERT into a time-traveled relation")
+            if (overwriteAll || overwrite) {
+              require(appendFn.isEmpty,
+                "INSERT OVERWRITE on a REST-catalog table is not supported; DELETE then INSERT")
+              graft.write.IcebergWrite.overwrite(data, path)
+            } else appendFn.getOrElse((df: org.apache.spark.sql.DataFrame) =>
+              graft.write.IcebergWrite.append(df, path))(data)
+          }
         }
       }
     }
-  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val o = GraftDataSource.readOptions(options)
     val merged = baseOpts.copy(

@@ -115,6 +115,22 @@ object IcebergWrite {
     commitSnapshot(meta, entries, Nil, "append", conf, extraSummary = extraSummary)
   }
 
+  /** INSERT OVERWRITE TABLE (full replace): ONE snapshot that adds `df`'s
+    * files and logically removes every previously-live data AND delete file
+    * (old files stay on disk for time travel; the new snapshot's manifest
+    * list simply doesn't reference them). The previous state remains
+    * addressable via `VERSION AS OF`. */
+  def overwrite(df: DataFrame, path: String): TableMetadata = {
+    val spark = df.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = TableMetadata.load(path, conf)
+    val (entries, _) = writeDataFiles(df, meta, conf)
+    val p = graft.read.IcebergRead.planWithMetadata(spark, meta, conf, graft.read.ReadOptions())
+    val removed = (p.dataFiles.iterator ++ p.deleteFiles.iterator)
+      .map(_.info.filePath).toSet
+    commitSnapshot(meta, entries, Nil, "overwrite", conf, removedDataPaths = removed)
+  }
+
   /** Write data files for `df` under the table layout; returns ADDED
     * manifest entries (stats included) without committing. */
   private[graft] def writeDataFiles(df: DataFrame, meta: TableMetadata,

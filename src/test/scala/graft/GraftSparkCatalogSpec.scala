@@ -277,6 +277,30 @@ class GraftSparkCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     assert(meta.properties.get("owner.team").contains("data"))
   }
 
+  test("INSERT OVERWRITE replaces the table in one snapshot, old state stays time-travelable") {
+    val wh = tmpDir("graft_ovw_wh")
+    spark.conf.set("spark.sql.catalog.ovwcat", classOf[graft.catalog.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ovwcat.warehouse", wh)
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+    val path = s"$wh/db/region_ovw"
+    IcebergTable.write(region, path)
+    // MoR delete first, so the overwrite also has a delete file to drop
+    spark.sql("DELETE FROM ovwcat.db.region_ovw WHERE r_regionkey = 0")
+    region.filter(col("r_regionkey") >= 3).createOrReplaceTempView("region_ovw_src")
+
+    spark.sql("INSERT OVERWRITE ovwcat.db.region_ovw SELECT * FROM region_ovw_src")
+
+    val expect = region.filter(col("r_regionkey") >= 3)
+    assertSameResult(spark.sql("SELECT * FROM ovwcat.db.region_ovw"), expect)
+    val meta = graft.core.TableMetadata.load(path, spark.sessionState.newHadoopConf())
+    assert(meta.snapshots.size == 3) // write, delete, overwrite
+    // pre-overwrite state still readable
+    val preOverwrite = meta.snapshots.sortBy(_.sequenceNumber).apply(1).snapshotId
+    assertSameResult(
+      spark.sql(s"SELECT * FROM ovwcat.db.region_ovw VERSION AS OF $preOverwrite"),
+      region.filter(col("r_regionkey") =!= 0))
+  }
+
   test("SQL DELETE and UPDATE on a REST-catalog table commit through the REST transaction") {
     val cat = new RestCatalog(server.uri, CatalogOptions(token = Some(server.token)))
     cat.createNamespace(Seq("dmlns"))
