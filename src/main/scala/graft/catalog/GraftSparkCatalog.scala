@@ -115,7 +115,38 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
       appendFn, restDml)
   }
 
-  override def loadTable(ident: Identifier): Table = tableFor(ident, ReadOptions())
+  /** Metadata tables, SQL-addressable as `<table>.<kind>` — the Spark-SQL
+    * face of the reference's `iceberg_snapshots()` / `iceberg_metadata()` /
+    * `iceberg_column_stats()` / `iceberg_partition_stats()` table functions
+    * (src/iceberg_functions.cpp). Reached only when `ident` doesn't resolve
+    * as a real table, so a genuine table named `snapshots` still wins. */
+  private val metadataTables: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    "snapshots" -> ((s, p) => graft.IcebergTable.snapshots(s, p)),
+    "manifest_entries" -> ((s, p) => graft.IcebergTable.manifestEntries(s, p)),
+    "entries" -> ((s, p) => graft.IcebergTable.manifestEntries(s, p)),
+    "column_stats" -> ((s, p) => graft.IcebergTable.columnStats(s, p)),
+    "partition_stats" -> ((s, p) => graft.IcebergTable.partitionStats(s, p)),
+    "properties" -> ((s, p) => graft.IcebergTable.tableProperties(s, p)))
+
+  private def metadataTableFor(ident: Identifier): Option[Table] = {
+    if (ident.namespace.isEmpty) return None
+    metadataTables.get(ident.name.toLowerCase(java.util.Locale.ROOT)).flatMap { fn =>
+      val base = Identifier.of(ident.namespace.dropRight(1), ident.namespace.last)
+      if (!tableExists(base)) None
+      else {
+        val (loc, _) = resolve(base)
+        Some(new DataFrameBackedTable(
+          (catalogName +: ident.namespace.toSeq :+ ident.name).mkString("."),
+          () => fn(spark, loc)))
+      }
+    }
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    try tableFor(ident, ReadOptions())
+    catch {
+      case e: NoSuchTableException => metadataTableFor(ident).getOrElse(throw e)
+    }
 
   /** `VERSION AS OF <snapshot-id>` */
   override def loadTable(ident: Identifier, version: String): Table =
@@ -322,4 +353,29 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
       val fs = dir.getFileSystem(hconf)
       fs.exists(dir) && fs.delete(dir, cascade)
   }
+}
+
+/** A read-only DSv2 table backed by a lazily-built DataFrame — used for the
+  * SQL metadata tables (`cat.db.t.snapshots` etc.). Bridged through V1Scan:
+  * the DataFrame's own plan IS the scan. */
+private[graft] class DataFrameBackedTable(tableName: String,
+    build: () => org.apache.spark.sql.DataFrame) extends Table with SupportsRead {
+  private lazy val df = build()
+  override def name(): String = tableName
+  override def schema(): StructType = df.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): org.apache.spark.sql.connector.read.ScanBuilder =
+    () => new org.apache.spark.sql.connector.read.V1Scan {
+      override def readSchema(): StructType = df.schema
+      override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
+          with org.apache.spark.sql.sources.TableScan](
+          ctx: org.apache.spark.sql.SQLContext): T =
+        new org.apache.spark.sql.sources.BaseRelation with org.apache.spark.sql.sources.TableScan {
+          override def sqlContext: org.apache.spark.sql.SQLContext = ctx
+          override def schema: StructType = df.schema
+          override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = df.rdd
+        }.asInstanceOf[T]
+    }
 }

@@ -324,6 +324,32 @@ class GraftSparkCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     assertSameResult(cat.loadDF(spark, Seq("dmlns"), "orders"), expect)
   }
 
+  test("SQL metadata tables: t.snapshots / t.manifest_entries / t.properties") {
+    val wh = tmpDir("graft_meta_wh")
+    spark.conf.set("spark.sql.catalog.metacat", classOf[graft.catalog.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.metacat.warehouse", wh)
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+    val path = s"$wh/db/region_meta"
+    IcebergTable.write(region, path)
+    IcebergTable.append(region, path)
+
+    val snaps = spark.sql("SELECT * FROM metacat.db.region_meta.snapshots")
+    assert(snaps.count() == 2)
+    assert(snaps.columns.contains("snapshot_id"))
+    val entries = spark.sql(
+      "SELECT count(*) FROM metacat.db.region_meta.manifest_entries WHERE status = 'ADDED'")
+      .collect()(0).getLong(0)
+    assert(entries >= 2) // one added data file per append
+    graft.write.Evolution.setProperties(spark, path, Map("fmt" -> "iceberg"))
+    val props = spark.sql(
+      "SELECT value FROM metacat.db.region_meta.properties WHERE key = 'fmt'")
+      .collect().map(_.getString(0)).toSeq
+    assert(props == Seq("iceberg"))
+    // a missing base table still errors cleanly
+    val e = intercept[Exception](spark.sql("SELECT * FROM metacat.db.nope.snapshots").collect())
+    assert(e.getMessage.toLowerCase.contains("table"))
+  }
+
   test("REST-backed catalog: SQL SELECT through a served LoadTableResult") {
     val cat = new RestCatalog(server.uri, CatalogOptions(token = Some(server.token)))
     cat.createNamespace(Seq("sqlns"))
