@@ -30,7 +30,8 @@ object Bench {
       // for analytics dims, and scan splits small enough to parallelize
       // single-file tables at low core counts.
       .config("spark.sql.join.preferSortMergeJoin", "false")
-      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BROADCAST", "64m"))
       .config("spark.sql.files.maxPartitionBytes", "32m")
       .config("spark.sql.extensions", classOf[graft.catalog.GraftSparkExtensions].getName)
       .getOrCreate()

@@ -59,7 +59,12 @@ case class TableMetadata(
     snapshotLog: Seq[(Long, Long)], // (timestampMs, snapshotId)
     metadataLog: Seq[(Long, String)], // (timestampMs, metadataFile)
     refs: Map[String, Long], // ref name -> snapshot id
-    nextRowId: Option[Long] = None) {
+    nextRowId: Option[Long] = None,
+    /** Version number of the metadata FILE this was loaded from (path
+      * tables). Commits target loadedVersion+1, so two writers that loaded
+      * the same version collide on publish instead of silently leapfrogging
+      * each other's snapshots. None for REST-served / synthetic metadata. */
+    loadedVersion: Option[Int] = None) {
 
   def schema(id: Int): IcebergSchema =
     schemas.find(_.schemaId == id).getOrElse(throw new IllegalArgumentException(s"No schema with id $id"))
@@ -211,7 +216,12 @@ object TableMetadata {
       if (tablePath.endsWith(".metadata.json") || tablePath.endsWith(".metadata.json.gz"))
         new Path(tablePath).getParent.getParent.toString
       else tablePath
-    parse(txt, Some(tableRoot))
+    val VRe = """.*?v?(\d+)[^/]*\.metadata\.json.*""".r
+    val fileVersion = new Path(metaFile).getName match {
+      case VRe(n) => Some(n.toInt)
+      case _ => None
+    }
+    parse(txt, Some(tableRoot)).copy(loadedVersion = fileVersion)
   }
 
   private def strMap(n: JsonNode): Map[String, String] =

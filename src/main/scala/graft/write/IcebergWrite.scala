@@ -31,6 +31,10 @@ import scala.jdk.CollectionConverters._
  * Commit is a driver-only metadata rename (HadoopTableOperations-style
  * single-writer semantics, documented).
  */
+/** A path-table commit lost the version race (another writer published the
+  * same metadata version first). [[IcebergWrite.append]] retries on it. */
+class ConcurrentCommitException(msg: String) extends IllegalStateException(msg)
+
 case class TableWriteOptions(
     partitionBy: Seq[(String, Transform)] = Nil,
     sortBy: Seq[(String, Boolean, Boolean)] = Nil, // (column, ascending, nullsFirst)
@@ -105,14 +109,35 @@ object IcebergWrite {
 
   /** Append `df` as a new APPEND snapshot. `extraSummary` entries are
     * merged into the snapshot summary (used by the streaming sink to stamp
-    * its exactly-once watermark: query id + batch id). */
+    * its exactly-once watermark: query id + batch id).
+    *
+    * Optimistic concurrency, same shape as the REST path (appendDF): data
+    * files are written ONCE; on a concurrent-commit loss only the manifest
+    * assembly re-runs against freshly loaded metadata (the appended files
+    * don't depend on which snapshot they land after — unless the schema
+    * changed underneath, which aborts). */
   def append(df: DataFrame, path: String,
       extraSummary: Map[String, String] = Map.empty): TableMetadata = {
     val spark = df.sparkSession
     val conf = spark.sessionState.newHadoopConf()
-    val meta = TableMetadata.load(path, conf)
+    var meta = TableMetadata.load(path, conf)
+    val schemaId = meta.currentSchemaId
     val (entries, _) = writeDataFiles(df, meta, conf)
-    commitSnapshot(meta, entries, Nil, "append", conf, extraSummary = extraSummary)
+    val maxRetries = 5
+    var attempt = 0
+    while (true) {
+      try return commitSnapshot(meta, entries, Nil, "append", conf, extraSummary = extraSummary)
+      catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          Thread.sleep(20L * attempt + scala.util.Random.nextInt(30))
+          meta = TableMetadata.load(path, conf)
+          require(meta.currentSchemaId == schemaId,
+            "schema changed during a concurrent append; re-run the append against the new schema")
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** INSERT OVERWRITE TABLE (full replace): ONE snapshot that adds `df`'s
@@ -326,7 +351,12 @@ object IcebergWrite {
       removedDataPaths, removedDvRefs, preassignedSnapshotId, deleteSpec)
     val snap = if (extraSummary.isEmpty) snap0
       else snap0.copy(summary = snap0.summary ++ extraSummary)
-    val prevVersion = currentVersion(meta.location, conf)
+    // The target version derives from the metadata this commit was BUILT on,
+    // not a fresh disk probe: probing would let a stale writer leapfrog a
+    // concurrent commit (publishing vN+2 whose content misses vN+1's
+    // snapshot). Built-from-v(N) commits target v(N+1); same-base writers
+    // collide at publish and the loser retries on fresh metadata.
+    val prevVersion = meta.loadedVersion.getOrElse(currentVersion(meta.location, conf))
     val now = snap.timestampMs
     val addedRows = addedData.filter(_.dataFile.content == FileContent.Data)
       .map(_.dataFile.recordCount).sum
@@ -340,7 +370,7 @@ object IcebergWrite {
       nextRowId = if (meta.formatVersion >= 3)
         Some(meta.nextRowId.getOrElse(0L) + addedRows) else meta.nextRowId)
     commitMetadata(newMeta, prevVersion + 1, conf)
-    newMeta
+    newMeta.copy(loadedVersion = Some(prevVersion + 1))
   }
 
   /** Write manifests + the manifest list for a new snapshot and return the
@@ -494,8 +524,9 @@ object IcebergWrite {
   /** Commit `meta` as the next metadata version (ALTER-style metadata-only
     * commit). */
   private[graft] def commitMetadataNextVersion(meta: TableMetadata, conf: Configuration): TableMetadata = {
-    commitMetadata(meta, currentVersion(meta.location, conf) + 1, conf)
-    meta
+    val v = meta.loadedVersion.getOrElse(currentVersion(meta.location, conf)) + 1
+    commitMetadata(meta, v, conf)
+    meta.copy(loadedVersion = Some(v))
   }
 
   private def currentVersion(location: String, conf: Configuration): Int =
@@ -505,10 +536,18 @@ object IcebergWrite {
       new Path(f).getName match { case VRe(n) => n.toInt; case _ => 0 }
     } catch { case _: Exception => 0 }
 
-  /** Write vN.metadata.json (atomic rename) + version-hint.text —
-    * HadoopTableOperations-style local commit (single-writer assumption,
-    * reference v1 equivalent: transaction commit without a REST catalog,
-    * iceberg_transaction.cpp:489-534). */
+  /** Write vN.metadata.json + version-hint.text — HadoopTableOperations-
+    * style local commit (reference v1 equivalent: transaction commit
+    * without a REST catalog, iceberg_transaction.cpp:489-534).
+    *
+    * Publishing must be an atomic create-if-absent or two concurrent
+    * committers at the same version both "win". `rename` is NOT that on a
+    * POSIX local filesystem (rename(2) silently replaces an existing
+    * destination), so local publishes go through `Files.createLink`, which
+    * fails atomically when the destination exists; non-local filesystems
+    * (HDFS semantics: rename to an existing destination fails) keep rename.
+    * Losers throw ConcurrentCommitException — [[append]] retries against
+    * fresh metadata. */
   private def commitMetadata(meta: TableMetadata, version: Int, conf: Configuration): Unit = {
     val metaDir = s"${meta.location}/metadata"
     val fsys = TableMetadata.fs(metaDir, conf)
@@ -518,9 +557,18 @@ object IcebergWrite {
     val out = fsys.create(tmp, true)
     out.write(TableMetadata.toJson(meta).getBytes(StandardCharsets.UTF_8))
     out.close()
-    if (!fsys.rename(tmp, fin)) {
+    val published =
+      if ("file" == Option(fin.toUri.getScheme).getOrElse(fsys.getUri.getScheme)) {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(fin.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          fsys.delete(tmp, false); true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else !fsys.exists(fin) && fsys.rename(tmp, fin)
+    if (!published) {
       fsys.delete(tmp, false)
-      throw new IllegalStateException(s"Concurrent commit detected: $fin already exists")
+      throw new ConcurrentCommitException(s"Concurrent commit detected: $fin already exists")
     }
     val hint = fsys.create(new Path(metaDir, "version-hint.text"), true)
     hint.write(version.toString.getBytes(StandardCharsets.UTF_8))

@@ -88,4 +88,27 @@ class EndToEndSpec extends SparkSpec {
     val expected = spark.read.parquet(s"$sfDir/orders.parquet").filter(s"o_orderkey <= $lo")
     assertSameResult(expected, IcebergTable.load(spark, path, ReadOptions(filterSql = Some(s"o_orderkey <= $lo"))))
   }
+
+  test("concurrent appends: every writer lands, optimistic retry on version race") {
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+    val path = tmpDir("graft_e2e_concurrent")
+    IcebergTable.write(region, path)
+    val writers = 6
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futures = (1 to writers).map { i =>
+      Future { IcebergTable.append(region.withColumn("r_regionkey", col("r_regionkey") + i * 100), path) }
+    }
+    Await.result(Future.sequence(futures), 120.seconds)
+    val meta = graft.core.TableMetadata.load(path, spark.sessionState.newHadoopConf())
+    assert(meta.snapshots.size == writers + 1,
+      s"expected ${writers + 1} snapshots, got ${meta.snapshots.size} (lost commit)")
+    assert(IcebergTable.load(spark, path).count() == (writers + 1) * region.count())
+    // metadata versions are dense: no clobbered files
+    val metaDir = new java.io.File(path, "metadata")
+    val versions = metaDir.listFiles().map(_.getName)
+      .filter(n => n.matches("v\\d+\\.metadata\\.json")).sorted
+    assert(versions.length == writers + 2) // create + initial append... each commit bumps
+  }
 }
