@@ -450,10 +450,17 @@ object IcebergRead {
       b.result()
     }
     val defaultFields = schema.idToField.values.filter(_.initialDefaultJson.isDefined).toSeq
-    val identitySources: Map[Int, Int] = { // sourceFieldId -> partition position
-      val spec = p.meta.defaultSpec
-      spec.fields.zipWithIndex.collect { case (pf, i) if pf.transform == Transforms.Identity => pf.sourceId -> i }.toMap
-    }
+    // Identity partition sources PER SPEC: under an evolved spec, a column
+    // that is identity-partitioned today was an ordinary data column in
+    // files written under an older spec — those files carry it physically
+    // and must not have it swapped for a (nonexistent) partition constant.
+    val identitySourcesBySpec: Map[Int, Map[Int, Int]] = // specId -> (sourceFieldId -> position)
+      files.map(_.specId).distinct.map { sid =>
+        sid -> p.meta.spec(sid).fields.zipWithIndex.collect {
+          case (pf, i) if pf.transform == Transforms.Identity => pf.sourceId -> i
+        }.toMap
+      }.toMap
+    val identitySources: Map[Int, Int] = identitySourcesBySpec.values.flatten.toMap
     val candidateFields = (defaultFields.map(_.id) ++ identitySources.keys).distinct
 
     // Tables written without materialized partition columns declare it via
@@ -464,7 +471,7 @@ object IcebergRead {
       props.getOrElse("write.parquet.write-partition-values",
         props.getOrElse("write.data.partition-columns", "true")) != "false"
     def hasField(pf: PlannedFile, fid: Int): Boolean =
-      if (identitySources.contains(fid) && !partitionValuesWritten) false
+      if (identitySourcesBySpec(pf.specId).contains(fid) && !partitionValuesWritten) false
       else fileHasField(pf, fid, conf)
 
     val groups: Map[Seq[(Int, Any)], Seq[PlannedFile]] =

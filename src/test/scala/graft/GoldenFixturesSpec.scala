@@ -41,6 +41,18 @@ class GoldenFixturesSpec extends SparkSpec {
     assert(rows.toSeq == Seq((0, 999, "p0-k999"), (1, 100, "p1-k100"), (1, 888, "p1-k888")))
   }
 
+  test("equality_delete_extra_column: eq-delete with extra columns on a bucket-partitioned table (equality_delete_extra_column.test:14-31)") {
+    val path = s"$P/equality_delete_extra_column/warehouse/ns/t/metadata/vfinal.metadata.json"
+    val df = IcebergTable.load(spark, path)
+    val rows = df.select("id", "val").orderBy("id").collect()
+      .map(r => (r.getAs[Number](0).intValue(), r.getString(1)))
+    assert(rows.toSeq == Seq((1, "a"), (3, "c")))
+    assert(IcebergTable.load(spark, path).count() == 2)
+    // projecting only a non-key column must still apply the delete
+    assert(IcebergTable.load(spark, path).select("val").collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("a", "c"))
+  }
+
   test("legacy_bare_deletion_vector (v3): DV removes row 2 (legacy_bare_deletion_vector.test:37-44)") {
     val df = IcebergTable.load(spark, s"$P/legacy_bare_deletion_vector/warehouse/default/legacy_bare_deletion_vector")
     val rows = df.select("id", "source").orderBy("id").collect().map(r => (r.getAs[Number](0).intValue(), r.getString(1)))

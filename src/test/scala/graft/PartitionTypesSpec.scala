@@ -60,11 +60,66 @@ class PartitionTypesSpec extends SparkSpec {
     }
   }
 
-  test("partition_decimal_bigint / smallint: wider decimal encodings") {
-    for (t <- Seq("partition_decimal_bigint", "partition_decimal_smallint")) {
-      val df = IcebergTable.load(spark, s"$P/$t")
-      assert(df.count() >= 2, t)
-      assert(df.select("partition_col").collect().forall(!_.isNullAt(0)), t)
-    }
+  test("partition_decimal_bigint: long-backed decimal values + pruned filter (identity_decimal_bigint.test:12-29)") {
+    val df = IcebergTable.load(spark, s"$P/partition_decimal_bigint")
+    assert(df.count() == 10)
+    val byUser = df.select("user_id", "partition_col").collect()
+      .map(r => r.getAs[Number](0).longValue() -> r.getDecimal(1).toPlainString).toMap
+    assert(byUser(123456L) == "123.45678901234")
+    assert(byUser(222333L) == "-9876.54321098765")
+    assert(byUser(987654L) == "0.00000000000")
+    assert(userIdsWhere(s"$P/partition_decimal_bigint", "partition_col = 123.45678901234") == Seq(123456L))
+  }
+
+  test("partition_decimal_smallint: small-precision decimals (identity_decimal_smallint.test:12-21)") {
+    val df = IcebergTable.load(spark, s"$P/partition_decimal_smallint")
+    val byUser = df.select("user_id", "partition_col").collect()
+      .map(r => r.getAs[Number](0).longValue() -> r.getDecimal(1).toPlainString).toMap
+    assert(byUser == Map(12345L -> "1.23", 67890L -> "4.56"))
+    assert(userIdsWhere(s"$P/partition_decimal_smallint", "partition_col = 1.23") == Seq(12345L))
+  }
+
+  test("partition_decimal_hugeint: 16-byte decimal encodings (identity_decimal_hugeint.test:12-33)") {
+    val df = IcebergTable.load(spark, s"$P/partition_decimal_hugeint")
+    assert(df.count() == 15)
+    val byUser = df.select("user_id", "partition_col").collect()
+      .map(r => r.getAs[Number](0).longValue() -> r.getDecimal(1).toPlainString).toMap
+    assert(byUser(314159L) == "3.14159265358979323846264")
+    assert(byUser(666777L) == "9999999999999.99999999999999999999000")
+    assert(byUser(246802L) == "-1000000000000.00000000000000000001000")
+    assert(userIdsWhere(s"$P/partition_decimal_hugeint",
+      "partition_col = 3.14159265358979323846264") == Seq(314159L))
+  }
+
+  test("partition_binary: blob identity partitions + filter (identity_binary.test:12-27)") {
+    val df = IcebergTable.load(spark, s"$P/partition_binary")
+    val rows = df.select("partition_col", "user_id").collect()
+      .map(r => (r.getAs[Array[Byte]](0).toSeq, r.getAs[Number](1).longValue())).toSet
+    assert(rows == Set(
+      (Seq[Byte](1, 2, 3), 12345L),
+      (Seq(0xAA.toByte, 0xBB.toByte, 0xCC.toByte), 67890L)))
+    assert(userIdsWhere(s"$P/partition_binary", "partition_col = X'010203'") == Seq(12345L))
+  }
+
+  test("partition_fixed_length_binary: fixed(n) identity partitions (identity_fixed_length_binary.test:12-27)") {
+    val path = s"$P/partition_fixed_length_binary/default.db/partition_fixed_length_binary/metadata/00001-b4b3d6d2-cac2-4480-952e-0e4b3b88b5d7.metadata.json"
+    val df = IcebergTable.load(spark, path)
+    val rows = df.select("partition_col", "user_id").collect()
+      .map(r => (new String(r.getAs[Array[Byte]](0), "UTF-8"), r.getAs[Number](1).longValue())).toSet
+    assert(rows == Set(("hello world", 12345L), ("fixed value", 67890L)))
+  }
+
+  test("hive_partitioned_table: evolved two-field spec, hive-style paths (identity_date_and_string.test:12-37)") {
+    val df = IcebergTable.load(spark, s"$P/hive_partitioned_table")
+    val rows = df.select("event_date", "user_id", "event_type").collect()
+      .map(r => (r.getDate(0).toString, r.getAs[Number](1).longValue(), r.getString(2))).toSet
+    assert(rows == Set(
+      ("2024-01-01", 12345L, "click"),
+      ("2024-01-02", 67890L, "purchase"),
+      ("2024-01-03", 13579L, "view"),
+      ("2024-01-03", 24680L, "click"),
+      ("2024-01-04", 86420L, "view"),
+      ("2024-01-04", 97531L, "purchase")))
+    assert(userIdsWhere(s"$P/hive_partitioned_table", "event_date = DATE '2024-01-02'") == Seq(67890L))
   }
 }
