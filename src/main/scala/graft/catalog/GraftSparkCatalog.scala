@@ -285,6 +285,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
         Evolution.updateColumnType(spark, loc, single(u.fieldNames()), iceType(u.newDataType()))
       case n: UpdateColumnNullability =>
         Evolution.setRequired(spark, loc, single(n.fieldNames()), required = !n.nullable())
+      case p: SetProperty if p.property() == "format-version" =>
+        Evolution.upgradeFormatVersion(spark, loc, p.value().toInt)
       case p: SetProperty =>
         Evolution.setProperties(spark, loc, Map(p.property() -> p.value()))
       case p: RemoveProperty =>

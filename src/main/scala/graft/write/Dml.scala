@@ -138,8 +138,12 @@ object Dml {
   def delete(spark: SparkSession, ops: TableOps, condSql: String): TableMetadata = {
     val conf = spark.sessionState.newHadoopConf()
     val meta = ops.load(conf)
+    // DELETE WHERE _row_id = ... (reference deletes by lineage id in its v3
+    // tests): expose the lineage columns only when the predicate needs them.
+    val needLineage = meta.formatVersion >= 3 &&
+      (condSql.contains("_row_id") || condSql.contains("_last_updated_sequence_number"))
     val matched = IcebergRead.loadWithMetadata(spark, meta, conf,
-      ReadOptions(filterSql = Some(condSql), keepFileMeta = true))
+      ReadOptions(filterSql = Some(condSql), keepFileMeta = true, withRowLineage = needLineage))
       .select("_g_path", "_g_pos")
     val rd = writeRowDeletes(spark, meta, matched)
     if (rd.entries.isEmpty) meta

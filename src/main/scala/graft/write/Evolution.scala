@@ -108,6 +108,21 @@ object Evolution {
     commit(withNewSchema(meta, fields, meta.lastColumnId), conf)
   }
 
+  /** ALTER TABLE SET ('format-version'='3'): in-place format upgrade
+    * (downgrades refused). Metadata-only: existing rows keep NULL `_row_id`
+    * until the first v3 write, which retroactively assigns first-row-ids to
+    * the carried-forward v2 manifests (IcebergWrite.buildSnapshotFiles;
+    * reference test_upgrade_format_version_2_to_3.test). */
+  def upgradeFormatVersion(spark: SparkSession, path: String, newVersion: Int): TableMetadata = {
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = TableMetadata.load(path, conf)
+    require(newVersion >= meta.formatVersion,
+      s"cannot downgrade Iceberg format version ${meta.formatVersion} -> $newVersion")
+    require(newVersion <= 3, s"unsupported Iceberg format version $newVersion")
+    if (newVersion == meta.formatVersion) meta
+    else commit(meta.copy(formatVersion = newVersion), conf)
+  }
+
   /** Set (merge) table properties. */
   def setProperties(spark: SparkSession, path: String, props: Map[String, String]): TableMetadata = {
     val conf = spark.sessionState.newHadoopConf()

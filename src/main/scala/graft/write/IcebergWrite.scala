@@ -347,7 +347,7 @@ object IcebergWrite {
       preassignedSnapshotId: Option[Long] = None,
       deleteSpec: Option[PartitionSpec] = None,
       extraSummary: Map[String, String] = Map.empty): TableMetadata = {
-    val (snap0, _) = buildSnapshotFiles(meta, addedData, addedDeletes, operation, conf,
+    val (snap0, allManifests) = buildSnapshotFiles(meta, addedData, addedDeletes, operation, conf,
       removedDataPaths, removedDvRefs, preassignedSnapshotId, deleteSpec)
     val snap = if (extraSummary.isEmpty) snap0
       else snap0.copy(summary = snap0.summary ++ extraSummary)
@@ -358,8 +358,17 @@ object IcebergWrite {
     // collide at publish and the loser retries on fresh metadata.
     val prevVersion = meta.loadedVersion.getOrElse(currentVersion(meta.location, conf))
     val now = snap.timestampMs
-    val addedRows = addedData.filter(_.dataFile.content == FileContent.Data)
-      .map(_.dataFile.recordCount).sum
+    // v3 next-row-id: the end of the highest assigned row-id span across the
+    // snapshot's data manifests — covers both newly added files and the
+    // retroactive manifest-level assignment on the first write after a
+    // v2->v3 upgrade (buildSnapshotFiles).
+    val newNextRowId =
+      if (meta.formatVersion < 3) meta.nextRowId
+      else {
+        val spans = allManifests.filter(_.content == 0)
+          .flatMap(m => m.firstRowId.map(_ + m.addedRowsCount + m.existingRowsCount))
+        Some((spans :+ meta.nextRowId.getOrElse(0L)).max)
+      }
     val newMeta = meta.copy(
       lastSequenceNumber = snap.sequenceNumber,
       lastUpdatedMs = now,
@@ -367,8 +376,7 @@ object IcebergWrite {
       snapshots = meta.snapshots :+ snap,
       snapshotLog = meta.snapshotLog :+ (now, snap.snapshotId),
       refs = meta.refs + ("main" -> snap.snapshotId),
-      nextRowId = if (meta.formatVersion >= 3)
-        Some(meta.nextRowId.getOrElse(0L) + addedRows) else meta.nextRowId)
+      nextRowId = newNextRowId)
     commitMetadata(newMeta, prevVersion + 1, conf)
     newMeta.copy(loadedVersion = Some(prevVersion + 1))
   }
@@ -413,47 +421,6 @@ object IcebergWrite {
 
     var newManifests = Seq.empty[ManifestFile]
 
-    // New data manifest. v3 row lineage: assign each added data file a
-    // first_row_id from the table's next-row-id counter
-    // (reference iceberg_multi_file_reader.cpp:604-713 consumes these).
-    var rowIdCursor = meta.nextRowId.getOrElse(0L)
-    val firstRowIdStart = rowIdCursor
-    if (addedData.nonEmpty) {
-      val mPath = s"$metaDir/$commitUuid-m0.avro"
-      val withSeq = addedData.map { e =>
-        val withLineage =
-          if (meta.formatVersion >= 3 && e.dataFile.content == FileContent.Data) {
-            val fid = rowIdCursor
-            rowIdCursor += e.dataFile.recordCount
-            e.dataFile.copy(firstRowId = Some(fid))
-          } else e.dataFile
-        e.copy(snapshotId = Some(snapshotId), sequenceNumber = Some(seq),
-          fileSequenceNumber = Some(seq), dataFile = withLineage)
-      }
-      val len = ManifestIO.writeManifest(mPath, conf, partitionFields, withSeq,
-        Map("schema-id" -> schema.schemaId.toString, "partition-spec-id" -> spec.specId.toString, "content" -> "data"))
-      newManifests +:= ManifestFile(mPath, len, spec.specId, 0, seq, seq, snapshotId,
-        withSeq.size, 0, 0, withSeq.map(_.dataFile.recordCount).sum, 0L, 0L,
-        summariesWith(partitionFields)(withSeq),
-        firstRowId = if (meta.formatVersion >= 3) Some(firstRowIdStart) else None)
-    }
-    // New delete manifest — written under `deleteSpec` when provided (e.g.
-    // global equality deletes use an unpartitioned spec per the spec).
-    if (addedDeletes.nonEmpty) {
-      val dSpec = deleteSpec.getOrElse(spec)
-      val dPartitionFields: Seq[(String, IcebergType, Int)] = dSpec.fields.map { pf =>
-        (pf.name, pf.transform.resultType(schema.idToField(pf.sourceId).fieldType), pf.fieldId)
-      }
-      val mPath = s"$metaDir/$commitUuid-m1.avro"
-      val withSeq = addedDeletes.map(e => e.copy(
-        snapshotId = Some(snapshotId), sequenceNumber = Some(seq), fileSequenceNumber = Some(seq)))
-      val len = ManifestIO.writeManifest(mPath, conf, dPartitionFields, withSeq,
-        Map("schema-id" -> schema.schemaId.toString, "partition-spec-id" -> dSpec.specId.toString, "content" -> "deletes"))
-      newManifests +:= ManifestFile(mPath, len, dSpec.specId, 1, seq, seq, snapshotId,
-        withSeq.size, 0, 0, withSeq.map(_.dataFile.recordCount).sum, 0L, 0L,
-        summariesWith(dPartitionFields)(withSeq))
-    }
-
     // Carry forward previous manifests (minus files removed by a rewrite and
     // minus DV entries superseded by a new DV for the same data file).
     def superseded(e: ManifestEntry): Boolean =
@@ -493,7 +460,65 @@ object IcebergWrite {
         }
     }
 
-    val allManifests = ManifestMerge.maybeMerge(meta, newManifests ++ prevManifests, conf)
+    // v3 row lineage: row-id assignment for THIS snapshot starts at the
+    // table's next-row-id. On the first v3 write after a v2->v3 upgrade,
+    // carried-forward v2 manifests have no first_row_id — they are assigned
+    // retroactively here (manifest-level; files inherit by position at read
+    // time, spec "Row Lineage > upgrade"), and newly added files continue
+    // after them.
+    var rowIdCursor = meta.nextRowId.getOrElse(0L)
+    val firstRowIdStart = rowIdCursor
+    val prevWithRowIds: Seq[ManifestFile] =
+      if (meta.formatVersion < 3) prevManifests
+      else prevManifests.map { m =>
+        if (m.content == 0 && m.firstRowId.isEmpty) {
+          val assigned = m.copy(firstRowId = Some(rowIdCursor))
+          rowIdCursor += m.addedRowsCount + m.existingRowsCount
+          assigned
+        } else m
+      }
+
+    // New data manifest. v3 row lineage: assign each added data file a
+    // first_row_id from the advanced cursor
+    // (reference iceberg_multi_file_reader.cpp:604-713 consumes these).
+    if (addedData.nonEmpty) {
+      val addedRowIdStart = rowIdCursor
+      val mPath = s"$metaDir/$commitUuid-m0.avro"
+      val withSeq = addedData.map { e =>
+        val withLineage =
+          if (meta.formatVersion >= 3 && e.dataFile.content == FileContent.Data) {
+            val fid = rowIdCursor
+            rowIdCursor += e.dataFile.recordCount
+            e.dataFile.copy(firstRowId = Some(fid))
+          } else e.dataFile
+        e.copy(snapshotId = Some(snapshotId), sequenceNumber = Some(seq),
+          fileSequenceNumber = Some(seq), dataFile = withLineage)
+      }
+      val len = ManifestIO.writeManifest(mPath, conf, partitionFields, withSeq,
+        Map("schema-id" -> schema.schemaId.toString, "partition-spec-id" -> spec.specId.toString, "content" -> "data"))
+      newManifests +:= ManifestFile(mPath, len, spec.specId, 0, seq, seq, snapshotId,
+        withSeq.size, 0, 0, withSeq.map(_.dataFile.recordCount).sum, 0L, 0L,
+        summariesWith(partitionFields)(withSeq),
+        firstRowId = if (meta.formatVersion >= 3) Some(addedRowIdStart) else None)
+    }
+    // New delete manifest — written under `deleteSpec` when provided (e.g.
+    // global equality deletes use an unpartitioned spec per the spec).
+    if (addedDeletes.nonEmpty) {
+      val dSpec = deleteSpec.getOrElse(spec)
+      val dPartitionFields: Seq[(String, IcebergType, Int)] = dSpec.fields.map { pf =>
+        (pf.name, pf.transform.resultType(schema.idToField(pf.sourceId).fieldType), pf.fieldId)
+      }
+      val mPath = s"$metaDir/$commitUuid-m1.avro"
+      val withSeq = addedDeletes.map(e => e.copy(
+        snapshotId = Some(snapshotId), sequenceNumber = Some(seq), fileSequenceNumber = Some(seq)))
+      val len = ManifestIO.writeManifest(mPath, conf, dPartitionFields, withSeq,
+        Map("schema-id" -> schema.schemaId.toString, "partition-spec-id" -> dSpec.specId.toString, "content" -> "deletes"))
+      newManifests +:= ManifestFile(mPath, len, dSpec.specId, 1, seq, seq, snapshotId,
+        withSeq.size, 0, 0, withSeq.map(_.dataFile.recordCount).sum, 0L, 0L,
+        summariesWith(dPartitionFields)(withSeq))
+    }
+
+    val allManifests = ManifestMerge.maybeMerge(meta, newManifests ++ prevWithRowIds, conf)
     val listPath = s"$metaDir/snap-$snapshotId-1-$commitUuid.avro"
     ManifestIO.writeManifestList(listPath, conf, allManifests, formatVersion = meta.formatVersion)
 

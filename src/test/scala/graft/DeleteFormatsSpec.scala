@@ -21,6 +21,42 @@ class DeleteFormatsSpec extends SparkSpec {
     assertSameResult(src.filter("o_orderstatus <> 'F'"), IcebergTable.load(spark, path))
   }
 
+  test("v2->v3 upgrade: null row ids before, retroactive file-position ids on first v3 write (test_upgrade_format_version_2_to_3.test)") {
+    import spark.implicits._
+    val path = tmpDir("graft_v2v3_upgrade")
+    // v2 phase: 10 rows in one file, delete the even ids (positional deletes)
+    val ten = (0 until 10).map(i => (i, s"row_$i")).toDF("id", "val").coalesce(1)
+    IcebergTable.write(ten, path, TableWriteOptions(formatVersion = 2))
+    IcebergTable.delete(spark, path, "id % 2 = 0")
+    val v2Rows = IcebergTable.load(spark, path, ReadOptions(withRowLineage = true))
+      .select("id", "_row_id", "_last_updated_sequence_number").collect()
+    assert(v2Rows.map(_.getInt(0)).sorted.toSeq == Seq(1, 3, 5, 7, 9))
+    assert(v2Rows.forall(_.isNullAt(1)), "v2 rows must have NULL _row_id")
+
+    // upgrade: metadata-only; row ids still NULL
+    graft.write.Evolution.upgradeFormatVersion(spark, path, 3)
+    val afterUpgrade = IcebergTable.load(spark, path, ReadOptions(withRowLineage = true))
+    assert(afterUpgrade.collect().forall(_.isNullAt(afterUpgrade.columns.indexOf("_row_id"))))
+
+    // first v3 write retroactively assigns: surviving v2 rows get their file
+    // positions (1,3,5,7,9); new rows continue from 10
+    val five = (0 until 5).map(i => (10 + i, s"new_row_$i")).toDF("id", "val").coalesce(1)
+    IcebergTable.append(five, path)
+    val lineage = IcebergTable.load(spark, path, ReadOptions(withRowLineage = true))
+      .select("id", "_row_id").collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(lineage == Map(1 -> 1L, 3 -> 3L, 5 -> 5L, 7 -> 7L, 9 -> 9L,
+      10 -> 10L, 11 -> 11L, 12 -> 12L, 13 -> 13L, 14 -> 14L), s"got $lineage")
+    val meta = graft.core.TableMetadata.load(path, spark.sessionState.newHadoopConf())
+    assert(meta.formatVersion == 3)
+    assert(meta.nextRowId.contains(15L))
+
+    // v3 DELETE by _row_id writes a deletion vector; v2 positional file remains
+    IcebergTable.delete(spark, path, "_row_id IN (10, 13)")
+    val after = IcebergTable.load(spark, path, ReadOptions(withRowLineage = true))
+    assert(after.select("id").collect().map(_.getInt(0)).sorted.toSeq
+      == Seq(1, 3, 5, 7, 9, 11, 12, 14))
+  }
+
   test("repeated v3 DELETEs keep exactly one live DV per data file") {
     val src = spark.read.parquet(s"$sfDir/orders.parquet")
     val path = tmpDir("graft_dv_merge")

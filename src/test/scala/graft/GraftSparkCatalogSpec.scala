@@ -301,8 +301,11 @@ class GraftSparkCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     spark.sql("ALTER TABLE altcat.db.region_alt DROP COLUMN score")
     assert(spark.sql("SELECT * FROM altcat.db.region_alt").columns.toSeq
       == Seq("r_regionkey", "region_name"))
+    spark.sql("ALTER TABLE altcat.db.region_alt SET TBLPROPERTIES ('format-version' = '3')")
     val meta = graft.core.TableMetadata.load(path, spark.sessionState.newHadoopConf())
     assert(meta.properties.get("owner.team").contains("data"))
+    assert(meta.formatVersion == 3) // format upgrade rode TBLPROPERTIES
+    assert(!meta.properties.contains("format-version"))
   }
 
   test("INSERT OVERWRITE replaces the table in one snapshot, old state stays time-travelable") {
