@@ -278,7 +278,12 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
         Evolution.addColumn(spark, loc, single(a.fieldNames()), iceType(a.dataType()),
           required = !a.isNullable())
       case d: DeleteColumn =>
-        Evolution.dropColumn(spark, loc, single(d.fieldNames()))
+        try Evolution.dropColumn(spark, loc, single(d.fieldNames()))
+        catch {
+          case e: IllegalArgumentException
+              if java.lang.Boolean.TRUE.equals(d.ifExists()) &&
+                e.getMessage.startsWith("No column") => // DROP COLUMN IF EXISTS: no-op
+        }
       case rn: RenameColumn =>
         Evolution.renameColumn(spark, loc, single(rn.fieldNames()), rn.newName())
       case u: UpdateColumnType =>
@@ -307,6 +312,16 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
         val p = new Path(resolve(ident)._1)
         p.getFileSystem(hconf).delete(p, true)
       }
+  }
+
+  /** DROP TABLE ... PURGE — REST: `purgeRequested=true` (the catalog deletes
+    * data; reference attach option `purge_requested`); path tables already
+    * delete the directory on drop. */
+  override def purgeTable(ident: Identifier): Boolean = rest match {
+    case Some(r) if !isPathIdent(ident) =>
+      try { r.dropTable(ident.namespace.toSeq, ident.name, purge = true); true }
+      catch { case e: RestCatalogException if e.status == 404 => false }
+    case _ => dropTable(ident)
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = rest match {

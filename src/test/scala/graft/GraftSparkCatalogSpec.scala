@@ -301,6 +301,7 @@ class GraftSparkCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     spark.sql("ALTER TABLE altcat.db.region_alt DROP COLUMN score")
     assert(spark.sql("SELECT * FROM altcat.db.region_alt").columns.toSeq
       == Seq("r_regionkey", "region_name"))
+    spark.sql("ALTER TABLE altcat.db.region_alt DROP COLUMN IF EXISTS no_such_column") // no-op
     spark.sql("ALTER TABLE altcat.db.region_alt SET TBLPROPERTIES ('format-version' = '3')")
     val meta = graft.core.TableMetadata.load(path, spark.sessionState.newHadoopConf())
     assert(meta.properties.get("owner.team").contains("data"))
@@ -353,6 +354,20 @@ class GraftSparkCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     // the delete + update snapshots are visible through the catalog's own view
     assert(cat.loadTable(Seq("dmlns"), "orders").metadata.snapshots.size == 3)
     assertSameResult(cat.loadDF(spark, Seq("dmlns"), "orders"), expect)
+  }
+
+  test("DROP TABLE and DROP TABLE PURGE remove warehouse tables") {
+    val wh = tmpDir("graft_drop_wh")
+    spark.conf.set("spark.sql.catalog.dropcat", classOf[graft.catalog.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.dropcat.warehouse", wh)
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+    IcebergTable.write(region, s"$wh/db/r1")
+    IcebergTable.write(region, s"$wh/db/r2")
+    spark.sql("DROP TABLE dropcat.db.r1")
+    spark.sql("DROP TABLE dropcat.db.r2 PURGE")
+    assert(!new java.io.File(s"$wh/db/r1").exists())
+    assert(!new java.io.File(s"$wh/db/r2").exists())
+    assert(spark.sql("SHOW TABLES IN dropcat.db").collect().isEmpty)
   }
 
   test("SQL metadata tables: t.snapshots / t.manifest_entries / t.properties") {
