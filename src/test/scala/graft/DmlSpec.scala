@@ -121,6 +121,50 @@ class DmlSpec extends SparkSpec {
       IcebergTable.load(spark, path))
   }
 
+  test("TPC-H data-maintenance protocol: 5 rounds of refresh inserts + key deletes (dm=5 benchmark)") {
+    // Mirrors the reference's benchmark/tpch/sf=1/dm=5/tpch.benchmark.in
+    // refresh loop over its own committed update sets: each round INSERTs an
+    // orders/lineitem update file then DELETEs a key set from both tables.
+    // Deletes go through the equality-delete path (key-set semantics);
+    // reads must apply 5 generations of eq-deletes, each scoped to strictly
+    // older sequence numbers (a later re-insert of a deleted key survives).
+    val B = "/root/reference/data/persistent/benchmark/tpch/sf=1"
+    val oPath = tmpDir("graft_dm5_orders")
+    val lPath = tmpDir("graft_dm5_lineitem")
+    def u(t: String, k: Int) = spark.read.parquet(s"$B/${t}_u$k.parquet").drop("sf")
+    def delKeys(k: Int) = spark.read.parquet(s"$B/delete_set_$k.parquet")
+
+    IcebergTable.write(u("orders", 1), oPath)
+    IcebergTable.write(u("lineitem", 1), lPath)
+    var oExpect = u("orders", 1)
+    var lExpect = u("lineitem", 1)
+    for (k <- 1 to 5) {
+      if (k > 1) {
+        IcebergTable.append(u("orders", k), oPath)
+        IcebergTable.append(u("lineitem", k), lPath)
+        oExpect = oExpect.unionByName(u("orders", k))
+        lExpect = lExpect.unionByName(u("lineitem", k))
+      }
+      IcebergTable.deleteEquality(spark, oPath, delKeys(k))
+      IcebergTable.deleteEquality(spark, lPath,
+        delKeys(k).select(col("o_orderkey").as("l_orderkey")))
+      oExpect = oExpect.join(delKeys(k), Seq("o_orderkey"), "left_anti")
+      lExpect = lExpect.join(delKeys(k).select(col("o_orderkey").as("l_orderkey")),
+        Seq("l_orderkey"), "left_anti")
+    }
+    assertSameResult(oExpect, IcebergTable.load(spark, oPath))
+    assertSameResult(lExpect, IcebergTable.load(spark, lPath))
+    // a q3-shaped join over the maintained tables matches the same join on
+    // the expected frames
+    def q3(o: org.apache.spark.sql.DataFrame, l: org.apache.spark.sql.DataFrame) =
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("rev"),
+          count(lit(1)).as("n"))
+    assertSameResult(q3(oExpect, lExpect),
+      q3(IcebergTable.load(spark, oPath), IcebergTable.load(spark, lPath)))
+  }
+
   test("delete-file pruning: partition-scoped deletes not read for other partitions") {
     val src = spark.read.parquet(s"$sfDir/orders.parquet")
     val path = tmpDir("graft_dml_delprune")
