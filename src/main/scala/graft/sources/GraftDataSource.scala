@@ -97,6 +97,10 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     new GraftTable(pathOf(properties), schema)
 }
 
+private[graft] object GraftTable {
+  val LineageColumns: Array[String] = Array("_row_id", "_last_updated_sequence_number")
+}
+
 object GraftDataSource {
   /** Last executed scan's (kept data files, total live data files) — a
     * diagnostic hook for plan-quality tests and metrics. */
@@ -120,11 +124,25 @@ private[graft] class GraftTable(path: String, tableSchema: StructType,
     appendFn: Option[org.apache.spark.sql.DataFrame => Unit] = None,
     restDmlOps: Option[graft.write.Dml.TableOps] = None)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = displayName.getOrElse(s"graft.`$path`")
   override def schema(): StructType = tableSchema
   /** Table location, for the SQL DML rewrite (graft.catalog.GraftSparkExtensions). */
   private[graft] def tablePath: String = path
+
+  /** v3 row-lineage virtual columns, SQL-addressable
+    * (`SELECT _row_id FROM t`) — NULL on v2 tables and on pre-upgrade rows,
+    * mirroring the reference's behavior in its upgrade tests. */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    GraftTable.LineageColumns.map { n =>
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = n
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.LongType
+        override def isNullable: Boolean = true
+      }
+    }
   /** How SQL DELETE/UPDATE/MERGE load + commit this table: REST-named tables
     * commit through the catalog transaction, path tables by metadata rename. */
   private[graft] def dmlOps: graft.write.Dml.TableOps =
@@ -216,12 +234,15 @@ private[sources] class GraftScan(path: String, required: StructType,
     val parts = pushed.flatMap(FilterSql.convert)
     if (parts.isEmpty) None else Some(parts.map(p => s"($p)").mkString(" AND "))
   }
+  private val needLineage = required.fieldNames.exists(GraftTable.LineageColumns.contains)
   override def readSchema(): StructType = required
   override def description(): String =
     s"GraftIcebergScan path=$path pushed=[${filterSql.getOrElse("")}] columns=[${required.fieldNames.mkString(",")}]"
 
   override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
-    new GraftRelation(context, path, required, opts.copy(filterSql = filterSql), preloaded).asInstanceOf[T]
+    new GraftRelation(context, path, required,
+      opts.copy(filterSql = filterSql, withRowLineage = opts.withRowLineage || needLineage),
+      preloaded).asInstanceOf[T]
 }
 
 private[sources] class GraftRelation(context: SQLContext, path: String,

@@ -356,6 +356,26 @@ class GraftSparkCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     assertSameResult(cat.loadDF(spark, Seq("dmlns"), "orders"), expect)
   }
 
+  test("SQL metadata columns: SELECT _row_id works on v3, NULL on v2") {
+    val wh = tmpDir("graft_lin_wh")
+    spark.conf.set("spark.sql.catalog.lincat", classOf[graft.catalog.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.lincat.warehouse", wh)
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+    IcebergTable.write(region, s"$wh/db/r_v3",
+      graft.write.TableWriteOptions(formatVersion = 3))
+    IcebergTable.write(region, s"$wh/db/r_v2")
+
+    val v3 = spark.sql(
+      "SELECT r_regionkey, _row_id, _last_updated_sequence_number FROM lincat.db.r_v3 ORDER BY _row_id")
+      .collect()
+    assert(v3.map(_.getLong(1)).toSeq == (0L until region.count()).toSeq)
+    assert(v3.forall(_.getLong(2) == 1L))
+    val v2 = spark.sql("SELECT _row_id FROM lincat.db.r_v2").collect()
+    assert(v2.forall(_.isNullAt(0)), "v2 tables read NULL _row_id")
+    // filtering on the metadata column
+    assert(spark.sql("SELECT r_regionkey FROM lincat.db.r_v3 WHERE _row_id = 2").count() == 1)
+  }
+
   test("DROP TABLE and DROP TABLE PURGE remove warehouse tables") {
     val wh = tmpDir("graft_drop_wh")
     spark.conf.set("spark.sql.catalog.dropcat", classOf[graft.catalog.GraftSparkCatalog].getName)
