@@ -165,6 +165,36 @@ class DmlSpec extends SparkSpec {
       q3(IcebergTable.load(spark, oPath), IcebergTable.load(spark, lPath)))
   }
 
+  test("a DML commit built on stale metadata fails loudly instead of dropping a concurrent append") {
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+    val path = tmpDir("graft_dml_race")
+    IcebergTable.write(region, path)
+    // Simulate losing the race: another writer commits an append AFTER this
+    // DELETE loads its metadata but BEFORE it commits.
+    val staleOps = new graft.write.Dml.TableOps {
+      def load(conf: org.apache.hadoop.conf.Configuration): graft.core.TableMetadata = {
+        val m = graft.core.TableMetadata.load(path, conf)
+        IcebergTable.append(region.withColumn("r_regionkey", col("r_regionkey") + 100), path)
+        m
+      }
+      def commit(meta: graft.core.TableMetadata, addedData: Seq[graft.manifest.ManifestEntry],
+          addedDeletes: Seq[graft.manifest.ManifestEntry], operation: String,
+          conf: org.apache.hadoop.conf.Configuration, removedDvRefs: Set[String],
+          preassignedSnapshotId: Option[Long],
+          deleteSpec: Option[graft.core.PartitionSpec]): graft.core.TableMetadata =
+        graft.write.Dml.PathOps(path).commit(meta, addedData, addedDeletes, operation, conf,
+          removedDvRefs, preassignedSnapshotId, deleteSpec)
+    }
+    intercept[graft.write.ConcurrentCommitException] {
+      graft.write.Dml.delete(spark, staleOps, "r_regionkey = 0")
+    }
+    // the concurrent append survives, the stale delete left no trace
+    assert(IcebergTable.load(spark, path).count() == 2 * region.count())
+    // and a fresh retry of the same statement succeeds
+    graft.write.Dml.delete(spark, path, "r_regionkey = 0")
+    assert(IcebergTable.load(spark, path).count() == 2 * region.count() - 1)
+  }
+
   test("delete-file pruning: partition-scoped deletes not read for other partitions") {
     val src = spark.read.parquet(s"$sfDir/orders.parquet")
     val path = tmpDir("graft_dml_delprune")
