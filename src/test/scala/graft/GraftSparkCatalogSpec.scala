@@ -210,6 +210,25 @@ class GraftSparkCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     assert(meta.snapshots.size == 2)
   }
 
+  test("SQL MERGE INTO with a subquery source and no target alias") {
+    val wh = tmpDir("graft_mrg2_wh")
+    spark.conf.set("spark.sql.catalog.mrg2cat", classOf[graft.catalog.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.mrg2cat.warehouse", wh)
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    IcebergTable.write(nation, s"$wh/db/nation2")
+    nation.createOrReplaceTempView("nation2_src")
+
+    spark.sql("""MERGE INTO mrg2cat.db.nation2
+                |USING (SELECT n_nationkey AS k, n_regionkey + 10 AS newreg
+                |       FROM nation2_src WHERE n_nationkey < 3) src
+                |ON n_nationkey = src.k
+                |WHEN MATCHED THEN UPDATE SET n_regionkey = src.newreg""".stripMargin)
+
+    val expect = nation.withColumn("n_regionkey",
+      when(col("n_nationkey") < 3, col("n_regionkey") + 10).otherwise(col("n_regionkey")))
+    assertSameResult(spark.sql("SELECT * FROM mrg2cat.db.nation2"), expect)
+  }
+
   test("SQL MERGE INTO WHEN MATCHED THEN DELETE") {
     val wh = tmpDir("graft_mrgdel_wh")
     spark.conf.set("spark.sql.catalog.mdcat", classOf[graft.catalog.GraftSparkCatalog].getName)
