@@ -36,7 +36,7 @@ import scala.jdk.CollectionConverters._
  * `TIMESTAMP AS OF` an as-of timestamp — both resolved against table
  * metadata at analysis time (snapshot-specific schema included).
  */
-class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
+class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
   private var catalogName: String = _
   private var rest: Option[RestCatalog] = None
   private var warehouse: Option[String] = None
@@ -383,6 +383,46 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
         r.updateNamespaceProperties(namespace.toSeq, sets, removes)
       case None => throw new UnsupportedOperationException("namespace properties require a REST catalog")
     }
+
+  // ---------- ProcedureCatalog ----------
+
+  /** Maintenance procedures live under the Iceberg-conventional `system`
+    * namespace: `CALL <cat>.system.rewrite_data_files(table => 'db.t')`. */
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (!ident.namespace.sameElements(Array("system")))
+      throw new RuntimeException(
+        s"Procedure ${ident} not found — graft procedures live under `system`")
+    ident.name.toLowerCase(java.util.Locale.ROOT) match {
+      case "rewrite_data_files" => new RewriteDataFilesProcedure(this)
+      case other => throw new RuntimeException(s"Procedure system.$other not found")
+    }
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      Array(Identifier.of(Array("system"), "rewrite_data_files"))
+    else Array.empty
+
+  /** Resolve a procedure's `table` argument — `'ns.t'` (optionally
+    * catalog-qualified), or a direct `/path` — to committable
+    * [[graft.write.Dml.TableOps]]: REST-catalog tables commit through the
+    * REST transaction, everything else through atomic metadata publish at
+    * the table location. */
+  private[catalog] def dmlOpsFor(table: String): graft.write.Dml.TableOps = {
+    val ident =
+      if (table.contains("/")) Identifier.of(Array.empty, table)
+      else {
+        val parts = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseMultipartIdentifier(table)
+        val noCat =
+          if (parts.length > 1 && parts.head.equalsIgnoreCase(catalogName)) parts.tail
+          else parts
+        Identifier.of(noCat.dropRight(1).toArray, noCat.last)
+      }
+    if (!isPathIdent(ident) && rest.isDefined)
+      rest.get.tableOps(ident.namespace.toSeq, ident.name)
+    else graft.write.Dml.PathOps(resolve(ident)._1)
+  }
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = rest match {
     case Some(r) =>

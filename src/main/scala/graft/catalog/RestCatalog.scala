@@ -472,10 +472,11 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
       def commit(meta: TableMetadata, addedData: Seq[graft.manifest.ManifestEntry],
           addedDeletes: Seq[graft.manifest.ManifestEntry], operation: String,
           conf: org.apache.hadoop.conf.Configuration,
-          removedDvRefs: Set[String], preassignedSnapshotId: Option[Long],
+          removedDataPaths: Set[String], removedDvRefs: Set[String],
+          preassignedSnapshotId: Option[Long],
           deleteSpec: Option[graft.core.PartitionSpec]): TableMetadata = {
         val (snapshot, _) = IcebergWrite.buildSnapshotFiles(meta, addedData, addedDeletes,
-          operation, conf, removedDvRefs = removedDvRefs,
+          operation, conf, removedDataPaths = removedDataPaths, removedDvRefs = removedDvRefs,
           preassignedSnapshotId = preassignedSnapshotId, deleteSpec = deleteSpec)
         commitSnapshot(ns, name, meta.currentSnapshotId, snapshot).metadata
       }

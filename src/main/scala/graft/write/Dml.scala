@@ -112,6 +112,7 @@ object Dml {
     def load(conf: Configuration): TableMetadata
     def commit(meta: TableMetadata, addedData: Seq[ManifestEntry],
         addedDeletes: Seq[ManifestEntry], operation: String, conf: Configuration,
+        removedDataPaths: Set[String] = Set.empty,
         removedDvRefs: Set[String] = Set.empty,
         preassignedSnapshotId: Option[Long] = None,
         deleteSpec: Option[PartitionSpec] = None): TableMetadata
@@ -122,9 +123,11 @@ object Dml {
     def load(conf: Configuration): TableMetadata = TableMetadata.load(path, conf)
     def commit(meta: TableMetadata, addedData: Seq[ManifestEntry],
         addedDeletes: Seq[ManifestEntry], operation: String, conf: Configuration,
-        removedDvRefs: Set[String], preassignedSnapshotId: Option[Long],
+        removedDataPaths: Set[String], removedDvRefs: Set[String],
+        preassignedSnapshotId: Option[Long],
         deleteSpec: Option[PartitionSpec]): TableMetadata =
       IcebergWrite.commitSnapshot(meta, addedData, addedDeletes, operation, conf,
+        removedDataPaths = removedDataPaths,
         removedDvRefs = removedDvRefs, preassignedSnapshotId = preassignedSnapshotId,
         deleteSpec = deleteSpec)
   }
@@ -406,6 +409,18 @@ object Dml {
   def ctas(df: DataFrame, path: String, opts: TableWriteOptions = TableWriteOptions()): TableMetadata =
     IcebergWrite.writeTable(df, path, opts)
 
+  /** What a [[rewriteDataFiles]] run did, mirroring the reference's result
+    * columns (iceberg_rewrite_data_files.cpp:168 `rewritten_data_files,
+    * added_data_files, rewritten_bytes`). `meta` is the post-commit
+    * metadata (unchanged when no group qualified). */
+  case class RewriteResult(meta: TableMetadata, rewrittenDataFiles: Long,
+      addedDataFiles: Long, rewrittenBytes: Long)
+
+  def rewriteDataFiles(spark: SparkSession, path: String,
+      targetFileSizeBytes: Long, rewriteAll: Boolean): TableMetadata =
+    rewriteDataFiles(spark, PathOps(path), Some(targetFileSizeBytes),
+      rewriteAll = rewriteAll).meta
+
   /** iceberg_rewrite_data_files equivalent: bin-pack undersized files per
     * partition, rewrite each group delete-free, commit a REPLACE snapshot.
     * (reference rewrite_data_files_planner.cpp:45-150 GroupCandidates.)
@@ -415,13 +430,23 @@ object Dml {
     * apply to it) — compacting one partition of a 100 TB table reads one
     * partition, not the table. Delete files survive the commit unless
     * everything they can reference was rewritten. */
-  def rewriteDataFiles(spark: SparkSession, path: String,
-      targetFileSizeBytes: Long = 512L * 1024 * 1024,
-      rewriteAll: Boolean = false): TableMetadata = {
+  def rewriteDataFiles(spark: SparkSession, ops: TableOps,
+      targetFileSizeBytes: Option[Long] = None,
+      minInputFiles: Int = 2,
+      rewriteAll: Boolean = false): RewriteResult = {
+    require(minInputFiles >= 1, s"min_input_files must be >= 1, got $minInputFiles")
     val conf = spark.sessionState.newHadoopConf()
-    val meta = TableMetadata.load(path, conf)
+    val meta = ops.load(conf)
+    // Explicit argument wins, then the table's own write target properties,
+    // then 512 MiB (reference ResolveTargetFileSizeBytes,
+    // rewrite_data_files_planner.cpp:43-58).
+    val targetBytes = targetFileSizeBytes
+      .orElse(meta.properties.get("write.parquet.target-file-size-bytes").map(_.trim.toLong))
+      .orElse(meta.properties.get("write.target-file-size-bytes").map(_.trim.toLong))
+      .getOrElse(512L * 1024 * 1024)
+    require(targetBytes > 0, s"target_file_size_bytes must be > 0, got $targetBytes")
     val p = IcebergRead.planWithMetadata(spark, meta, conf, ReadOptions())
-    if (p.dataFiles.isEmpty) return meta
+    if (p.dataFiles.isEmpty) return RewriteResult(meta, 0, 0, 0)
 
     def partKeyOf(f: PlannedFile): String =
       f.specId + "|" + f.info.partitionValues.map {
@@ -455,14 +480,16 @@ object Dml {
       }
 
     // Group candidates per partition tuple; a group qualifies when it has
-    // >1 undersized file (or rewriteAll), or a delete file APPLIES TO IT.
+    // >= min_input_files undersized files (or rewriteAll), or a delete file
+    // APPLIES TO IT (reference GroupCandidates keeps delete-affected groups
+    // regardless of the file-count floor).
     val byPartition = p.dataFiles.groupBy(f => (f.specId, f.info.partitionValues))
     val groups = byPartition.values.filter { files =>
       rewriteAll ||
-        files.count(_.info.fileSizeInBytes < targetFileSizeBytes) > 1 ||
+        files.count(_.info.fileSizeInBytes < targetBytes) >= minInputFiles ||
         p.deleteFiles.exists(d => deleteApplies(d, files))
     }.toSeq
-    if (groups.isEmpty) return meta
+    if (groups.isEmpty) return RewriteResult(meta, 0, 0, 0)
     val rewriting = groups.flatten
 
     // Scan ONLY the candidate files, with only their applicable deletes —
@@ -475,11 +502,11 @@ object Dml {
       deleteFiles = p.deleteFiles.filter(d => deleteApplies(d, rewriting)))
     var rows = IcebergRead.assemble(spark, subPlan, conf,
       ReadOptions(withRowLineage = meta.formatVersion >= 3))
-    // Bin toward the target size: one output file per targetFileSizeBytes of
+    // Bin toward the target size: one output file per targetBytes of
     // input (per-partition layout is re-established by writeDataFiles).
     if (meta.defaultSpec.isUnpartitioned) {
       val totalBytes = rewriting.map(_.info.fileSizeInBytes).sum
-      val n = math.max(1L, (totalBytes + targetFileSizeBytes - 1) / targetFileSizeBytes).toInt
+      val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
       rows = rows.coalesce(n)
     }
     val (dataEntries, _) = IcebergWrite.writeDataFiles(rows, meta, conf)
@@ -514,8 +541,10 @@ object Dml {
     }
     val (dvDead, fileDead) = deadDeletes.partition(_.info.contentOffset.isDefined)
     val removed = removedData ++ fileDead.map(_.recordedPath)
-    IcebergWrite.commitSnapshot(meta, dataEntries, Nil, "replace", conf,
+    val committed = ops.commit(meta, dataEntries, Nil, "replace", conf,
       removedDataPaths = removed,
       removedDvRefs = dvDead.flatMap(_.info.referencedDataFile).toSet)
+    RewriteResult(committed, rewriting.size,
+      dataEntries.size, rewriting.map(_.info.fileSizeInBytes).sum)
   }
 }

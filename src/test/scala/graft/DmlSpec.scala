@@ -179,11 +179,11 @@ class DmlSpec extends SparkSpec {
       }
       def commit(meta: graft.core.TableMetadata, addedData: Seq[graft.manifest.ManifestEntry],
           addedDeletes: Seq[graft.manifest.ManifestEntry], operation: String,
-          conf: org.apache.hadoop.conf.Configuration, removedDvRefs: Set[String],
-          preassignedSnapshotId: Option[Long],
+          conf: org.apache.hadoop.conf.Configuration, removedDataPaths: Set[String],
+          removedDvRefs: Set[String], preassignedSnapshotId: Option[Long],
           deleteSpec: Option[graft.core.PartitionSpec]): graft.core.TableMetadata =
         graft.write.Dml.PathOps(path).commit(meta, addedData, addedDeletes, operation, conf,
-          removedDvRefs, preassignedSnapshotId, deleteSpec)
+          removedDataPaths, removedDvRefs, preassignedSnapshotId, deleteSpec)
     }
     intercept[graft.write.ConcurrentCommitException] {
       graft.write.Dml.delete(spark, staleOps, "r_regionkey = 0")

@@ -453,4 +453,97 @@ class GraftSparkCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     assertSameResult(agg,
       nation.groupBy("n_regionkey").agg(count(lit(1)).cast("long").as("n")))
   }
+
+  test("CALL system.rewrite_data_files compacts a warehouse table and reports metrics") {
+    val wh = tmpDir("graft_proc_wh")
+    spark.conf.set("spark.sql.catalog.proccat", classOf[graft.catalog.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.proccat.warehouse", wh)
+    val src = spark.read.parquet(s"$sfDir/orders.parquet")
+    val path = s"$wh/db/orders_c"
+    IcebergTable.write(src.repartition(8), path)
+    val res = spark.sql(
+      "CALL proccat.system.rewrite_data_files(table => 'db.orders_c', rewrite_all => true)")
+    assert(res.columns.toSeq ==
+      Seq("rewritten_data_files", "added_data_files", "rewritten_bytes"))
+    val row = res.collect()(0)
+    assert(row.getLong(0) == 8, "all 8 input files rewritten")
+    assert(row.getLong(1) >= 1 && row.getLong(1) < 8, "compacted to fewer files")
+    assert(row.getLong(2) > 0)
+    assert(IcebergTable.plan(spark, path).dataFiles.size == row.getLong(1).toInt)
+    assertSameResult(IcebergTable.load(spark, path), src)
+  }
+
+  test("CALL rewrite_data_files honors min_input_files (reference default 5) and table-property target size") {
+    val wh = tmpDir("graft_proc_min_wh")
+    spark.conf.set("spark.sql.catalog.mincat", classOf[graft.catalog.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.mincat.warehouse", wh)
+    val src = spark.read.parquet(s"$sfDir/region.parquet")
+    val path = s"$wh/db/region_m"
+    IcebergTable.write(src.repartition(4), path)
+    // 4 undersized files < default min_input_files = 5 -> no-op, 0/0/0.
+    val noop = spark.sql(
+      "CALL mincat.system.rewrite_data_files(table => 'db.region_m')").collect()(0)
+    assert(noop.getLong(0) == 0 && noop.getLong(1) == 0 && noop.getLong(2) == 0)
+    assert(IcebergTable.plan(spark, path).dataFiles.size == 4)
+    // Explicit min_input_files => 2 compacts.
+    val done = spark.sql(
+      "CALL mincat.system.rewrite_data_files(table => 'db.region_m', min_input_files => 2)")
+      .collect()(0)
+    assert(done.getLong(0) == 4 && done.getLong(1) < 4)
+    assertSameResult(IcebergTable.load(spark, path), src)
+
+    // write.target-file-size-bytes = 1 makes every file "big enough":
+    // nothing qualifies even at min_input_files => 1 (resolution order:
+    // explicit arg > table property > 512 MiB default).
+    val path2 = s"$wh/db/region_p"
+    IcebergTable.write(src.repartition(3), path2)
+    graft.write.Evolution.setProperties(spark, path2,
+      Map("write.target-file-size-bytes" -> "1"))
+    val skipped = spark.sql(
+      "CALL mincat.system.rewrite_data_files(table => 'db.region_p', min_input_files => 1)")
+      .collect()(0)
+    assert(skipped.getLong(0) == 0)
+    assert(IcebergTable.plan(spark, path2).dataFiles.size == 3)
+  }
+
+  test("CALL rewrite_data_files on a direct-path table and on a REST-catalog table") {
+    // Direct path through the uri/warehouse-less default catalog.
+    val src = spark.read.parquet(s"$sfDir/nation.parquet")
+    val path = tmpDir("graft_proc_path_tbl")
+    IcebergTable.write(src.repartition(6), path)
+    val row = spark.sql(
+      s"CALL graft.system.rewrite_data_files(table => '$path', rewrite_all => true)")
+      .collect()(0)
+    assert(row.getLong(0) == 6 && row.getLong(1) < 6)
+    assertSameResult(IcebergTable.load(spark, path), src)
+
+    // REST-catalog table: the compaction must commit through the REST
+    // transaction (the server's metadata pointer advances).
+    val cat = new RestCatalog(server.uri, CatalogOptions(token = Some(server.token)))
+    cat.createNamespace(Seq("procns"))
+    val loc = tmpDir("graft_proc_rest_tbl")
+    cat.createTable(Seq("procns"), "region", IcebergTypes.fromSpark(src.schema), loc)
+    cat.appendDF(src.repartition(2), Seq("procns"), "region")
+    cat.appendDF(src.repartition(2), Seq("procns"), "region")
+    spark.conf.set("spark.sql.catalog.prestcat", classOf[graft.catalog.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.prestcat.uri", server.uri)
+    spark.conf.set("spark.sql.catalog.prestcat.token", server.token)
+    val restRow = spark.sql(
+      "CALL prestcat.system.rewrite_data_files(table => 'procns.region', rewrite_all => true)")
+      .collect()(0)
+    assert(restRow.getLong(0) == 4)
+    val served = cat.loadTable(Seq("procns"), "region").metadata
+    assert(served.snapshots.map(_.operation).contains("replace"),
+      "REST catalog must have the replace snapshot committed through it")
+    assertSameResult(spark.sql("SELECT * FROM prestcat.procns.region"), src.union(src))
+  }
+
+  test("SHOW PROCEDURES lists rewrite_data_files; unknown procedure errors cleanly") {
+    val shown = spark.sql("SHOW PROCEDURES IN graft.system").collect()
+    assert(shown.exists(_.toString.contains("rewrite_data_files")))
+    val e = intercept[Exception](
+      spark.sql("CALL graft.system.nope(table => 'x')").collect())
+    // Spark wraps the catalog's error in FAILED_TO_LOAD_ROUTINE.
+    assert(e.getMessage.toLowerCase.contains("nope"))
+  }
 }
