@@ -208,6 +208,19 @@ object Fixtures {
       IcebergTable.rewriteDataFiles(spark, dir, rewriteAll = true)
     }
 
+  /** Small-file orders table compacted through the SQL procedure:
+    * DELETE (merge-on-read), then `CALL system.rewrite_data_files(...)`
+    * through the catalog front-end. */
+  def sqlOrdersRewritten(spark: SparkSession, sfDir: String): String =
+    iceberg(spark, sfDir, "sql_orders_rewritten") { dir =>
+      IcebergTable.write(parquet(spark, sfDir, "orders").repartition(8), dir)
+      IcebergTable.delete(spark, dir, "o_orderstatus = 'F'")
+      spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftSparkCatalog")
+      spark.sql(
+        s"CALL graft.system.rewrite_data_files(table => '$dir', rewrite_all => true)")
+        .collect()
+    }
+
   /** Two-snapshot orders table (append of the same rows twice); returns
     * (path, firstSnapshotId). */
   def ordersTwoSnapshots(spark: SparkSession, sfDir: String): (String, Long) = {

@@ -89,6 +89,17 @@ object IcebergTable {
       targetFileSizeBytes: Long = 512L * 1024 * 1024, rewriteAll: Boolean = false): TableMetadata =
     Dml.rewriteDataFiles(spark, path, targetFileSizeBytes, rewriteAll)
 
+  /** Snapshot expiration (see [[graft.write.Maintenance.expireSnapshots]]). */
+  def expireSnapshots(spark: SparkSession, path: String,
+      olderThanMs: Option[Long] = None,
+      retainLast: Int = 1): graft.write.Maintenance.ExpireResult =
+    graft.write.Maintenance.expireSnapshots(spark, path, olderThanMs, retainLast)
+
+  /** Orphan-file cleanup (see [[graft.write.Maintenance.removeOrphanFiles]]). */
+  def removeOrphanFiles(spark: SparkSession, path: String,
+      olderThanMs: Long): graft.write.Maintenance.OrphanResult =
+    graft.write.Maintenance.removeOrphanFiles(spark, path, olderThanMs)
+
   // ---------- ALTER TABLE (schema evolution, metadata-only) ----------
 
   def addColumn(spark: SparkSession, path: String, name: String, typeString: String,

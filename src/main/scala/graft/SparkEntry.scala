@@ -200,6 +200,14 @@ object SparkEntry {
     "ice_rewrite_compact" -> ((s, dir) =>
       IcebergTable.load(s, Fixtures.lineitemRewritten(s, dir))),
 
+    "sql_rewrite_compact" -> ((s, dir) => {
+      // Compaction driven entirely from SQL: CALL system.rewrite_data_files
+      // through the catalog, then read the compacted table back via SQL.
+      val path = Fixtures.sqlOrdersRewritten(s, dir)
+      s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftSparkCatalog")
+      s.sql(s"SELECT * FROM graft.`$path`")
+    }),
+
     "ice_schema_evolution" -> ((s, dir) =>
       IcebergTable.load(s, Fixtures.ordersEvolved(s, dir))),
 
@@ -558,6 +566,8 @@ object SparkEntry {
         |FROM customer WHERE c_custkey < 10""".stripMargin,
 
     "ice_rewrite_compact" -> "SELECT * FROM lineitem WHERE l_quantity >= 5",
+
+    "sql_rewrite_compact" -> "SELECT * FROM orders WHERE o_orderstatus <> 'F'",
 
     "ice_dv_delete" -> "SELECT * FROM orders WHERE o_orderstatus <> 'F'",
 

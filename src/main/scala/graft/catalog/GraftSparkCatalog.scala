@@ -394,34 +394,51 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Proced
         s"Procedure ${ident} not found — graft procedures live under `system`")
     ident.name.toLowerCase(java.util.Locale.ROOT) match {
       case "rewrite_data_files" => new RewriteDataFilesProcedure(this)
+      case "expire_snapshots" => new ExpireSnapshotsProcedure(this)
+      case "remove_orphan_files" => new RemoveOrphanFilesProcedure(this)
       case other => throw new RuntimeException(s"Procedure system.$other not found")
     }
   }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
-      Array(Identifier.of(Array("system"), "rewrite_data_files"))
+      Array("rewrite_data_files", "expire_snapshots", "remove_orphan_files")
+        .map(Identifier.of(Array("system"), _))
     else Array.empty
 
-  /** Resolve a procedure's `table` argument — `'ns.t'` (optionally
-    * catalog-qualified), or a direct `/path` — to committable
+  /** A procedure's `table` argument: `'ns.t'` (optionally
+    * catalog-qualified) or a direct `/path`. */
+  private def parseTableArg(table: String): Identifier =
+    if (table.contains("/")) Identifier.of(Array.empty, table)
+    else {
+      val parts = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseMultipartIdentifier(table)
+      val noCat =
+        if (parts.length > 1 && parts.head.equalsIgnoreCase(catalogName)) parts.tail
+        else parts
+      Identifier.of(noCat.dropRight(1).toArray, noCat.last)
+    }
+
+  /** Resolve a procedure's `table` argument to committable
     * [[graft.write.Dml.TableOps]]: REST-catalog tables commit through the
     * REST transaction, everything else through atomic metadata publish at
     * the table location. */
   private[catalog] def dmlOpsFor(table: String): graft.write.Dml.TableOps = {
-    val ident =
-      if (table.contains("/")) Identifier.of(Array.empty, table)
-      else {
-        val parts = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-          .parseMultipartIdentifier(table)
-        val noCat =
-          if (parts.length > 1 && parts.head.equalsIgnoreCase(catalogName)) parts.tail
-          else parts
-        Identifier.of(noCat.dropRight(1).toArray, noCat.last)
-      }
+    val ident = parseTableArg(table)
     if (!isPathIdent(ident) && rest.isDefined)
       rest.get.tableOps(ident.namespace.toSeq, ident.name)
     else graft.write.Dml.PathOps(resolve(ident)._1)
+  }
+
+  /** Resolve a procedure's `table` argument to a filesystem table location,
+    * refusing REST-named tables (their metadata lifecycle belongs to the
+    * catalog server, so trimming snapshots behind its back is unsafe). */
+  private[catalog] def pathTableLocation(table: String, proc: String): String = {
+    val ident = parseTableArg(table)
+    if (!isPathIdent(ident) && rest.isDefined)
+      throw new UnsupportedOperationException(
+        s"$proc on a REST-catalog table is not supported — the catalog server owns its metadata lifecycle")
+    resolve(ident)._1
   }
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = rest match {
