@@ -26,12 +26,19 @@ object Bench {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // Engine-tuned execution defaults (documented in BASELINE.md):
       // hash joins over sort-merge (the reference is a vectorized hash-join
-      // engine; SMJ pays two sorts per join), a broadcast threshold sized
-      // for analytics dims, and scan splits small enough to parallelize
-      // single-file tables at low core counts.
+      // engine; SMJ pays two sorts per join), and scan splits small enough
+      // to parallelize single-file tables at low core counts.
       .config("spark.sql.join.preferSortMergeJoin", "false")
+      // Split broadcast decision between plan time and runtime: a modest
+      // STATIC threshold (16m) so stats-free size estimates can never pick
+      // the fact side of a join to broadcast (observed on q3: a 6M-row
+      // lineitem build side, 2.6x slower than the right plan), and a larger
+      // ADAPTIVE threshold (64m) so AQE still converts to broadcast from
+      // ACCURATE runtime sizes once the small side has materialized.
       .config("spark.sql.autoBroadcastJoinThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_BROADCAST", "64m"))
+        sys.env.getOrElse("SPARK_GRAFT_BROADCAST", "16m"))
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BROADCAST_AQE", "64m"))
       .config("spark.sql.files.maxPartitionBytes", "32m")
       .config("spark.sql.extensions", classOf[graft.catalog.GraftSparkExtensions].getName)
       .getOrCreate()
