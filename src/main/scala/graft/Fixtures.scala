@@ -221,6 +221,33 @@ object Fixtures {
         .collect()
     }
 
+  /** Write-audit-publish roundtrip: open orders on main, finished orders
+    * appended to an 'audit' BRANCH (main stays isolated), then main is
+    * fast-forwarded onto the audited branch. Final state = open + finished. */
+  def ordersWap(spark: SparkSession, sfDir: String): String =
+    iceberg(spark, sfDir, "orders_wap") { dir =>
+      val src = parquet(spark, sfDir, "orders")
+      IcebergTable.write(src.filter(col("o_orderstatus") === "O"), dir)
+      IcebergTable.createBranch(spark, dir, "audit")
+      IcebergTable.appendToBranch(src.filter(col("o_orderstatus") === "F"), dir, "audit")
+      require(IcebergTable.count(spark, dir) ==
+        src.filter(col("o_orderstatus") === "O").count(),
+        "WAP isolation broken: main saw branch rows before fast-forward")
+      IcebergTable.fastForward(spark, dir, "main", "audit")
+    }
+
+  /** Rollback roundtrip: all orders written, priority-5 orders deleted,
+    * then the table is rolled back over the delete — the final state is the
+    * original (and TIMESTAMP AS OF now resolves to it). */
+  def ordersRolledBack(spark: SparkSession, sfDir: String): String =
+    iceberg(spark, sfDir, "orders_rollback") { dir =>
+      IcebergTable.write(parquet(spark, sfDir, "orders"), dir)
+      val first = graft.core.TableMetadata.load(dir, spark.sessionState.newHadoopConf())
+        .currentSnapshotId.get
+      IcebergTable.delete(spark, dir, "o_orderpriority = '5-LOW'")
+      IcebergTable.rollbackTo(spark, dir, first)
+    }
+
   /** Two-snapshot orders table (append of the same rows twice); returns
     * (path, firstSnapshotId). */
   def ordersTwoSnapshots(spark: SparkSession, sfDir: String): (String, Long) = {

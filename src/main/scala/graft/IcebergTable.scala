@@ -3,7 +3,7 @@ package graft
 import graft.core._
 import graft.manifest._
 import graft.read.{IcebergRead, ReadOptions, ScanPlan}
-import graft.write.{Dml, Evolution, IcebergWrite, TableWriteOptions}
+import graft.write.{Dml, Evolution, IcebergWrite, Refs, TableWriteOptions}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
@@ -60,6 +60,38 @@ object IcebergTable {
     IcebergWrite.createTable(spark, path, schema, opts)
 
   def append(df: DataFrame, path: String): TableMetadata = IcebergWrite.append(df, path)
+
+  /** Append to a named branch (write-audit-publish): main is untouched until
+    * the branch is fast-forwarded. Read the branch with
+    * `ReadOptions(refName = Some(branch))` / `VERSION AS OF 'branch'`. */
+  def appendToBranch(df: DataFrame, path: String, branch: String): TableMetadata =
+    IcebergWrite.append(df, path, toBranch = Some(branch))
+
+  // ---------- branches / tags / snapshot pointers ----------
+
+  def createBranch(spark: SparkSession, path: String, name: String,
+      snapshotId: Option[Long] = None, replace: Boolean = false): TableMetadata =
+    Refs.createRef(spark, path, name, isBranch = true, snapshotId, replace)
+
+  def createTag(spark: SparkSession, path: String, name: String,
+      snapshotId: Option[Long] = None, replace: Boolean = false): TableMetadata =
+    Refs.createRef(spark, path, name, isBranch = false, snapshotId, replace)
+
+  def dropRef(spark: SparkSession, path: String, name: String): TableMetadata =
+    Refs.dropRef(spark, path, name)
+
+  /** Roll back to an ancestor snapshot of the current one. */
+  def rollbackTo(spark: SparkSession, path: String, snapshotId: Long): TableMetadata =
+    Refs.rollbackTo(spark, path, snapshotId)
+
+  /** Jump the current pointer to any snapshot in metadata. */
+  def setCurrentSnapshot(spark: SparkSession, path: String, snapshotId: Long): TableMetadata =
+    Refs.setCurrentSnapshot(spark, path, snapshotId)
+
+  /** Fast-forward branch `name` to `to`'s head (publish a WAP branch with
+    * `fastForward(spark, path, "main", branch)`). */
+  def fastForward(spark: SparkSession, path: String, name: String, to: String): TableMetadata =
+    Refs.fastForward(spark, path, name, to)
 
   /** DELETE FROM ... WHERE cond (merge-on-read positional deletes). */
   def delete(spark: SparkSession, path: String, condSql: String): TableMetadata =
@@ -134,6 +166,40 @@ object IcebergTable {
       Row(s.sequenceNumber, s.snapshotId,
         java.time.Instant.ofEpochMilli(s.timestampMs),
         if (s.manifestList.isEmpty) null else s.manifestList, s.operation)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** `refs` metadata table: every named branch / tag and its target. */
+  def refs(spark: SparkSession, path: String): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = TableMetadata.load(path, conf)
+    val schema = StructType(Seq(
+      StructField("name", StringType),
+      StructField("type", StringType),
+      StructField("snapshot_id", LongType)))
+    val rows = meta.refs.toSeq.sortBy(_._1).map { case (n, r) =>
+      Row(n, r.refType.toUpperCase, r.snapshotId)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** `history` metadata table: the snapshot-log — when each snapshot became
+    * current, and whether it is still an ancestor of the current state
+    * (false after a rollback orphans it). */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = TableMetadata.load(path, conf)
+    val ancestors = meta.currentSnapshotId.map(meta.ancestorIds).getOrElse(Set.empty)
+    val schema = StructType(Seq(
+      StructField("made_current_at", TimestampType),
+      StructField("snapshot_id", LongType),
+      StructField("parent_id", LongType),
+      StructField("is_current_ancestor", BooleanType)))
+    val rows = meta.snapshotLog.map { case (ts, id) =>
+      Row(java.time.Instant.ofEpochMilli(ts), id,
+        meta.snapshots.find(_.snapshotId == id).flatMap(_.parentSnapshotId).orNull,
+        ancestors.contains(id))
     }
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }

@@ -181,6 +181,15 @@ object SparkEntry {
     "ice_sorted_write" -> ((s, dir) =>
       IcebergTable.load(s, Fixtures.lineitemSorted(s, dir))),
 
+    "ice_branch_wap" -> ((s, dir) =>
+      // Write-audit-publish via a branch: append to 'audit', verify main
+      // isolation, fast-forward main (Fixtures.ordersWap).
+      IcebergTable.load(s, Fixtures.ordersWap(s, dir))),
+
+    "ice_rollback" -> ((s, dir) =>
+      // DELETE then rollback_to_snapshot over it: final state = original.
+      IcebergTable.load(s, Fixtures.ordersRolledBack(s, dir))),
+
     // ---- §2.4 row-level DML (merge-on-read) ----
     "ice_delete_mor" -> ((s, dir) =>
       IcebergTable.load(s, Fixtures.ordersDeleted(s, dir))),
@@ -531,6 +540,10 @@ object SparkEntry {
         |FROM lineitem WHERE l_orderkey = 42""".stripMargin,
 
     "ice_time_travel" -> "SELECT * FROM orders",
+
+    "ice_branch_wap" -> "SELECT * FROM orders WHERE o_orderstatus IN ('O', 'F')",
+
+    "ice_rollback" -> "SELECT * FROM orders",
     "ice_sorted_write" -> "SELECT * FROM lineitem",
 
     "ice_delete_mor" -> "SELECT * FROM orders WHERE o_orderstatus <> 'F'",

@@ -150,3 +150,118 @@ private[catalog] class RemoveOrphanFilesProcedure(catalog: GraftSparkCatalog)
     oneRow(r.orphanFiles)
   }
 }
+
+/**
+ * Snapshot-reference and pointer procedures (the SQL face of
+ * [[graft.write.Refs]]): `create_ref` / `drop_ref` for branches and tags,
+ * `rollback_to_snapshot` / `set_current_snapshot` for the current pointer,
+ * `fast_forward` to publish a write-audit-publish branch. Path tables only —
+ * a REST catalog server owns its tables' ref lifecycle.
+ */
+private[catalog] class CreateRefProcedure(catalog: GraftSparkCatalog)
+    extends OneRowProcedure {
+  override def name(): String = "create_ref"
+  override def description(): String = "Create (or replace) a branch or tag"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("name", StringType).build(),
+    ProcedureParameter.in("type", StringType).defaultValue("'branch'")
+      .comment("'branch' or 'tag'").build(),
+    ProcedureParameter.in("snapshot_id", LongType).defaultValue("NULL")
+      .comment("target snapshot; NULL = current").build(),
+    ProcedureParameter.in("replace", BooleanType).defaultValue("false").build())
+  protected val outputSchema = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("snapshot_id", LongType, nullable = false)))
+  override def call(input: InternalRow): JIterator[Scan] = {
+    require(!input.isNullAt(0) && !input.isNullAt(1), "create_ref: 'table' and 'name' are required")
+    val table = input.getUTF8String(0).toString
+    val name = input.getUTF8String(1).toString
+    val tpe = if (input.isNullAt(2)) "branch" else input.getUTF8String(2).toString.toLowerCase
+    require(tpe == "branch" || tpe == "tag", s"create_ref: type must be 'branch' or 'tag', got '$tpe'")
+    val snapId = if (input.isNullAt(3)) None else Some(input.getLong(3))
+    val replace = !input.isNullAt(4) && input.getBoolean(4)
+    val m = graft.write.Refs.createRef(SparkSession.active,
+      catalog.pathTableLocation(table, "create_ref"), name, tpe == "branch", snapId, replace)
+    oneRow(org.apache.spark.unsafe.types.UTF8String.fromString(name), m.refs(name).snapshotId)
+  }
+}
+
+private[catalog] class DropRefProcedure(catalog: GraftSparkCatalog)
+    extends OneRowProcedure {
+  override def name(): String = "drop_ref"
+  override def description(): String = "Drop a branch or tag (snapshots remain until expired)"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("name", StringType).build())
+  protected val outputSchema = StructType(Seq(
+    StructField("dropped", StringType, nullable = false)))
+  override def call(input: InternalRow): JIterator[Scan] = {
+    require(!input.isNullAt(0) && !input.isNullAt(1), "drop_ref: 'table' and 'name' are required")
+    val name = input.getUTF8String(1).toString
+    graft.write.Refs.dropRef(SparkSession.active,
+      catalog.pathTableLocation(input.getUTF8String(0).toString, "drop_ref"), name)
+    oneRow(org.apache.spark.unsafe.types.UTF8String.fromString(name))
+  }
+}
+
+/** Shared shape for the two pointer-move procedures. */
+private[catalog] abstract class PointerProcedure(catalog: GraftSparkCatalog)
+    extends OneRowProcedure {
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("snapshot_id", LongType).build())
+  protected val outputSchema = StructType(Seq(
+    StructField("previous_snapshot_id", LongType, nullable = true),
+    StructField("current_snapshot_id", LongType, nullable = false)))
+  protected def move(spark: SparkSession, path: String, id: Long): graft.core.TableMetadata
+  override def call(input: InternalRow): JIterator[Scan] = {
+    require(!input.isNullAt(0) && !input.isNullAt(1), s"${name()}: 'table' and 'snapshot_id' are required")
+    val path = catalog.pathTableLocation(input.getUTF8String(0).toString, name())
+    val spark = SparkSession.active
+    val prev = graft.core.TableMetadata.load(path, spark.sessionState.newHadoopConf())
+      .currentSnapshotId
+    val m = move(spark, path, input.getLong(1))
+    oneRow(prev.map(Long.box).orNull, m.currentSnapshotId.get)
+  }
+}
+
+private[catalog] class RollbackToSnapshotProcedure(catalog: GraftSparkCatalog)
+    extends PointerProcedure(catalog) {
+  override def name(): String = "rollback_to_snapshot"
+  override def description(): String = "Roll the table back to an ancestor snapshot"
+  protected def move(spark: SparkSession, path: String, id: Long) =
+    graft.write.Refs.rollbackTo(spark, path, id)
+}
+
+private[catalog] class SetCurrentSnapshotProcedure(catalog: GraftSparkCatalog)
+    extends PointerProcedure(catalog) {
+  override def name(): String = "set_current_snapshot"
+  override def description(): String = "Jump the current pointer to any snapshot in metadata"
+  protected def move(spark: SparkSession, path: String, id: Long) =
+    graft.write.Refs.setCurrentSnapshot(spark, path, id)
+}
+
+private[catalog] class FastForwardProcedure(catalog: GraftSparkCatalog)
+    extends OneRowProcedure {
+  override def name(): String = "fast_forward"
+  override def description(): String =
+    "Fast-forward a branch to another ref's head (publishes a WAP branch when branch='main')"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("branch", StringType).build(),
+    ProcedureParameter.in("to", StringType).build())
+  protected val outputSchema = StructType(Seq(
+    StructField("branch_updated", StringType, nullable = false),
+    StructField("current_snapshot_id", LongType, nullable = false)))
+  override def call(input: InternalRow): JIterator[Scan] = {
+    require(!input.isNullAt(0) && !input.isNullAt(1) && !input.isNullAt(2),
+      "fast_forward: 'table', 'branch' and 'to' are required")
+    val branch = input.getUTF8String(1).toString
+    val m = graft.write.Refs.fastForward(SparkSession.active,
+      catalog.pathTableLocation(input.getUTF8String(0).toString, "fast_forward"),
+      branch, input.getUTF8String(2).toString)
+    oneRow(org.apache.spark.unsafe.types.UTF8String.fromString(branch),
+      m.refs(branch).snapshotId)
+  }
+}

@@ -126,7 +126,9 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Proced
     "entries" -> ((s, p) => graft.IcebergTable.manifestEntries(s, p)),
     "column_stats" -> ((s, p) => graft.IcebergTable.columnStats(s, p)),
     "partition_stats" -> ((s, p) => graft.IcebergTable.partitionStats(s, p)),
-    "properties" -> ((s, p) => graft.IcebergTable.tableProperties(s, p)))
+    "properties" -> ((s, p) => graft.IcebergTable.tableProperties(s, p)),
+    "refs" -> ((s, p) => graft.IcebergTable.refs(s, p)),
+    "history" -> ((s, p) => graft.IcebergTable.history(s, p)))
 
   private def metadataTableFor(ident: Identifier): Option[Table] = {
     if (ident.namespace.isEmpty) return None
@@ -148,9 +150,13 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Proced
       case e: NoSuchTableException => metadataTableFor(ident).getOrElse(throw e)
     }
 
-  /** `VERSION AS OF <snapshot-id>` */
+  /** `VERSION AS OF <snapshot-id | 'branch-or-tag-name'>` — a numeric
+    * version binds a snapshot id, anything else a named ref. */
   override def loadTable(ident: Identifier, version: String): Table =
-    tableFor(ident, ReadOptions(snapshotId = Some(version.toLong)))
+    tableFor(ident, version.toLongOption match {
+      case Some(id) => ReadOptions(snapshotId = Some(id))
+      case None => ReadOptions(refName = Some(version))
+    })
 
   /** `TIMESTAMP AS OF` — Spark passes microseconds since epoch. */
   override def loadTable(ident: Identifier, timestamp: Long): Table =
@@ -396,13 +402,20 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Proced
       case "rewrite_data_files" => new RewriteDataFilesProcedure(this)
       case "expire_snapshots" => new ExpireSnapshotsProcedure(this)
       case "remove_orphan_files" => new RemoveOrphanFilesProcedure(this)
+      case "create_ref" => new CreateRefProcedure(this)
+      case "drop_ref" => new DropRefProcedure(this)
+      case "rollback_to_snapshot" => new RollbackToSnapshotProcedure(this)
+      case "set_current_snapshot" => new SetCurrentSnapshotProcedure(this)
+      case "fast_forward" => new FastForwardProcedure(this)
       case other => throw new RuntimeException(s"Procedure system.$other not found")
     }
   }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
-      Array("rewrite_data_files", "expire_snapshots", "remove_orphan_files")
+      Array("rewrite_data_files", "expire_snapshots", "remove_orphan_files",
+        "create_ref", "drop_ref", "rollback_to_snapshot", "set_current_snapshot",
+        "fast_forward")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 

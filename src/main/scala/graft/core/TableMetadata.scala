@@ -32,6 +32,12 @@ case class SnapshotInfo(
   def operation: String = summary.getOrElse("operation", "")
 }
 
+/** A named snapshot reference (Iceberg spec "refs"): a BRANCH moves with
+  * writes committed to it; a TAG is an immutable bookmark. */
+case class SnapshotRef(snapshotId: Long, isBranch: Boolean) {
+  def refType: String = if (isBranch) "branch" else "tag"
+}
+
 case class PartitionField(sourceId: Int, fieldId: Int, name: String, transform: Transform)
 case class PartitionSpec(specId: Int, fields: Seq[PartitionField]) {
   def isUnpartitioned: Boolean = fields.forall(_.transform == Transforms.Void) || fields.isEmpty
@@ -58,7 +64,7 @@ case class TableMetadata(
     snapshots: Seq[SnapshotInfo],
     snapshotLog: Seq[(Long, Long)], // (timestampMs, snapshotId)
     metadataLog: Seq[(Long, String)], // (timestampMs, metadataFile)
-    refs: Map[String, Long], // ref name -> snapshot id
+    refs: Map[String, SnapshotRef], // ref name -> (snapshot id, branch|tag)
     nextRowId: Option[Long] = None,
     /** Version number of the metadata FILE this was loaded from (path
       * tables). Commits target loadedVersion+1, so two writers that loaded
@@ -90,6 +96,20 @@ case class TableMetadata(
       val id = candidates.maxBy(_._1)._2
       Some(snapshots.find(_.snapshotId == id)
         .getOrElse(throw new IllegalArgumentException(s"Snapshot $id from snapshot-log not found")))
+    case SnapshotLookup.ByRef(name) =>
+      val ref = refs.getOrElse(name,
+        throw new IllegalArgumentException(s"No branch or tag named '$name'"))
+      Some(snapshots.find(_.snapshotId == ref.snapshotId)
+        .getOrElse(throw new IllegalArgumentException(
+          s"Ref '$name' targets snapshot ${ref.snapshotId}, which is not in table metadata")))
+  }
+
+  /** Walk parent pointers from `from` (inclusive) to the root; used by
+    * fast-forward / rollback ancestry checks. */
+  def ancestorIds(from: Long): Set[Long] = {
+    val byId = snapshots.map(s => s.snapshotId -> s).toMap
+    Iterator.iterate(byId.get(from))(_.flatMap(s => s.parentSnapshotId.flatMap(byId.get)))
+      .takeWhile(_.isDefined).flatten.map(_.snapshotId).toSet
   }
 
   /** Schema bound to a snapshot (falls back to current). */
@@ -102,6 +122,7 @@ object SnapshotLookup {
   case object Latest extends SnapshotLookup
   case class ById(id: Long) extends SnapshotLookup
   case class ByTimestamp(tsMs: Long) extends SnapshotLookup
+  case class ByRef(name: String) extends SnapshotLookup
 }
 
 object TableMetadata {
@@ -298,7 +319,9 @@ object TableMetadata {
       snapshots = snapshots,
       snapshotLog = arr(root.get("snapshot-log")).map(n => (n.get("timestamp-ms").asLong(), n.get("snapshot-id").asLong())),
       metadataLog = arr(root.get("metadata-log")).map(n => (n.get("timestamp-ms").asLong(), n.get("metadata-file").asText())),
-      refs = Option(root.get("refs")).map(_.properties().asScala.map(e => e.getKey -> e.getValue.get("snapshot-id").asLong()).toMap).getOrElse(Map.empty),
+      refs = Option(root.get("refs")).map(_.properties().asScala.map(e => e.getKey -> SnapshotRef(
+        e.getValue.get("snapshot-id").asLong(),
+        isBranch = Option(e.getValue.get("type")).forall(_.asText() != "tag"))).toMap).getOrElse(Map.empty),
       nextRowId = Option(root.get("next-row-id")).map(_.asLong()))
   }
 
@@ -345,8 +368,8 @@ object TableMetadata {
     val props = o.putObject("properties"); m.properties.foreach { case (k, v) => props.put(k, v) }
     m.currentSnapshotId.foreach(id => o.put("current-snapshot-id", id))
     val refs = o.putObject("refs")
-    m.refs.foreach { case (name, id) =>
-      val r = refs.putObject(name); r.put("snapshot-id", id); r.put("type", "branch")
+    m.refs.foreach { case (name, ref) =>
+      val r = refs.putObject(name); r.put("snapshot-id", ref.snapshotId); r.put("type", ref.refType)
     }
     val snaps = o.putArray("snapshots")
     m.snapshots.foreach { s =>

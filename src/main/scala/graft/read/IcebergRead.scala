@@ -37,6 +37,8 @@ import scala.concurrent.duration.Duration
 case class ReadOptions(
     snapshotId: Option[Long] = None,
     asOfTimestampMs: Option[Long] = None,
+    /** Read at a named branch or tag (Iceberg refs). */
+    refName: Option[String] = None,
     metadataVersion: Option[String] = None,
     filterSql: Option[String] = None,
     withRowLineage: Boolean = false,
@@ -44,6 +46,7 @@ case class ReadOptions(
     keepFileMeta: Boolean = false) {
   def lookup: SnapshotLookup = snapshotId.map(SnapshotLookup.ById.apply)
     .orElse(asOfTimestampMs.map(SnapshotLookup.ByTimestamp.apply))
+    .orElse(refName.map(SnapshotLookup.ByRef.apply))
     .getOrElse(SnapshotLookup.Latest)
 }
 

@@ -117,7 +117,8 @@ object IcebergWrite {
     * don't depend on which snapshot they land after — unless the schema
     * changed underneath, which aborts). */
   def append(df: DataFrame, path: String,
-      extraSummary: Map[String, String] = Map.empty): TableMetadata = {
+      extraSummary: Map[String, String] = Map.empty,
+      toBranch: Option[String] = None): TableMetadata = {
     val spark = df.sparkSession
     val conf = spark.sessionState.newHadoopConf()
     var meta = TableMetadata.load(path, conf)
@@ -126,7 +127,8 @@ object IcebergWrite {
     val maxRetries = 5
     var attempt = 0
     while (true) {
-      try return commitSnapshot(meta, entries, Nil, "append", conf, extraSummary = extraSummary)
+      try return commitSnapshot(meta, entries, Nil, "append", conf, extraSummary = extraSummary,
+        toBranch = toBranch)
       catch {
         case e: ConcurrentCommitException =>
           attempt += 1
@@ -346,8 +348,23 @@ object IcebergWrite {
       removedDvRefs: Set[String] = Set.empty,
       preassignedSnapshotId: Option[Long] = None,
       deleteSpec: Option[PartitionSpec] = None,
-      extraSummary: Map[String, String] = Map.empty): TableMetadata = {
-    val (snap0, allManifests) = buildSnapshotFiles(meta, addedData, addedDeletes, operation, conf,
+      extraSummary: Map[String, String] = Map.empty,
+      /** Commit onto this branch instead of main: the new snapshot's parent
+        * (and carried-forward manifests) come from the BRANCH head, only the
+        * branch ref moves, and main's snapshot-log is untouched — the
+        * write-audit-publish isolation Iceberg branches exist for. */
+      toBranch: Option[String] = None): TableMetadata = {
+    val branchHead: Option[Long] = toBranch.map { b =>
+      meta.refs.getOrElse(b, throw new IllegalArgumentException(
+        s"Branch '$b' does not exist — create it first (create_ref)")) match {
+        case r if !r.isBranch => throw new IllegalArgumentException(s"Ref '$b' is a tag; cannot write to a tag")
+        case r => r.snapshotId
+      }
+    }
+    // Build the snapshot as if the branch head were current: parent id and
+    // carried-forward manifests both derive from currentSnapshotId.
+    val buildMeta = branchHead.map(h => meta.copy(currentSnapshotId = Some(h))).getOrElse(meta)
+    val (snap0, allManifests) = buildSnapshotFiles(buildMeta, addedData, addedDeletes, operation, conf,
       removedDataPaths, removedDvRefs, preassignedSnapshotId, deleteSpec)
     val snap = if (extraSummary.isEmpty) snap0
       else snap0.copy(summary = snap0.summary ++ extraSummary)
@@ -369,14 +386,24 @@ object IcebergWrite {
           .flatMap(m => m.firstRowId.map(_ + m.addedRowsCount + m.existingRowsCount))
         Some((spans :+ meta.nextRowId.getOrElse(0L)).max)
       }
-    val newMeta = meta.copy(
-      lastSequenceNumber = snap.sequenceNumber,
-      lastUpdatedMs = now,
-      currentSnapshotId = Some(snap.snapshotId),
-      snapshots = meta.snapshots :+ snap,
-      snapshotLog = meta.snapshotLog :+ (now, snap.snapshotId),
-      refs = meta.refs + ("main" -> snap.snapshotId),
-      nextRowId = newNextRowId)
+    val newMeta = toBranch match {
+      case Some(b) => meta.copy(
+        // Branch commit: the snapshot lands in `snapshots` and the branch
+        // ref moves; main's head and history are untouched.
+        lastSequenceNumber = snap.sequenceNumber,
+        lastUpdatedMs = now,
+        snapshots = meta.snapshots :+ snap,
+        refs = meta.refs + (b -> graft.core.SnapshotRef(snap.snapshotId, isBranch = true)),
+        nextRowId = newNextRowId)
+      case None => meta.copy(
+        lastSequenceNumber = snap.sequenceNumber,
+        lastUpdatedMs = now,
+        currentSnapshotId = Some(snap.snapshotId),
+        snapshots = meta.snapshots :+ snap,
+        snapshotLog = meta.snapshotLog :+ (now, snap.snapshotId),
+        refs = meta.refs + ("main" -> graft.core.SnapshotRef(snap.snapshotId, isBranch = true)),
+        nextRowId = newNextRowId)
+    }
     commitMetadata(newMeta, prevVersion + 1, conf)
     newMeta.copy(loadedVersion = Some(prevVersion + 1))
   }

@@ -51,7 +51,7 @@ object Maintenance {
     val newestFirst = meta.snapshots.sortBy(s => (-s.timestampMs, -s.sequenceNumber))
     val keepIds: Set[Long] =
       newestFirst.take(retainLast).map(_.snapshotId).toSet ++
-        meta.currentSnapshotId.toSet ++ meta.refs.values.toSet ++
+        meta.currentSnapshotId.toSet ++ meta.refs.values.map(_.snapshotId).toSet ++
         olderThanMs.map(cut =>
           meta.snapshots.filter(_.timestampMs >= cut).map(_.snapshotId).toSet)
           .getOrElse(Set.empty[Long])

@@ -64,7 +64,7 @@ class TestRestServer {
       r.get("type").asText() match {
         case "assert-ref-snapshot-id" =>
           val expected = Option(r.get("snapshot-id")).filter(!_.isNull).map(_.asLong())
-          meta.refs.get(r.get("ref").asText()) == expected
+          meta.refs.get(r.get("ref").asText()).map(_.snapshotId) == expected
         case "assert-table-uuid" => r.get("uuid").asText() == meta.tableUuid
         case _ => true
       }
@@ -82,7 +82,8 @@ class TestRestServer {
             snapshotLog = m.snapshotLog :+ (s.timestampMs, s.snapshotId))
         case "set-snapshot-ref" =>
           val id = u.get("snapshot-id").asLong()
-          m = m.copy(refs = m.refs + (u.get("ref-name").asText() -> id),
+          m = m.copy(refs = m.refs + (u.get("ref-name").asText() ->
+              graft.core.SnapshotRef(id, isBranch = true)),
             currentSnapshotId = Some(id))
         case "set-properties" =>
           val up = u.get("updates").properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
