@@ -221,6 +221,17 @@ object Fixtures {
         .collect()
     }
 
+  /** Partition-evolution roundtrip: pre-1998 orders written unpartitioned,
+    * the spec evolved to month(o_orderdate), the 1998+ half appended under
+    * the new spec — the read spans both specs. */
+  def ordersPartitionEvolved(spark: SparkSession, sfDir: String): String =
+    iceberg(spark, sfDir, "orders_part_evolved") { dir =>
+      val src = parquet(spark, sfDir, "orders")
+      IcebergTable.write(src.filter(col("o_orderdate") < "1998-01-01"), dir)
+      IcebergTable.addPartitionField(spark, dir, "o_orderdate", "month")
+      IcebergTable.append(src.filter(col("o_orderdate") >= "1998-01-01"), dir)
+    }
+
   /** Write-audit-publish roundtrip: open orders on main, finished orders
     * appended to an 'audit' BRANCH (main stays isolated), then main is
     * fast-forwarded onto the audited branch. Final state = open + finished. */
@@ -246,6 +257,15 @@ object Fixtures {
         .currentSnapshotId.get
       IcebergTable.delete(spark, dir, "o_orderpriority = '5-LOW'")
       IcebergTable.rollbackTo(spark, dir, first)
+    }
+
+  /** Changelog fixture: open orders written, then 5-LOW priorities purged
+    * via merge-on-read DELETE — two snapshots of CDC history. */
+  def ordersChangelog(spark: SparkSession, sfDir: String): String =
+    iceberg(spark, sfDir, "orders_changelog") { dir =>
+      IcebergTable.write(
+        parquet(spark, sfDir, "orders").filter(col("o_orderstatus") === "O"), dir)
+      IcebergTable.delete(spark, dir, "o_orderpriority = '5-LOW'")
     }
 
   /** Two-snapshot orders table (append of the same rows twice); returns

@@ -110,6 +110,12 @@ object IcebergTable {
   def deleteEquality(spark: SparkSession, path: String, keys: DataFrame): TableMetadata =
     Dml.deleteEquality(spark, path, keys)
 
+  /** CDC changelog between two snapshots (see
+    * [[graft.streaming.Streams.changesBetween]]). */
+  def changesBetween(spark: SparkSession, path: String,
+      fromSnapshotId: Option[Long], toSnapshotId: Long): DataFrame =
+    graft.streaming.Streams.changesBetween(spark, path, fromSnapshotId, toSnapshotId)
+
   /** ORDER BY col LIMIT k with stats-ordered file selection (scan-order
     * pruning). */
   def topK(spark: SparkSession, path: String, colName: String, k: Int,
@@ -137,6 +143,16 @@ object IcebergTable {
   def addColumn(spark: SparkSession, path: String, name: String, typeString: String,
       initialDefaultJson: Option[String] = None): TableMetadata =
     Evolution.addColumn(spark, path, name, typeString, initialDefaultJson)
+
+  /** ALTER TABLE ... ADD PARTITION FIELD transform(col): partition
+    * evolution, metadata-only — old files keep their spec. */
+  def addPartitionField(spark: SparkSession, path: String, column: String,
+      transform: String = "identity", name: Option[String] = None): TableMetadata =
+    Evolution.addPartitionField(spark, path, column, transform, name)
+
+  /** ALTER TABLE ... DROP PARTITION FIELD name. */
+  def dropPartitionField(spark: SparkSession, path: String, fieldName: String): TableMetadata =
+    Evolution.dropPartitionField(spark, path, fieldName)
 
   def dropColumn(spark: SparkSession, path: String, name: String): TableMetadata =
     Evolution.dropColumn(spark, path, name)

@@ -181,6 +181,11 @@ object SparkEntry {
     "ice_sorted_write" -> ((s, dir) =>
       IcebergTable.load(s, Fixtures.lineitemSorted(s, dir))),
 
+    "ice_partition_evolution" -> ((s, dir) =>
+      // Mixed-spec read: unpartitioned old files + month-partitioned new
+      // files in one table (Fixtures.ordersPartitionEvolved).
+      IcebergTable.load(s, Fixtures.ordersPartitionEvolved(s, dir))),
+
     "ice_branch_wap" -> ((s, dir) =>
       // Write-audit-publish via a branch: append to 'audit', verify main
       // isolation, fast-forward main (Fixtures.ordersWap).
@@ -337,6 +342,17 @@ object SparkEntry {
     "stream_incremental" -> ((s, dir) => {
       val (path, firstSnap) = Fixtures.ordersTwoSnapshots(s, dir)
       graft.streaming.Streams.appendsSince(s, path, firstSnap)
+    }),
+
+    "stream_changelog" -> ((s, dir) => {
+      // CDC read over open orders + a priority-purge DELETE: inserts from
+      // the initial write, deletes for the purged rows (snapshot ids are
+      // run-dependent, so only change type + row content are projected).
+      val path = Fixtures.ordersChangelog(s, dir)
+      val head = graft.core.TableMetadata
+        .load(path, s.sessionState.newHadoopConf()).currentSnapshotId.get
+      IcebergTable.changesBetween(s, path, None, head)
+        .drop("_commit_snapshot_id", "_change_ordinal")
     }),
 
     "stream_microbatch" -> ((s, dir) => {
@@ -541,6 +557,8 @@ object SparkEntry {
 
     "ice_time_travel" -> "SELECT * FROM orders",
 
+    "ice_partition_evolution" -> "SELECT * FROM orders",
+
     "ice_branch_wap" -> "SELECT * FROM orders WHERE o_orderstatus IN ('O', 'F')",
 
     "ice_rollback" -> "SELECT * FROM orders",
@@ -616,6 +634,12 @@ object SparkEntry {
         |ORDER BY rank LIMIT 20""".stripMargin,
 
     "stream_incremental" -> "SELECT * FROM orders",
+
+    "stream_changelog" ->
+      """SELECT o.*, 'insert' AS _change_type FROM orders o WHERE o_orderstatus = 'O'
+        |UNION ALL
+        |SELECT o.*, 'delete' AS _change_type FROM orders o
+        |WHERE o_orderstatus = 'O' AND o_orderpriority = '5-LOW'""".stripMargin,
 
     "sql_catalog_q6" ->
       """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,

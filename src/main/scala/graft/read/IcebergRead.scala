@@ -79,6 +79,9 @@ case class ScanPlan(
 object IcebergRead {
   private val PosDeletePathFieldId = 2147483546
   private val PosDeletePosFieldId = 2147483545
+  /** Reserved field id of the positional-delete `file_path` column —
+    * exposed for the changelog reader's path-bounds narrowing. */
+  val PosDeletePathFieldIdPublic: Int = PosDeletePathFieldId
   // v3 row-lineage reserved field ids (materialized by rewrites/updates).
   private val RowIdFieldId = 2147483540
   private val LastUpdatedSeqFieldId = 2147483539

@@ -123,6 +123,54 @@ object Evolution {
     else commit(meta.copy(formatVersion = newVersion), conf)
   }
 
+  // ---------- partition evolution (metadata-only; spec id per file) ----------
+
+  /** ALTER TABLE ... ADD PARTITION FIELD `transform(col)`: a NEW default
+    * spec (fresh spec id, fresh partition-field ids) extending the current
+    * one. Existing data files keep their old spec id and are read/pruned
+    * under it (per-file spec resolution); only files written AFTER the
+    * evolution carry the new layout — the Iceberg partition-evolution
+    * contract, no data rewrite. */
+  def addPartitionField(spark: SparkSession, path: String, column: String,
+      transformStr: String = "identity", name: Option[String] = None): TableMetadata = {
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = TableMetadata.load(path, conf)
+    val t = Transforms.parse(transformStr)
+    val src = meta.currentSchema.fields.find(_.name == column).getOrElse(
+      throw new IllegalArgumentException(s"Partition source column '$column' not in schema"))
+    val fieldName = name.getOrElse(t match {
+      case Transforms.Identity => column
+      case Transforms.Bucket(_) => s"${column}_bucket"
+      case Transforms.Truncate(_) => s"${column}_trunc"
+      case other => s"${column}_$other"
+    })
+    val cur = meta.defaultSpec
+    require(!cur.fields.exists(f => f.name == fieldName),
+      s"Partition field '$fieldName' already exists in the default spec")
+    require(!cur.fields.exists(f => f.sourceId == src.id && f.transform.toString == t.toString),
+      s"Default spec already partitions by $transformStr($column)")
+    val newFieldId = meta.lastPartitionId + 1
+    val newSpecId = meta.specs.map(_.specId).max + 1
+    val newSpec = PartitionSpec(newSpecId,
+      cur.fields :+ PartitionField(src.id, newFieldId, fieldName, t))
+    commit(meta.copy(specs = meta.specs :+ newSpec, defaultSpecId = newSpecId,
+      lastPartitionId = newFieldId), conf)
+  }
+
+  /** ALTER TABLE ... DROP PARTITION FIELD: a new default spec without the
+    * field. Files written under older specs still prune on it. */
+  def dropPartitionField(spark: SparkSession, path: String, fieldName: String): TableMetadata = {
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = TableMetadata.load(path, conf)
+    val cur = meta.defaultSpec
+    require(cur.fields.exists(_.name == fieldName),
+      s"No partition field '$fieldName' in the default spec " +
+        s"(has: ${cur.fields.map(_.name).mkString(", ")})")
+    val newSpecId = meta.specs.map(_.specId).max + 1
+    val newSpec = PartitionSpec(newSpecId, cur.fields.filterNot(_.name == fieldName))
+    commit(meta.copy(specs = meta.specs :+ newSpec, defaultSpecId = newSpecId), conf)
+  }
+
   /** Set (merge) table properties. */
   def setProperties(spark: SparkSession, path: String, props: Map[String, String]): TableMetadata = {
     val conf = spark.sessionState.newHadoopConf()

@@ -1,0 +1,98 @@
+package graft
+
+import graft.core.TableMetadata
+import graft.streaming.Streams
+import graft.write.TableWriteOptions
+import org.apache.spark.sql.functions._
+
+/** CDC changelog read (Streams.changesBetween): inserts, deletes, updates
+  * as delete+insert, compaction invisibility, DV and equality variants. */
+class ChangelogSpec extends SparkSpec {
+
+  private def hconf = spark.sessionState.newHadoopConf()
+  private def headId(path: String): Long =
+    TableMetadata.load(path, hconf).currentSnapshotId.get
+
+  test("append, delete, update, and compaction produce the right change rows") {
+    val src = spark.read.parquet(s"$sfDir/orders.parquet")
+    val open = src.filter(col("o_orderstatus") === "O")
+    val fin = src.filter(col("o_orderstatus") === "F")
+    val path = tmpDir("graft_cdc")
+    IcebergTable.write(open, path); val s1 = headId(path)
+    IcebergTable.append(fin, path); val s2 = headId(path)
+    IcebergTable.delete(spark, path, "o_orderpriority = '5-LOW'"); val s3 = headId(path)
+    IcebergTable.update(spark, path, "o_orderstatus = 'F'",
+      Map("o_totalprice" -> "o_totalprice * 2")); val s4 = headId(path)
+    IcebergTable.rewriteDataFiles(spark, path, rewriteAll = true); val s5 = headId(path)
+
+    val ch = Streams.changesBetween(spark, path, None, s5).cache()
+    try {
+      // Compaction contributes nothing.
+      assert(ch.filter(col("_commit_snapshot_id") === s5).count() == 0)
+      // s1/s2: pure inserts of each half.
+      assert(ch.filter(col("_commit_snapshot_id") === s1).count() == open.count())
+      val s2rows = ch.filter(col("_commit_snapshot_id") === s2)
+      assert(s2rows.count() == fin.count())
+      assert(s2rows.filter(col("_change_type") =!= "insert").count() == 0)
+      // s3: pure deletes, exactly the 5-LOW rows live at s2.
+      val s3rows = ch.filter(col("_commit_snapshot_id") === s3)
+      assert(s3rows.filter(col("_change_type") =!= "delete").count() == 0)
+      assertSameResult(s3rows.drop("_change_type", "_commit_snapshot_id", "_change_ordinal"),
+        open.union(fin).filter(col("o_orderpriority") === "5-LOW"))
+      // s4 (update): delete+insert pairs of equal cardinality, prices doubled.
+      val s4rows = ch.filter(col("_commit_snapshot_id") === s4)
+      val s4byType = s4rows.groupBy("_change_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val updated = fin.filter(col("o_orderpriority") =!= "5-LOW").count()
+      assert(s4byType == Map("insert" -> updated, "delete" -> updated), s"got $s4byType")
+      val insSum = s4rows.filter(col("_change_type") === "insert")
+        .agg(sum("o_totalprice")).head.getDouble(0)
+      val delSum = s4rows.filter(col("_change_type") === "delete")
+        .agg(sum("o_totalprice")).head.getDouble(0)
+      assert(math.abs(insSum - delSum * 2) < 0.01, s"$insSum vs 2*$delSum")
+
+      // Net-applying the changelog reproduces the final table.
+      val net = ch.filter(col("_change_type") === "insert")
+        .drop("_change_type", "_commit_snapshot_id", "_change_ordinal")
+        .exceptAll(ch.filter(col("_change_type") === "delete")
+          .drop("_change_type", "_commit_snapshot_id", "_change_ordinal"))
+      assertSameResult(net, IcebergTable.load(spark, path))
+
+      // Ordinals are the commit positions 0..3 (s5 absent).
+      assert(ch.select("_change_ordinal").distinct().collect().map(_.getInt(0)).sorted.toSeq
+        == Seq(0, 1, 2, 3))
+    } finally ch.unpersist()
+
+    // Bounded range (s2, s4]: only the delete and the update.
+    val part = Streams.changesBetween(spark, path, Some(s2), s4)
+    assert(part.select("_commit_snapshot_id").distinct().collect().map(_.getLong(0)).toSet
+      == Set(s3, s4))
+    // From a non-ancestor fails loudly.
+    intercept[Exception](Streams.changesBetween(spark, path, Some(999L), s4))
+  }
+
+  test("changelog sees v3 deletion-vector and equality deletes") {
+    val src = spark.read.parquet(s"$sfDir/customer.parquet")
+    val path = tmpDir("graft_cdc_v3")
+    IcebergTable.write(src, path, TableWriteOptions(formatVersion = 3))
+    val s1 = headId(path)
+    // v3 DELETE writes deletion vectors.
+    IcebergTable.delete(spark, path, "c_custkey % 10 = 0"); val s2 = headId(path)
+    // Equality delete on a key column.
+    import spark.implicits._
+    val keys = src.filter(col("c_custkey") % 7 === 1).select("c_custkey")
+    IcebergTable.deleteEquality(spark, path, keys); val s3 = headId(path)
+
+    val ch = Streams.changesBetween(spark, path, Some(s1), s3)
+    val dels = ch.filter(col("_change_type") === "delete")
+    assert(ch.count() == dels.count(), "only deletes in this range")
+    val expected2 = src.filter(col("c_custkey") % 10 === 0)
+    val expected3 = src.filter(col("c_custkey") % 7 === 1 && col("c_custkey") % 10 =!= 0)
+    assertSameResult(
+      dels.filter(col("_commit_snapshot_id") === s2)
+        .drop("_change_type", "_commit_snapshot_id", "_change_ordinal"), expected2)
+    assertSameResult(
+      dels.filter(col("_commit_snapshot_id") === s3)
+        .drop("_change_type", "_commit_snapshot_id", "_change_ordinal"), expected3)
+  }
+}

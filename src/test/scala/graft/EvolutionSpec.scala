@@ -64,4 +64,57 @@ class EvolutionSpec extends SparkSpec {
       .collect().map(_.getInt(0)).sorted.toSeq
     assert(keys == Seq(1, 3, 4))
   }
+
+  test("partition evolution: add month field, new files prune, old files survive") {
+    val src = spark.read.parquet(s"$sfDir/orders.parquet")
+    val half1 = src.filter(col("o_orderdate") < "1998-01-01")
+    val half2 = src.filter(col("o_orderdate") >= "1998-01-01")
+    val path = tmpDir("graft_part_evolve")
+    // Unpartitioned write, then evolve to month(o_orderdate), then append.
+    IcebergTable.write(half1, path)
+    IcebergTable.addPartitionField(spark, path, "o_orderdate", "month")
+    IcebergTable.append(half2, path)
+
+    val meta = graft.core.TableMetadata.load(path, spark.sessionState.newHadoopConf())
+    assert(meta.specs.map(_.specId).sorted == Seq(0, 1))
+    assert(meta.defaultSpecId == 1)
+    assert(meta.defaultSpec.fields.map(_.name) == Seq("o_orderdate_month"))
+
+    // Full read = union of both halves, across specs.
+    assertSameResult(IcebergTable.load(spark, path), src)
+
+    // Pruning a month in the NEW half: spec-1 narrows to that month's file
+    // via partition values; the spec-0 file (all rows < 1998) is pruned by
+    // column STATS — evolution doesn't lose pruning on old files.
+    val p = IcebergTable.plan(spark, path,
+      graft.read.ReadOptions(filterSql = Some(
+        "o_orderdate >= timestamp'1998-03-01 00:00:00' AND o_orderdate < timestamp'1998-04-01 00:00:00'")))
+    val bySpec = p.dataFiles.groupBy(_.specId).view.mapValues(_.size).toMap
+    assert(bySpec.getOrElse(1, 0) == 1, s"expected 1 month-partitioned file, got $bySpec")
+    assert(bySpec.getOrElse(0, 0) == 0, "old-half file should stats-prune for a 1998 month")
+    // A month in the OLD half: the unpartitioned file survives (stats
+    // overlap), and every month-partitioned 1998+ file partition-prunes.
+    val pOld = IcebergTable.plan(spark, path,
+      graft.read.ReadOptions(filterSql = Some(
+        "o_orderdate >= timestamp'1996-03-01 00:00:00' AND o_orderdate < timestamp'1996-04-01 00:00:00'")))
+    val bySpecOld = pOld.dataFiles.groupBy(_.specId).view.mapValues(_.size).toMap
+    assert(bySpecOld.getOrElse(0, 0) >= 1, s"unpartitioned file must survive, got $bySpecOld")
+    assert(bySpecOld.getOrElse(1, 0) == 0, s"1998+ month files must prune, got $bySpecOld")
+    assertSameResult(
+      IcebergTable.load(spark, path).filter(
+        col("o_orderdate") >= "1998-03-01" && col("o_orderdate") < "1998-04-01"),
+      src.filter(col("o_orderdate") >= "1998-03-01" && col("o_orderdate") < "1998-04-01"))
+
+    // Drop the field: appends go back to unpartitioned under spec 2.
+    IcebergTable.dropPartitionField(spark, path, "o_orderdate_month")
+    IcebergTable.append(half2, path)
+    assertSameResult(IcebergTable.load(spark, path), src.union(half2))
+    val meta2 = graft.core.TableMetadata.load(path, spark.sessionState.newHadoopConf())
+    assert(meta2.defaultSpecId == 2 && meta2.defaultSpec.fields.isEmpty)
+
+    // Errors: unknown column; duplicate transform on the default spec.
+    intercept[Exception](IcebergTable.addPartitionField(spark, path, "nope"))
+    IcebergTable.addPartitionField(spark, path, "o_custkey", "bucket[4]")
+    intercept[Exception](IcebergTable.addPartitionField(spark, path, "o_custkey", "bucket[4]"))
+  }
 }
