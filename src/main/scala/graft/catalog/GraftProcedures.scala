@@ -265,3 +265,60 @@ private[catalog] class FastForwardProcedure(catalog: GraftSparkCatalog)
       m.refs(branch).snapshotId)
   }
 }
+
+/** `CALL graft.system.add_partition_field(table => 'db.t', column => 'c',
+  * transform => 'month')` — the SQL face of partition evolution
+  * ([[graft.write.Evolution.addPartitionField]]): commits a new default
+  * spec, no data rewrite. */
+private[catalog] class AddPartitionFieldProcedure(catalog: GraftSparkCatalog)
+    extends OneRowProcedure {
+  override def name(): String = "add_partition_field"
+  override def description(): String =
+    "Add transform(column) to the default partition spec (metadata-only)"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("column", StringType).build(),
+    ProcedureParameter.in("transform", StringType).defaultValue("'identity'")
+      .comment("identity | bucket[N] | truncate[W] | year | month | day | hour").build(),
+    ProcedureParameter.in("name", StringType).defaultValue("NULL")
+      .comment("partition field name; NULL derives one from column + transform").build())
+  protected val outputSchema = StructType(Seq(
+    StructField("spec_id", IntegerType, nullable = false),
+    StructField("fields", StringType, nullable = false)))
+  override def call(input: InternalRow): JIterator[Scan] = {
+    require(!input.isNullAt(0) && !input.isNullAt(1),
+      "add_partition_field: 'table' and 'column' are required")
+    val transform = if (input.isNullAt(2)) "identity" else input.getUTF8String(2).toString
+    val fieldName = if (input.isNullAt(3)) None else Some(input.getUTF8String(3).toString)
+    val m = graft.write.Evolution.addPartitionField(SparkSession.active,
+      catalog.pathTableLocation(input.getUTF8String(0).toString, "add_partition_field"),
+      input.getUTF8String(1).toString, transform, fieldName)
+    oneRow(m.defaultSpecId, org.apache.spark.unsafe.types.UTF8String.fromString(
+      m.defaultSpec.fields.map(_.name).mkString(",")))
+  }
+}
+
+/** `CALL graft.system.drop_partition_field(table => 'db.t', name => 'f')` —
+  * removes a field from the default spec; files written under older specs
+  * keep pruning on it. */
+private[catalog] class DropPartitionFieldProcedure(catalog: GraftSparkCatalog)
+    extends OneRowProcedure {
+  override def name(): String = "drop_partition_field"
+  override def description(): String =
+    "Drop a field from the default partition spec (metadata-only)"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("name", StringType).build())
+  protected val outputSchema = StructType(Seq(
+    StructField("spec_id", IntegerType, nullable = false),
+    StructField("fields", StringType, nullable = false)))
+  override def call(input: InternalRow): JIterator[Scan] = {
+    require(!input.isNullAt(0) && !input.isNullAt(1),
+      "drop_partition_field: 'table' and 'name' are required")
+    val m = graft.write.Evolution.dropPartitionField(SparkSession.active,
+      catalog.pathTableLocation(input.getUTF8String(0).toString, "drop_partition_field"),
+      input.getUTF8String(1).toString)
+    oneRow(m.defaultSpecId, org.apache.spark.unsafe.types.UTF8String.fromString(
+      m.defaultSpec.fields.map(_.name).mkString(",")))
+  }
+}

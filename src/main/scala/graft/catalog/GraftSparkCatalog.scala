@@ -128,7 +128,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Proced
     "partition_stats" -> ((s, p) => graft.IcebergTable.partitionStats(s, p)),
     "properties" -> ((s, p) => graft.IcebergTable.tableProperties(s, p)),
     "refs" -> ((s, p) => graft.IcebergTable.refs(s, p)),
-    "history" -> ((s, p) => graft.IcebergTable.history(s, p)))
+    "history" -> ((s, p) => graft.IcebergTable.history(s, p)),
+    "changes" -> ((s, p) => graft.streaming.Streams.changes(s, p)))
 
   private def metadataTableFor(ident: Identifier): Option[Table] = {
     if (ident.namespace.isEmpty) return None
@@ -407,6 +408,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Proced
       case "rollback_to_snapshot" => new RollbackToSnapshotProcedure(this)
       case "set_current_snapshot" => new SetCurrentSnapshotProcedure(this)
       case "fast_forward" => new FastForwardProcedure(this)
+      case "add_partition_field" => new AddPartitionFieldProcedure(this)
+      case "drop_partition_field" => new DropPartitionFieldProcedure(this)
       case other => throw new RuntimeException(s"Procedure system.$other not found")
     }
   }
@@ -415,7 +418,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Proced
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
       Array("rewrite_data_files", "expire_snapshots", "remove_orphan_files",
         "create_ref", "drop_ref", "rollback_to_snapshot", "set_current_snapshot",
-        "fast_forward")
+        "fast_forward", "add_partition_field", "drop_partition_field")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 

@@ -26,7 +26,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  * Spark's vectorized parquet reader inside a custom Batch would duplicate
  * the engine, not use it.
  *
- * Options: `snapshot-id`, `as-of-timestamp` (ms), `metadata-version`.
+ * Options: `snapshot-id`, `as-of-timestamp` (ms), `metadata-version`;
+ * incremental reads via `start-snapshot-id` / `end-snapshot-id` (appended
+ * rows only, the Iceberg-Spark convention) and `changelog=true` (row-level
+ * CDC with `_change_type` / `_commit_snapshot_id` / `_change_ordinal`,
+ * see [[graft.streaming.Streams.changesBetween]]).
  */
 class GraftDataSource extends TableProvider with DataSourceRegister
     with org.apache.spark.sql.sources.StreamSourceProvider
@@ -80,21 +84,45 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     new GraftStreamSink(ctx.sparkSession, parameters("path"))
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val spark = SparkSession.active
-    val conf = spark.sessionState.newHadoopConf()
-    val opts = GraftDataSource.readOptions(options)
-    val meta = TableMetadata.load(pathOf(options), conf, opts.metadataVersion)
-    val schema = opts.lookup match {
-      case SnapshotLookup.Latest => meta.currentSchema
-      case _ => meta.schemaFor(meta.selectSnapshot(opts.lookup))
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    incrementalTable(options).map(_.schema()).getOrElse {
+      val spark = SparkSession.active
+      val conf = spark.sessionState.newHadoopConf()
+      val opts = GraftDataSource.readOptions(options)
+      val meta = TableMetadata.load(pathOf(options), conf, opts.metadataVersion)
+      val schema = opts.lookup match {
+        case SnapshotLookup.Latest => meta.currentSchema
+        case _ => meta.schemaFor(meta.selectSnapshot(opts.lookup))
+      }
+      schema.toSpark
     }
-    schema.toSpark
+
+  /** `start-snapshot-id` / `end-snapshot-id` / `changelog` turn the load
+    * into a snapshot-range read: appended rows only by default, row-level
+    * CDC when `changelog=true`. Mutually exclusive with point-in-time
+    * options — a range and a single snapshot contradict each other. */
+  private def incrementalTable(m: java.util.Map[String, String]): Option[Table] = {
+    val start = Option(m.get("start-snapshot-id")).map(_.toLong)
+    val end = Option(m.get("end-snapshot-id")).map(_.toLong)
+    val cdc = Option(m.get("changelog")).exists(_.toBoolean)
+    if (start.isEmpty && end.isEmpty && !cdc) None
+    else {
+      require(m.get("snapshot-id") == null && m.get("as-of-timestamp") == null,
+        "snapshot-id/as-of-timestamp cannot combine with start-snapshot-id/end-snapshot-id/changelog")
+      val path = pathOf(m)
+      val kind = if (cdc) "changes" else "incremental"
+      Some(new graft.catalog.DataFrameBackedTable(s"graft.$kind.`$path`", () => {
+        val spark = SparkSession.active
+        if (cdc) graft.streaming.Streams.changes(spark, path, start, end)
+        else graft.streaming.Streams.appendsRange(spark, path, start, end)
+      }))
+    }
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
-    new GraftTable(pathOf(properties), schema)
+    incrementalTable(properties)
+      .getOrElse(new GraftTable(pathOf(properties), schema))
 }
 
 private[graft] object GraftTable {

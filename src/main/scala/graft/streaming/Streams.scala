@@ -80,6 +80,38 @@ object Streams {
     else IcebergRead.assemble(spark, toPlan.copy(dataFiles = fresh), conf, toOpts)
   }
 
+  /** [[changesBetween]] with defaulted bounds: `to` = current snapshot
+    * (empty table → empty CDC frame), `from` = table creation. Backs the
+    * DSv2 `changelog` read option and the `<table>.changes` SQL metadata
+    * table. */
+  def changes(spark: SparkSession, path: String,
+      fromSnapshotId: Option[Long] = None,
+      toSnapshotId: Option[Long] = None): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = TableMetadata.load(path, conf)
+    toSnapshotId.orElse(meta.currentSnapshotId) match {
+      case Some(to) => changesBetween(spark, path, fromSnapshotId, to)
+      case None =>
+        IcebergRead.emptyDF(spark, meta.currentSchema.toSpark)
+          .withColumn("_change_type", lit(""))
+          .withColumn("_commit_snapshot_id", lit(0L))
+          .withColumn("_change_ordinal", lit(0))
+    }
+  }
+
+  /** [[appendsBetween]] with defaulted bounds (DSv2 `start-snapshot-id` /
+    * `end-snapshot-id` read options — the Iceberg-Spark incremental-read
+    * convention). */
+  def appendsRange(spark: SparkSession, path: String,
+      fromSnapshotId: Option[Long], toSnapshotId: Option[Long]): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = TableMetadata.load(path, conf)
+    toSnapshotId.orElse(meta.currentSnapshotId) match {
+      case Some(to) => appendsBetween(spark, path, fromSnapshotId, to)
+      case None => IcebergRead.emptyDF(spark, meta.currentSchema.toSpark)
+    }
+  }
+
   /** CDC changelog read (the Spark-Iceberg `table_changes` shape): every
     * row-level change on the main ancestry between `fromSnapshotId`
     * (exclusive; None = table creation) and `toSnapshotId` (inclusive),

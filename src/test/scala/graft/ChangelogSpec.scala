@@ -71,6 +71,74 @@ class ChangelogSpec extends SparkSpec {
     intercept[Exception](Streams.changesBetween(spark, path, Some(999L), s4))
   }
 
+  test("DSv2 options: changelog=true and start/end-snapshot-id ranges") {
+    val src = spark.read.parquet(s"$sfDir/orders.parquet")
+    val open = src.filter(col("o_orderstatus") === "O")
+    val fin = src.filter(col("o_orderstatus") === "F")
+    val path = tmpDir("graft_cdc_dsv2")
+    IcebergTable.write(open, path); val s1 = headId(path)
+    IcebergTable.append(fin, path); val s2 = headId(path)
+    IcebergTable.delete(spark, path, "o_orderpriority = '5-LOW'")
+
+    // Full-history CDC through the reader option.
+    val cdc = spark.read.format("graft").option("changelog", "true").load(path)
+    assert(cdc.columns.takeRight(3).toSeq
+      == Seq("_change_type", "_commit_snapshot_id", "_change_ordinal"))
+    assert(cdc.filter(col("_change_type") === "insert").count() == open.count() + fin.count())
+    assertSameResult(
+      cdc.filter(col("_change_type") === "delete")
+        .drop("_change_type", "_commit_snapshot_id", "_change_ordinal"),
+      src.filter(col("o_orderstatus").isin("O", "F") && col("o_orderpriority") === "5-LOW"))
+
+    // Bounded CDC: only the append lands in (s1, s2].
+    val mid = spark.read.format("graft").option("changelog", "true")
+      .option("start-snapshot-id", s1.toString)
+      .option("end-snapshot-id", s2.toString).load(path)
+    assertSameResult(mid.drop("_change_type", "_commit_snapshot_id", "_change_ordinal"), fin)
+
+    // Incremental (appends-only) read: no CDC columns, just the new rows.
+    val inc = spark.read.format("graft")
+      .option("start-snapshot-id", s1.toString)
+      .option("end-snapshot-id", s2.toString).load(path)
+    assert(!inc.columns.contains("_change_type"))
+    assertSameResult(inc, fin)
+
+    // Range and point-in-time options contradict each other.
+    intercept[Exception](spark.read.format("graft")
+      .option("changelog", "true").option("snapshot-id", s1.toString).load(path))
+  }
+
+  test("SQL surface: <table>.changes and partition-evolution procedures") {
+    val wh = tmpDir("graft_cdc_wh")
+    spark.conf.set("spark.sql.catalog.cdcat", classOf[graft.catalog.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cdcat.warehouse", wh)
+    val src = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(col("o_orderstatus") === "O")
+    val path = s"$wh/db/orders_c"
+    IcebergTable.write(src, path)
+    IcebergTable.delete(spark, path, "o_orderpriority = '5-LOW'")
+
+    val ch = spark.sql("SELECT * FROM cdcat.db.orders_c.changes")
+    assert(ch.filter(col("_change_type") === "insert").count() == src.count())
+    assert(ch.filter(col("_change_type") === "delete").count()
+      == src.filter(col("o_orderpriority") === "5-LOW").count())
+
+    // ADD PARTITION FIELD month(o_orderdate) via CALL; the next append
+    // writes month-partitioned files under the new spec.
+    val add = spark.sql(
+      "CALL cdcat.system.add_partition_field(table => 'db.orders_c', " +
+        "column => 'o_orderdate', transform => 'month')").collect()(0)
+    assert(add.getInt(0) == 1 && add.getString(1) == "o_orderdate_month")
+    IcebergTable.append(src.limit(100), path)
+    val specs = IcebergTable.plan(spark, path).dataFiles.map(_.specId).distinct.sorted
+    assert(specs == Seq(0, 1), s"expected files under both specs, got $specs")
+
+    val drop = spark.sql(
+      "CALL cdcat.system.drop_partition_field(table => 'db.orders_c', " +
+        "name => 'o_orderdate_month')").collect()(0)
+    assert(drop.getInt(0) == 2 && drop.getString(1) == "")
+  }
+
   test("changelog sees v3 deletion-vector and equality deletes") {
     val src = spark.read.parquet(s"$sfDir/customer.parquet")
     val path = tmpDir("graft_cdc_v3")
