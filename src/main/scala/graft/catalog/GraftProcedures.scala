@@ -322,3 +322,44 @@ private[catalog] class DropPartitionFieldProcedure(catalog: GraftSparkCatalog)
       m.defaultSpec.fields.map(_.name).mkString(",")))
   }
 }
+
+/** `CALL graft.system.create_changelog_view(table => 'db.t', ...)` —
+  * registers a temp view over the table's CDC changelog
+  * ([[graft.streaming.Streams.changes]]), optionally relabelling paired
+  * delete+insert rows as update pre/post images when `identifier_columns`
+  * is given ([[graft.streaming.Streams.computeUpdates]]). Mirrors the
+  * Iceberg-Spark `create_changelog_view` procedure's surface. */
+private[catalog] class CreateChangelogViewProcedure(catalog: GraftSparkCatalog)
+    extends OneRowProcedure {
+  override def name(): String = "create_changelog_view"
+  override def description(): String =
+    "Create a temp view of row-level changes; identifier_columns pairs them into updates"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("changelog_view", StringType).defaultValue("NULL")
+      .comment("view name; NULL derives `<table>_changes`").build(),
+    ProcedureParameter.in("identifier_columns", StringType).defaultValue("NULL")
+      .comment("comma-separated unique key; set to compute update pre/post images").build(),
+    ProcedureParameter.in("start_snapshot_id", LongType).defaultValue("NULL").build(),
+    ProcedureParameter.in("end_snapshot_id", LongType).defaultValue("NULL").build())
+  protected val outputSchema = StructType(Seq(
+    StructField("changelog_view", StringType, nullable = false)))
+  override def call(input: InternalRow): JIterator[Scan] = {
+    require(!input.isNullAt(0), "create_changelog_view: 'table' is required")
+    val table = input.getUTF8String(0).toString
+    val viewName =
+      if (input.isNullAt(1)) table.split('.').last + "_changes"
+      else input.getUTF8String(1).toString
+    val idCols =
+      if (input.isNullAt(2)) Nil
+      else input.getUTF8String(2).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val start = if (input.isNullAt(3)) None else Some(input.getLong(3))
+    val end = if (input.isNullAt(4)) None else Some(input.getLong(4))
+    val spark = SparkSession.active
+    val base = graft.streaming.Streams.changes(spark,
+      catalog.pathTableLocation(table, "create_changelog_view"), start, end)
+    val df = if (idCols.isEmpty) base else graft.streaming.Streams.computeUpdates(base, idCols)
+    df.createOrReplaceTempView(viewName)
+    oneRow(org.apache.spark.unsafe.types.UTF8String.fromString(viewName))
+  }
+}

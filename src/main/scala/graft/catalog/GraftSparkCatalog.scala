@@ -410,6 +410,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Proced
       case "fast_forward" => new FastForwardProcedure(this)
       case "add_partition_field" => new AddPartitionFieldProcedure(this)
       case "drop_partition_field" => new DropPartitionFieldProcedure(this)
+      case "create_changelog_view" => new CreateChangelogViewProcedure(this)
       case other => throw new RuntimeException(s"Procedure system.$other not found")
     }
   }
@@ -418,7 +419,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Proced
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
       Array("rewrite_data_files", "expire_snapshots", "remove_orphan_files",
         "create_ref", "drop_ref", "rollback_to_snapshot", "set_current_snapshot",
-        "fast_forward", "add_partition_field", "drop_partition_field")
+        "fast_forward", "add_partition_field", "drop_partition_field",
+        "create_changelog_view")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 

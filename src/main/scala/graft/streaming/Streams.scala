@@ -112,6 +112,32 @@ object Streams {
     }
   }
 
+  /** Relabel paired delete+insert rows as updates: within one commit
+    * (`_change_ordinal`) a key that has BOTH a delete and an insert is an
+    * UPDATE — the delete row becomes `update_preimage`, the insert row
+    * `update_postimage` (the Iceberg-Spark `create_changelog_view
+    * (compute_updates)` semantics). `identifierColumns` must uniquely key
+    * rows, as Iceberg requires of its identifier fields.
+    *
+    * Scale shape: one hash shuffle on (key, ordinal) for the window — no
+    * global sort, no driver state. */
+  def computeUpdates(changelog: DataFrame, identifierColumns: Seq[String]): DataFrame = {
+    require(identifierColumns.nonEmpty, "computeUpdates needs at least one identifier column")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(
+      (identifierColumns.map(col) :+ col("_change_ordinal")): _*)
+    changelog
+      .withColumn("_has_ins",
+        max(when(col("_change_type") === "insert", 1).otherwise(0)).over(w))
+      .withColumn("_has_del",
+        max(when(col("_change_type") === "delete", 1).otherwise(0)).over(w))
+      .withColumn("_change_type",
+        when(col("_has_ins") === 1 && col("_has_del") === 1,
+          when(col("_change_type") === "delete", lit("update_preimage"))
+            .otherwise(lit("update_postimage")))
+          .otherwise(col("_change_type")))
+      .drop("_has_ins", "_has_del")
+  }
+
   /** CDC changelog read (the Spark-Iceberg `table_changes` shape): every
     * row-level change on the main ancestry between `fromSnapshotId`
     * (exclusive; None = table creation) and `toSnapshotId` (inclusive),

@@ -139,6 +139,52 @@ class ChangelogSpec extends SparkSpec {
     assert(drop.getInt(0) == 2 && drop.getString(1) == "")
   }
 
+  test("create_changelog_view pairs delete+insert into update pre/post images") {
+    val wh = tmpDir("graft_clv_wh")
+    spark.conf.set("spark.sql.catalog.clvcat", classOf[graft.catalog.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.clvcat.warehouse", wh)
+    val src = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(col("o_orderstatus") === "O")
+    val path = s"$wh/db/orders_u"
+    IcebergTable.write(src, path); val s1 = headId(path)
+    IcebergTable.update(spark, path, "o_orderpriority = '5-LOW'",
+      Map("o_totalprice" -> "o_totalprice + 1"))
+
+    // Without identifier columns: raw delete+insert rows.
+    spark.sql("CALL clvcat.system.create_changelog_view(table => 'db.orders_u', " +
+      s"start_snapshot_id => $s1)")
+    val raw = spark.sql("SELECT _change_type, count(*) AS n FROM orders_u_changes GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val touched = src.filter(col("o_orderpriority") === "5-LOW").count()
+    assert(raw == Map("insert" -> touched, "delete" -> touched), s"got $raw")
+
+    // With identifier columns: the same rows, relabelled as an update pair.
+    spark.sql("CALL clvcat.system.create_changelog_view(table => 'db.orders_u', " +
+      s"changelog_view => 'orders_u_cdc', identifier_columns => 'o_orderkey', " +
+      s"start_snapshot_id => $s1)")
+    val upd = spark.sql("SELECT _change_type, count(*) AS n FROM orders_u_cdc GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(upd == Map("update_preimage" -> touched, "update_postimage" -> touched), s"got $upd")
+    // Post-image prices are exactly pre-image + 1, per key.
+    val delta = spark.sql(
+      """SELECT count(*) AS n FROM orders_u_cdc pre JOIN orders_u_cdc post
+        |  ON pre.o_orderkey = post.o_orderkey
+        | WHERE pre._change_type = 'update_preimage'
+        |   AND post._change_type = 'update_postimage'
+        |   AND abs(post.o_totalprice - pre.o_totalprice - 1) < 1e-6""".stripMargin)
+      .head.getLong(0)
+    assert(delta == touched, s"expected $touched matched update pairs, got $delta")
+
+    // Full-history view: initial inserts stay plain inserts (no delete to
+    // pair with in ordinal 0), update pair appears in ordinal 1.
+    spark.sql("CALL clvcat.system.create_changelog_view(table => 'db.orders_u', " +
+      "changelog_view => 'orders_u_all', identifier_columns => 'o_orderkey')")
+    val all = spark.sql("SELECT _change_type, count(*) AS n FROM orders_u_all GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(all == Map("insert" -> src.count(),
+      "update_preimage" -> touched, "update_postimage" -> touched), s"got $all")
+  }
+
   test("changelog sees v3 deletion-vector and equality deletes") {
     val src = spark.read.parquet(s"$sfDir/customer.parquet")
     val path = tmpDir("graft_cdc_v3")
