@@ -245,7 +245,7 @@ object IcebergTable {
         entries.map { e =>
           Row(m.path, m.sequenceNumber, if (m.content == 1) "DELETE" else "DATA",
             e.status match { case 0 => "EXISTING"; case 1 => "ADDED"; case _ => "DELETED" },
-            e.dataFile.content match { case 0 => "EXISTING"; case 1 => "POSITION_DELETES"; case _ => "EQUALITY_DELETES" },
+            e.dataFile.content match { case 0 => "DATA"; case 1 => "POSITION_DELETES"; case _ => "EQUALITY_DELETES" },
             e.dataFile.filePath, e.dataFile.fileFormat, e.dataFile.recordCount,
             e.dataFile.fileSizeInBytes, e.sequenceNumber.getOrElse(0L), e.fileSequenceNumber.getOrElse(0L))
         }
