@@ -61,16 +61,20 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench-warmup] $name: ${e.getMessage}") }
       cleanup()
     }
+    // A failed query records -1, never its time-to-crash — an
+    // AnalysisException in 64ms must not read as a fast query.
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
+      val sec =
+        try { SparkEntry.queries(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0
+        }
       cleanup()
       name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""":${v}%.3f""" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -402,12 +402,15 @@ object SparkEntry {
 
     "q_sessionize" -> ((s, dir) => {
       graft.read.IcebergRead.ensureConfs(s)
-      // events.ts reads as nanosecond longs; 30-minute session gap.
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      pq(s, dir, "events")
-        .withColumn("gap_ns", col("ts") - lag(col("ts"), 1).over(w))
+      // 30-minute session gap; ts normalized to epoch micros whatever the
+      // fixture's physical type (ns-long or timestamp[us]).
+      val raw = pq(s, dir, "events")
+      val events = raw.withColumn("ts_us", graft.core.EventTime.asMicros(raw, "ts"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      events
+        .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
         .groupBy("user_id")
-        .agg((lit(1) + sum(when(col("gap_ns") > 1800000000000L, 1).otherwise(0)))
+        .agg((lit(1) + sum(when(col("gap_us") > 1800000000L, 1).otherwise(0)))
           .cast("long").as("sessions"))
     }),
 

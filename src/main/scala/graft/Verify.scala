@@ -19,12 +19,22 @@ object Verify {
     // Optional comma-separated query filter for local iteration (same
     // contract as Bench).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // A query that throws must NOT vanish from the correctness report (a
+    // round-6 regression was hidden exactly that way): write a one-row
+    // parquet whose schema/hash can never match any oracle, carrying the
+    // error message, so the driver surfaces a loud mismatch for that name.
+    val failed = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          System.err.println(s"[verify] $name FAILED: $msg")
+          failed += name -> msg
+          import spark.implicits._
+          Seq(s"QUERY FAILED: ${msg.take(500)}").toDF("_graft_query_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -42,6 +52,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Machine-readable failure roster alongside the dumps (empty = clean).
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"),
+      failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} quer${if (failed.size == 1) "y" else "ies"} failed: " +
+        failed.map(_._1).mkString(", "))
     spark.stop()
   }
 }

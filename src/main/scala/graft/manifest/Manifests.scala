@@ -201,7 +201,12 @@ object ManifestIO {
   /** Read manifest entries. `manifest` supplies inherited values: sequence
     * number for ADDED entries with null seq (v2+ inheritance), snapshot id.
     * `path` is the resolved (possibly moved) location of the manifest. */
+  /** Test probe: manifest files opened since JVM start (driver-side planning
+    * cost — the thing plan memoization is meant to bound). */
+  val manifestReads = new java.util.concurrent.atomic.AtomicLong(0)
+
   def readManifest(path: String, conf: Configuration, manifest: ManifestFile): Seq[ManifestEntry] = {
+    manifestReads.incrementAndGet()
     val rd = reader(path, conf)
     try {
       rd.iterator().asScala.map { r =>

@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.core._
 import graft.manifest.ManifestIO
-import graft.read.{IcebergRead, ReadOptions}
+import graft.read.{IcebergRead, ReadOptions, ScanPlan}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamReader
@@ -171,8 +171,20 @@ object Streams {
     require(cur == fromSnapshotId || fromSnapshotId.isEmpty,
       s"Snapshot ${fromSnapshotId.get} is not an ancestor of $toSnapshotId")
 
-    def planAt(id: Long) = IcebergRead.planWithMetadata(spark, meta, conf,
-      ReadOptions(snapshotId = Some(id)))
+    // Memoize the single most recent plan: walking the chain, snapshot s's
+    // plan IS the next iteration's parent plan, so without this every
+    // commit in a long history is planned twice (2× driver manifest IO —
+    // the dominant changelog cost on a 10k-commit table). One entry, not a
+    // map: O(1) memory on arbitrarily long histories.
+    var memo: Option[(Long, ScanPlan)] = None
+    def planAt(id: Long): ScanPlan = memo match {
+      case Some((mid, p)) if mid == id => p
+      case _ =>
+        val p = IcebergRead.planWithMetadata(spark, meta, conf,
+          ReadOptions(snapshotId = Some(id)))
+        memo = Some((id, p))
+        p
+    }
     def tag(df: DataFrame, change: String, snap: SnapshotInfo, ordinal: Int): DataFrame =
       df.withColumn("_change_type", lit(change))
         .withColumn("_commit_snapshot_id", lit(snap.snapshotId))
@@ -187,8 +199,10 @@ object Streams {
       val p = prev
       prev = Some(s)
       if (s.operation != "replace") {
-        val planS = planAt(s.snapshotId)
+        // Parent first: it is the memoized plan from the previous iteration;
+        // planning s afterwards refills the memo for the next one.
         val planP = p.map(x => planAt(x.snapshotId))
+        val planS = planAt(s.snapshotId)
         val pPaths = planP.map(_.dataFiles.map(_.resolvedPath).toSet).getOrElse(Set.empty)
         val sPaths = planS.dataFiles.map(_.resolvedPath).toSet
 
@@ -261,15 +275,13 @@ object Streams {
 
   /** Watermarked tumbling-window aggregation — the canonical streaming shape
     * (event-time window + late-data bound). Works on both streaming and
-    * batch frames. Nanosecond-long event times (parquet TIMESTAMP(NANOS)
-    * read with `spark.sql.legacy.parquet.nanosAsLong`) are converted to
-    * microsecond timestamps first. */
+    * batch frames. Event times are normalized to a session-timezone
+    * TIMESTAMP via [[graft.core.EventTime]] — `withWatermark` rejects both
+    * LONG and TIMESTAMP_NTZ event-time columns, and the driver fixture has
+    * shipped as each at different times. */
   def windowedEventCounts(events: DataFrame, tsCol: String, window: String = "1 hour",
       watermark: String = "2 hours"): DataFrame = {
-    val tsTyped =
-      if (events.schema(tsCol).dataType == org.apache.spark.sql.types.LongType)
-        events.withColumn(tsCol, timestamp_micros(floor(col(tsCol) / 1000).cast("long")))
-      else events
+    val tsTyped = events.withColumn(tsCol, graft.core.EventTime.asTimestamp(events, tsCol))
     val withWm =
       if (tsTyped.isStreaming) tsTyped.withWatermark(tsCol, watermark) else tsTyped
     withWm

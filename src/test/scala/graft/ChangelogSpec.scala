@@ -185,6 +185,33 @@ class ChangelogSpec extends SparkSpec {
       "update_preimage" -> touched, "update_postimage" -> touched), s"got $all")
   }
 
+  test("changesBetween plans each snapshot once, not twice (manifest-read probe)") {
+    import graft.manifest.ManifestIO
+    val src = spark.read.parquet(s"$sfDir/region.parquet")
+    val path = tmpDir("graft_cdc_memo")
+    IcebergTable.write(src, path)
+    (1 to 5).foreach(_ => IcebergTable.append(src, path))
+    val head = headId(path)
+    val meta = TableMetadata.load(path, hconf)
+    val chainIds = meta.snapshots.map(_.snapshotId)
+
+    // Baseline: manifest reads to plan every snapshot in the chain exactly
+    // once — the information-theoretic floor for a full-history changelog.
+    val before = ManifestIO.manifestReads.get()
+    chainIds.foreach(id => IcebergTable.plan(spark, path,
+      graft.read.ReadOptions(snapshotId = Some(id))))
+    val baseline = ManifestIO.manifestReads.get() - before
+
+    val t0 = ManifestIO.manifestReads.get()
+    Streams.changesBetween(spark, path, None, head).count()
+    val used = ManifestIO.manifestReads.get() - t0
+    // Unmemoized walking reads ~2x baseline (each commit plans s AND s-1);
+    // the single-entry memo must keep it at the floor.
+    assert(used <= baseline,
+      s"changelog read $used manifests for a chain whose one-pass floor is $baseline " +
+        "— adjacent-plan memoization regressed")
+  }
+
   test("changelog sees v3 deletion-vector and equality deletes") {
     val src = spark.read.parquet(s"$sfDir/customer.parquet")
     val path = tmpDir("graft_cdc_v3")

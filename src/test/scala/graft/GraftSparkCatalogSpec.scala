@@ -254,11 +254,12 @@ class GraftSparkCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     val meta = graft.core.TableMetadata.load(s"$wh/db/events_p", spark.sessionState.newHadoopConf())
     assert(meta.specs.head.fields.map(_.transform.toString) == Seq("month", "bucket[4]"))
 
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val eventsRaw = spark.read.parquet(s"$sfDir/events.parquet")
       .select("event_id", "user_id", "ts", "event_type")
-      // ts arrives as nanosecond longs (legacy.parquet.nanosAsLong) — make
-      // it the TIMESTAMP the created schema declares
-      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000).cast("long")))
+    // make ts the TIMESTAMP the created schema declares, whatever the
+    // fixture's physical type
+    val events = eventsRaw
+      .withColumn("ts", graft.core.EventTime.asTimestamp(eventsRaw, "ts"))
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     IcebergTable.append(events, s"$wh/db/events_p")
     assertSameResult(spark.sql("SELECT * FROM ptncat.db.events_p"), events)
