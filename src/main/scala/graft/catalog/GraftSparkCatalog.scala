@@ -46,16 +46,31 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Proced
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     warehouse = Option(options.get("warehouse")).map(_.stripSuffix("/"))
-    rest = Option(options.get("uri")).map { uri =>
+    // AWS convenience (reference endpoint_type, iceberg_attach.cpp:14-175):
+    // `endpoint-type=glue` with `warehouse` a Glue catalog id, or
+    // `endpoint-type=s3_tables` with `warehouse` a table-bucket ARN,
+    // synthesizes the REST endpoint and SigV4 signing scope. An explicit
+    // `uri` overrides the synthesized endpoint but keeps the service/region.
+    val aws = Option(options.get("endpoint-type")).map { et =>
+      require(options.get("token") == null && options.get("credential") == null,
+        "'endpoint-type' cannot be combined with bearer/OAuth2 auth — AWS endpoints use SigV4")
+      val wh = Option(options.get("warehouse")).getOrElse(throw new IllegalArgumentException(
+        s"'endpoint-type=$et' requires a 'warehouse' (Glue catalog id or S3 Tables ARN)"))
+      warehouse = None // it's a catalog id, not a filesystem path
+      AwsEndpoints.resolve(et, wh,
+        Option(options.get("sigv4.region")).orElse(Option(options.get("client.region"))))
+    }
+    val uriOpt = Option(options.get("uri")).orElse(aws.map(_.endpoint))
+    rest = uriOpt.map { uri =>
       val sigv4 = Option(options.get("sigv4.access-key")).map { ak =>
         SigV4Credentials(ak,
           Option(options.get("sigv4.secret-key")).getOrElse(""),
-          Option(options.get("sigv4.region")).getOrElse("us-east-1"),
-          Option(options.get("sigv4.service")).getOrElse("execute-api"),
+          Option(options.get("sigv4.region")).orElse(aws.map(_.region)).getOrElse("us-east-1"),
+          Option(options.get("sigv4.service")).orElse(aws.map(_.service)).getOrElse("execute-api"),
           Option(options.get("sigv4.session-token")))
       }
       new RestCatalog(uri, CatalogOptions(
-        warehouse = Option(options.get("rest-warehouse")),
+        warehouse = Option(options.get("rest-warehouse")).orElse(aws.map(_.warehouse)),
         token = Option(options.get("token")),
         oauth2ServerUri = Option(options.get("oauth2-server-uri")),
         clientId = Option(options.get("credential")).map(_.split(":")(0))

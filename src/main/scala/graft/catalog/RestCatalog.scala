@@ -386,6 +386,7 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
       readOpts: ReadOptions = ReadOptions()): DataFrame = {
     val t = loadTable(ns, name)
     val conf = applyVendedCredentials(spark.sessionState.newHadoopConf(), t.config)
+    RestCatalog.lastScanConf = Some(conf)
     IcebergRead.loadWithMetadata(spark, t.metadata, conf, readOpts)
   }
 
@@ -503,4 +504,12 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
     }
     throw new IllegalStateException(s"Commit failed after ${opts.maxCommitRetries} retries", lastErr)
   }
+}
+
+object RestCatalog {
+  /** Test probe: the Hadoop conf (with vended credentials applied) that the
+    * most recent catalog-routed scan actually used — lets tests assert the
+    * LoadTableResult `config` reached the executors' FileIO, not just that
+    * the mapping function works in isolation. */
+  @volatile var lastScanConf: Option[org.apache.hadoop.conf.Configuration] = None
 }

@@ -14,6 +14,55 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
   override def beforeAll(): Unit = server.start()
   override def afterAll(): Unit = server.stop()
 
+  test("AWS endpoint synthesis: Glue catalog ids and S3 Tables ARNs") {
+    import graft.catalog.AwsEndpoints
+    // Glue: all five documented warehouse formats pass the sanity check.
+    for (wh <- Seq(":", "123456789012", "123456789012:cat", "a/b", "123456789012:a/b")) {
+      val g = AwsEndpoints.forGlue(wh, "eu-west-1")
+      assert(g.endpoint == "https://glue.eu-west-1.amazonaws.com/iceberg")
+      assert(g.service == "glue" && g.region == "eu-west-1" && g.warehouse == wh)
+    }
+    // Invalid Glue formats are rejected loudly.
+    for (bad <- Seq("", "12345", "a:b:c", "123456789012:a:b", "a/b/c:"))
+      intercept[IllegalArgumentException](AwsEndpoints.forGlue(bad, "us-east-2"))
+    intercept[IllegalArgumentException](AwsEndpoints.forGlue(":", "")) // region required
+
+    // S3 Tables: region comes from the ARN.
+    val arn = "arn:aws:s3tables:us-west-2:123456789012:bucket/my-table-bucket"
+    val s3t = AwsEndpoints.forS3Tables(arn)
+    assert(s3t.endpoint == "https://s3tables.us-west-2.amazonaws.com/iceberg")
+    assert(s3t.service == "s3tables" && s3t.region == "us-west-2" && s3t.warehouse == arn)
+    // Malformed / regionless ARNs fail with the section named.
+    intercept[IllegalArgumentException](
+      AwsEndpoints.forS3Tables("arn:aws:s3tables::123456789012:bucket/b")) // empty region
+    intercept[IllegalArgumentException](AwsEndpoints.forS3Tables("not-an-arn"))
+    intercept[IllegalArgumentException](
+      AwsEndpoints.forS3Tables("arn:aws:s3tables:us-east-1:123456789012:")) // empty resource
+
+    // Dispatch: unknown endpoint-type lists the accepted options.
+    val e = intercept[IllegalArgumentException](AwsEndpoints.resolve("dynamo", ":", None))
+    assert(e.getMessage.contains("glue") && e.getMessage.contains("s3_tables"))
+
+    // Catalog wiring: endpoint-type synthesizes the URI + SigV4 scope; a
+    // bearer token alongside it is refused (reference: "'endpoint_type' can
+    // not be combined with 'authorization_type'").
+    val cat = new graft.catalog.GraftSparkCatalog
+    cat.initialize("glue", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("endpoint-type", "glue", "warehouse", "123456789012:cat",
+        "sigv4.region", "ap-south-1", "sigv4.access-key", "AK", "sigv4.secret-key", "SK")))
+    intercept[IllegalArgumentException] {
+      new graft.catalog.GraftSparkCatalog().initialize("bad",
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Map.of("endpoint-type", "glue", "warehouse", ":", "token", "t",
+            "sigv4.region", "us-east-1")))
+    }
+    intercept[IllegalArgumentException] {
+      new graft.catalog.GraftSparkCatalog().initialize("bad2",
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Map.of("endpoint-type", "glue"))) // no warehouse
+    }
+  }
+
   test("oauth2 + config + namespace lifecycle") {
     assert(catalog.config()("warehouse") == "memory")
     catalog.createNamespace(Seq("db"), Map("owner" -> "graft"))
@@ -136,6 +185,36 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     // the cached client's OWN write invalidates: read-your-writes holds
     cached.appendDF(region, Seq("stale"), "r")
     assert(cached.loadTable(Seq("stale"), "r").metadata.snapshots.size == 2)
+  }
+
+  test("vended credentials flow end-to-end: LoadTableResult config reaches the scan's FileIO conf") {
+    catalog.createNamespace(Seq("vend"))
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+    catalog.createTable(Seq("vend"), "r", IcebergTypes.fromSpark(region.schema), tmpDir("vend_r"))
+    catalog.appendDF(region, Seq("vend"), "r")
+    server.vendedConfig = Map(
+      "s3.access-key-id" -> "VENDED_AK",
+      "s3.secret-access-key" -> "VENDED_SK",
+      "s3.session-token" -> "VENDED_TOKEN",
+      "s3.endpoint" -> "https://s3.test.example",
+      "client.region" -> "eu-central-1")
+    try {
+      graft.catalog.RestCatalog.lastScanConf = None
+      val df = catalog.loadDF(spark, Seq("vend"), "r")
+      assert(df.count() == region.count(), "scan through vended-creds path must still read")
+      val conf = graft.catalog.RestCatalog.lastScanConf
+        .getOrElse(fail("catalog scan did not record its Hadoop conf"))
+      assert(conf.get("fs.s3a.access.key") == "VENDED_AK")
+      assert(conf.get("fs.s3a.secret.key") == "VENDED_SK")
+      assert(conf.get("fs.s3a.session.token") == "VENDED_TOKEN")
+      assert(conf.get("fs.s3a.endpoint") == "https://s3.test.example")
+      assert(conf.get("fs.s3a.endpoint.region") == "eu-central-1")
+      // session token implies the temporary-credentials provider
+      assert(conf.get("fs.s3a.aws.credentials.provider")
+        .contains("TemporaryAWSCredentialsProvider"))
+      // the vended conf is per-scan: the session's own conf stays clean
+      assert(spark.sessionState.newHadoopConf().get("fs.s3a.access.key") != "VENDED_AK")
+    } finally server.vendedConfig = Map.empty
   }
 
   test("rename + drop table") {

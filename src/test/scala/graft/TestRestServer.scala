@@ -41,11 +41,16 @@ class TestRestServer {
     ex.close()
   }
 
+  /** When non-empty, served in every LoadTableResult `config` — simulates a
+    * catalog vending scoped storage credentials per table. */
+  @volatile var vendedConfig: Map[String, String] = Map.empty
+
   private def loadResult(meta: TableMetadata): String = {
     val o = F.objectNode()
     o.put("metadata-location", s"${meta.location}/metadata/v-rest.metadata.json")
     o.set[JsonNode]("metadata", mapper.readTree(TableMetadata.toJson(meta)))
-    o.putObject("config")
+    val cfg = o.putObject("config")
+    vendedConfig.foreach { case (k, v) => cfg.put(k, v) }
     mapper.writeValueAsString(o)
   }
 
