@@ -32,8 +32,11 @@ object PredOp {
   case class In(values: Seq[Any]) extends PredOp
 }
 
-/** One conjunct: column `name` `op` `value` (value in internal form). */
-case class ColumnPredicate(name: String, op: PredOp, value: Any)
+/** One conjunct: column `name` `op` `value` (value in internal form).
+  * `variantPath` is set for `variant_get(name, path)` predicates on variant
+  * columns — the normalized Iceberg bounds key (`$['age']`) to prune on. */
+case class ColumnPredicate(name: String, op: PredOp, value: Any,
+    variantPath: Option[String] = None)
 
 object Pruning {
 
@@ -85,12 +88,32 @@ object Pruning {
     case _ => None
   }
 
+  /** `variant_get(col, '$.path' [, type])` / `try_variant_get(...)` →
+    * (column, normalized bounds key). Cast wrappers unwrap like attrName. */
+  private def variantRef(e: Expression): Option[(String, String)] = e match {
+    case Cast(c, _, _, _) => variantRef(c)
+    case f: UnresolvedFunction
+        if Seq("variant_get", "try_variant_get").contains(f.nameParts.last.toLowerCase) =>
+      f.arguments match {
+        case Seq(col, Literal(path: UTF8String, _), _*) =>
+          attrName(col).flatMap(n => VariantBounds.normalizePath(path.toString).map((n, _)))
+        case _ => None
+      }
+    case _ => None
+  }
+
   private def cmp(l: Expression, r: Expression, fwd: PredOp, rev: PredOp): Option[ColumnPredicate] =
     (attrName(l), litVal(r)) match {
       case (Some(n), Some(v)) => Some(ColumnPredicate(n, fwd, v))
       case _ => (attrName(r), litVal(l)) match {
         case (Some(n), Some(v)) => Some(ColumnPredicate(n, rev, v))
-        case _ => None
+        case _ => (variantRef(l), litVal(r)) match {
+          case (Some((n, p)), Some(v)) => Some(ColumnPredicate(n, fwd, v, Some(p)))
+          case _ => (variantRef(r), litVal(l)) match {
+            case (Some((n, p)), Some(v)) => Some(ColumnPredicate(n, rev, v, Some(p)))
+            case _ => None
+          }
+        }
       }
     }
 
@@ -267,21 +290,44 @@ object Pruning {
   }
 
   /** Per-file stats pruning over lower/upper bounds + null/value counts
-    * (reference FileMatchesFilter). */
+    * (reference FileMatchesFilter; variant branch
+    * iceberg_file_pruner.cpp:117-135). */
   def fileStatsMatch(preds: Seq[ColumnPredicate], schema: IcebergSchema, df: DataFileInfo): Boolean = {
     preds.forall { p =>
       schema.fields.find(_.name == p.name).forall { sf =>
         val id = sf.id
-        val lower = df.lowerBounds.get(id).map(SingleValue.deserialize(_, sf.fieldType))
-        val upper = df.upperBounds.get(id).map(SingleValue.deserialize(_, sf.fieldType))
         val nullCount = df.nullValueCounts.get(id)
         val valueCount = df.valueCounts.get(id)
         val mayContainNull = nullCount.forall(_ > 0)
         val allNull = (for (n <- nullCount; v <- valueCount) yield n >= v && v > 0).getOrElse(false)
-        boundsMatch(p.op, p.value, lower, upper, mayContainNull, allNull)
+        sf.fieldType match {
+          case IcebergTypes.VariantT =>
+            p.variantPath match {
+              case Some(path) =>
+                // Bounds blob is an object keyed by shredded-field JSON path;
+                // a missing key (field not shredded in this file) = unknown.
+                val lower = df.lowerBounds.get(id).flatMap(b => VariantBounds.decode(b).get(path))
+                val upper = df.upperBounds.get(id).flatMap(b => VariantBounds.decode(b).get(path))
+                // allNull applies to the whole column, not the sub-field.
+                boundsMatch(p.op, p.value, lower, upper, mayContainNull = true, allNull = false)
+              case None =>
+                // Whole-variant predicate: only nullability is decidable.
+                boundsMatch(p.op, p.value, None, None, mayContainNull, allNull)
+            }
+          case _ if p.variantPath.isDefined => true // path predicate on a non-variant column
+          case t =>
+            val lower = df.lowerBounds.get(id).flatMap(b => safeDeserialize(b, t))
+            val upper = df.upperBounds.get(id).flatMap(b => safeDeserialize(b, t))
+            boundsMatch(p.op, p.value, lower, upper, mayContainNull, allNull)
+        }
       }
     }
   }
+
+  /** Bounds of types the serde doesn't cover (struct/list/map) must read as
+    * unknown, not crash the planner. */
+  private def safeDeserialize(bytes: Array[Byte], t: IcebergType): Option[Any] =
+    try Option(SingleValue.deserialize(bytes, t)) catch { case _: Exception => None }
 
   // ---------- manifest-level pruning ----------
 
