@@ -254,6 +254,18 @@ object IcebergTable {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
+  /** Human-readable bound rendering for the stats tables: internal values
+    * surface the way the reference prints them (dates as `2024-01-01`, not
+    * days-since-epoch; timestamps as `yyyy-MM-dd HH:mm:ss...`). */
+  private def renderBound(bytes: Array[Byte], t: graft.core.IcebergType): String = {
+    val v = SingleValue.toSparkValue(SingleValue.deserialize(bytes, t), t)
+    v match {
+      case ldt: java.time.LocalDateTime => ldt.toString.replace('T', ' ')
+      case i: java.time.Instant => i.toString.replace('T', ' ').stripSuffix("Z")
+      case other => String.valueOf(other)
+    }
+  }
+
   /** `iceberg_column_stats(path)` (reference iceberg_column_stats.cpp). */
   def columnStats(spark: SparkSession, path: String, opts: ReadOptions = ReadOptions()): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
@@ -276,7 +288,7 @@ object IcebergTable {
       ids.flatMap { id =>
         p.schema.idToField.get(id).map { f =>
           def b(m: Map[Int, Array[Byte]]): String =
-            m.get(id).map(bytes => String.valueOf(SingleValue.deserialize(bytes, f.fieldType))).orNull
+            m.get(id).map(bytes => renderBound(bytes, f.fieldType)).orNull
           Row(pf.recordedPath,
             pf.info.content match { case 0 => "DATA"; case 1 => "POSITION_DELETES"; case _ => "EQUALITY_DELETES" },
             f.name, f.fieldType.typeJsonString,
@@ -315,7 +327,7 @@ object IcebergTable {
           spec.fields.lift(i).map { pf =>
             val t = sch.idToField.get(pf.sourceId).map(f => pf.transform.resultType(f.fieldType))
             def b(x: Option[Array[Byte]]): String =
-              (for (tt <- t; bytes <- x) yield String.valueOf(SingleValue.deserialize(bytes, tt))).orNull
+              (for (tt <- t; bytes <- x) yield renderBound(bytes, tt)).orNull
             Row(m.path, if (m.content == 1) "DELETE" else "DATA", m.addedSnapshotId,
               m.partitionSpecId, pf.name, pf.fieldId, summ.containsNull,
               b(summ.lowerBound), b(summ.upperBound))
