@@ -45,10 +45,10 @@ object IcebergTypes {
     def toSpark = DecimalType(precision, scale); def typeJsonString = s"decimal($precision, $scale)"
   }
   case object UnknownT extends IcebergType { def toSpark = NullType; def typeJsonString = "unknown" }
-  /** Iceberg v3 variant — Spark 4 VariantType; pruning is conservative
-    * (always-match) since bounds use the rekeyed encoding we don't model
-    * (reference iceberg_column_definition.cpp:142-144,
-    * iceberg_file_pruner.cpp:117-135). */
+  /** Iceberg v3 variant — Spark 4 VariantType. `variant_get` predicates
+    * prune on shredded-field bounds (read.VariantBounds, mirroring
+    * reference iceberg_file_pruner.cpp:117-135); other predicates stay
+    * conservative (reference iceberg_column_definition.cpp:142-144). */
   case object VariantT extends IcebergType { def toSpark = VariantType; def typeJsonString = "variant" }
   /** WKB-encoded geometry/geography with an optional CRS parameter —
     * `geometry(<crs>)` / `geography(<crs>)` (v3 spec; reference
@@ -77,6 +77,10 @@ object IcebergTypes {
         case GeometryT(crs, geography) =>
           mb.putString("iceberg.type", if (geography) "geography" else "geometry")
           crs.foreach(c => mb.putString("iceberg.crs", c))
+        // Spark has no TIME type: the column reads as LongType micros, and
+        // this marker preserves the intent so round-trips re-declare `time`
+        // (and users can format via IcebergTypes.formatTimeMicros).
+        case TimeT => mb.putString("iceberg.type", "time")
         case _ =>
       }
       StructField(name, fieldType.toSpark, nullable = !required, metadata = mb.build())
@@ -233,10 +237,22 @@ object IcebergTypes {
     // the common fresh-assignment layout.
     val topIds = schema.fields.map(_ => alloc())
     val fields = schema.fields.toSeq.zip(topIds.toSeq).map { case (sf, id) =>
-      NestedField(id, sf.name, required = !sf.nullable, conv(sf.dataType))
+      // An `iceberg.type=time` marker (set by NestedField.toSpark when a
+      // time column surfaced as micros LONG) re-declares `time` on write —
+      // intent survives the Spark round-trip.
+      val t =
+        if (sf.dataType == LongType && sf.metadata.contains("iceberg.type")
+          && sf.metadata.getString("iceberg.type") == "time") TimeT
+        else conv(sf.dataType)
+      NestedField(id, sf.name, required = !sf.nullable, t)
     }
     IcebergSchema(0, StructT(fields), lastColumnId = nextId)
   }
+
+  /** Render a `time` column's microsecond value as HH:mm:ss[.ffffff] — the
+    * formatting companion to the LongType-micros surface mapping. */
+  def formatTimeMicros(micros: Long): String =
+    java.time.LocalTime.ofNanoOfDay(micros * 1000L).toString
 }
 
 /** A versioned Iceberg schema: struct + schema-id. */

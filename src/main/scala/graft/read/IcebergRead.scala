@@ -581,7 +581,10 @@ object IcebergRead {
               df = df.withColumn(path.head, col(path.head).withField(path.tail.mkString("."), v))
           }
         }
-        val cols = sparkSchema.fieldNames.map(col) ++
+        // Re-attach the table schema's column metadata (field ids plus the
+        // iceberg.type/crs intent markers for time/geometry surfaces) —
+        // the physical read + withColumn fills above don't carry it.
+        val cols = sparkSchema.fields.map(sf => col(sf.name).as(sf.name, sf.metadata)).toSeq ++
           (if (needLineage) Seq(col("_g_mat_row_id"), col("_g_mat_seq")) else Nil) ++
           (if (needMeta) Seq(col("_g_path"), col("_g_pos")) else Nil)
         df.select(cols.toIndexedSeq: _*)

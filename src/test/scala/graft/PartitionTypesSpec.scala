@@ -51,6 +51,27 @@ class PartitionTypesSpec extends SparkSpec {
     assert(userIdsWhere(path, "partition_col = TIMESTAMP '2023-05-15 14:30:45'") == Seq(12345L))
   }
 
+  test("partition_time: time surfaces as micros LONG with iceberg.type=time metadata (identity_time.test:12-21)") {
+    import graft.core.IcebergTypes
+    val path = s"$P/partition_time/default.db/partition_time"
+    val df = IcebergTable.load(spark, path)
+    // Documented surface: LongType micros + intent marker in column metadata.
+    val f = df.schema("partition_col")
+    assert(f.dataType == org.apache.spark.sql.types.LongType)
+    assert(f.metadata.getString("iceberg.type") == "time")
+    // Values format back to the reference's expected wall-clock strings.
+    val byUser = df.collect()
+      .map(r => r.getAs[Number](df.schema.fieldIndex("user_id")).longValue() ->
+        IcebergTypes.formatTimeMicros(r.getAs[Long]("partition_col"))).toMap
+    assert(byUser(12345L) == "12:34:56")
+    assert(byUser(67890L) == "08:21:09")
+    // Round-trip: deriving an Iceberg schema from the Spark schema
+    // re-declares `time`, not `long`.
+    val derived = IcebergTypes.fromSpark(df.schema)
+    assert(derived.fields.find(_.name == "partition_col").get.fieldType == IcebergTypes.TimeT)
+    assert(IcebergTypes.formatTimeMicros(45296000000L + 123456L) == "12:34:56.123456")
+  }
+
   test("partition_float / partition_double / partition_timestamptz load and count") {
     for (t <- Seq(s"$P/partition_float", s"$P/partition_double",
         s"$P/partition_timestamptz/default.db/partition_timestamptz")) {
