@@ -154,6 +154,10 @@ private[graft] class GraftTable(path: String, tableSchema: StructType,
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+  // Table construction happens at analysis time — early enough that the
+  // stats rule is in the optimizer's batch list when THIS query optimizes
+  // (registering at scan-build time is too late: pushdown runs mid-batch).
+  GraftScanStatistics.register(SparkSession.active)
   override def name(): String = displayName.getOrElse(s"graft.`$path`")
   override def schema(): StructType = tableSchema
   /** Table location, for the SQL DML rewrite (graft.catalog.GraftSparkExtensions). */
@@ -257,43 +261,132 @@ private[sources] class GraftScanBuilder(path: String, tableSchema: StructType, o
 
 private[sources] class GraftScan(path: String, required: StructType,
     pushed: Array[Filter], opts: ReadOptions,
-    preloaded: Option[TableMetadata] = None) extends V1Scan {
+    preloaded: Option[TableMetadata] = None)
+    extends V1Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   private val filterSql: Option[String] = {
     val parts = pushed.flatMap(FilterSql.convert)
     if (parts.isEmpty) None else Some(parts.map(p => s"($p)").mkString(" AND "))
   }
   private val needLineage = required.fieldNames.exists(GraftTable.LineageColumns.contains)
+  private val effOpts =
+    opts.copy(filterSql = filterSql, withRowLineage = opts.withRowLineage || needLineage)
   override def readSchema(): StructType = required
+
+  /** Planned once, at whichever comes first of stats estimation (Catalyst
+    * optimization) and execution — manifests are not re-read for the other. */
+  private[sources] lazy val plannedOnce: ScanPlan = {
+    val spark = SparkSession.active
+    IcebergRead.ensureConfs(spark)
+    val conf = spark.sessionState.newHadoopConf()
+    preloaded match {
+      case Some(m) => IcebergRead.planWithMetadata(spark, m, conf, effOpts)
+      case None => IcebergRead.plan(spark, path, effOpts)
+    }
+  }
+
+  /** Accurate post-pruning size/row estimates from manifest stats, so join
+    * planning sees real table sizes instead of falling back to conservative
+    * defaults — at scale this is what lets a filtered dimension broadcast
+    * and prevents a fact table from ever being elected as a build side.
+    * Row count is omitted under merge-on-read deletes (counts would
+    * overestimate) — size still bounds the broadcast decision safely. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val p = plannedOnce
+    val bytes = p.dataFiles.map(_.info.fileSizeInBytes).sum
+    val rows = p.dataFiles.map(_.info.recordCount).sum
+    val hasDeletes = p.deleteFiles.nonEmpty
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        if (hasDeletes) java.util.OptionalLong.empty() else java.util.OptionalLong.of(rows)
+    }
+  }
+
   override def description(): String =
     s"GraftIcebergScan path=$path pushed=[${filterSql.getOrElse("")}] columns=[${required.fieldNames.mkString(",")}]"
 
   override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
-    new GraftRelation(context, path, required,
-      opts.copy(filterSql = filterSql, withRowLineage = opts.withRowLineage || needLineage),
-      preloaded).asInstanceOf[T]
+    new GraftRelation(context, required, effOpts, this).asInstanceOf[T]
 }
 
-private[sources] class GraftRelation(context: SQLContext, path: String,
+private[sources] class GraftRelation(context: SQLContext,
     required: StructType, opts: ReadOptions,
-    preloaded: Option[TableMetadata] = None) extends BaseRelation with TableScan {
+    scan: GraftScan) extends BaseRelation with TableScan {
   override def sqlContext: SQLContext = context
   override def schema: StructType = required
   override def toString: String =
-    s"GraftIcebergScan path=$path pushed=[${opts.filterSql.getOrElse("")}] columns=[${required.fieldNames.mkString(",")}]"
+    s"GraftIcebergScan pushed=[${opts.filterSql.getOrElse("")}] columns=[${required.fieldNames.mkString(",")}]"
   override def buildScan(): RDD[Row] = {
     val spark = context.sparkSession
     IcebergRead.ensureConfs(spark)
     val conf = spark.sessionState.newHadoopConf()
-    val p: ScanPlan = preloaded match {
-      case Some(m) => IcebergRead.planWithMetadata(spark, m, conf, opts)
-      case None => IcebergRead.plan(spark, path, opts)
-    }
+    val p: ScanPlan = scan.plannedOnce
     GraftDataSource.lastScanFiles = Some((p.dataFiles.size, p.totalDataFiles))
     val df = IcebergRead.assemble(spark, p, conf, opts)
     val projected =
       if (required.fieldNames.isEmpty) df
       else df.select(required.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
     projected.rdd
+  }
+}
+
+/** The V1Scan bridge hides `SupportsReportStatistics` from Catalyst —
+  * `V2ScanRelationPushDown` wraps the scan in a `V1ScanWrapper` that
+  * implements only `Scan`, so `DataSourceV2ScanRelation.computeStats`
+  * falls back to `defaultSizeInBytes` (2^63: "never broadcast me").
+  * [[GraftScanStatistics]] restores manifest-accurate estimates by
+  * swapping the wrapper for this stats-capable subclass.
+  *
+  * `canEqual` is overridden to break case-class equality with the plain
+  * wrapper: `TreeNode.mapChildren` keeps the OLD child whenever the new
+  * one compares `==`-equal, which would silently discard the swap. */
+private[graft] class GraftStatsV1ScanWrapper(
+    val graftScan: GraftScan,
+    handledFilters: Seq[Filter],
+    pushedDownOperators: org.apache.spark.sql.execution.datasources.v2.PushedDownOperators)
+  extends org.apache.spark.sql.execution.datasources.v2.V1ScanWrapper(
+    graftScan, handledFilters, pushedDownOperators)
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    graftScan.estimateStatistics()
+  // Unequal to the plain wrapper in BOTH directions (the case-class equals
+  // only consults canEqual one way) — otherwise TreeNode.mapChildren keeps
+  // the old child and the swap silently vanishes.
+  override def canEqual(that: Any): Boolean = that.isInstanceOf[GraftStatsV1ScanWrapper]
+  override def equals(that: Any): Boolean = that match {
+    case o: GraftStatsV1ScanWrapper => o.graftScan == graftScan
+    case _ => false
+  }
+  override def hashCode(): Int = 31 * graftScan.hashCode() + 17
+}
+
+/** Runs in the "User Provided Optimizers" batch — the only hook AFTER
+  * V2ScanRelationPushDown (which creates the V1ScanWrapper) and before
+  * physical join selection; extension injection points (optimizer rules,
+  * pre-CBO rules) all run earlier, before the scan exists. */
+private[graft] object GraftScanStatistics
+    extends org.apache.spark.sql.catalyst.rules.Rule[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2ScanRelation, V1ScanWrapper}
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case r: DataSourceV2ScanRelation =>
+      r.scan match {
+        case w: V1ScanWrapper if !w.isInstanceOf[GraftStatsV1ScanWrapper] =>
+          w.v1Scan match {
+            case g: GraftScan =>
+              r.copy(scan = new GraftStatsV1ScanWrapper(g, w.handledFilters, w.pushedDownOperators))
+            case _ => r
+          }
+        case _ => r
+      }
+  }
+
+  /** Registered idempotently whenever a [[GraftTable]] is constructed
+    * (analysis time — early enough for the same query's optimization). */
+  def register(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.exists(_ eq this))
+      spark.experimental.extraOptimizations = cur :+ this
   }
 }
 

@@ -47,6 +47,49 @@ class PlanQualitySpec extends SparkSpec {
     assert(narrow.count() == src.count())
   }
 
+  test("DSv2 scan reports manifest-derived statistics; pruning shrinks them") {
+    val src = spark.read.parquet(s"$sfDir/orders.parquet")
+    val path = tmpDir("graft_stats_dsv2")
+    IcebergTable.write(src, path, graft.write.TableWriteOptions(partitionBy = Seq(
+      ("o_orderdate", graft.core.Transforms.Month))))
+    val full = spark.read.format("graft").load(path)
+    val fullStats = full.queryExecution.optimizedPlan.stats
+    val expectBytes = IcebergTable.plan(spark, path).dataFiles.map(_.info.fileSizeInBytes).sum
+    assert(fullStats.sizeInBytes == BigInt(expectBytes),
+      s"scan stats ${fullStats.sizeInBytes} != manifest file bytes $expectBytes")
+    assert(fullStats.rowCount.contains(BigInt(src.count())),
+      s"scan stats rowCount ${fullStats.rowCount} != ${src.count()}")
+    // A month-pruning filter shrinks the ESTIMATE, not just the execution:
+    // join planning on a filtered fact sees the filtered size.
+    val bound = src.agg(min("o_orderdate")).collect()(0).getAs[java.time.LocalDateTime](0)
+    val pruned = spark.read.format("graft").load(path)
+      .filter(col("o_orderdate") < lit(bound).cast("timestamp_ntz"))
+    val prunedStats = pruned.queryExecution.optimizedPlan.stats
+    assert(prunedStats.sizeInBytes < fullStats.sizeInBytes,
+      s"pruned estimate ${prunedStats.sizeInBytes} should be < ${fullStats.sizeInBytes}")
+  }
+
+  test("plan-time broadcast fires from reported stats alone (no AQE, no threshold bump)") {
+    // A small dimension read through the DSv2 path must broadcast at PLAN
+    // time purely because its reported size is under the threshold —
+    // before stats reporting, unknown-size DSv2 relations defaulted to
+    // "huge" and only AQE could rescue the join.
+    val dimPath = tmpDir("graft_stats_dim")
+    IcebergTable.write(spark.read.parquet(s"$sfDir/region.parquet"), dimPath)
+    val factPath = tmpDir("graft_stats_fact")
+    IcebergTable.write(spark.read.parquet(s"$sfDir/customer.parquet")
+      .withColumn("c_regionkey", col("c_nationkey") % 5), factPath)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val dim = spark.read.format("graft").load(dimPath)
+      val fact = spark.read.format("graft").load(factPath)
+      val plan = formatted(fact.join(dim, col("c_regionkey") === col("r_regionkey")))
+      assert(plan.contains("BroadcastHashJoin"),
+        s"expected plan-time broadcast from reported stats:\n${plan.take(2000)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("join of iceberg scan with small dimension broadcasts") {
     val nationPath = Fixtures.iceberg(spark, sfDir, "nation_plain") { dir =>
       IcebergTable.write(Fixtures.parquet(spark, sfDir, "nation"), dir)
