@@ -384,6 +384,7 @@ private[graft] object GraftScanStatistics
   /** Registered idempotently whenever a [[GraftTable]] is constructed
     * (analysis time — early enough for the same query's optimization). */
   def register(spark: SparkSession): Unit = {
+    if (sys.env.contains("SPARK_GRAFT_DISABLE_SCAN_STATS")) return // A/B kill-switch
     val cur = spark.experimental.extraOptimizations
     if (!cur.exists(_ eq this))
       spark.experimental.extraOptimizations = cur :+ this
