@@ -313,6 +313,17 @@ object SparkEntry {
         .select("rank", "vec_id")
     }),
 
+    "ann_topk_ivf" -> ((s, dir) => {
+      // IVF: coarse k-means quantizer, probe scans only nprobe cells —
+      // the partition-prunable ANN path (cell id is a plain stored INT).
+      val e = pq(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 1)
+        .select("embedding").collect()(0).getSeq[Float](0)
+      Similarity.ivfTopK(e.filter(col("vec_id") =!= 1), "embedding", "vec_id", q, 20,
+        numCells = 16, nprobe = 4)
+        .select("rank", "vec_id")
+    }),
+
     // ---- SQL catalog front-end (CatalogPlugin) ----
     "sql_catalog_q6" -> ((s, dir) => {
       // Pure SQL through spark.sql.catalog.graft over an Iceberg roundtrip:

@@ -165,4 +165,75 @@ object Similarity {
       k: Int, bits: Int = 32, seed: Long = 42L): DataFrame =
     lshTopKIndexed(buildSignatureIndex(df, embCol, idCol, bits, seed),
       embCol, idCol, query, k, bits, seed)
+
+  // ---------- IVF (inverted-file) ANN ----------
+
+  /** IVF index: a coarse k-means quantizer (`centroids`, small — lives on
+    * the driver / in a broadcast) plus the corpus with each vector's
+    * nearest-centroid cell id as a stored INT column (`_ivf_cell`).
+    *
+    * The 100 TB shape: centroids are trained once (on a sample), the cell
+    * id is materialized at ingest, and the table is partitioned or
+    * clustered by `_ivf_cell` — a probe with `nprobe` cells then reads only
+    * `nprobe / numCells` of the data, with cell selection pushed down as a
+    * plain column predicate (partition pruning, no UDF at query time). */
+  case class IvfIndex(cells: DataFrame, centroids: Array[Array[Double]])
+
+  /** Cosine-normalized copy of a float vector (zero vectors pass through). */
+  private def normalized(v: Seq[Float]): Array[Double] = {
+    var n = 0.0; var i = 0
+    while (i < v.length) { n += v(i).toDouble * v(i); i += 1 }
+    val inv = if (n == 0) 0.0 else 1.0 / math.sqrt(n)
+    val out = new Array[Double](v.length)
+    i = 0
+    while (i < v.length) { out(i) = v(i) * inv; i += 1 }
+    out
+  }
+
+  /** Train the quantizer (Spark ML k-means on cosine-normalized vectors —
+    * Euclidean on the unit sphere orders like cosine) and assign every
+    * vector its cell. `trainFraction` bounds the fit cost on huge corpora:
+    * centroid quality needs a sample, assignment is one cheap pass. */
+  def buildIvfIndex(df: DataFrame, embCol: String, idCol: String,
+      numCells: Int = 16, seed: Long = 42L, maxIter: Int = 10,
+      trainFraction: Double = 1.0): IvfIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val norm = udf((v: Seq[Float]) => normalized(v))
+    val prepared = df.select(col(idCol), col(embCol))
+      .withColumn("_nrm", array_to_vector(norm(col(embCol))))
+    val train = if (trainFraction >= 1.0) prepared
+      else prepared.sample(withReplacement = false, trainFraction, seed)
+    val model = new KMeans().setK(numCells).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("_nrm").setPredictionCol("_ivf_cell")
+      .fit(train)
+    val cells = model.transform(prepared)
+      .select(col(idCol), col(embCol), col("_ivf_cell").cast("int").as("_ivf_cell"))
+    IvfIndex(cells, model.clusterCenters.map(_.toArray))
+  }
+
+  /** Top-k probe over a pre-built IVF index: rank centroids against the
+    * query driver-side (numCells dot products), scan only the `nprobe`
+    * nearest cells — the cell filter is a plain `IN` predicate on the
+    * stored column — and exactly score the survivors. */
+  def ivfTopKIndexed(index: IvfIndex, embCol: String, idCol: String,
+      query: Seq[Float], k: Int, nprobe: Int = 4): DataFrame = {
+    val q = normalized(query)
+    val ranked = index.centroids.zipWithIndex.map { case (c, i) =>
+      var dot = 0.0; var j = 0
+      val n = math.min(c.length, q.length)
+      while (j < n) { dot += c(j) * q(j); j += 1 }
+      (i, dot)
+    }.sortBy(-_._2).take(math.min(nprobe, index.centroids.length)).map(_._1)
+    bruteForceTopK(index.cells.filter(col("_ivf_cell").isin(ranked.map(Int.box): _*)),
+      embCol, idCol, query, k)
+  }
+
+  /** IVF cosine top-k over a raw table: builds the index in-flight, then
+    * probes. Prefer [[buildIvfIndex]] once + [[ivfTopKIndexed]] per query
+    * when more than one query runs. */
+  def ivfTopK(df: DataFrame, embCol: String, idCol: String, query: Seq[Float],
+      k: Int, numCells: Int = 16, nprobe: Int = 4, seed: Long = 42L): DataFrame =
+    ivfTopKIndexed(buildIvfIndex(df, embCol, idCol, numCells, seed),
+      embCol, idCol, query, k, nprobe)
 }

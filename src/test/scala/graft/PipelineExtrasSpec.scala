@@ -140,6 +140,44 @@ class PipelineExtrasSpec extends SparkSpec {
     assert(recall >= 0.75, s"LSH top-20 recall $recall below 0.75 (hits ${brute.intersect(lsh).size}/20)")
   }
 
+  test("IVF ANN recovers planted near-neighbors from nprobe cells") {
+    // The driver's synthetic embeddings are near-isotropic (top-20 cosine
+    // maxes at ~0.37, labels scattered): NO index can recover an arbitrary
+    // noise-ranking while scanning a quarter of such data. IVF's contract
+    // is recovering GENUINELY near vectors, so the recall oracle plants 25
+    // high-cosine (~0.995) noisy copies of the query in the corpus and
+    // requires the probe to find them through the quantizer.
+    import spark.implicits._
+    val sf01 = "/root/testdata/sf0.01"
+    val e = spark.read.parquet(s"$sf01/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 1).select("embedding").collect()(0).getSeq[Float](0)
+    val rnd = new scala.util.Random(7L)
+    val planted = (0 until 25).map { i =>
+      (9000000L + i, q.map(v => v + (rnd.nextGaussian() * 0.05f * math.abs(v)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val corpus = e.filter(col("vec_id") =!= 1).select("vec_id", "embedding")
+      .union(planted)
+
+    val brute = graft.pipeline.Similarity.bruteForceTopK(corpus, "embedding", "vec_id", q, 20)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(brute.count(_ >= 9000000L) == 20, "planted neighbors must dominate the true top-20")
+
+    val idx = graft.pipeline.Similarity.buildIvfIndex(corpus, "embedding", "vec_id", numCells = 16)
+    // Index invariants: 16 centroids, every vector in exactly one cell, and
+    // the probe is genuinely bounded (4 largest cells < whole corpus).
+    assert(idx.centroids.length == 16)
+    assert(idx.cells.count() == corpus.count())
+    val cellSizes = idx.cells.groupBy("_ivf_cell").count()
+      .collect().map(_.getLong(1)).sorted.reverse
+    assert(cellSizes.take(4).sum < corpus.count(),
+      s"4/16 cells hold the entire corpus (sizes: ${cellSizes.mkString(",")})")
+
+    val ivf = graft.pipeline.Similarity.ivfTopKIndexed(idx, "embedding", "vec_id", q, 20, nprobe = 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.9, s"IVF top-20 recall $recall below 0.9 (hits ${brute.intersect(ivf).size}/20)")
+  }
+
   test("multi-hundred-file append collects footer stats in a Spark job, not on the driver") {
     val src = spark.read.parquet(s"$sfDir/lineitem.parquet").repartition(80)
     val path = tmpDir("graft_dist_stats")
