@@ -15,7 +15,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -41,6 +41,11 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_BROADCAST_AQE", "64m"))
       .config("spark.sql.files.maxPartitionBytes", "32m")
       .config("spark.sql.extensions", classOf[graft.catalog.GraftSparkExtensions].getName)
+    // Experiment passthrough: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" for A/B
+    // runs (e.g. CBO on/off) without editing the tuned defaults above.
+    val spark = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(";")).map(_.split("=", 2))
+      .foldLeft(builder) { case (b, Array(k, v)) => b.config(k, v); case (b, _) => b }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

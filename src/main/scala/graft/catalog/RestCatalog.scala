@@ -122,19 +122,48 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
 
   // ---------- namespaces ----------
 
-  def listNamespaces(): Seq[Seq[String]] = {
-    val node = request("GET", "/v1/namespaces")
-    val out = Seq.newBuilder[Seq[String]]
-    val it = node.get("namespaces").elements()
-    while (it.hasNext) {
-      val arr = it.next()
-      val parts = Seq.newBuilder[String]
-      val pit = arr.elements()
-      while (pit.hasNext) parts += pit.next().asText()
-      out += parts.result()
+  /** Paged GET loop: follow `next-page-token` until the server stops
+    * returning one (reference IRCAPI::GetTables/GetSchemas — large
+    * catalogs return thousands of entries across pages; reading only the
+    * first silently truncates). Listing 401/403/404 degrade to empty with
+    * a warning, like the reference, so one unauthorized schema doesn't
+    * break catalog browsing. */
+  private def pagedList[T](basePath: String, extract: JsonNode => Seq[T]): Seq[T] = {
+    val out = Seq.newBuilder[T]
+    var pageToken: Option[String] = None
+    var first = true
+    while (first || pageToken.isDefined) {
+      first = false
+      val sep = if (basePath.contains("?")) "&" else "?"
+      val path = basePath + pageToken.map(t =>
+        sep + "pageToken=" + java.net.URLEncoder.encode(t, "UTF-8")).getOrElse("")
+      val node =
+        try request("GET", path)
+        catch {
+          case e: RestCatalogException if Seq(401, 403, 404).contains(e.status) =>
+            System.err.println(s"[graft-catalog] GET $path -> ${e.status}; returning partial listing")
+            return out.result()
+        }
+      out ++= extract(node)
+      pageToken = Option(node.get("next-page-token")).filterNot(_.isNull).map(_.asText())
+        .filter(_.nonEmpty)
     }
     out.result()
   }
+
+  def listNamespaces(): Seq[Seq[String]] =
+    pagedList("/v1/namespaces", { node =>
+      val out = Seq.newBuilder[Seq[String]]
+      val it = node.get("namespaces").elements()
+      while (it.hasNext) {
+        val arr = it.next()
+        val parts = Seq.newBuilder[String]
+        val pit = arr.elements()
+        while (pit.hasNext) parts += pit.next().asText()
+        out += parts.result()
+      }
+      out.result()
+    })
 
   def createNamespace(ns: Seq[String], properties: Map[String, String] = Map.empty): Unit = {
     val o = F.objectNode()
@@ -168,13 +197,13 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
 
   // ---------- tables ----------
 
-  def listTables(ns: Seq[String]): Seq[String] = {
-    val node = request("GET", s"/v1/namespaces/${nsPath(ns)}/tables")
-    val out = Seq.newBuilder[String]
-    val it = node.get("identifiers").elements()
-    while (it.hasNext) out += it.next().get("name").asText()
-    out.result()
-  }
+  def listTables(ns: Seq[String]): Seq[String] =
+    pagedList(s"/v1/namespaces/${nsPath(ns)}/tables", { node =>
+      val out = Seq.newBuilder[String]
+      val it = node.get("identifiers").elements()
+      while (it.hasNext) out += it.next().get("name").asText()
+      out.result()
+    })
 
   case class LoadedTable(metadata: TableMetadata, metadataLocation: String, config: Map[String, String])
 

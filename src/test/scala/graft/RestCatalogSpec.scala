@@ -217,6 +217,24 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     } finally server.vendedConfig = Map.empty
   }
 
+  test("paged listings: listTables/listNamespaces follow next-page-token across pages") {
+    catalog.createNamespace(Seq("paged"))
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+    val names = (1 to 7).map(i => f"t$i%02d")
+    names.foreach(t => catalog.createTable(Seq("paged"), t,
+      IcebergTypes.fromSpark(region.schema), tmpDir(s"paged_$t")))
+    try {
+      server.listPageSize = Some(3) // 7 tables -> pages of 3,3,1
+      assert(catalog.listTables(Seq("paged")) == names,
+        "paginated listTables must concatenate every page in order")
+      val nss = catalog.listNamespaces()
+      assert(nss.contains(Seq("paged")), s"namespaces listing lost entries: $nss")
+      // Unauthorized/missing listings degrade to empty, not an exception
+      // (reference: warn + empty so one bad schema doesn't break browsing).
+      assert(catalog.listTables(Seq("no_such_namespace")).isEmpty)
+    } finally server.listPageSize = None
+  }
+
   test("rename + drop table") {
     catalog.renameTable(Seq("etl"), "region", "region2")
     assert(catalog.listTables(Seq("etl")) == Seq("region2"))

@@ -45,6 +45,22 @@ class TestRestServer {
     * catalog vending scoped storage credentials per table. */
   @volatile var vendedConfig: Map[String, String] = Map.empty
 
+  /** When set, list endpoints page their results `listPageSize` at a time
+    * with integer-offset `next-page-token`s — exercises client pagination. */
+  @volatile var listPageSize: Option[Int] = None
+
+  /** Slice a sorted listing into (page, nextPageToken) per listPageSize. */
+  private def page[T](all: Seq[T], query: String): (Seq[T], Option[String]) =
+    listPageSize match {
+      case None => (all, None)
+      case Some(sz) =>
+        val off = Option(query).flatMap(_.split("&").collectFirst {
+          case kv if kv.startsWith("pageToken=") => kv.drop("pageToken=".length).toInt
+        }).getOrElse(0)
+        val slice = all.slice(off, off + sz)
+        (slice, if (off + sz < all.size) Some((off + sz).toString) else None)
+    }
+
   private def loadResult(meta: TableMetadata): String = {
     val o = F.objectNode()
     o.put("metadata-location", s"${meta.location}/metadata/v-rest.metadata.json")
@@ -176,7 +192,9 @@ class TestRestServer {
         case ("GET", "/v1/namespaces") =>
           val o = F.objectNode()
           val arr = o.putArray("namespaces")
-          namespaces.keys.toSeq.sorted.foreach { ns => val a = F.arrayNode(); a.add(ns); arr.add(a) }
+          val (pg, next) = page(namespaces.keys.toSeq.sorted, ex.getRequestURI.getQuery)
+          pg.foreach { ns => val a = F.arrayNode(); a.add(ns); arr.add(a) }
+          next.foreach(o.put("next-page-token", _))
           respond(ex, 200, mapper.writeValueAsString(o))
 
         case ("POST", "/v1/namespaces") =>
@@ -206,9 +224,11 @@ class TestRestServer {
             case Some(n) =>
               val o = F.objectNode()
               val arr = o.putArray("identifiers")
-              n.tables.keys.toSeq.sorted.foreach { t =>
+              val (pg, next) = page(n.tables.keys.toSeq.sorted, ex.getRequestURI.getQuery)
+              pg.foreach { t =>
                 val io = F.objectNode(); val na = io.putArray("namespace"); na.add(ns); io.put("name", t); arr.add(io)
               }
+              next.foreach(o.put("next-page-token", _))
               respond(ex, 200, mapper.writeValueAsString(o))
           }
 
