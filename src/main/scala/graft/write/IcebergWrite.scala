@@ -448,6 +448,14 @@ object IcebergWrite {
 
     var newManifests = Seq.empty[ManifestFile]
 
+    // Removal metrics for the snapshot summary (reference
+    // test_snapshot_summary_delete_metrics / _file_size_metrics assert
+    // these against the manifests' own byte sums).
+    var removedFilesSize = 0L
+    var removedDataFiles = 0
+    var removedRecords = 0L
+    var removedEqDeleteRows = 0L
+
     // Carry forward previous manifests (minus files removed by a rewrite and
     // minus DV entries superseded by a new DV for the same data file).
     def superseded(e: ManifestEntry): Boolean =
@@ -468,6 +476,15 @@ object IcebergWrite {
           val entries = ManifestIO.readManifest(resolved, conf, m)
           val live = entries.filter(e =>
             e.isLive && !removedDataPaths.contains(e.dataFile.filePath) && !superseded(e))
+          entries.filter(e => e.isLive &&
+              (removedDataPaths.contains(e.dataFile.filePath) || superseded(e)))
+            .foreach { e =>
+              removedFilesSize += e.dataFile.fileSizeInBytes
+              if (e.dataFile.content == FileContent.Data) {
+                removedDataFiles += 1; removedRecords += e.dataFile.recordCount
+              } else if (e.dataFile.content == FileContent.EqualityDeletes)
+                removedEqDeleteRows += e.dataFile.recordCount
+            }
           if (live.size == entries.count(_.isLive)) Some(m)
           else if (live.isEmpty) None
           else {
@@ -554,19 +571,35 @@ object IcebergWrite {
     val totalRecords = dataManifests.map(m => m.addedRowsCount + m.existingRowsCount).sum
     val totalDataFiles = dataManifests.map(m => m.addedFilesCount + m.existingFilesCount).sum
     val now = System.currentTimeMillis()
+    // Byte totals carry forward parent + added - removed, Iceberg-core
+    // style: summing every live manifest entry per commit would re-read all
+    // manifests; the arithmetic is exact given the parent's totals.
+    val parentSummary = meta.currentSnapshot.map(_.summary).getOrElse(Map.empty)
+    def parentLong(k: String): Long =
+      parentSummary.get(k).flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(0L)
+    val addedBytes = (addedData ++ addedDeletes).map(_.dataFile.fileSizeInBytes).sum
+    val addedEqRows = addedDeletes.filter(_.dataFile.content == FileContent.EqualityDeletes)
+      .map(_.dataFile.recordCount).sum
     val summary = Map(
       "operation" -> operation,
       "added-data-files" -> addedData.size.toString,
       "added-records" -> addedData.map(_.dataFile.recordCount).sum.toString,
-      "added-files-size" -> addedData.map(_.dataFile.fileSizeInBytes).sum.toString,
+      "added-files-size" -> addedBytes.toString,
       "added-delete-files" -> addedDeletes.size.toString,
       "added-position-deletes" -> addedDeletes.filter(_.dataFile.content == FileContent.PositionDeletes).map(_.dataFile.recordCount).sum.toString,
       "total-records" -> totalRecords.toString,
       "total-data-files" -> totalDataFiles.toString,
       "total-delete-files" -> delManifests.map(m => m.addedFilesCount + m.existingFilesCount).sum.toString,
-      "total-files-size" -> "0",
+      "total-files-size" -> math.max(0L, parentLong("total-files-size") + addedBytes - removedFilesSize).toString,
       "total-position-deletes" -> delManifests.map(m => m.addedRowsCount + m.existingRowsCount).sum.toString,
-      "total-equality-deletes" -> "0")
+      "total-equality-deletes" -> math.max(0L, parentLong("total-equality-deletes") + addedEqRows - removedEqDeleteRows).toString) ++
+      // Removal metrics only on snapshots that actually removed files —
+      // the reference asserts `removed-files-size` is ABSENT on appends.
+      (if (removedFilesSize > 0 || removedDataFiles > 0) Map(
+        "removed-files-size" -> removedFilesSize.toString,
+        "deleted-data-files" -> removedDataFiles.toString,
+        "deleted-records" -> removedRecords.toString)
+      else Map.empty)
     val snap = SnapshotInfo(snapshotId, meta.currentSnapshotId, seq, now, listPath, summary,
       Some(schema.schemaId),
       firstRowId = if (meta.formatVersion >= 3) Some(firstRowIdStart) else None)

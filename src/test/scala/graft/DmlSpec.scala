@@ -208,4 +208,65 @@ class DmlSpec extends SparkSpec {
     assert(other.deleteFiles.isEmpty,
       s"delete files for partition F must be pruned, got ${other.deleteFiles.size}")
   }
+
+  test("snapshot summary file-size metrics match the manifests (reference test_snapshot_summary_*)") {
+    import graft.core.TableMetadata
+    import graft.manifest.{ManifestIO, EntryStatus}
+    val hconf = spark.sessionState.newHadoopConf()
+    def summaryOf(path: String): Map[String, String] =
+      TableMetadata.load(path, hconf).currentSnapshot.get.summary
+    def addedBytesFromManifests(path: String): Long = {
+      val meta = TableMetadata.load(path, hconf)
+      val snap = meta.currentSnapshot.get
+      ManifestIO.manifestsOf(meta, snap, hconf)
+        .filter(_.addedSnapshotId == snap.snapshotId)
+        .flatMap(m => ManifestIO.readManifest(
+          TableMetadata.resolvePath(meta.location, m.path, hconf), hconf, m))
+        .filter(_.status == EntryStatus.Added).map(_.dataFile.fileSizeInBytes).sum
+    }
+
+    val src = spark.read.parquet(s"$sfDir/region.parquet")
+    val path = tmpDir("graft_summary_metrics")
+
+    // Append 1: added == total, no removed key (reference asserts NULL).
+    IcebergTable.write(src, path)
+    val s1 = summaryOf(path)
+    val added1 = addedBytesFromManifests(path)
+    assert(added1 > 0 && s1("added-files-size").toLong == added1)
+    assert(s1("total-files-size").toLong == added1)
+    assert(!s1.contains("removed-files-size"))
+
+    // Append 2: total carries the parent forward.
+    IcebergTable.append(src, path)
+    val s2 = summaryOf(path)
+    val added2 = addedBytesFromManifests(path)
+    assert(s2("added-files-size").toLong == added2)
+    assert(s2("total-files-size").toLong == added1 + added2)
+
+    // MoR delete: adds a delete file (counted in added/total) and keeps all
+    // data bytes (no data file removed).
+    IcebergTable.delete(spark, path, "r_regionkey = 0")
+    val s3 = summaryOf(path)
+    assert(s3("added-delete-files").toInt >= 1)
+    assert(s3("total-files-size").toLong ==
+      added1 + added2 + s3("added-files-size").toLong)
+    assert(!s3.contains("removed-files-size"))
+
+    // Compaction: removes the original data files; removed-files-size
+    // appears and total reflects live bytes only.
+    IcebergTable.rewriteDataFiles(spark, path, rewriteAll = true)
+    val s4 = summaryOf(path)
+    assert(s4("removed-files-size").toLong > 0)
+    assert(s4("deleted-data-files").toInt >= 2)
+    val liveBytes = {
+      val meta = TableMetadata.load(path, hconf)
+      val snap = meta.currentSnapshot.get
+      ManifestIO.manifestsOf(meta, snap, hconf)
+        .flatMap(m => ManifestIO.readManifest(
+          TableMetadata.resolvePath(meta.location, m.path, hconf), hconf, m))
+        .filter(_.isLive).map(_.dataFile.fileSizeInBytes).sum
+    }
+    assert(s4("total-files-size").toLong == liveBytes,
+      s"total-files-size ${s4("total-files-size")} != live manifest bytes $liveBytes")
+  }
 }
