@@ -667,19 +667,47 @@ object IcebergRead {
 
   private def applyEqualityDeletes(spark: SparkSession, scan: DataFrame,
       eqDeletes: Seq[PlannedFile], p: ScanPlan): DataFrame = {
+    // Field-id -> chain of NestedFields from the root: equality ids may
+    // reference NESTED struct leaves (reference
+    // test_equality_delete_struct_field.test), in which case the delete
+    // parquet mirrors the table's struct shape down to the referenced leaf
+    // and matching compares the leaf path, not a top-level column.
+    val chains: Map[Int, Seq[IcebergTypes.NestedField]] = {
+      val b = Map.newBuilder[Int, Seq[IcebergTypes.NestedField]]
+      def walk(t: IcebergType, prefix: Seq[IcebergTypes.NestedField]): Unit = t match {
+        case IcebergTypes.StructT(fs) =>
+          fs.foreach { f => b += (f.id -> (prefix :+ f)); walk(f.fieldType, prefix :+ f) }
+        case _ =>
+      }
+      walk(p.schema.struct, Nil)
+      b.result()
+    }
+    // Merge the chains of one delete group into a single nested read schema
+    // (per-level parquet field-id metadata so id-based matching works at
+    // every depth).
+    def buildStruct(cs: Seq[Seq[IcebergTypes.NestedField]]): StructType = {
+      val byHead = cs.filter(_.nonEmpty).groupBy(_.head.id)
+      StructType(byHead.toSeq.sortBy(_._1).map { case (_, group) =>
+        val head = group.head.head
+        val tails = group.map(_.tail).filter(_.nonEmpty)
+        val dt = if (tails.isEmpty) head.fieldType.toSpark else buildStruct(tails)
+        StructField(head.name, dt, nullable = true, fieldMeta(head.id))
+      })
+    }
     // Group by equality-id set; anti-join each with null-safe equality
     // (null-safe <=> matches the reference's IS NOT DISTINCT FROM semantics).
     eqDeletes.groupBy(_.info.equalityIds).foldLeft(scan) { case (df, (eqIds, files)) =>
-      val names = eqIds.map(id => p.schema.idToField(id).name)
-      val fields = eqIds.map { id =>
-        val f = p.schema.idToField(id)
-        StructField(f.name, f.fieldType.toSpark, nullable = true, fieldMeta(id))
-      }
-      val dels = spark.read.schema(StructType(fields)).parquet(files.map(_.resolvedPath): _*)
-        .dropDuplicates(names)
+      val idChains = eqIds.map(id => chains.getOrElse(id,
+        throw new IllegalArgumentException(s"Equality delete references unknown field id $id")))
+      val paths = idChains.map(_.map(_.name).mkString("."))
+      val flatNames = eqIds.map(id => s"_eq_$id")
+      val dels = spark.read.schema(buildStruct(idChains))
+        .parquet(files.map(_.resolvedPath): _*)
+        .select(paths.zip(flatNames).map { case (pth, fn) => col(pth).as(fn) }.toIndexedSeq: _*)
+        .dropDuplicates(flatNames)
       val totalRows = files.map(_.info.recordCount).sum
       val rhs = if (totalRows < 20000000L) broadcast(dels) else dels
-      val cond = names.map(n => df(n) <=> rhs(n)).reduce(_ && _)
+      val cond = paths.zip(flatNames).map { case (pth, fn) => df(pth) <=> rhs(fn) }.reduce(_ && _)
       df.join(rhs, cond, "left_anti")
     }
   }

@@ -155,6 +155,70 @@ class DeleteFormatsSpec extends SparkSpec {
     assertSameResult(src.filter(col("c_custkey") % 10 =!= 0), IcebergTable.load(spark, path))
   }
 
+  test("equality delete on a NESTED struct field is applied during reads (reference test_equality_delete_struct_field)") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    // Table: id, payload struct<deepest struct<key int, label string>>, marker.
+    val src = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, Row(Row(1, "one")), "keep-1"),
+        Row(2L, Row(Row(2, "two-a")), "delete-2a"),
+        Row(3L, Row(Row(2, "two-b")), "delete-2b"),
+        Row(4L, Row(Row(3, "three")), "keep-3"),
+        Row(5L, null, "keep-null-struct"),
+        Row(6L, Row(Row(null, "null-key")), "keep-null-key")), 1),
+      StructType(Seq(
+        StructField("id", LongType),
+        StructField("payload", StructType(Seq(
+          StructField("deepest", StructType(Seq(
+            StructField("key", IntegerType),
+            StructField("label", StringType))))))),
+        StructField("marker", StringType))))
+    val path = tmpDir("graft_eqdel_nested")
+    IcebergTable.write(src, path)
+    val hconf = spark.sessionState.newHadoopConf()
+    val meta = graft.core.TableMetadata.load(path, hconf)
+    // Resolve the nested leaf ids from the committed schema.
+    def chainIds(names: Seq[String]): Seq[Int] = {
+      var cur: graft.core.IcebergType = meta.currentSchema.struct
+      names.map { n =>
+        val f = cur.asInstanceOf[graft.core.IcebergTypes.StructT].fields.find(_.name == n).get
+        cur = f.fieldType; f.id
+      }
+    }
+    val Seq(payloadId, deepestId, keyId) = chainIds(Seq("payload", "deepest", "key"))
+    def m(id: Int) = new MetadataBuilder().putLong("parquet.field.id", id.toLong).build()
+
+    // Hand-write the equality-delete parquet mirroring the struct down to
+    // `key` (how Flink-style writers shape nested equality deletes).
+    val delPath = s"$path/data/eqdel-nested"
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(Row(Row(2)))), 1),
+      StructType(Seq(StructField("payload", StructType(Seq(
+        StructField("deepest", StructType(Seq(
+          StructField("key", IntegerType, nullable = true, m(keyId)))),
+          nullable = true, m(deepestId)))),
+        nullable = true, m(payloadId)))))
+      .write.parquet(delPath)
+    val file = graft.core.TableMetadata.fs(delPath, hconf)
+      .listStatus(new org.apache.hadoop.fs.Path(delPath))
+      .find(_.getPath.getName.endsWith(".parquet")).get
+    val entry = graft.manifest.ManifestEntry(graft.manifest.EntryStatus.Added, None, None, None,
+      graft.manifest.DataFileInfo(
+        content = graft.manifest.FileContent.EqualityDeletes,
+        filePath = file.getPath.toString, fileFormat = "parquet", partitionValues = Nil,
+        recordCount = 1L, fileSizeInBytes = file.getLen,
+        columnSizes = Map.empty, valueCounts = Map.empty, nullValueCounts = Map.empty,
+        nanValueCounts = Map.empty, lowerBounds = Map.empty, upperBounds = Map.empty,
+        splitOffsets = Nil, equalityIds = Seq(keyId), sortOrderId = None))
+    graft.write.IcebergWrite.commitSnapshot(meta, Nil, Seq(entry), "delete", hconf)
+
+    val back = IcebergTable.load(spark, path)
+    val markers = back.select("marker").collect().map(_.getString(0)).toSet
+    assert(markers == Set("keep-1", "keep-3", "keep-null-struct", "keep-null-key"),
+      s"nested equality delete must remove key=2 rows only, got $markers")
+  }
+
   test("equality-delete on partitioned table applies globally") {
     val src = spark.read.parquet(s"$sfDir/orders.parquet")
     val path = tmpDir("graft_eqdel_part")
