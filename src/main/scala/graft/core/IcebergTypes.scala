@@ -272,6 +272,20 @@ case class IcebergSchema(schemaId: Int, struct: IcebergTypes.StructT, lastColumn
     buf.result()
   }
   def maxFieldId: Int = if (idToField.isEmpty) 0 else idToField.keys.max
+  /** Dotted path (through structs) -> leaf field; includes top-level names.
+    * Lets predicates and stats address nested struct leaves. */
+  lazy val fieldByPath: Map[String, IcebergTypes.NestedField] = {
+    val b = Map.newBuilder[String, IcebergTypes.NestedField]
+    def walk(t: IcebergType, prefix: Seq[String]): Unit = t match {
+      case IcebergTypes.StructT(fs) => fs.foreach { f =>
+        b += ((prefix :+ f.name).mkString(".") -> f)
+        walk(f.fieldType, prefix :+ f.name)
+      }
+      case _ =>
+    }
+    walk(struct, Nil)
+    b.result()
+  }
   def toJson: com.fasterxml.jackson.databind.node.ObjectNode = {
     val o = IcebergTypes.typeToJson(struct).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
     o.put("schema-id", schemaId)

@@ -259,7 +259,7 @@ object Pruning {
       schema: IcebergSchema,
       partitionValues: Seq[Any]): Boolean = {
     preds.forall { p =>
-      val srcField = schema.fields.find(_.name == p.name)
+      val srcField = schema.fieldByPath.get(p.name) // dotted = nested struct leaf
       srcField.forall { sf =>
         spec.fields.zipWithIndex.filter(_._1.sourceId == sf.id).forall { case (pf, idx) =>
           if (idx >= partitionValues.size) true
@@ -294,7 +294,7 @@ object Pruning {
     * iceberg_file_pruner.cpp:117-135). */
   def fileStatsMatch(preds: Seq[ColumnPredicate], schema: IcebergSchema, df: DataFileInfo): Boolean = {
     preds.forall { p =>
-      schema.fields.find(_.name == p.name).forall { sf =>
+      schema.fieldByPath.get(p.name).forall { sf =>
         val id = sf.id
         val nullCount = df.nullValueCounts.get(id)
         val valueCount = df.valueCounts.get(id)
@@ -340,7 +340,7 @@ object Pruning {
       schema: IcebergSchema): Boolean = {
     if (manifest.partitions.isEmpty) return true
     preds.forall { p =>
-      schema.fields.find(_.name == p.name).forall { sf =>
+      schema.fieldByPath.get(p.name).forall { sf =>
         spec.fields.zipWithIndex.filter(_._1.sourceId == sf.id).forall { case (pf, idx) =>
           if (idx >= manifest.partitions.size) true
           else {

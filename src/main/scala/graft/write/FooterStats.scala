@@ -38,7 +38,24 @@ object FooterStats {
       val recordCount = blocks.map(_.getRowCount).sum
       val splitOffsets = blocks.map(_.getStartingPos).sorted
 
-      val nameToField = schema.fields.map(f => f.name -> f).toMap
+      // Dotted parquet column path -> the Iceberg leaf field, through
+      // structs (reference test_write_upper_lower_bounds_nested_types:
+      // nested leaves carry bounds too). List/map element paths have
+      // parquet-specific marker segments ("list","element","key_value") —
+      // their per-element stats are not representable as single-value
+      // bounds, so they stay unmapped (conservative).
+      val nameToField: Map[String, IcebergTypes.NestedField] = {
+        val b = Map.newBuilder[String, IcebergTypes.NestedField]
+        def walk(t: IcebergType, prefix: Seq[String]): Unit = t match {
+          case IcebergTypes.StructT(fs) => fs.foreach { f =>
+            b += ((prefix :+ f.name).mkString(".") -> f)
+            walk(f.fieldType, prefix :+ f.name)
+          }
+          case _ =>
+        }
+        walk(schema.struct, Nil)
+        b.result()
+      }
       val sizes = collection.mutable.Map.empty[Int, Long]
       val values = collection.mutable.Map.empty[Int, Long]
       val nulls = collection.mutable.Map.empty[Int, Long]
@@ -48,9 +65,8 @@ object FooterStats {
       var statsSeen = Set.empty[Int]
 
       for (block <- blocks; chunk <- block.getColumns.asScala) {
-        val pathParts = chunk.getPath.toArray
-        if (pathParts.length == 1) { // top-level primitives only
-          nameToField.get(pathParts(0)).foreach { f =>
+        val pathParts: Seq[String] = chunk.getPath.asScala.toSeq
+        nameToField.get(pathParts.mkString(".")).foreach { f =>
             val id = f.id
             sizes.updateWith(id)(v => Some(v.getOrElse(0L) + chunk.getTotalSize))
             values.updateWith(id)(v => Some(v.getOrElse(0L) + chunk.getValueCount))
@@ -69,7 +85,6 @@ object FooterStats {
               }
             }
           }
-        }
       }
 
       def ser(m: collection.Map[Int, Any]): Map[Int, Array[Byte]] =

@@ -155,6 +155,47 @@ class DeleteFormatsSpec extends SparkSpec {
     assertSameResult(src.filter(col("c_custkey") % 10 =!= 0), IcebergTable.load(spark, path))
   }
 
+  test("nested struct leaves carry footer stats; nested predicates prune files") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    def mk(lo: Int, hi: Int) = spark.createDataFrame(
+      spark.sparkContext.parallelize((lo to hi).map(i =>
+        Row(i.toLong, Row(i, s"label-$i"))), 1),
+      StructType(Seq(
+        StructField("id", LongType),
+        StructField("payload", StructType(Seq(
+          StructField("key", IntegerType),
+          StructField("label", StringType)))))))
+    val path = tmpDir("graft_nested_stats")
+    IcebergTable.write(mk(0, 99), path)
+    IcebergTable.append(mk(1000, 1099), path)
+
+    val hconf = spark.sessionState.newHadoopConf()
+    val meta = graft.core.TableMetadata.load(path, hconf)
+    val keyId = meta.currentSchema.fieldByPath("payload.key").id
+    val plan = IcebergTable.plan(spark, path)
+    assert(plan.dataFiles.size == 2)
+    // Manifests carry bounds + counts for the nested leaf.
+    plan.dataFiles.foreach { f =>
+      assert(f.info.lowerBounds.contains(keyId) && f.info.upperBounds.contains(keyId),
+        s"nested leaf $keyId missing bounds in ${f.recordedPath}")
+      assert(f.info.valueCounts.get(keyId).contains(100L))
+      assert(f.info.nullValueCounts.get(keyId).contains(0L))
+    }
+    // A nested predicate prunes to the matching file and stays exact.
+    val pruned = IcebergTable.plan(spark, path,
+      graft.read.ReadOptions(filterSql = Some("payload.key > 1000")))
+    assert(pruned.dataFiles.size == 1,
+      s"expected nested-bound pruning to keep 1 of 2 files, kept ${pruned.dataFiles.size}")
+    val got = IcebergTable.load(spark, path,
+      graft.read.ReadOptions(filterSql = Some("payload.key > 1000"))).count()
+    assert(got == 99, s"expected 99 rows with payload.key > 1000, got $got")
+    // And the column_stats table surfaces the nested column by name.
+    val cs = IcebergTable.columnStats(spark, path)
+      .filter(org.apache.spark.sql.functions.col("column_name") === "key")
+    assert(cs.count() >= 2, "nested leaf absent from iceberg_column_stats")
+  }
+
   test("equality delete on a NESTED struct field is applied during reads (reference test_equality_delete_struct_field)") {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.Row
