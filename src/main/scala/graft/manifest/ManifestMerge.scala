@@ -60,7 +60,8 @@ object ManifestMerge {
     }
     val mPath = s"${meta.location}/metadata/${UUID.randomUUID().toString}-merged-m0.avro"
     val len = ManifestIO.writeManifest(mPath, conf, partitionFields, entries,
-      Map("partition-spec-id" -> specId.toString, "content" -> "data"))
+      Map("partition-spec-id" -> specId.toString, "content" -> "data"),
+      ManifestIO.manifestCodec(meta))
     ManifestFile(
       path = mPath, length = len, partitionSpecId = specId, content = 0,
       sequenceNumber = bin.map(_.sequenceNumber).max,

@@ -205,6 +205,21 @@ object ManifestIO {
     * cost — the thing plan memoization is meant to bound). */
   val manifestReads = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Manifest avro codec: deflate by default (the reference's default too —
+    * manifest bytes dominate metadata IO on large tables), `none` opt-out
+    * via the `write.manifest.compression-codec` table property. Readers
+    * auto-detect from the avro container header. */
+  def manifestCodec(meta: TableMetadata): String =
+    meta.properties.getOrElse("write.manifest.compression-codec", "deflate")
+
+  private def applyCodec(w: DataFileWriter[GenericRecord], codec: String): Unit =
+    codec.toLowerCase match {
+      case "none" | "uncompressed" => // avro null codec
+      case "deflate" | "" => w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+      case other => throw new IllegalArgumentException(
+        s"Unsupported write.manifest.compression-codec '$other' (deflate, none)")
+    }
+
   def readManifest(path: String, conf: Configuration, manifest: ManifestFile): Seq[ManifestEntry] = {
     manifestReads.incrementAndGet()
     val rd = reader(path, conf)
@@ -377,7 +392,7 @@ object ManifestIO {
       conf: Configuration,
       partitionFields: Seq[(String, IcebergType, Int)],
       entries: Seq[ManifestEntry],
-      metaProps: Map[String, String]): Long = {
+      metaProps: Map[String, String], codec: String = "deflate"): Long = {
     val withDv = entries.exists(e =>
       e.dataFile.contentOffset.isDefined || e.dataFile.firstRowId.isDefined)
     val schema = manifestEntrySchema(partitionFields, withDv)
@@ -386,6 +401,7 @@ object ManifestIO {
     val fsys = TableMetadata.fs(path, conf)
     val out = fsys.create(new Path(path), true)
     val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    applyCodec(w, codec)
     metaProps.foreach { case (k, v) => w.setMeta(k, v) }
     w.create(schema, out)
     entries.foreach { e =>
@@ -435,11 +451,13 @@ object ManifestIO {
   /** Write a manifest list (v2 schema; v3 adds first_row_id when
     * `formatVersion >= 3`). */
   def writeManifestList(path: String, conf: Configuration, manifests: Seq[ManifestFile],
-      metaProps: Map[String, String] = Map.empty, formatVersion: Int = 2): Unit = {
+      metaProps: Map[String, String] = Map.empty, formatVersion: Int = 2,
+      codec: String = "deflate"): Unit = {
     val schema = if (formatVersion >= 3) manifestListSchemaV3 else manifestListSchema
     val fsys = TableMetadata.fs(path, conf)
     val out = fsys.create(new Path(path), true)
     val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    applyCodec(w, codec)
     metaProps.foreach { case (k, v) => w.setMeta(k, v) }
     w.create(schema, out)
     val partArrSchema = schema.getField("partitions").schema().getTypes.get(1)

@@ -495,7 +495,7 @@ object IcebergWrite {
               sp.fields.map(f => (f.name, f.transform.resultType(schema.idToField(f.sourceId).fieldType), f.fieldId))
             }
             val rewritten = live.map(e => e.copy(status = EntryStatus.Existing))
-            val len = ManifestIO.writeManifest(mPath, conf, pf, rewritten, Map("content" -> (if (m.content == 1) "deletes" else "data")))
+            val len = ManifestIO.writeManifest(mPath, conf, pf, rewritten, Map("content" -> (if (m.content == 1) "deletes" else "data")), ManifestIO.manifestCodec(meta))
             Some(m.copy(path = mPath, length = len, addedFilesCount = 0,
               existingFilesCount = rewritten.size, deletedFilesCount = 0,
               addedRowsCount = 0L, existingRowsCount = rewritten.map(_.dataFile.recordCount).sum))
@@ -539,7 +539,8 @@ object IcebergWrite {
           fileSequenceNumber = Some(seq), dataFile = withLineage)
       }
       val len = ManifestIO.writeManifest(mPath, conf, partitionFields, withSeq,
-        Map("schema-id" -> schema.schemaId.toString, "partition-spec-id" -> spec.specId.toString, "content" -> "data"))
+        Map("schema-id" -> schema.schemaId.toString, "partition-spec-id" -> spec.specId.toString, "content" -> "data"),
+        ManifestIO.manifestCodec(meta))
       newManifests +:= ManifestFile(mPath, len, spec.specId, 0, seq, seq, snapshotId,
         withSeq.size, 0, 0, withSeq.map(_.dataFile.recordCount).sum, 0L, 0L,
         summariesWith(partitionFields)(withSeq),
@@ -556,7 +557,8 @@ object IcebergWrite {
       val withSeq = addedDeletes.map(e => e.copy(
         snapshotId = Some(snapshotId), sequenceNumber = Some(seq), fileSequenceNumber = Some(seq)))
       val len = ManifestIO.writeManifest(mPath, conf, dPartitionFields, withSeq,
-        Map("schema-id" -> schema.schemaId.toString, "partition-spec-id" -> dSpec.specId.toString, "content" -> "deletes"))
+        Map("schema-id" -> schema.schemaId.toString, "partition-spec-id" -> dSpec.specId.toString, "content" -> "deletes"),
+        ManifestIO.manifestCodec(meta))
       newManifests +:= ManifestFile(mPath, len, dSpec.specId, 1, seq, seq, snapshotId,
         withSeq.size, 0, 0, withSeq.map(_.dataFile.recordCount).sum, 0L, 0L,
         summariesWith(dPartitionFields)(withSeq))
@@ -564,7 +566,8 @@ object IcebergWrite {
 
     val allManifests = ManifestMerge.maybeMerge(meta, newManifests ++ prevWithRowIds, conf)
     val listPath = s"$metaDir/snap-$snapshotId-1-$commitUuid.avro"
-    ManifestIO.writeManifestList(listPath, conf, allManifests, formatVersion = meta.formatVersion)
+    ManifestIO.writeManifestList(listPath, conf, allManifests, formatVersion = meta.formatVersion,
+      codec = ManifestIO.manifestCodec(meta))
 
     val dataManifests = allManifests.filter(_.content == 0)
     val delManifests = allManifests.filter(_.content == 1)

@@ -111,4 +111,34 @@ class EndToEndSpec extends SparkSpec {
       .filter(n => n.matches("v\\d+\\.metadata\\.json")).sorted
     assert(versions.length == writers + 2) // create + initial append... each commit bumps
   }
+
+  test("manifests are deflate-compressed by default; write.manifest.compression-codec=none opts out") {
+    import graft.core.TableMetadata
+    import graft.manifest.ManifestIO
+    val hconf = spark.sessionState.newHadoopConf()
+    def codecOf(path: String): String = {
+      val meta = TableMetadata.load(path, hconf)
+      val m = ManifestIO.manifestsOf(meta, meta.currentSnapshot.get, hconf).head
+      val rd = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+        new org.apache.avro.mapred.FsInput(new org.apache.hadoop.fs.Path(
+          TableMetadata.resolvePath(meta.location, m.path, hconf)), hconf),
+        new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+      try Option(rd.getMetaString("avro.codec")).getOrElse("null") finally rd.close()
+    }
+    val src = spark.read.parquet(s"$sfDir/region.parquet")
+
+    val p1 = tmpDir("graft_codec_default")
+    IcebergTable.write(src, p1)
+    assert(codecOf(p1) == "deflate",
+      s"default manifest avro codec must be deflate, got ${codecOf(p1)}")
+    // Reads decompress transparently.
+    assertSameResult(src, IcebergTable.load(spark, p1))
+
+    val p2 = tmpDir("graft_codec_none")
+    IcebergTable.write(src, p2, graft.write.TableWriteOptions(
+      properties = Map("write.manifest.compression-codec" -> "none")))
+    assert(codecOf(p2) == "null",
+      s"codec=none must write an uncompressed avro container, got ${codecOf(p2)}")
+    assertSameResult(src, IcebergTable.load(spark, p2))
+  }
 }
