@@ -274,6 +274,8 @@ case class IcebergSchema(schemaId: Int, struct: IcebergTypes.StructT, lastColumn
   def maxFieldId: Int = if (idToField.isEmpty) 0 else idToField.keys.max
   /** Dotted path (through structs) -> leaf field; includes top-level names.
     * Lets predicates and stats address nested struct leaves. */
+  /** Inverse of [[fieldByPath]]: field id -> dotted path (structs only). */
+  lazy val pathOfId: Map[Int, String] = fieldByPath.map { case (pth, f) => f.id -> pth }
   lazy val fieldByPath: Map[String, IcebergTypes.NestedField] = {
     val b = Map.newBuilder[String, IcebergTypes.NestedField]
     def walk(t: IcebergType, prefix: Seq[String]): Unit = t match {

@@ -57,17 +57,21 @@ object IcebergWrite {
     val conf = spark.sessionState.newHadoopConf()
     require(!tableExists(path, conf), s"Iceberg table already exists at $path")
     val iceSchema = IcebergTypes.fromSpark(schema)
-    val nameToField = iceSchema.fields.map(f => f.name -> f).toMap
+    // Dotted names resolve nested struct leaves as partition/sort sources.
+    val nameToField = iceSchema.fieldByPath
     var nextPartId = 999
     val specFields = opts.partitionBy.map { case (colName, t) =>
       val src = nameToField.getOrElse(colName,
         throw new IllegalArgumentException(s"Partition column $colName not in schema"))
       nextPartId += 1
+      // Dots (nested sources) become underscores: the name keys an avro
+      // field in every manifest's partition struct, where '.' is illegal.
+      val base = colName.replace('.', '_')
       val name = t match {
-        case Transforms.Identity => colName
-        case Transforms.Bucket(n) => s"${colName}_bucket"
-        case Transforms.Truncate(w) => s"${colName}_trunc"
-        case other => s"${colName}_${other.toString}"
+        case Transforms.Identity => base
+        case Transforms.Bucket(n) => s"${base}_bucket"
+        case Transforms.Truncate(w) => s"${base}_trunc"
+        case other => s"${base}_${other.toString}"
       }
       PartitionField(src.id, nextPartId, name, t)
     }
@@ -183,14 +187,17 @@ object IcebergWrite {
     // Partition-transform projection (reference iceberg_insert.cpp:403-475).
     val gpCols: Seq[(String, Column)] = spec.fields.map { pf =>
       val src = schema.idToField(pf.sourceId)
-      (s"_gp_${pf.name}", pf.transform.column(col(src.name), src.fieldType))
+      // Dotted path: partition sources may be nested struct leaves
+      // (reference hour_struct_timestamp.test etc.). The synthetic column
+      // name must be dot-free or Spark parses it as a nested reference.
+      (gpName(pf), pf.transform.column(col(schema.pathOfId(pf.sourceId)), src.fieldType))
     }
     gpCols.foreach { case (n, c) => out = out.withColumn(n, c) }
 
     // Sorted writes (reference iceberg_insert.cpp:477-511,767-794).
     val sortCols: Seq[Column] = meta.sortOrder(meta.defaultSortOrderId).toSeq.flatMap(_.fields).map { sf =>
       val src = schema.idToField(sf.sourceId)
-      val c = sf.transform.column(col(src.name), src.fieldType)
+      val c = sf.transform.column(col(schema.pathOfId(sf.sourceId)), src.fieldType)
       if (sf.nullsFirst) (if (sf.ascending) c.asc_nulls_first else c.desc_nulls_first)
       else (if (sf.ascending) c.asc_nulls_last else c.desc_nulls_last)
     }
@@ -244,6 +251,10 @@ object IcebergWrite {
     (entries, writeUuid)
   }
 
+  /** Staging-write partition column for a spec field (dot-free: nested
+    * sources would otherwise read as nested references). */
+  private def gpName(pf: PartitionField): String = "_gp_" + pf.name.replace('.', '_')
+
   /** File count at/above which footer-stats reads run as a Spark job instead
     * of on the driver. Overridable for tests. */
   @volatile private[graft] var statsDistributeThreshold: Int = 64
@@ -260,7 +271,7 @@ object IcebergWrite {
     // Parse "_gp_name=value" segments, in spec order.
     val segs = rel.split("/").dropRight(1)
     val partValues: Seq[Any] = specFields.zip(partResultTypes).map { case (pf, t) =>
-      val seg = segs.find(_.startsWith(s"_gp_${pf.name}=")).getOrElse(
+      val seg = segs.find(_.startsWith(s"${gpName(pf)}=")).getOrElse(
         throw new IllegalStateException(s"Missing partition dir for ${pf.name} in $rel"))
       parseDirValue(seg.substring(seg.indexOf('=') + 1), t)
     }

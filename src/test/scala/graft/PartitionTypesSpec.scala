@@ -143,4 +143,36 @@ class PartitionTypesSpec extends SparkSpec {
       ("2024-01-04", 97531L, "purchase")))
     assert(userIdsWhere(s"$P/hive_partitioned_table", "event_date = DATE '2024-01-02'") == Seq(67890L))
   }
+
+  test("partition source can be a NESTED struct leaf (reference hour_struct_timestamp/identity_struct_bool)") {
+    import org.apache.spark.sql.types.{StructType, StructField, LongType, IntegerType, StringType}
+    import org.apache.spark.sql.Row
+    def mk(lo: Int, hi: Int) = spark.createDataFrame(
+      spark.sparkContext.parallelize((lo until hi).map(i =>
+        Row(i.toLong, Row(i % 4, s"v$i"))), 1),
+      StructType(Seq(
+        StructField("id", LongType),
+        StructField("payload", StructType(Seq(
+          StructField("bucket_key", IntegerType),
+          StructField("label", StringType)))))))
+    val path = tmpDir("graft_nested_psrc")
+    IcebergTable.write(mk(0, 100), path, graft.write.TableWriteOptions(
+      partitionBy = Seq(("payload.bucket_key", graft.core.Transforms.Identity))))
+    // Partition spec binds the nested leaf as source.
+    val meta = graft.core.TableMetadata.load(path, spark.sessionState.newHadoopConf())
+    val leafId = meta.currentSchema.fieldByPath("payload.bucket_key").id
+    assert(meta.defaultSpec.fields.head.sourceId == leafId)
+    // One file per partition value; nested predicate prunes to one.
+    val plan = IcebergTable.plan(spark, path)
+    assert(plan.dataFiles.size == 4, s"expected 4 partition files, got ${plan.dataFiles.size}")
+    val pruned = IcebergTable.plan(spark, path,
+      graft.read.ReadOptions(filterSql = Some("payload.bucket_key = 2")))
+    assert(pruned.dataFiles.size == 1,
+      s"nested identity partition must prune to 1 file, kept ${pruned.dataFiles.size}")
+    // Roundtrip stays exact.
+    assertSameResult(mk(0, 100), IcebergTable.load(spark, path))
+    val got = IcebergTable.load(spark, path,
+      graft.read.ReadOptions(filterSql = Some("payload.bucket_key = 2"))).count()
+    assert(got == 25, s"expected 25 rows in partition 2, got $got")
+  }
 }
