@@ -312,6 +312,9 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Proced
         Evolution.updateColumnType(spark, loc, single(u.fieldNames()), iceType(u.newDataType()))
       case n: UpdateColumnNullability =>
         Evolution.setRequired(spark, loc, single(n.fieldNames()), required = !n.nullable())
+      case c: UpdateColumnComment =>
+        Evolution.setColumnDoc(spark, loc, single(c.fieldNames()),
+          Option(c.newComment()).filter(_.nonEmpty))
       case p: SetProperty if p.property() == "format-version" =>
         Evolution.upgradeFormatVersion(spark, loc, p.value().toInt)
       case p: SetProperty =>

@@ -83,6 +83,9 @@ object IcebergTypes {
         case TimeT => mb.putString("iceberg.type", "time")
         case _ =>
       }
+      // Iceberg field docs surface as Spark column comments (the reference
+      // maps doc -> DuckDB column comment, test_column_doc_comment.test).
+      doc.foreach(d => mb.putString("comment", d))
       StructField(name, fieldType.toSpark, nullable = !required, metadata = mb.build())
     }
   }
@@ -196,6 +199,7 @@ object IcebergTypes {
     val o = f.objectNode()
     o.put("id", fl.id); o.put("name", fl.name); o.put("required", fl.required)
     o.set[JsonNode]("type", typeToJson(fl.fieldType))
+    fl.doc.foreach(d => o.put("doc", d))
     fl.initialDefaultJson.foreach(d => o.set[JsonNode]("initial-default", d))
     fl.writeDefaultJson.foreach(d => o.set[JsonNode]("write-default", d))
     o
@@ -244,7 +248,8 @@ object IcebergTypes {
         if (sf.dataType == LongType && sf.metadata.contains("iceberg.type")
           && sf.metadata.getString("iceberg.type") == "time") TimeT
         else conv(sf.dataType)
-      NestedField(id, sf.name, required = !sf.nullable, t)
+      val doc = if (sf.metadata.contains("comment")) Some(sf.metadata.getString("comment")) else None
+      NestedField(id, sf.name, required = !sf.nullable, t, doc = doc)
     }
     IcebergSchema(0, StructT(fields), lastColumnId = nextId)
   }

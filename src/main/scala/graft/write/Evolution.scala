@@ -75,6 +75,18 @@ object Evolution {
     commit(withNewSchema(meta, fields, meta.lastColumnId), conf)
   }
 
+  /** ALTER TABLE ALTER COLUMN ... COMMENT — sets/clears the Iceberg field
+    * doc (surfaced to Spark as the column comment). */
+  def setColumnDoc(spark: SparkSession, path: String, name: String,
+      doc: Option[String]): TableMetadata = {
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = TableMetadata.load(path, conf)
+    val cur = meta.currentSchema
+    require(cur.fields.exists(_.name == name), s"No column $name")
+    val fields = cur.fields.map(f => if (f.name == name) f.copy(doc = doc) else f)
+    commit(withNewSchema(meta, fields, meta.lastColumnId), conf)
+  }
+
   /** ALTER TABLE ALTER COLUMN TYPE — widening promotions only (int->long,
     * float->double, decimal precision growth), per the Iceberg evolution
     * rules. Field id is kept; old files are read with their physical type

@@ -117,4 +117,42 @@ class EvolutionSpec extends SparkSpec {
     IcebergTable.addPartitionField(spark, path, "o_custkey", "bucket[4]")
     intercept[Exception](IcebergTable.addPartitionField(spark, path, "o_custkey", "bucket[4]"))
   }
+
+  test("column doc comments: surfaced as Spark comments, settable via ALTER, persisted in metadata") {
+    import org.apache.spark.sql.types._
+    val path = tmpDir("graft_doc_comment")
+    // Create with a commented column (Spark comment -> Iceberg doc).
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = true,
+        new MetadataBuilder().putString("comment", "Primary identifier").build()),
+      StructField("name", StringType)))
+    graft.write.IcebergWrite.createTable(spark, path, schema)
+    val hconf = spark.sessionState.newHadoopConf()
+    def docs(): Map[String, Option[String]] =
+      graft.core.TableMetadata.load(path, hconf).currentSchema.fields
+        .map(f => f.name -> f.doc).toMap
+    assert(docs() == Map("id" -> Some("Primary identifier"), "name" -> None))
+
+    // ALTER sets and the loaded Spark schema carries the comment metadata.
+    graft.write.Evolution.setColumnDoc(spark, path, "name", Some("Resident name"))
+    assert(docs()("name").contains("Resident name"))
+    import spark.implicits._
+    graft.write.IcebergWrite.append(Seq((1L, "x")).toDF("id", "name"), path)
+    val loaded = IcebergTable.load(spark, path)
+    assert(loaded.schema("id").metadata.getString("comment") == "Primary identifier")
+    assert(loaded.schema("name").metadata.getString("comment") == "Resident name")
+
+    // SQL surface: ALTER TABLE ... ALTER COLUMN ... COMMENT through the catalog.
+    val wh = tmpDir("graft_doc_wh")
+    spark.conf.set("spark.sql.catalog.doccat", classOf[graft.catalog.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.doccat.warehouse", wh)
+    spark.sql("CREATE TABLE doccat.db.t (id BIGINT, name STRING)")
+    spark.sql("ALTER TABLE doccat.db.t ALTER COLUMN id COMMENT 'the key'")
+    val m2 = graft.core.TableMetadata.load(s"$wh/db/t", hconf)
+    assert(m2.currentSchema.fields.find(_.name == "id").get.doc.contains("the key"))
+    // DESCRIBE surfaces it.
+    val desc = spark.sql("DESCRIBE doccat.db.t").collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(desc("id") == "the key", s"DESCRIBE comment mismatch: $desc")
+  }
 }
