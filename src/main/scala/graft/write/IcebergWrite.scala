@@ -204,15 +204,36 @@ object IcebergWrite {
 
     val writeUuid = UUID.randomUUID().toString
     val stagingDir = s"${meta.location}/data/$writeUuid"
+    // write.target-file-size-bytes (reference test_target_file_size_bytes):
+    // Spark's writer rolls on RECORD count only, so calibrate records/file
+    // from a small sampled write — one tiny extra job, only when the
+    // property is set. File sizing governs downstream scan parallelism;
+    // a 100 TB append must not produce per-task multi-GB files.
+    val recordsPerFile: Option[Long] =
+      meta.properties.get("write.target-file-size-bytes").map(parseByteSize)
+        .filter(_ > 0).map { target =>
+          val sampleDir = s"${meta.location}/data/.sample-$writeUuid"
+          out.limit(5000).coalesce(1).write.parquet(sampleDir)
+          val fsys0 = TableMetadata.fs(sampleDir, conf)
+          val sampled = listParquet(fsys0, new Path(sampleDir))
+          val bytes = sampled.map(_.getLen).sum
+          val rows = sampled.map(st =>
+            FooterStats.read(st.getPath, conf, schema).recordCount).sum
+          fsys0.delete(new Path(sampleDir), true)
+          val perRow = if (rows > 0) math.max(1L, bytes / rows) else 256L
+          math.max(1000L, target / perRow)
+        }
+    def writerFor(df: DataFrame) =
+      recordsPerFile.foldLeft(df.write)((w, n) => w.option("maxRecordsPerFile", n))
     if (gpCols.nonEmpty) {
       // Co-locate rows per partition before the write: one shuffle, then one
       // file per partition value (not per task x partition).
       out = out.repartition(gpCols.map(c => col(c._1)).toIndexedSeq: _*)
       if (sortCols.nonEmpty) out = out.sortWithinPartitions(sortCols.toIndexedSeq: _*)
-      out.write.partitionBy(gpCols.map(_._1): _*).parquet(stagingDir)
+      writerFor(out).partitionBy(gpCols.map(_._1): _*).parquet(stagingDir)
     } else {
       if (sortCols.nonEmpty) out = out.orderBy(sortCols.toIndexedSeq: _*)
-      out.write.parquet(stagingDir)
+      writerFor(out).parquet(stagingDir)
     }
 
     // Collect written files + their dir-encoded partition values. Footer
@@ -254,6 +275,18 @@ object IcebergWrite {
   /** Staging-write partition column for a spec field (dot-free: nested
     * sources would otherwise read as nested references). */
   private def gpName(pf: PartitionField): String = "_gp_" + pf.name.replace('.', '_')
+
+  /** `write.target-file-size-bytes` accepts plain bytes or K/M/G suffixes
+    * ("1048576", "64MB", "1g"). */
+  private[graft] def parseByteSize(s: String): Long = {
+    val t = s.trim.toLowerCase.stripSuffix("b")
+    val (num, mult) =
+      if (t.endsWith("k")) (t.dropRight(1), 1L << 10)
+      else if (t.endsWith("m")) (t.dropRight(1), 1L << 20)
+      else if (t.endsWith("g")) (t.dropRight(1), 1L << 30)
+      else (t, 1L)
+    (num.trim.toDouble * mult).toLong
+  }
 
   /** File count at/above which footer-stats reads run as a Spark job instead
     * of on the driver. Overridable for tests. */

@@ -141,4 +141,33 @@ class EndToEndSpec extends SparkSpec {
       s"codec=none must write an uncompressed avro container, got ${codecOf(p2)}")
     assertSameResult(src, IcebergTable.load(spark, p2))
   }
+
+  test("write.target-file-size-bytes rolls insert output into bounded files") {
+    import org.apache.spark.sql.functions._
+    import graft.write.IcebergWrite
+    assert(IcebergWrite.parseByteSize("1048576") == 1048576L)
+    assert(IcebergWrite.parseByteSize("64MB") == 64L << 20)
+    assert(IcebergWrite.parseByteSize("1g") == 1L << 30)
+    assert(IcebergWrite.parseByteSize("256k") == 256L << 10)
+
+    val path = tmpDir("graft_target_size")
+    // ~100k rows of ~40-byte strings; target 256 KiB => several files.
+    val df = spark.range(100000).toDF("id")
+      .withColumn("data", concat(lit("thisisalongstringpayloadvalue-"), col("id")))
+    IcebergTable.write(df, path, graft.write.TableWriteOptions(
+      properties = Map("write.target-file-size-bytes" -> "262144")))
+    val files = IcebergTable.plan(spark, path).dataFiles
+    assert(files.size >= 3, s"expected multiple rolled files, got ${files.size}")
+    // No file grossly overshoots the target (calibration is a sample-based
+    // estimate; allow 2x).
+    val oversized = files.filter(_.info.fileSizeInBytes > 2L * 262144)
+    assert(oversized.isEmpty,
+      s"files exceed 2x target: ${oversized.map(_.info.fileSizeInBytes)}")
+    assertSameResult(df, IcebergTable.load(spark, path))
+
+    // Without the property, the same write stays unsplit (single task).
+    val path2 = tmpDir("graft_no_target_size")
+    IcebergTable.write(df.coalesce(1), path2)
+    assert(IcebergTable.plan(spark, path2).dataFiles.size == 1)
+  }
 }
