@@ -55,11 +55,15 @@ object SingleValue {
     t match {
       case BooleanT => bytes(0) != 0
       case IntT | DateT => le.getInt
-      case LongT | TimeT | TimestampT | TimestampTzT => le.getLong
+      // 4-byte values under a LONG/DOUBLE type: bounds written BEFORE an
+      // int->long / float->double promotion keep their old width (Iceberg
+      // schema-evolution rule: readers widen old bounds, never crash).
+      case LongT | TimeT | TimestampT | TimestampTzT =>
+        if (bytes.length == 4) le.getInt.toLong else le.getLong
       // ns variants are stored as nanos; floor to micros (documented loss).
       case TimestampNsT | TimestampTzNsT => Math.floorDiv(le.getLong, 1000L)
       case FloatT => le.getFloat
-      case DoubleT => le.getDouble
+      case DoubleT => if (bytes.length == 4) le.getFloat.toDouble else le.getDouble
       case StringT => new String(bytes, StandardCharsets.UTF_8)
       case UuidT =>
         val bb = ByteBuffer.wrap(bytes)

@@ -155,4 +155,31 @@ class EvolutionSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getString(2)).toMap
     assert(desc("id") == "the key", s"DESCRIBE comment mismatch: $desc")
   }
+
+  test("partition values survive type promotion of the partition source (reference test_read_partitioned_table_type_promotion)") {
+    import spark.implicits._
+    val path = tmpDir("graft_part_promote")
+    val a = (0 until 50).map(i => (i % 5, s"r$i")).toDF("k", "v")
+    IcebergTable.write(a, path, graft.write.TableWriteOptions(
+      partitionBy = Seq(("k", graft.core.Transforms.Identity))))
+    // Widen the partition SOURCE int -> long, then append long-typed data.
+    graft.write.Evolution.updateColumnType(spark, path, "k", "long")
+    val b = (0 until 50).map(i => ((i % 5).toLong + 10L, s"n$i")).toDF("k", "v")
+    IcebergTable.append(b, path)
+    val all = IcebergTable.load(spark, path)
+    assert(all.count() == 100)
+    // Pruning must be sound across files whose partition values were
+    // written as INT (old spec binding) and LONG (post-promotion).
+    for (pred <- Seq("k = 2", "k = 12", "k >= 10", "k < 5")) {
+      val got = IcebergTable.load(spark, path,
+        graft.read.ReadOptions(filterSql = Some(pred))).count()
+      val want = all.where(pred).count()
+      assert(got == want, s"[$pred] pruned scan $got rows, expected $want")
+    }
+    // And old-file pruning still skips: k=12 can't be in the int-era files.
+    val plan = IcebergTable.plan(spark, path,
+      graft.read.ReadOptions(filterSql = Some("k = 12")))
+    assert(plan.dataFiles.size == 1,
+      s"expected 1 file for k=12, kept ${plan.dataFiles.size}")
+  }
 }
