@@ -359,9 +359,34 @@ object IcebergRead {
         .toSeq.sortBy(_._1.mkString(","))
         .map { case (_, files) => (files, applicableTo(files.head)) }
 
+    // Equality ids referencing DROPPED columns (reference
+    // test_equality_delete_schema_evolution_drop_columns: deletes must keep
+    // applying after the column is dropped): resolve the field from the
+    // historical schemas and read it from data files privately by field id.
+    val histFields: Map[Int, IcebergTypes.NestedField] = {
+      val missing = eqDeletes.flatMap(_.info.equalityIds).distinct
+        .filterNot(p.schema.idToField.contains)
+      missing.map { id =>
+        val hf = p.meta.schemas.sortBy(-_.schemaId)
+          .flatMap(s => s.fields.find(_.id == id)).headOption
+          .getOrElse(throw new IllegalArgumentException(
+            s"Equality delete references field id $id, not found top-level in any table schema " +
+              "(nested dropped equality-delete fields are not supported)"))
+        id -> hf
+      }.toMap
+    }
+
     val parts = groups.map { case (files, applicable) =>
-      var df = buildScan(spark, p, files, conf, needMeta, needLineage = opts.withRowLineage)
-      if (applicable.nonEmpty) df = applyEqualityDeletes(spark, df, applicable, p)
+      val needHist =
+        if (applicable.isEmpty) Map.empty[Int, IcebergTypes.NestedField]
+        else histFields.filter { case (id, _) => applicable.exists(_.info.equalityIds.contains(id)) }
+      var df = buildScan(spark, p, files, conf, needMeta, needLineage = opts.withRowLineage,
+        histFields = needHist.toSeq.sortBy(_._1))
+      if (applicable.nonEmpty) {
+        df = applyEqualityDeletes(spark, df, applicable, p, needHist)
+        // Hidden historical columns must not leak into the union.
+        needHist.keys.foreach(id => df = df.drop(s"_g_hist_$id"))
+      }
       df
     }
     var df = parts.reduce(_ unionByName _)
@@ -437,7 +462,8 @@ object IcebergRead {
     * (initial-defaults + identity-partition constants for physically-missing
     * columns), one parquet read per group, patched with literals. */
   private def buildScan(spark: SparkSession, p: ScanPlan, files: Seq[PlannedFile],
-      conf: Configuration, needMeta: Boolean, needLineage: Boolean = false): DataFrame = {
+      conf: Configuration, needMeta: Boolean, needLineage: Boolean = false,
+      histFields: Seq[(Int, IcebergTypes.NestedField)] = Nil): DataFrame = {
     val schema = p.schema
     val sparkSchema = schema.toSpark
     val props = p.meta.properties
@@ -585,6 +611,7 @@ object IcebergRead {
         // iceberg.type/crs intent markers for time/geometry surfaces) —
         // the physical read + withColumn fills above don't carry it.
         val cols = sparkSchema.fields.map(sf => col(sf.name).as(sf.name, sf.metadata)).toSeq ++
+          histFields.map { case (id, _) => col(s"_g_hist_$id") } ++
           (if (needLineage) Seq(col("_g_mat_row_id"), col("_g_mat_seq")) else Nil) ++
           (if (needMeta) Seq(col("_g_path"), col("_g_pos")) else Nil)
         df.select(cols.toIndexedSeq: _*)
@@ -593,6 +620,10 @@ object IcebergRead {
       val idDF = if (idFiles.nonEmpty) {
         val fields = readFields.map { f =>
           StructField(f.name, physType(f.fieldType), nullable = true, fieldMeta(f.id))
+        } ++ histFields.map { case (id, hf) =>
+          // Dropped equality-delete column, read privately by field id
+          // under a collision-proof name.
+          StructField(s"_g_hist_$id", physType(hf.fieldType), nullable = true, fieldMeta(id))
         } ++ (if (needLineage) Seq(
           // Materialized v3 lineage columns, matched by reserved field id;
           // null (ignoreMissing) for files written without them.
@@ -602,6 +633,8 @@ object IcebergRead {
       } else None
 
       val mappedDF = if (mappedFiles.nonEmpty) {
+        require(histFields.isEmpty,
+          "equality deletes on dropped columns are not supported for files resolved via name mapping")
         val mapping = nameMapping.get
         val (inMapping, unmapped) = readFields.partition(f => mapping.contains(f.id))
         val fields = inMapping.map(f => StructField(mapping(f.id), physType(f.fieldType), nullable = true))
@@ -666,7 +699,8 @@ object IcebergRead {
   }
 
   private def applyEqualityDeletes(spark: SparkSession, scan: DataFrame,
-      eqDeletes: Seq[PlannedFile], p: ScanPlan): DataFrame = {
+      eqDeletes: Seq[PlannedFile], p: ScanPlan,
+      histFields: Map[Int, IcebergTypes.NestedField] = Map.empty): DataFrame = {
     // Field-id -> chain of NestedFields from the root: equality ids may
     // reference NESTED struct leaves (reference
     // test_equality_delete_struct_field.test), in which case the delete
@@ -697,13 +731,23 @@ object IcebergRead {
     // Group by equality-id set; anti-join each with null-safe equality
     // (null-safe <=> matches the reference's IS NOT DISTINCT FROM semantics).
     eqDeletes.groupBy(_.info.equalityIds).foldLeft(scan) { case (df, (eqIds, files)) =>
-      val idChains = eqIds.map(id => chains.getOrElse(id,
+      // Current-schema ids resolve through struct chains; dropped ids read
+      // from the hidden `_g_hist_<id>` columns buildScan added.
+      val (histIds, curIds) = eqIds.partition(histFields.contains)
+      val idChains = curIds.map(id => chains.getOrElse(id,
         throw new IllegalArgumentException(s"Equality delete references unknown field id $id")))
-      val paths = idChains.map(_.map(_.name).mkString("."))
-      val flatNames = eqIds.map(id => s"_eq_$id")
-      val dels = spark.read.schema(buildStruct(idChains))
+      val paths = idChains.map(_.map(_.name).mkString(".")) ++
+        histIds.map(id => s"_g_hist_$id")
+      val orderedIds = curIds ++ histIds
+      val flatNames = orderedIds.map(id => s"_eq_$id")
+      val delSchema = StructType(buildStruct(idChains).fields ++ histIds.map { id =>
+        StructField(s"_g_hist_$id", histFields(id).fieldType.toSpark, nullable = true, fieldMeta(id))
+      })
+      val delProj = idChains.map(_.map(_.name).mkString(".")).zip(curIds.map(id => s"_eq_$id")) ++
+        histIds.map(id => s"_g_hist_$id" -> s"_eq_$id")
+      val dels = spark.read.schema(delSchema)
         .parquet(files.map(_.resolvedPath): _*)
-        .select(paths.zip(flatNames).map { case (pth, fn) => col(pth).as(fn) }.toIndexedSeq: _*)
+        .select(delProj.map { case (pth, fn) => col(pth).as(fn) }.toIndexedSeq: _*)
         .dropDuplicates(flatNames)
       val totalRows = files.map(_.info.recordCount).sum
       val rhs = if (totalRows < 20000000L) broadcast(dels) else dels

@@ -182,4 +182,48 @@ class EvolutionSpec extends SparkSpec {
     assert(plan.dataFiles.size == 1,
       s"expected 1 file for k=12, kept ${plan.dataFiles.size}")
   }
+
+  test("equality deletes written before a type promotion still apply (reference test_equality_delete_schema_evolution_*)") {
+    import spark.implicits._
+    val path = tmpDir("graft_eqdel_promote")
+    val src = (0 until 40).map(i => (i, s"v$i")).toDF("k", "v")
+    IcebergTable.write(src, path)
+    // Equality delete under the INT schema...
+    IcebergTable.deleteEquality(spark, path, (0 until 40 by 4).map(i => Tuple1(i)).toDF("k"))
+    // ...then promote k to LONG and append long-typed rows.
+    graft.write.Evolution.updateColumnType(spark, path, "k", "long")
+    IcebergTable.append((100L until 110L).map(i => (i, s"n$i")).toDF("k", "v"), path)
+    val got = IcebergTable.load(spark, path).select("k").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val want = ((0 until 40).filter(_ % 4 != 0).map(_.toLong) ++ (100L until 110L)).sorted
+    assert(got == want, s"eq-delete after promotion lost/kept wrong rows: got ${got.size}, want ${want.size}")
+  }
+
+  test("equality deletes keep applying after their column is dropped (reference ..._drop_columns)") {
+    import spark.implicits._
+    val path = tmpDir("graft_eqdel_dropcol")
+    val src = Seq(
+      (1, 10, "delete-me"), (2, 11, "keep-a"), (3, 10, "keep-b-diff-id"),
+      (4, 20, "delete-me-too"), (5, 30, "keep-c")).toDF("id", "number_key", "marker")
+    IcebergTable.write(src, path)
+    // Two-column equality delete: (id, number_key).
+    IcebergTable.deleteEquality(spark, path,
+      Seq((1, 10), (4, 20)).toDF("id", "number_key"))
+    assert(IcebergTable.load(spark, path).select("marker").collect().map(_.getString(0)).toSet
+      == Set("keep-a", "keep-b-diff-id", "keep-c"))
+
+    // Drop one equality column; the delete must STILL apply (the dropped
+    // field is read privately by field id from old data files).
+    graft.write.Evolution.dropColumn(spark, path, "number_key")
+    val afterDrop = IcebergTable.load(spark, path)
+    assert(afterDrop.columns.toSeq == Seq("id", "marker"))
+    assert(afterDrop.select("marker").collect().map(_.getString(0)).toSet
+      == Set("keep-a", "keep-b-diff-id", "keep-c"),
+      "rows deleted before the column drop must stay deleted")
+
+    // New rows (written without the dropped column) are unaffected.
+    IcebergTable.append(Seq((10, "new-row")).toDF("id", "marker"), path)
+    assert(IcebergTable.load(spark, path).select("marker").collect().map(_.getString(0)).toSet
+      == Set("keep-a", "keep-b-diff-id", "keep-c", "new-row"))
+  }
 }
