@@ -547,4 +547,17 @@ class GraftSparkCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     // Spark wraps the catalog's error in FAILED_TO_LOAD_ROUTINE.
     assert(e.getMessage.toLowerCase.contains("nope"))
   }
+
+  test("INSERT INTO with a column list fills unspecified nullable columns with NULL") {
+    val wh = tmpDir("graft_insert_cols_wh")
+    spark.conf.set("spark.sql.catalog.inscat", classOf[graft.catalog.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.inscat.warehouse", wh)
+    spark.sql("CREATE TABLE inscat.db.t (id BIGINT, name STRING, score DOUBLE)")
+    spark.sql("INSERT INTO inscat.db.t (id, name) VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO inscat.db.t (score, id) VALUES (9.5, 3)")
+    val rows = spark.sql("SELECT id, name, score FROM inscat.db.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(rows.toSeq == Seq(
+      (1L, Some("a"), None), (2L, Some("b"), None), (3L, None, Some(9.5))), rows.mkString(","))
+  }
 }
