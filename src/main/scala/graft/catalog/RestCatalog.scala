@@ -103,7 +103,10 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
     if (resp.body() == null || resp.body().isEmpty) F.objectNode() else mapper.readTree(resp.body())
   }
 
-  private def nsPath(ns: Seq[String]): String = ns.mkString("\u001f") // unit separator per REST spec
+  /** Multi-level namespaces join with the unit separator per the REST spec,
+    * percent-encoded (%1F) — a raw 0x1F is illegal in a URI. */
+  private def nsPath(ns: Seq[String]): String =
+    ns.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString("%1F")
 
   // ---------- config ----------
 

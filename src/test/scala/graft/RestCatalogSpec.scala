@@ -241,4 +241,18 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     catalog.dropTable(Seq("etl"), "region2")
     assert(catalog.listTables(Seq("etl")).isEmpty)
   }
+
+  test("multi-level namespaces round-trip through the REST paths (unit-separator encoding)") {
+    catalog.createNamespace(Seq("deep", "child"))
+    assert(catalog.listNamespaces().contains(Seq("deep", "child")))
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+    catalog.createTable(Seq("deep", "child"), "r",
+      IcebergTypes.fromSpark(region.schema), tmpDir("deep_r"))
+    assert(catalog.listTables(Seq("deep", "child")) == Seq("r"))
+    catalog.appendDF(region, Seq("deep", "child"), "r")
+    assert(catalog.loadDF(spark, Seq("deep", "child"), "r").count() == region.count())
+    catalog.dropTable(Seq("deep", "child"), "r")
+    catalog.dropNamespace(Seq("deep", "child"))
+    assert(!catalog.listNamespaces().contains(Seq("deep", "child")))
+  }
 }

@@ -124,7 +124,9 @@ class TestRestServer {
     }
 
     private def route(ex: HttpExchange): Unit = {
-      val path = ex.getRequestURI.getPath
+      // URI.getPath decodes %1F to the raw unit separator; normalize
+      // multi-level namespace segments to the dotted internal key.
+      val path = ex.getRequestURI.getPath.replace('\u001f', '.')
       val method = ex.getRequestMethod
       def body: JsonNode = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
 
@@ -193,7 +195,9 @@ class TestRestServer {
           val o = F.objectNode()
           val arr = o.putArray("namespaces")
           val (pg, next) = page(namespaces.keys.toSeq.sorted, ex.getRequestURI.getQuery)
-          pg.foreach { ns => val a = F.arrayNode(); a.add(ns); arr.add(a) }
+          pg.foreach { ns =>
+            val a = F.arrayNode(); ns.split("\\.").foreach(a.add); arr.add(a)
+          }
           next.foreach(o.put("next-page-token", _))
           respond(ex, 200, mapper.writeValueAsString(o))
 
