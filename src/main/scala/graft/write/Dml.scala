@@ -509,7 +509,13 @@ object Dml {
       val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
       rows = rows.coalesce(n)
     }
-    val (dataEntries, _) = IcebergWrite.writeDataFiles(rows, meta, conf)
+    val (dataEntries0, _) = IcebergWrite.writeDataFiles(rows, meta, conf)
+    // Sequence pin (reference rewrite_data_files_sequence_pin.test):
+    // rewritten files keep their inputs' MAX data sequence, so a delete
+    // committed after this rewrite's base snapshot still applies to the
+    // replacement rows instead of being silently skipped.
+    val pinnedSeq = rewriting.map(_.dataSeq).max
+    val dataEntries = dataEntries0.map(_.copy(sequenceNumber = Some(pinnedSeq)))
 
     // Remove rewritten data files, plus delete files that are now dead —
     // i.e. everything they could reference was rewritten. DV entries share a

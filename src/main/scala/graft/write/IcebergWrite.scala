@@ -579,13 +579,19 @@ object IcebergWrite {
             rowIdCursor += e.dataFile.recordCount
             e.dataFile.copy(firstRowId = Some(fid))
           } else e.dataFile
-        e.copy(snapshotId = Some(snapshotId), sequenceNumber = Some(seq),
+        // A pre-set data sequence number is PRESERVED: compaction pins
+        // rewritten files to their inputs' sequence so deletes committed
+        // after the rewrite's base snapshot still apply to the replacement
+        // (reference rewrite_data_files_sequence_pin.test).
+        e.copy(snapshotId = Some(snapshotId),
+          sequenceNumber = e.sequenceNumber.orElse(Some(seq)),
           fileSequenceNumber = Some(seq), dataFile = withLineage)
       }
+      val minSeq = withSeq.flatMap(_.sequenceNumber).foldLeft(seq)(math.min)
       val len = ManifestIO.writeManifest(mPath, conf, partitionFields, withSeq,
         Map("schema-id" -> schema.schemaId.toString, "partition-spec-id" -> spec.specId.toString, "content" -> "data"),
         ManifestIO.manifestCodec(meta))
-      newManifests +:= ManifestFile(mPath, len, spec.specId, 0, seq, seq, snapshotId,
+      newManifests +:= ManifestFile(mPath, len, spec.specId, 0, seq, minSeq, snapshotId,
         withSeq.size, 0, 0, withSeq.map(_.dataFile.recordCount).sum, 0L, 0L,
         summariesWith(partitionFields)(withSeq),
         firstRowId = if (meta.formatVersion >= 3) Some(addedRowIdStart) else None)

@@ -269,4 +269,48 @@ class DmlSpec extends SparkSpec {
     assert(s4("total-files-size").toLong == liveBytes,
       s"total-files-size ${s4("total-files-size")} != live manifest bytes $liveBytes")
   }
+
+  test("compaction pins rewritten files to the inputs' data sequence (reference rewrite_data_files_sequence_pin)") {
+    import spark.implicits._
+    import graft.core.TableMetadata
+    import graft.manifest.ManifestIO
+    val path = tmpDir("graft_seq_pin")
+    (1 to 6).foreach { i =>
+      IcebergTable.append(Seq((2 * i - 1, s"v${2 * i - 1}"), (2 * i, s"v${2 * i}"))
+        .toDF("id", "payload").coalesce(1), path match {
+          case pth if i == 1 => graft.write.IcebergWrite.createTable(spark, pth,
+            Seq((0, "")).toDF("id", "payload").schema); pth
+          case pth => pth
+        })
+    }
+    val hconf = spark.sessionState.newHadoopConf()
+    def liveDataEntries() = {
+      val meta = TableMetadata.load(path, hconf)
+      ManifestIO.manifestsOf(meta, meta.currentSnapshot.get, hconf).filter(_.content == 0)
+        .flatMap(m => ManifestIO.readManifest(
+          TableMetadata.resolvePath(meta.location, m.path, hconf), hconf, m)
+          .filter(_.isLive).map(e => (e, m)))
+    }
+    val startingSeq = liveDataEntries().flatMap(_._1.sequenceNumber).max
+    assert(liveDataEntries().size == 6)
+
+    IcebergTable.rewriteDataFiles(spark, path, rewriteAll = true)
+    assert(IcebergTable.count(spark, path) == 12)
+    val after = liveDataEntries()
+    assert(after.size == 1, s"expected 1 compacted file, got ${after.size}")
+    // The rewritten entry keeps the inputs' max data sequence, NOT the
+    // replace snapshot's new sequence.
+    assert(after.head._1.sequenceNumber.contains(startingSeq),
+      s"rewritten entry seq ${after.head._1.sequenceNumber}, expected pin to $startingSeq")
+    val meta = TableMetadata.load(path, hconf)
+    assert(meta.lastSequenceNumber > startingSeq, "replace snapshot must still advance the table sequence")
+    // Manifest min_sequence_number covers the pinned entry.
+    assert(after.head._2.minSequenceNumber <= startingSeq)
+
+    // An equality delete committed AFTER the rewrite still hits the
+    // compacted rows (its seq > pinned seq).
+    IcebergTable.deleteEquality(spark, path, Seq(Tuple1(3), Tuple1(7)).toDF("id"))
+    assert(IcebergTable.load(spark, path).select("id").collect().map(_.getInt(0)).sorted.toSeq
+      == (1 to 12).filterNot(Set(3, 7)).toSeq)
+  }
 }
