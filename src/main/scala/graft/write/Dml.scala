@@ -80,7 +80,13 @@ object Dml {
       val rel = st.getPath.toString
       val pkSeg = rel.split("/").find(_.startsWith("_pk=")).map(_.stripPrefix("_pk=").toInt)
         .getOrElse(throw new IllegalStateException(s"No _pk dir in $rel"))
-      val stats = FooterStats.read(st.getPath, conf, deleteFileSchema)
+      // file_path bounds stay FULL (never truncated): delete-file ↔
+      // data-file matching keys on them, and data-file paths share long
+      // directory prefixes — a 16-byte truncation would make every delete
+      // file "match" every data file (Iceberg keeps position-delete path
+      // bounds exact for the same reason).
+      val stats = FooterStats.read(st.getPath, conf, deleteFileSchema,
+        MetricsSpec(MetricsMode.Truncate(16), Map("file_path" -> MetricsMode.Full)))
       ManifestEntry(EntryStatus.Added, None, None, None, DataFileInfo(
         content = FileContent.PositionDeletes,
         filePath = st.getPath.toString,

@@ -250,6 +250,7 @@ object IcebergWrite {
     val specFields = spec.fields
     val sortOrderId = meta.defaultSortOrderId
     val sch = schema
+    val metricsSpec = MetricsSpec.fromProperties(meta.properties)
     val fileInfos = files.map(st => (st.getPath.toString, st.getLen))
     val entries: Seq[ManifestEntry] =
       if (fileInfos.length >= statsDistributeThreshold) {
@@ -260,13 +261,13 @@ object IcebergWrite {
         spark.sparkContext.parallelize(fileInfos, slices)
           .map { case (p, len) =>
             buildEntry(p, len, stagingUri, sch, specFields, partResultTypes,
-              sortOrderId, bconf.value.value)
+              sortOrderId, bconf.value.value, metricsSpec)
           }.collect().toSeq
       } else {
         lastStatsMode = "driver"
         graft.read.IcebergRead.parMap(fileInfos, 16) { case (p, len) =>
           buildEntry(p, len, stagingUri, sch, specFields, partResultTypes,
-            sortOrderId, conf)
+            sortOrderId, conf, metricsSpec)
         }
       }
     (entries, writeUuid)
@@ -299,7 +300,7 @@ object IcebergWrite {
   private def buildEntry(pathStr: String, len: Long, stagingUri: String,
       schema: IcebergSchema, specFields: Seq[PartitionField],
       partResultTypes: Seq[IcebergType], sortOrderId: Int,
-      conf: Configuration): ManifestEntry = {
+      conf: Configuration, metrics: MetricsSpec = MetricsSpec.Default): ManifestEntry = {
     val rel = pathStr.stripPrefix(stagingUri).stripPrefix("/")
     // Parse "_gp_name=value" segments, in spec order.
     val segs = rel.split("/").dropRight(1)
@@ -308,7 +309,7 @@ object IcebergWrite {
         throw new IllegalStateException(s"Missing partition dir for ${pf.name} in $rel"))
       parseDirValue(seg.substring(seg.indexOf('=') + 1), t)
     }
-    val stats = FooterStats.read(new Path(pathStr), conf, schema)
+    val stats = FooterStats.read(new Path(pathStr), conf, schema, metrics)
     ManifestEntry(EntryStatus.Added, None, None, None, DataFileInfo(
       content = FileContent.Data,
       filePath = pathStr,
