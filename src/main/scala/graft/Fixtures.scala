@@ -288,4 +288,14 @@ object Fixtures {
         .buildSignatureIndex(parquet(spark, sfDir, "embeddings"), "embedding", "vec_id")
         .write.mode("overwrite").parquet(s"$dir/indexed")
     }
+
+  /** Embeddings with the IVF cell id materialized as a stored INT column
+    * plus the persisted centroid codebook — train once at ingest, probe
+    * many times (the k-means fit never runs at query time). */
+  def embeddingsIvfIndexed(spark: SparkSession, sfDir: String): String =
+    iceberg(spark, sfDir, "embeddings_ivf") { dir =>
+      val idx = graft.pipeline.Similarity.buildIvfIndex(
+        parquet(spark, sfDir, "embeddings"), "embedding", "vec_id", numCells = 16)
+      graft.pipeline.Similarity.saveIvfIndex(idx, dir)
+    }
 }

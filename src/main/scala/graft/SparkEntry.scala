@@ -314,13 +314,16 @@ object SparkEntry {
     }),
 
     "ann_topk_ivf" -> ((s, dir) => {
-      // IVF: coarse k-means quantizer, probe scans only nprobe cells —
-      // the partition-prunable ANN path (cell id is a plain stored INT).
-      val e = pq(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") === 1)
+      // IVF: probes a PRE-BUILT index (k-means trained once at ingest, cell
+      // id a stored INT column) — the partition-prunable ANN path. The
+      // timed query is centroid ranking (driver, 16 dot products) + a
+      // cell-IN-filtered scan; the k-means fit never runs here.
+      val idx = Similarity.loadIvfIndex(s, Fixtures.embeddingsIvfIndexed(s, dir))
+      val q = pq(s, dir, "embeddings").filter(col("vec_id") === 1)
         .select("embedding").collect()(0).getSeq[Float](0)
-      Similarity.ivfTopK(e.filter(col("vec_id") =!= 1), "embedding", "vec_id", q, 20,
-        numCells = 16, nprobe = 4)
+      Similarity.ivfTopKIndexed(
+        idx.copy(cells = idx.cells.filter(col("vec_id") =!= 1)),
+        "embedding", "vec_id", q, 20, nprobe = 4)
         .select("rank", "vec_id")
     }),
 
@@ -474,6 +477,28 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) =>
       pq(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprintUdf(col("text")).as("fp"))))
+
+  /** Side datasets Verify dumps next to the query results: the ANN
+    * candidate sets (deterministic — seeded planes / persisted centroids),
+    * which turn the rows-only ANN checks into exact value oracles. The
+    * oracle SQL references them through the `__GRAFT_OUT__` placeholder,
+    * which Verify substitutes with its absolute output dir: DuckDB then
+    * re-scores the exact candidate set and must reproduce the top-k. */
+  def sideData: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_candidates_lsh" -> ((s, dir) => {
+      val idx = s.read.parquet(s"${Fixtures.embeddingsSigIndexed(s, dir)}/indexed")
+      val q = pq(s, dir, "embeddings").filter(col("vec_id") === 1)
+        .select("embedding").collect()(0).getSeq[Float](0)
+      Similarity.lshCandidates(idx.filter(col("vec_id") =!= 1), q).select("vec_id")
+    }),
+    "ann_candidates_ivf" -> ((s, dir) => {
+      val idx = Similarity.loadIvfIndex(s, Fixtures.embeddingsIvfIndexed(s, dir))
+      val q = pq(s, dir, "embeddings").filter(col("vec_id") === 1)
+        .select("embedding").collect()(0).getSeq[Float](0)
+      Similarity.ivfCandidates(
+        idx.copy(cells = idx.cells.filter(col("vec_id") =!= 1)), q, nprobe = 4)
+        .select("vec_id")
+    }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -645,6 +670,29 @@ object SparkEntry {
         |      (SELECT embedding FROM embeddings WHERE vec_id = 1)) DESC, e.vec_id)
         |  AS BIGINT) AS rank, e.vec_id
         |FROM embeddings e WHERE e.vec_id <> 1
+        |ORDER BY rank LIMIT 20""".stripMargin,
+
+    // The ANN variants re-score a deterministic candidate set (dumped by
+    // Verify as a side parquet); DuckDB ranks the same set brute-force and
+    // must reproduce the exact top-k ids.
+    "ann_topk_lsh" ->
+      """SELECT CAST(row_number() OVER (
+        |    ORDER BY list_cosine_similarity(e.embedding,
+        |      (SELECT embedding FROM embeddings WHERE vec_id = 1)) DESC, e.vec_id)
+        |  AS BIGINT) AS rank, e.vec_id
+        |FROM embeddings e
+        |WHERE e.vec_id IN (SELECT vec_id
+        |  FROM read_parquet('__GRAFT_OUT__/ann_candidates_lsh/*.parquet'))
+        |ORDER BY rank LIMIT 20""".stripMargin,
+
+    "ann_topk_ivf" ->
+      """SELECT CAST(row_number() OVER (
+        |    ORDER BY list_cosine_similarity(e.embedding,
+        |      (SELECT embedding FROM embeddings WHERE vec_id = 1)) DESC, e.vec_id)
+        |  AS BIGINT) AS rank, e.vec_id
+        |FROM embeddings e
+        |WHERE e.vec_id IN (SELECT vec_id
+        |  FROM read_parquet('__GRAFT_OUT__/ann_candidates_ivf/*.parquet'))
         |ORDER BY rank LIMIT 20""".stripMargin,
 
     "stream_incremental" -> "SELECT * FROM orders",

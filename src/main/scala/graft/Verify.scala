@@ -49,8 +49,21 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Side datasets (ANN candidate sets) the oracle SQL joins against;
+    // __GRAFT_OUT__ in oracle SQL becomes this run's absolute output dir.
+    val absOut = Paths.get(outDir).toAbsolutePath.toString
+    SparkEntry.sideData.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] side dataset $name FAILED: $msg")
+        failed += s"side:$name" -> msg
+      }
+    }
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__GRAFT_OUT__", absOut))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Machine-readable failure roster alongside the dumps (empty = clean).
     Files.writeString(Paths.get(s"$outDir/verify_errors.json"),

@@ -147,14 +147,21 @@ object Similarity {
     * only candidates sharing >= one 4-bit band with the query are exactly
     * scored. Scales as O(candidates), not O(n). */
   def lshTopKIndexed(index: DataFrame, embCol: String, idCol: String,
-      query: Seq[Float], k: Int, bits: Int = 32, seed: Long = 42L): DataFrame = {
+      query: Seq[Float], k: Int, bits: Int = 32, seed: Long = 42L): DataFrame =
+    bruteForceTopK(lshCandidates(index, query, bits, seed), embCol, idCol, query, k)
+
+  /** The LSH candidate subset for a query (rows sharing >= one 4-bit
+    * signature band) — deterministic given (corpus, seed); exposed so an
+    * external oracle can verify the exact re-scored top-k over it. */
+  def lshCandidates(index: DataFrame, query: Seq[Float], bits: Int = 32,
+      seed: Long = 42L): DataFrame = {
     val qSig = signatureOf(query, bits, seed)
     val bands = bits / 4
     val qBands = (0 until bands).map(b => ((qSig >>> (b * 4)) & 0xF).toInt)
     val candidate = (0 until bands).map { b =>
       (shiftrightunsigned(col("_sig"), b * 4).bitwiseAND(lit(0xFL)) === lit(qBands(b).toLong))
     }.reduce(_ || _)
-    bruteForceTopK(index.filter(candidate), embCol, idCol, query, k)
+    index.filter(candidate)
   }
 
   /** LSH-bucketed cosine top-k over a raw table: builds the signature
@@ -217,7 +224,13 @@ object Similarity {
     * nearest cells — the cell filter is a plain `IN` predicate on the
     * stored column — and exactly score the survivors. */
   def ivfTopKIndexed(index: IvfIndex, embCol: String, idCol: String,
-      query: Seq[Float], k: Int, nprobe: Int = 4): DataFrame = {
+      query: Seq[Float], k: Int, nprobe: Int = 4): DataFrame =
+    bruteForceTopK(ivfCandidates(index, query, nprobe), embCol, idCol, query, k)
+
+  /** The IVF candidate subset (rows in the `nprobe` cells nearest the
+    * query) — a plain `IN` predicate on the stored cell column, so the
+    * filter pushes down to the scan; exposed for oracle verification. */
+  def ivfCandidates(index: IvfIndex, query: Seq[Float], nprobe: Int = 4): DataFrame = {
     val q = normalized(query)
     val ranked = index.centroids.zipWithIndex.map { case (c, i) =>
       var dot = 0.0; var j = 0
@@ -225,8 +238,29 @@ object Similarity {
       while (j < n) { dot += c(j) * q(j); j += 1 }
       (i, dot)
     }.sortBy(-_._2).take(math.min(nprobe, index.centroids.length)).map(_._1)
-    bruteForceTopK(index.cells.filter(col("_ivf_cell").isin(ranked.map(Int.box): _*)),
-      embCol, idCol, query, k)
+    index.cells.filter(col("_ivf_cell").isin(ranked.map(Int.box): _*))
+  }
+
+  /** Persist an IVF index: the cell-tagged corpus as parquet (the scale
+    * body — at 100 TB this is the table itself, clustered by `_ivf_cell`)
+    * plus the tiny centroid codebook alongside it. */
+  def saveIvfIndex(index: IvfIndex, dir: String): Unit = {
+    index.cells.write.mode("overwrite").parquet(s"$dir/cells")
+    val spark = index.cells.sparkSession
+    import spark.implicits._
+    index.centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Load a persisted IVF index; the codebook (numCells rows) comes to the
+    * driver, the corpus stays a lazy scan. */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String): IvfIndex = {
+    val cents = spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).map(_._2)
+    IvfIndex(spark.read.parquet(s"$dir/cells"), cents)
   }
 
   /** IVF cosine top-k over a raw table: builds the index in-flight, then

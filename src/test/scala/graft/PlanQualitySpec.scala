@@ -139,4 +139,21 @@ class PlanQualitySpec extends SparkSpec {
       !readSchema.contains("l_comment") && !readSchema.contains("l_extendedprice"),
       s"expected 2-column ReadSchema, got: $readSchema")
   }
+
+  test("IVF probe pushes the _ivf_cell IN predicate to the scan (no k-means in the query)") {
+    import graft.pipeline.Similarity
+    val idxDir = Fixtures.embeddingsIvfIndexed(spark, sfDir)
+    val idx = Similarity.loadIvfIndex(spark, idxDir)
+    val q = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") === 1).select("embedding").collect()(0).getSeq[Float](0)
+    val cand = Similarity.ivfCandidates(idx, q, nprobe = 4)
+    val plan = formatted(cand)
+    assert(plan.contains("PushedFilters") && plan.contains("In(_ivf_cell"),
+      s"expected _ivf_cell IN pushed to the parquet scan:\n$plan")
+    // The probe reads a strict subset of cells (4 of 16).
+    val total = idx.cells.count()
+    val probed = cand.count()
+    assert(probed > 0 && probed < total,
+      s"probe should scan a subset: $probed of $total")
+  }
 }
