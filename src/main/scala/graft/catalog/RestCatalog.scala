@@ -104,9 +104,15 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
   }
 
   /** Multi-level namespaces join with the unit separator per the REST spec,
-    * percent-encoded (%1F) — a raw 0x1F is illegal in a URI. */
+    * percent-encoded (%1F) — a raw 0x1F is illegal in a URI. Levels are
+    * percent-encoded as PATH segments: URLEncoder form-encodes ' ' as '+',
+    * which a spec-compliant server would decode as a literal plus, so it
+    * is corrected to %20. */
+  private def pathSegment(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
+
   private def nsPath(ns: Seq[String]): String =
-    ns.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString("%1F")
+    ns.map(pathSegment).mkString("%1F")
 
   // ---------- config ----------
 
@@ -128,9 +134,11 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
   /** Paged GET loop: follow `next-page-token` until the server stops
     * returning one (reference IRCAPI::GetTables/GetSchemas — large
     * catalogs return thousands of entries across pages; reading only the
-    * first silently truncates). Listing 401/403/404 degrade to empty with
-    * a warning, like the reference, so one unauthorized schema doesn't
-    * break catalog browsing. */
+    * first silently truncates). Listing 403/404 degrade to empty with a
+    * warning, like the reference, so one unauthorized schema doesn't break
+    * catalog browsing — but 401 (bad/expired credentials) surfaces as an
+    * exception: an auth misconfiguration must not read as an empty
+    * catalog. */
   private def pagedList[T](basePath: String, extract: JsonNode => Seq[T]): Seq[T] = {
     val out = Seq.newBuilder[T]
     var pageToken: Option[String] = None
@@ -143,7 +151,7 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
       val node =
         try request("GET", path)
         catch {
-          case e: RestCatalogException if Seq(401, 403, 404).contains(e.status) =>
+          case e: RestCatalogException if Seq(403, 404).contains(e.status) =>
             System.err.println(s"[graft-catalog] GET $path -> ${e.status}; returning partial listing")
             return out.result()
         }

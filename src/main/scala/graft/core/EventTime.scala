@@ -21,7 +21,9 @@ object EventTime {
     * with `spark.sql.session.timeZone=UTC`, so the NTZ→LTZ cast is the
     * identity on the underlying micros. */
   def asTimestamp(df: DataFrame, c: String): Column = df.schema(c).dataType match {
-    case LongType         => timestamp_micros(floor(col(c) / 1000).cast("long"))
+    // Exact integer division: epoch nanos (~1.7e18) exceed double's 53-bit
+    // mantissa, so floor(col/1000) could be off by 1µs on some rows.
+    case LongType         => timestamp_micros(expr(s"`$c` div 1000"))
     case TimestampNTZType => col(c).cast(TimestampType)
     case TimestampType    => col(c)
     case other => throw new IllegalArgumentException(
@@ -32,7 +34,7 @@ object EventTime {
   /** The event-time column as epoch microseconds (LONG) — for arithmetic
     * like session-gap computation where interval types get in the way. */
   def asMicros(df: DataFrame, c: String): Column = df.schema(c).dataType match {
-    case LongType         => floor(col(c) / 1000).cast("long")
+    case LongType         => expr(s"`$c` div 1000")
     case TimestampNTZType => unix_micros(col(c).cast(TimestampType))
     case TimestampType    => unix_micros(col(c))
     case other => throw new IllegalArgumentException(

@@ -157,7 +157,10 @@ private[graft] class GraftTable(path: String, tableSchema: StructType,
   // Table construction happens at analysis time — early enough that the
   // stats rule is in the optimizer's batch list when THIS query optimizes
   // (registering at scan-build time is too late: pushdown runs mid-batch).
-  GraftScanStatistics.register(SparkSession.active)
+  // getActiveSession: tables can be constructed from threads with no
+  // active session (e.g. a catalog listing pool) — skip, don't throw;
+  // the rule registers on first use from a query thread.
+  SparkSession.getActiveSession.foreach(GraftScanStatistics.register)
   override def name(): String = displayName.getOrElse(s"graft.`$path`")
   override def schema(): StructType = tableSchema
   /** Table location, for the SQL DML rewrite (graft.catalog.GraftSparkExtensions). */
@@ -382,8 +385,11 @@ private[graft] object GraftScanStatistics
   }
 
   /** Registered idempotently whenever a [[GraftTable]] is constructed
-    * (analysis time — early enough for the same query's optimization). */
-  def register(spark: SparkSession): Unit = {
+    * (analysis time — early enough for the same query's optimization).
+    * The check-and-append is synchronized: two tables constructed
+    * concurrently would otherwise race the read-modify-write and drop a
+    * concurrently registered optimization. */
+  def register(spark: SparkSession): Unit = synchronized {
     if (sys.env.contains("SPARK_GRAFT_DISABLE_SCAN_STATS")) return // A/B kill-switch
     val cur = spark.experimental.extraOptimizations
     if (!cur.exists(_ eq this))

@@ -516,11 +516,16 @@ object Dml {
       rows = rows.coalesce(n)
     }
     val (dataEntries0, _) = IcebergWrite.writeDataFiles(rows, meta, conf)
-    // Sequence pin (reference rewrite_data_files_sequence_pin.test):
-    // rewritten files keep their inputs' MAX data sequence, so a delete
-    // committed after this rewrite's base snapshot still applies to the
-    // replacement rows instead of being silently skipped.
-    val pinnedSeq = rewriting.map(_.dataSeq).max
+    // Sequence pin (reference rewrite_data_files_executor.cpp:140-141):
+    // rewritten files are pinned to the BASE (current-at-rewrite-start)
+    // snapshot's sequence number, NOT the replace snapshot's new one — a
+    // delete committed after this rewrite's base still applies to the
+    // replacement rows instead of being silently skipped. Deletes at or
+    // below the base sequence are already folded into the rewritten rows
+    // (the sub-plan applied every delete in the current plan), so the
+    // base pin also avoids re-running their anti-joins on read.
+    val pinnedSeq = meta.currentSnapshot.map(_.sequenceNumber)
+      .getOrElse(rewriting.map(_.dataSeq).max)
     val dataEntries = dataEntries0.map(_.copy(sequenceNumber = Some(pinnedSeq)))
 
     // Remove rewritten data files, plus delete files that are now dead —

@@ -291,26 +291,33 @@ class DmlSpec extends SparkSpec {
           TableMetadata.resolvePath(meta.location, m.path, hconf), hconf, m)
           .filter(_.isLive).map(e => (e, m)))
     }
-    val startingSeq = liveDataEntries().flatMap(_._1.sequenceNumber).max
+    val inputsMaxSeq = liveDataEntries().flatMap(_._1.sequenceNumber).max
     assert(liveDataEntries().size == 6)
+    // A MoR delete before the rewrite: the base snapshot's sequence (7)
+    // now exceeds every input data file's sequence (max 6), so the pin
+    // target distinguishes base-snapshot from inputs-max semantics.
+    IcebergTable.delete(spark, path, "id = 12")
+    val baseSeq = TableMetadata.load(path, hconf).currentSnapshot.get.sequenceNumber
+    assert(baseSeq > inputsMaxSeq)
 
     IcebergTable.rewriteDataFiles(spark, path, rewriteAll = true)
-    assert(IcebergTable.count(spark, path) == 12)
+    assert(IcebergTable.count(spark, path) == 11)
     val after = liveDataEntries()
     assert(after.size == 1, s"expected 1 compacted file, got ${after.size}")
-    // The rewritten entry keeps the inputs' max data sequence, NOT the
+    // The rewritten entry is pinned to the BASE snapshot's sequence
+    // (reference rewrite_data_files_executor.cpp:140-141), NOT the
     // replace snapshot's new sequence.
-    assert(after.head._1.sequenceNumber.contains(startingSeq),
-      s"rewritten entry seq ${after.head._1.sequenceNumber}, expected pin to $startingSeq")
+    assert(after.head._1.sequenceNumber.contains(baseSeq),
+      s"rewritten entry seq ${after.head._1.sequenceNumber}, expected pin to $baseSeq")
     val meta = TableMetadata.load(path, hconf)
-    assert(meta.lastSequenceNumber > startingSeq, "replace snapshot must still advance the table sequence")
+    assert(meta.lastSequenceNumber > baseSeq, "replace snapshot must still advance the table sequence")
     // Manifest min_sequence_number covers the pinned entry.
-    assert(after.head._2.minSequenceNumber <= startingSeq)
+    assert(after.head._2.minSequenceNumber <= baseSeq)
 
     // An equality delete committed AFTER the rewrite still hits the
     // compacted rows (its seq > pinned seq).
     IcebergTable.deleteEquality(spark, path, Seq(Tuple1(3), Tuple1(7)).toDF("id"))
     assert(IcebergTable.load(spark, path).select("id").collect().map(_.getInt(0)).sorted.toSeq
-      == (1 to 12).filterNot(Set(3, 7)).toSeq)
+      == (1 to 11).filterNot(Set(3, 7)).toSeq)
   }
 }

@@ -242,9 +242,27 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     assert(catalog.listTables(Seq("etl")).isEmpty)
   }
 
+  test("a 401 on listing surfaces as an exception, not an empty catalog") {
+    // Bad credentials present every listing as empty without this: an auth
+    // misconfiguration must fail loudly. (403/404 still degrade to empty —
+    // covered in the paged-listings test.)
+    val badCat = new RestCatalog(server.uri,
+      CatalogOptions(token = Some("not-the-token")))
+    val e = intercept[RestCatalogException](badCat.listNamespaces())
+    assert(e.status == 401)
+  }
+
   test("multi-level namespaces round-trip through the REST paths (unit-separator encoding)") {
     catalog.createNamespace(Seq("deep", "child"))
     assert(catalog.listNamespaces().contains(Seq("deep", "child")))
+    // A namespace level containing a space must path-encode as %20 (form
+    // encoding's '+' would decode server-side as a literal plus).
+    catalog.createNamespace(Seq("deep", "with space"))
+    assert(catalog.listNamespaces().contains(Seq("deep", "with space")))
+    // The GET round-trip exercises the per-segment %20 path encoding.
+    catalog.namespaceProperties(Seq("deep", "with space"))
+    catalog.dropNamespace(Seq("deep", "with space"))
+    assert(!catalog.listNamespaces().contains(Seq("deep", "with space")))
     val region = spark.read.parquet(s"$sfDir/region.parquet")
     catalog.createTable(Seq("deep", "child"), "r",
       IcebergTypes.fromSpark(region.schema), tmpDir("deep_r"))
