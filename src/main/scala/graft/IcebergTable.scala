@@ -224,7 +224,7 @@ object IcebergTable {
     * (reference iceberg_metadata.cpp:34-201). */
   def manifestEntries(spark: SparkSession, path: String, opts: ReadOptions = ReadOptions()): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
-    val meta = TableMetadata.load(path, conf, opts.metadataVersion)
+    val meta = TableMetadata.load(path, conf, opts.metadataVersion, opts.versionNameFormat)
     val snap = meta.selectSnapshot(opts.lookup)
     val schema = StructType(Seq(
       StructField("manifest_path", StringType),
@@ -269,7 +269,7 @@ object IcebergTable {
   /** `iceberg_column_stats(path)` (reference iceberg_column_stats.cpp). */
   def columnStats(spark: SparkSession, path: String, opts: ReadOptions = ReadOptions()): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
-    val meta = TableMetadata.load(path, conf, opts.metadataVersion)
+    val meta = TableMetadata.load(path, conf, opts.metadataVersion, opts.versionNameFormat)
     val p = IcebergRead.planWithMetadata(spark, meta, conf, opts)
     val schema = StructType(Seq(
       StructField("file_path", StringType),

@@ -186,17 +186,42 @@ object TableMetadata {
     * a metadata.json). Order: explicit file > version-hint.text > newest
     * v*.metadata.json / *.metadata.json by version number. Gzip variants
     * (vN.gz.metadata.json / vN.metadata.json.gz) supported. */
-  def findMetadataFile(tablePath: String, conf: Configuration, version: Option[String] = None): String = {
+  /** Validate a custom `version_name_format` (reference iceberg_options.cpp:
+    * exactly two `%s` substitutions — version, then compression suffix). */
+  def validateVersionNameFormat(fmt: String): Unit = {
+    val n = fmt.sliding(2).count(_ == "%s")
+    if (n != 2) throw new IllegalArgumentException(
+      s"'version_name_format' has to contain two occurrences of '%s' in it, found $n")
+  }
+
+  def findMetadataFile(tablePath: String, conf: Configuration, version: Option[String] = None,
+      versionNameFormat: Option[String] = None): String = {
     val fsys = fs(tablePath, conf)
     val root = new Path(tablePath)
     if (tablePath.endsWith(".metadata.json") || tablePath.endsWith(".metadata.json.gz")) return tablePath
     val metaDir = new Path(root, "metadata")
+    versionNameFormat.foreach(validateVersionNameFormat)
+    // Comma-separated try-in-order formats, each `%s` (version) + `%s`
+    // (compression suffix) — reference DEFAULT_TABLE_VERSION_FORMAT
+    // "v%s%s.metadata.json,%s%s.metadata.json" / GenerateMetaDataUrl.
+    val formats: Seq[String] =
+      versionNameFormat.map(_.split(",").toSeq)
+        .getOrElse(Seq("v%s%s.metadata.json", "%s%s.metadata.json"))
+    def rendered(fmt: String, v: String, suffix: String): String = {
+      val i = fmt.indexOf("%s")
+      val once = fmt.substring(0, i) + v + fmt.substring(i + 2)
+      val j = once.indexOf("%s")
+      once.substring(0, j) + suffix + once.substring(j + 2)
+    }
     def existing(cands: Seq[Path]): Option[Path] = cands.find(fsys.exists)
-    def candidatesFor(v: String): Seq[Path] = Seq(
-      new Path(metaDir, s"v$v.metadata.json"),
-      new Path(metaDir, s"$v.metadata.json"),
-      new Path(metaDir, s"v$v.gz.metadata.json"),
-      new Path(metaDir, s"v$v.metadata.json.gz"))
+    def candidatesFor(v: String): Seq[Path] = {
+      val fromFormats = for (f <- formats; suffix <- Seq("", ".gz"))
+        yield new Path(metaDir, rendered(f, v, suffix))
+      // Legacy trailing-.gz layout kept for default-format tables.
+      val legacy = if (versionNameFormat.isEmpty)
+        Seq(new Path(metaDir, s"v$v.metadata.json.gz")) else Nil
+      fromFormats ++ legacy
+    }
     version.foreach { v =>
       return existing(candidatesFor(v))
         .getOrElse(throw new java.io.FileNotFoundException(s"No metadata for version $v under $metaDir"))
@@ -210,14 +235,27 @@ object TableMetadata {
         case None => // stale hint: fall through to listing
       }
     }
-    // Guess: list metadata dir, pick highest numeric version prefix.
-    val VRe = """v?(\d+)(?:-[-\w]+)?(?:\.gz)?\.metadata\.json(?:\.gz)?""".r
+    // Guess: list metadata dir, pick highest numeric version prefix among
+    // names matching the format(s).
+    val patterns: Seq[scala.util.matching.Regex] = versionNameFormat match {
+      case None => Seq("""v?(\d+)(?:-[-\w]+)?(?:\.gz)?\.metadata\.json(?:\.gz)?""".r)
+      case Some(_) => formats.map { f =>
+        val i = f.indexOf("%s")
+        val pre = java.util.regex.Pattern.quote(f.substring(0, i))
+        val rest = f.substring(i + 2)
+        val j = rest.indexOf("%s")
+        val mid = java.util.regex.Pattern.quote(rest.substring(0, j))
+        val post = java.util.regex.Pattern.quote(rest.substring(j + 2))
+        (pre + """(\d+)(?:-[-\w]+)?""" + mid + """(?:\.gz)?""" + post).r
+      }
+    }
     val listed = if (fsys.exists(metaDir)) fsys.listStatus(metaDir).toSeq else Seq.empty
     val versioned = listed.flatMap { st =>
-      st.getPath.getName match {
-        case VRe(n) => Some((n.toLong, st.getPath))
+      val name = st.getPath.getName
+      patterns.view.flatMap(p => name match {
+        case p(n) => Some((n.toLong, st.getPath))
         case _ => None
-      }
+      }).headOption
     }
     if (versioned.nonEmpty) versioned.maxBy(_._1)._2.toString
     else throw new java.io.FileNotFoundException(s"No Iceberg metadata found under $metaDir")
@@ -228,8 +266,9 @@ object TableMetadata {
   def parse(json: String, actualLocation: Option[String] = None): TableMetadata =
     parseNode(mapper.readTree(json), actualLocation)
 
-  def load(tablePath: String, conf: Configuration, version: Option[String] = None): TableMetadata = {
-    val metaFile = findMetadataFile(tablePath, conf, version)
+  def load(tablePath: String, conf: Configuration, version: Option[String] = None,
+      versionNameFormat: Option[String] = None): TableMetadata = {
+    val metaFile = findMetadataFile(tablePath, conf, version, versionNameFormat)
     val fsys = fs(metaFile, conf)
     val in = openMaybeGz(fsys, new Path(metaFile))
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()

@@ -40,6 +40,10 @@ case class ReadOptions(
     /** Read at a named branch or tag (Iceberg refs). */
     refName: Option[String] = None,
     metadataVersion: Option[String] = None,
+    /** Custom metadata-file name pattern(s), comma-separated, each with two
+      * `%s` (version, compression suffix) — reference `version_name_format`
+      * scan option. */
+    versionNameFormat: Option[String] = None,
     filterSql: Option[String] = None,
     withRowLineage: Boolean = false,
     /** Internal (DML): keep `_g_path`/`_g_pos` file-position columns. */
@@ -118,7 +122,7 @@ object IcebergRead {
 
   def plan(spark: SparkSession, path: String, opts: ReadOptions = ReadOptions()): ScanPlan = {
     val conf = spark.sessionState.newHadoopConf()
-    val meta = TableMetadata.load(path, conf, opts.metadataVersion)
+    val meta = TableMetadata.load(path, conf, opts.metadataVersion, opts.versionNameFormat)
     planWithMetadata(spark, meta, conf, opts)
   }
 
@@ -295,7 +299,7 @@ object IcebergRead {
   def load(spark: SparkSession, path: String, opts: ReadOptions = ReadOptions()): DataFrame = {
     ensureConfs(spark)
     val conf = spark.sessionState.newHadoopConf()
-    val meta = TableMetadata.load(path, conf, opts.metadataVersion)
+    val meta = TableMetadata.load(path, conf, opts.metadataVersion, opts.versionNameFormat)
     loadWithMetadata(spark, meta, conf, opts)
   }
 
@@ -417,7 +421,7 @@ object IcebergRead {
       descending: Boolean = true, opts: ReadOptions = ReadOptions()): DataFrame = {
     ensureConfs(spark)
     val conf = spark.sessionState.newHadoopConf()
-    val meta = TableMetadata.load(path, conf, opts.metadataVersion)
+    val meta = TableMetadata.load(path, conf, opts.metadataVersion, opts.versionNameFormat)
     val p = planWithMetadata(spark, meta, conf, opts)
     val field = p.schema.fields.find(_.name == colName)
       .getOrElse(throw new IllegalArgumentException(s"No column $colName"))

@@ -89,7 +89,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       val spark = SparkSession.active
       val conf = spark.sessionState.newHadoopConf()
       val opts = GraftDataSource.readOptions(options)
-      val meta = TableMetadata.load(pathOf(options), conf, opts.metadataVersion)
+      val meta = TableMetadata.load(pathOf(options), conf, opts.metadataVersion, opts.versionNameFormat)
       val schema = opts.lookup match {
         case SnapshotLookup.Latest => meta.currentSchema
         case _ => meta.schemaFor(meta.selectSnapshot(opts.lookup))
@@ -137,7 +137,9 @@ object GraftDataSource {
   private[sources] def readOptions(options: java.util.Map[String, String]): ReadOptions = ReadOptions(
     snapshotId = Option(options.get("snapshot-id")).map(_.toLong),
     asOfTimestampMs = Option(options.get("as-of-timestamp")).map(_.toLong),
-    metadataVersion = Option(options.get("metadata-version")))
+    metadataVersion = Option(options.get("metadata-version")),
+    versionNameFormat = Option(options.get("version-name-format"))
+      .orElse(Option(options.get("version_name_format"))))
 }
 
 /** `path` may be a table directory OR a direct `.metadata.json` location
@@ -220,7 +222,8 @@ private[graft] class GraftTable(path: String, tableSchema: StructType,
     val merged = baseOpts.copy(
       snapshotId = o.snapshotId.orElse(baseOpts.snapshotId),
       asOfTimestampMs = o.asOfTimestampMs.orElse(baseOpts.asOfTimestampMs),
-      metadataVersion = o.metadataVersion.orElse(baseOpts.metadataVersion))
+      metadataVersion = o.metadataVersion.orElse(baseOpts.metadataVersion),
+      versionNameFormat = o.versionNameFormat.orElse(baseOpts.versionNameFormat))
     new GraftScanBuilder(path, tableSchema, merged, preloaded)
   }
 

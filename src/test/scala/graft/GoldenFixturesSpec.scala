@@ -180,4 +180,32 @@ class GoldenFixturesSpec extends SparkSpec {
       ReadOptions(filterSql = Some(s"partition_col = ${vals.head}")))
     assert(pruned.dataFiles.size == 1)
   }
+
+  test("version_name_format: custom pattern resolves, malformed errors (iceberg_scan.cpp:40-48, version_name_format_error.test)") {
+    val path = s"$P/iceberg/lineitem_iceberg"
+    // The standard pattern, passed explicitly, resolves like the default.
+    assert(IcebergTable.count(spark, path,
+      ReadOptions(versionNameFormat = Some("v%s%s.metadata.json"))) == 51793L)
+    // Malformed: not exactly two %s -> reference error-message parity
+    // (a comma list is only legal as the internal default; a user value
+    // with 4 substitutions fails the same check, like the reference).
+    val e = intercept[IllegalArgumentException] {
+      IcebergTable.plan(spark, path, ReadOptions(versionNameFormat = Some("%s")))
+    }
+    assert(e.getMessage ==
+      "'version_name_format' has to contain two occurrences of '%s' in it, found 1")
+    val e4 = intercept[IllegalArgumentException] {
+      IcebergTable.plan(spark, path, ReadOptions(
+        versionNameFormat = Some("nope_%s%s.json,v%s%s.metadata.json")))
+    }
+    assert(e4.getMessage.endsWith("found 4"))
+    // A pattern that matches nothing fails loudly, not silently-latest.
+    intercept[Exception] {
+      IcebergTable.plan(spark, path, ReadOptions(versionNameFormat = Some("x%s%s.json")))
+    }
+    // DSv2 option spelling (both kebab and reference underscore forms).
+    val viaOpt = spark.read.format("graft")
+      .option("version_name_format", "v%s%s.metadata.json").load(path)
+    assert(viaOpt.count() == 51793L)
+  }
 }
