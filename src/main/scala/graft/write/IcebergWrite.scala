@@ -203,7 +203,12 @@ object IcebergWrite {
     }
 
     val writeUuid = UUID.randomUUID().toString
-    val stagingDir = s"${meta.location}/data/$writeUuid"
+    // Data root honors write.data.path (reference GetDataPath:
+    // iceberg_table_metadata.cpp:512-519) — object stores often split the
+    // data plane from the metadata location.
+    val dataRoot = meta.properties.get("write.data.path").map(_.stripSuffix("/"))
+      .getOrElse(s"${meta.location}/data")
+    val stagingDir = s"$dataRoot/$writeUuid"
     // write.target-file-size-bytes (reference test_target_file_size_bytes):
     // Spark's writer rolls on RECORD count only, so calibrate records/file
     // from a small sampled write — one tiny extra job, only when the
@@ -251,7 +256,49 @@ object IcebergWrite {
     val sortOrderId = meta.defaultSortOrderId
     val sch = schema
     val metricsSpec = MetricsSpec.fromProperties(meta.properties)
-    val fileInfos = files.map(st => (st.getPath.toString, st.getLen))
+
+    // Object-storage layouts (reference iceberg_insert.cpp:705-709 +
+    // Iceberg's ObjectStoreLocationProvider): `write.object-storage.enabled`
+    // spreads files across hash-prefix key ranges (murmur3 of the unique
+    // file name as an 8-hex-char component right under the data root — the
+    // entropy must lead the key to defeat object-store prefix throttling);
+    // `write.object-storage.partitioned-paths=false` drops the hive-style
+    // `key=value` segments (partition values live in manifests, dirs are
+    // cosmetic). Both move staged files once, driver-side on a thread pool
+    // (a metadata op on HDFS-likes; real object-store deployments would
+    // hand the final path to the committer instead).
+    val objectStorage = meta.properties.get("write.object-storage.enabled")
+      .exists(_.equalsIgnoreCase("true"))
+    val hivePartPaths = meta.properties.get("write.object-storage.partitioned-paths")
+      .forall(!_.equalsIgnoreCase("false"))
+    // (finalPath, stagedRelPath-for-partition-parsing, length)
+    val staged: Seq[(String, String, Long)] = files.map { st =>
+      val p = st.getPath.toString
+      (p, p.stripPrefix(stagingUri).stripPrefix("/"), st.getLen)
+    }
+    val fileInfos: Seq[(String, String, Long)] =
+      if (!objectStorage && hivePartPaths) staged
+      else {
+        val moved = graft.read.IcebergRead.parMap(staged.zipWithIndex, 16) {
+          case ((p, rel, len), idx) =>
+            val segs = rel.split("/")
+            // Dropping partition dirs can collide: one task writes the SAME
+            // part-file name into several partition dirs. An index prefix
+            // keeps flattened names unique.
+            val name = if (hivePartPaths) segs.last else f"$idx%05d-${segs.last}"
+            val partSegs: Seq[String] = if (hivePartPaths) segs.dropRight(1).toSeq else Nil
+            val hashSeg: Seq[String] = if (objectStorage)
+              Seq(f"${graft.core.IcebergHash.hashString(name) & 0xFFFFFFFFL}%08x") else Nil
+            val target = (Seq(dataRoot) ++ hashSeg ++ partSegs :+ name).mkString("/")
+            val tp = new Path(target)
+            fsys.mkdirs(tp.getParent)
+            if (!fsys.rename(new Path(p), tp))
+              throw new IllegalStateException(s"Failed to move staged file $p -> $target")
+            (target, rel, len)
+        }
+        fsys.delete(new Path(stagingDir), true) // only empty dirs remain
+        moved
+      }
     val entries: Seq[ManifestEntry] =
       if (fileInfos.length >= statsDistributeThreshold) {
         lastStatsMode = "distributed"
@@ -259,14 +306,14 @@ object IcebergWrite {
           new org.apache.spark.util.SerializableConfiguration(conf))
         val slices = math.min(fileInfos.length, spark.sparkContext.defaultParallelism * 2)
         spark.sparkContext.parallelize(fileInfos, slices)
-          .map { case (p, len) =>
-            buildEntry(p, len, stagingUri, sch, specFields, partResultTypes,
+          .map { case (p, rel, len) =>
+            buildEntry(p, rel, len, sch, specFields, partResultTypes,
               sortOrderId, bconf.value.value, metricsSpec)
           }.collect().toSeq
       } else {
         lastStatsMode = "driver"
-        graft.read.IcebergRead.parMap(fileInfos, 16) { case (p, len) =>
-          buildEntry(p, len, stagingUri, sch, specFields, partResultTypes,
+        graft.read.IcebergRead.parMap(fileInfos, 16) { case (p, rel, len) =>
+          buildEntry(p, rel, len, sch, specFields, partResultTypes,
             sortOrderId, conf, metricsSpec)
         }
       }
@@ -297,12 +344,12 @@ object IcebergWrite {
 
   /** Build one ADDED manifest entry for a staged data file (runs on the
     * driver or inside a Spark task — everything it touches is serializable). */
-  private def buildEntry(pathStr: String, len: Long, stagingUri: String,
+  private def buildEntry(pathStr: String, rel: String, len: Long,
       schema: IcebergSchema, specFields: Seq[PartitionField],
       partResultTypes: Seq[IcebergType], sortOrderId: Int,
       conf: Configuration, metrics: MetricsSpec = MetricsSpec.Default): ManifestEntry = {
-    val rel = pathStr.stripPrefix(stagingUri).stripPrefix("/")
-    // Parse "_gp_name=value" segments, in spec order.
+    // Parse "_gp_name=value" segments from the STAGED relative path (the
+    // final path may be flat or hash-prefixed), in spec order.
     val segs = rel.split("/").dropRight(1)
     val partValues: Seq[Any] = specFields.zip(partResultTypes).map { case (pf, t) =>
       val seg = segs.find(_.startsWith(s"${gpName(pf)}=")).getOrElse(

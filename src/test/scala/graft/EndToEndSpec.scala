@@ -170,4 +170,56 @@ class EndToEndSpec extends SparkSpec {
     IcebergTable.write(df.coalesce(1), path2)
     assert(IcebergTable.plan(spark, path2).dataFiles.size == 1)
   }
+
+  test("object-storage layouts: hash-prefixed paths, flat partition paths, custom write.data.path") {
+    val src = spark.read.parquet(s"$sfDir/orders.parquet")
+
+    // write.object-storage.enabled: every data file sits under an 8-hex-char
+    // hash component directly under the data root; reads stay exact.
+    val hashed = tmpDir("graft_objstore_hash")
+    IcebergTable.write(src, hashed, TableWriteOptions(
+      partitionBy = Seq(("o_orderstatus", Transforms.Identity)),
+      properties = Map("write.object-storage.enabled" -> "true")))
+    val hashedPlan = IcebergTable.plan(spark, hashed)
+    val hexDir = """.*/data/([0-9a-f]{8})/.*""".r
+    hashedPlan.dataFiles.foreach { f =>
+      assert(hexDir.findFirstIn(f.recordedPath).isDefined,
+        s"expected a hash component in ${f.recordedPath}")
+      // hive-style partition dirs are kept by default (partitioned-paths=true)
+      assert(f.recordedPath.contains("="), s"expected partition dir in ${f.recordedPath}")
+    }
+    assertSameResult(src, IcebergTable.load(spark, hashed))
+    // Pruning still works from manifest partition values.
+    val pruned = IcebergTable.plan(spark, hashed,
+      ReadOptions(filterSql = Some("o_orderstatus = 'O'")))
+    assert(pruned.dataFiles.size < hashedPlan.dataFiles.size)
+
+    // partitioned-paths=false: no key=value segments in final paths; the
+    // partition values live only in the manifests — pruning still exact.
+    val flat = tmpDir("graft_objstore_flat")
+    IcebergTable.write(src, flat, TableWriteOptions(
+      partitionBy = Seq(("o_orderstatus", Transforms.Identity)),
+      properties = Map("write.object-storage.partitioned-paths" -> "false")))
+    val flatPlan = IcebergTable.plan(spark, flat)
+    flatPlan.dataFiles.foreach(f =>
+      assert(!f.recordedPath.contains("="), s"expected flat path, got ${f.recordedPath}"))
+    assertSameResult(src, IcebergTable.load(spark, flat))
+    val flatPruned = IcebergTable.plan(spark, flat,
+      ReadOptions(filterSql = Some("o_orderstatus = 'O'")))
+    assert(flatPruned.dataFiles.size == 1)
+    assert(IcebergTable.load(spark, flat,
+      ReadOptions(filterSql = Some("o_orderstatus = 'O'"))).count()
+      == src.filter("o_orderstatus = 'O'").count())
+
+    // write.data.path: data files land under the custom root, not
+    // <location>/data; appends and reads still roundtrip.
+    val tableLoc = tmpDir("graft_custom_datapath_table")
+    val dataLoc = tmpDir("graft_custom_datapath_data")
+    IcebergTable.write(src.limit(100), tableLoc, TableWriteOptions(
+      properties = Map("write.data.path" -> dataLoc)))
+    val cp = IcebergTable.plan(spark, tableLoc)
+    cp.dataFiles.foreach(f => assert(f.recordedPath.startsWith(s"file:$dataLoc")
+      || f.recordedPath.startsWith(dataLoc), s"data file outside write.data.path: ${f.recordedPath}"))
+    assert(IcebergTable.load(spark, tableLoc).count() == 100)
+  }
 }
