@@ -81,6 +81,11 @@ case class ScanPlan(
 }
 
 object IcebergRead {
+  /** Test probe: delete files handed to a reader (parquet scan or puffin
+    * decode) since JVM start — the count delete-file pruning is meant to
+    * minimize (reference prune_equality_deletes.benchmark: 365 -> 1). */
+  val deleteFileReads = new java.util.concurrent.atomic.AtomicLong(0)
+
   private val PosDeletePathFieldId = 2147483546
   private val PosDeletePosFieldId = 2147483545
   /** Reserved field id of the positional-delete `file_path` column —
@@ -345,11 +350,51 @@ object IcebergRead {
     // Global equality deletes are EXACTLY those under an unpartitioned
     // spec; an all-null tuple under a partitioned spec means "the null
     // partition", not "every partition" (Iceberg spec scoping rules).
+    //
+    // Stats pruning per (delete file, data file) pair: if for ANY equality-id
+    // column both files carry bounds and they are disjoint, the delete cannot
+    // hit a row of the data file — skip it (reference
+    // iceberg_file_pruner.cpp:248-317 EqualityDeleteMatchesDataFile, with the
+    // same guards: delete null count known-zero, and for float/double a
+    // known-zero NaN count, since manifest bounds exclude NULLs and NaNs).
+    // This is what turns a post-filter scan into a delete-free plan when the
+    // query predicate excludes everything the deletes touched
+    // (prune_equality_deletes.benchmark).
+    def fieldTypeById(fid: Int): Option[IcebergType] =
+      p.schema.idToField.get(fid).map(_.fieldType).orElse(
+        p.meta.schemas.sortBy(-_.schemaId).flatMap(_.fields.find(_.id == fid))
+          .headOption.map(_.fieldType))
+    def eqDeleteMayMatch(d: PlannedFile, f: PlannedFile): Boolean =
+      d.info.equalityIds.forall { fid =>
+        fieldTypeById(fid) match {
+          case None => true // unknown column: cannot reason, keep the delete
+          case Some(t) =>
+            val nullSafe = d.info.nullValueCounts.get(fid).contains(0L)
+            val nanSafe = t match {
+              case IcebergTypes.FloatT | IcebergTypes.DoubleT =>
+                d.info.nanValueCounts.get(fid).contains(0L)
+              case _ => true
+            }
+            val bounds = for {
+              dl <- d.info.lowerBounds.get(fid); du <- d.info.upperBounds.get(fid)
+              fl <- f.info.lowerBounds.get(fid); fu <- f.info.upperBounds.get(fid)
+            } yield (dl, du, fl, fu)
+            if (!nullSafe || !nanSafe || bounds.isEmpty) true
+            else try {
+              val (dl, du, fl, fu) = bounds.get
+              val disjoint =
+                graft.write.Pruning2.cmpAny(SingleValue.deserialize(du, t), SingleValue.deserialize(fl, t)) < 0 ||
+                graft.write.Pruning2.cmpAny(SingleValue.deserialize(dl, t), SingleValue.deserialize(fu, t)) > 0
+              !disjoint
+            } catch { case _: Exception => true } // undeserializable bounds: keep
+        }
+      }
     def applicableTo(f: PlannedFile): Seq[PlannedFile] = {
       val pk = partKey(f)
       eqDeletes.filter { d =>
         d.dataSeq > f.dataSeq &&
-          (p.meta.spec(d.specId).isUnpartitioned || partKey(d) == pk)
+          (p.meta.spec(d.specId).isUnpartitioned || partKey(d) == pk) &&
+          eqDeleteMayMatch(d, f)
       }
     }
     // Group data files by their APPLICABLE-DELETE SET, not by raw
@@ -676,9 +721,11 @@ object IcebergRead {
 
     var positions: DataFrame = null
     if (posDeletes.nonEmpty) {
+      IcebergRead.deleteFileReads.addAndGet(posDeletes.size.toLong)
       positions = spark.read.schema(deleteSchema).parquet(posDeletes.map(_.resolvedPath): _*)
     }
     if (dvs.nonEmpty) {
+      IcebergRead.deleteFileReads.addAndGet(dvs.size.toLong)
       // Deletion vectors: decode roaring bitmaps on EXECUTORS (a DV per data
       // file; positions can be millions — never collected on the driver).
       val descriptors = dvs.map(d => (d.resolvedPath, d.info.contentOffset.get,
@@ -749,6 +796,7 @@ object IcebergRead {
       })
       val delProj = idChains.map(_.map(_.name).mkString(".")).zip(curIds.map(id => s"_eq_$id")) ++
         histIds.map(id => s"_g_hist_$id" -> s"_eq_$id")
+      IcebergRead.deleteFileReads.addAndGet(files.size.toLong)
       val dels = spark.read.schema(delSchema)
         .parquet(files.map(_.resolvedPath): _*)
         .select(delProj.map { case (pth, fn) => col(pth).as(fn) }.toIndexedSeq: _*)

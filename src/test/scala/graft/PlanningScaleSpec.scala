@@ -1,0 +1,106 @@
+package graft
+
+import graft.core._
+import graft.manifest._
+import graft.read.{IcebergRead, ReadOptions}
+import graft.write.TableWriteOptions
+
+/** Large-metadata planning probe: the driver-side path everything else
+  * protects. Synthesizes a snapshot with ~10k data-file entries spread over
+  * 300 manifests (metadata only — the data files don't exist and are never
+  * opened, since planning reads footers only as a fallback when manifest
+  * stats are absent) and pins that planning stays O(manifests): one manifest
+  * read each, manifest-level pruning drops whole manifests before any read,
+  * and wall time stays inside a generous budget on the parMap thread pool
+  * (reference plans manifests inside DuckDB worker threads,
+  * src/planning/iceberg_multi_file_list.cpp:560-616). */
+class PlanningScaleSpec extends SparkSpec {
+
+  private val NManifests = 300
+  private val PerManifest = 33
+
+  test(s"planning $NManifests manifests / ${NManifests * PerManifest} files: one read per manifest, pruning skips manifests, bounded wall time") {
+    import spark.implicits._
+    val path = tmpDir("graft_bigmeta")
+    val seed = Seq((0L, 0, "x")).toDF("id", "part", "payload")
+    IcebergTable.write(seed, path, TableWriteOptions(
+      partitionBy = Seq(("part", Transforms.Identity))))
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = TableMetadata.load(path, conf)
+    val schema = meta.currentSchema
+    val idF = schema.fieldByPath("id")
+    val partF = schema.fieldByPath("part")
+    val spec = meta.defaultSpec
+    val partitionFields = spec.fields.map { pf =>
+      (pf.name, pf.transform.resultType(schema.idToField(pf.sourceId).fieldType), pf.fieldId)
+    }
+    val snapId = meta.currentSnapshot.get.snapshotId
+
+    // One partition per manifest; file id-ranges are globally disjoint so a
+    // point predicate on id keeps exactly one file.
+    val manifests = (0 until NManifests).map { m =>
+      val entries = (0 until PerManifest).map { j =>
+        val gid = (m * PerManifest + j).toLong
+        ManifestEntry(EntryStatus.Added, Some(snapId), Some(1L), Some(1L), DataFileInfo(
+          content = 0,
+          filePath = s"${meta.location}/data/fake-$m-$j.parquet",
+          fileFormat = "parquet",
+          partitionValues = Seq(m),
+          recordCount = 1000L,
+          fileSizeInBytes = 1L << 20,
+          columnSizes = Map.empty,
+          valueCounts = Map(idF.id -> 1000L, partF.id -> 1000L),
+          nullValueCounts = Map(idF.id -> 0L, partF.id -> 0L),
+          nanValueCounts = Map.empty,
+          lowerBounds = Map(idF.id -> SingleValue.serialize(gid * 1000L, IcebergTypes.LongT)),
+          upperBounds = Map(idF.id -> SingleValue.serialize(gid * 1000L + 999L, IcebergTypes.LongT)),
+          splitOffsets = Nil, equalityIds = Nil, sortOrderId = None))
+      }
+      val mPath = s"${meta.location}/metadata/big-$m.avro"
+      val len = ManifestIO.writeManifest(mPath, conf, partitionFields, entries, Map.empty)
+      ManifestFile(mPath, len, spec.specId, 0, 1L, 1L, snapId,
+        PerManifest, 0, 0, PerManifest * 1000L, 0L, 0L,
+        partitions = Seq(FieldSummary(containsNull = false, containsNan = None,
+          lowerBound = Some(SingleValue.serialize(m, IcebergTypes.IntT)),
+          upperBound = Some(SingleValue.serialize(m, IcebergTypes.IntT)))))
+    }
+    val listPath = s"${meta.location}/metadata/big-list.avro"
+    ManifestIO.writeManifestList(listPath, conf, manifests)
+    val snap = meta.currentSnapshot.get.copy(snapshotId = 999L, manifestList = listPath)
+    val bigMeta = meta.copy(snapshots = Seq(snap), currentSnapshotId = Some(999L))
+
+    def timePlan(opts: ReadOptions): (graft.read.ScanPlan, Long, Double) = {
+      val r0 = ManifestIO.manifestReads.get()
+      val t0 = System.nanoTime()
+      val p = IcebergRead.planWithMetadata(spark, bigMeta, conf, opts)
+      val sec = (System.nanoTime() - t0) / 1e9
+      (p, ManifestIO.manifestReads.get() - r0, sec)
+    }
+
+    // Unfiltered: every manifest read exactly once; wall time bounded.
+    // Budget: min of 3 runs (immune to one-off GC/IO stalls) under 10s —
+    // actual is well under 2s; the assertion exists to catch an accidental
+    // O(files x manifests) or serialized-IO regression, not to microbench.
+    val runs = (1 to 3).map(_ => timePlan(ReadOptions()))
+    runs.foreach { case (p, reads, _) =>
+      assert(p.dataFiles.size == NManifests * PerManifest)
+      assert(reads == NManifests, s"expected $NManifests manifest reads, got $reads")
+    }
+    val best = runs.map(_._3).min
+    assert(best < 10.0, f"unfiltered planning took $best%.2fs (min of 3) for $NManifests manifests — budget 10s")
+
+    // Partition predicate: manifest-level summary pruning keeps ONE manifest,
+    // so only one manifest is ever read; its 33 files survive.
+    val (pPart, partReads, _) = timePlan(ReadOptions(filterSql = Some("part = 137")))
+    assert(partReads == 1, s"partition filter should read 1 manifest, read $partReads")
+    assert(pPart.dataFiles.size == PerManifest)
+    assert(pPart.prunedManifests == NManifests - 1)
+
+    // Stats predicate on id: no manifest-level signal (id isn't a partition
+    // column) but file-level bounds keep exactly one file of the 9900.
+    val (pStats, statsReads, _) = timePlan(ReadOptions(filterSql = Some("id = 4567890")))
+    assert(statsReads == NManifests)
+    assert(pStats.dataFiles.size == 1,
+      s"id bounds should keep 1 of ${NManifests * PerManifest} files, kept ${pStats.dataFiles.size}")
+  }
+}
