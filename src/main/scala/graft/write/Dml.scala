@@ -144,9 +144,89 @@ object Dml {
   def delete(spark: SparkSession, path: String, condSql: String): TableMetadata =
     delete(spark, PathOps(path), condSql)
 
+  /** Session gate mirroring the reference's testing-only
+    * `...enable_equality_deletes` setting: when true, DELETEs whose
+    * predicate is a pure equality form on a v2 unpartitioned table write an
+    * EQUALITY delete file instead of positional deletes (reference
+    * equality_delete_helpers.cpp TryGetEqualityDeletePredicates). */
+  val EnableEqualityDeleteWrites = "graft.enableEqualityDeleteWrites"
+
+  /** Parse a DELETE predicate into equality-delete key rows, or None when
+    * the shape disqualifies (reference equality_delete_helpers.cpp
+    * ExpressionIsEqualityDeleteForm + TryGetEqualityDeleteValuesFromExpression):
+    * accepted per-column forms are `col = const`, `col IN (const,...)`,
+    * `col IS NULL` and OR-combinations of those on ONE column; AND combines
+    * distinct columns; the delete rows are the cross product of the
+    * per-column value sets, capped at 4096 rows (reference
+    * MAX_EQUALITY_DELETE_ROWS — larger deletes fall back to positional).
+    * NULL constants in `=`/`IN` are dropped (those predicates never match
+    * NULL); only IS NULL contributes a NULL key. */
+  private[graft] def equalityDeleteKeys(spark: SparkSession, schema: IcebergSchema,
+      condSql: String): Option[DataFrame] = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    val parsed = try spark.sessionState.sqlParser.parseExpression(condSql)
+      catch { case _: Exception => return None }
+    def colName(e: ce.Expression): Option[String] = e match {
+      // Top-level columns only: graft's equality-delete writer keys on
+      // top-level names (nested-path routing unsupported; falls back).
+      case a: UnresolvedAttribute if a.nameParts.size == 1 => Some(a.nameParts.head)
+      case _ => None
+    }
+    // One column's disjunctive value set; literals kept as Catalyst Literals
+    // (rendered via .sql below so typing survives the round trip).
+    def extract(e: ce.Expression): Option[(String, Seq[ce.Literal])] = e match {
+      case ce.EqualTo(c, l: ce.Literal) =>
+        colName(c).map(n => (n, if (l.value == null) Nil else Seq(l)))
+      case ce.EqualTo(l: ce.Literal, c) =>
+        colName(c).map(n => (n, if (l.value == null) Nil else Seq(l)))
+      case ce.In(c, list) if list.nonEmpty && list.forall(_.isInstanceOf[ce.Literal]) =>
+        colName(c).map(n => (n, list.collect { case l: ce.Literal if l.value != null => l }))
+      case ce.IsNull(c) =>
+        colName(c).map(n => (n, Seq(ce.Literal(null, org.apache.spark.sql.types.NullType))))
+      case ce.Or(a, b) =>
+        (extract(a), extract(b)) match {
+          case (Some((ca, va)), Some((cb, vb))) if ca == cb => Some((ca, va ++ vb))
+          case _ => None
+        }
+      case _ => None
+    }
+    def extractAll(e: ce.Expression): Option[Seq[(String, Seq[ce.Literal])]] = e match {
+      case ce.And(a, b) => for { xa <- extractAll(a); xb <- extractAll(b) } yield xa ++ xb
+      case other => extract(other).map(Seq(_))
+    }
+    extractAll(parsed).flatMap { cols =>
+      val names = cols.map(_._1)
+      val valid = names.distinct.size == names.size && // same column twice: not clean
+        cols.forall(_._2.nonEmpty) && // e.g. `col IN (NULL)` deletes nothing via equality
+        names.forall(n => schema.fields.exists(_.name == n)) &&
+        cols.map(_._2.size.toLong).product <= 4096L
+      if (!valid) None
+      else {
+        // Cross product of per-column value sets as a VALUES relation.
+        val rows = cols.map(_._2).foldLeft(Seq(Seq.empty[ce.Literal])) {
+          (acc, vs) => acc.flatMap(r => vs.map(v => r :+ v))
+        }
+        val valuesSql = rows.map(r => r.map(_.sql).mkString("(", ", ", ")")).mkString(", ")
+        val colList = names.map(n => s"`$n`").mkString(", ")
+        Some(spark.sql(s"SELECT * FROM VALUES $valuesSql AS t($colList)"))
+      }
+    }
+  }
+
   def delete(spark: SparkSession, ops: TableOps, condSql: String): TableMetadata = {
     val conf = spark.sessionState.newHadoopConf()
     val meta = ops.load(conf)
+    // Equality-delete routing (opt-in; v2 + unpartitioned-latest-spec only,
+    // like the reference): a pure-equality predicate writes one small
+    // equality-delete file instead of scanning the table for positions.
+    if (spark.conf.getOption(EnableEqualityDeleteWrites).contains("true") &&
+        meta.formatVersion == 2 && meta.defaultSpec.fields.isEmpty) {
+      equalityDeleteKeys(spark, meta.currentSchema, condSql) match {
+        case Some(keys) => return deleteEquality(spark, ops, keys)
+        case None => // fall through to positional deletes
+      }
+    }
     // DELETE WHERE _row_id = ... (reference deletes by lineage id in its v3
     // tests): expose the lineage columns only when the predicate needs them.
     val needLineage = meta.formatVersion >= 3 &&
@@ -258,9 +338,12 @@ object Dml {
     * written under an UNPARTITIONED spec (an all-null tuple under a
     * partitioned spec would mean "the null partition", not "every
     * partition") — the spec id is added to table metadata if absent. */
-  def deleteEquality(spark: SparkSession, path: String, keys: DataFrame): TableMetadata = {
+  def deleteEquality(spark: SparkSession, path: String, keys: DataFrame): TableMetadata =
+    deleteEquality(spark, PathOps(path), keys)
+
+  def deleteEquality(spark: SparkSession, ops: TableOps, keys: DataFrame): TableMetadata = {
     val conf = spark.sessionState.newHadoopConf()
-    val meta0 = TableMetadata.load(path, conf)
+    val meta0 = ops.load(conf)
     val (meta, eqSpec) = meta0.specs.find(_.fields.isEmpty) match {
       case Some(s) => (meta0, s)
       case None =>
@@ -282,6 +365,25 @@ object Dml {
     // coalesces the dropDuplicates shuffle for typical small key sets
     // (1-few files). Registration below handles either shape.
     out.write.option("maxRecordsPerFile", 1L << 20).parquet(staging)
+    // NaN counts for float/double keys: parquet footers don't carry them,
+    // and read-side bounds pruning of this delete file requires a KNOWN-ZERO
+    // NaN count (bounds exclude NaNs — reference writes nan_value_count=0,
+    // test_equality_delete_float_data_file_pruning.test). One small
+    // aggregate over the key set: if a float key column is NaN-free, every
+    // staged file's NaN count is 0; otherwise leave it unknown (conservative
+    // — pruning stays off, deletes still apply).
+    val floatFields = eqFields.filter(f => f.fieldType match {
+      case IcebergTypes.FloatT | IcebergTypes.DoubleT => true; case _ => false
+    })
+    val nanFree: Set[Int] =
+      if (floatFields.isEmpty) Set.empty
+      else {
+        val counts = out.select(floatFields.map(f =>
+          sum(when(isnan(col(f.name)), 1L).otherwise(0L)).as(f.name)).toIndexedSeq: _*).head()
+        floatFields.zipWithIndex.collect {
+          case (f, i) if !counts.isNullAt(i) && counts.getLong(i) == 0L => f.id
+        }.toSet
+      }
     val fsys = TableMetadata.fs(staging, conf)
     val pseudoSchema = IcebergSchema(0, IcebergTypes.StructT(eqFields))
     val files = {
@@ -302,7 +404,7 @@ object Dml {
         columnSizes = stats.columnSizes,
         valueCounts = stats.valueCounts,
         nullValueCounts = stats.nullCounts,
-        nanValueCounts = Map.empty,
+        nanValueCounts = nanFree.map(_ -> 0L).toMap,
         lowerBounds = stats.lowerBounds,
         upperBounds = stats.upperBounds,
         splitOffsets = stats.splitOffsets,
@@ -310,8 +412,7 @@ object Dml {
         sortOrderId = None))
     }
     if (entries.isEmpty) meta
-    else IcebergWrite.commitSnapshot(meta, Nil, entries, "delete", conf,
-      deleteSpec = Some(eqSpec))
+    else ops.commit(meta, Nil, entries, "delete", conf, deleteSpec = Some(eqSpec))
   }
 
   /** UPDATE table SET col=expr... WHERE cond — MoR delete + re-insert of
