@@ -14,15 +14,42 @@ import java.util.UUID
  * src/catalog/rest/api/iceberg_manifest_merge.cpp:25-150).
  */
 object ManifestMerge {
+  val EnabledProp = "commit.manifest-merge.enabled"
   val MinCountProp = "commit.manifest.min-count-to-merge"
   val TargetSizeProp = "commit.manifest.target-size-bytes"
   val DefaultMinCount = 100
   val DefaultTargetSize: Long = 8L * 1024 * 1024
 
+  /** Malformed commit.manifest.* values WARN and fall back to defaults —
+    * never fail the commit (reference
+    * test_merge_append_invalid_properties.test message wording). */
+  private def warnInvalid(prop: String, raw: String, expected: String, default: String): Unit =
+    System.err.println(s"Invalid value '$raw' for Iceberg table property '$prop'; " +
+      s"expected $expected, using default value '$default'.")
+
+  private def positiveLong(meta: TableMetadata, prop: String, default: Long): Long =
+    meta.properties.get(prop) match {
+      case None => default
+      case Some(raw) => raw.toLongOption.filter(_ > 0).getOrElse {
+        warnInvalid(prop, raw, "a positive integer", default.toString); default
+      }
+    }
+
+  def mergeEnabled(meta: TableMetadata): Boolean =
+    meta.properties.get(EnabledProp) match {
+      case None => true
+      case Some("true") => true
+      case Some("false") => false
+      case Some(raw) => warnInvalid(EnabledProp, raw, "true or false", "true"); true
+    }
+
   def maybeMerge(meta: TableMetadata, manifests: Seq[ManifestFile],
       conf: Configuration): Seq[ManifestFile] = {
-    val minCount = meta.properties.get(MinCountProp).map(_.toInt).getOrElse(DefaultMinCount)
-    val targetSize = meta.properties.get(TargetSizeProp).map(_.toLong).getOrElse(DefaultTargetSize)
+    // commit.manifest-merge.enabled=false => FastAppend semantics: one
+    // manifest per commit, nothing rewritten.
+    if (!mergeEnabled(meta)) return manifests
+    val minCount = positiveLong(meta, MinCountProp, DefaultMinCount.toLong).toInt
+    val targetSize = positiveLong(meta, TargetSizeProp, DefaultTargetSize)
     val (data, deletes) = manifests.partition(_.content == 0)
     if (data.size < minCount) return manifests
 

@@ -21,6 +21,36 @@ class PipelineExtrasSpec extends SparkSpec {
     assert(IcebergTable.load(spark, path).count() == 3 * src.count())
   }
 
+  test("commit.manifest-merge.enabled=false keeps FastAppend: one manifest per commit (test_merge_append_disabled)") {
+    val src = spark.read.parquet(s"$sfDir/region.parquet")
+    val path = tmpDir("graft_manifest_nomerge")
+    IcebergTable.write(src, path, graft.write.TableWriteOptions(
+      properties = Map("commit.manifest-merge.enabled" -> "false",
+        "commit.manifest.min-count-to-merge" -> "2")))
+    IcebergTable.append(src, path)
+    IcebergTable.append(src, path)
+    val p = IcebergTable.plan(spark, path)
+    assert(p.scannedManifests >= 3,
+      s"merge disabled: three commits must keep >= 3 manifests, got ${p.scannedManifests}")
+    assert(IcebergTable.load(spark, path).count() == 3 * src.count())
+  }
+
+  test("malformed commit.manifest.* properties fall back to defaults, never fail the commit (test_merge_append_invalid_properties)") {
+    val src = spark.read.parquet(s"$sfDir/region.parquet")
+    val path = tmpDir("graft_manifest_badprops")
+    IcebergTable.write(src, path, graft.write.TableWriteOptions(
+      properties = Map(
+        "commit.manifest-merge.enabled" -> "maybe",
+        "commit.manifest.min-count-to-merge" -> "-2",
+        "commit.manifest.target-size-bytes" -> "abc")))
+    // Second commit triggers the merge-config read; invalid values must warn
+    // and use defaults (enabled=true, min-count=100 -> no merge at 2).
+    IcebergTable.append(src, path)
+    assert(IcebergTable.load(spark, path).count() == 2 * src.count())
+    val p = IcebergTable.plan(spark, path)
+    assert(p.scannedManifests == 2, "default min-count 100 must not merge 2 manifests")
+  }
+
   test("multimodal: payload sniffing, metadata, features, resize, frame sampling") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .withColumn("payload", Multimodal.syntheticPayload(col("text"), col("doc_id")))
