@@ -90,6 +90,13 @@ object Fixtures {
         TableWriteOptions(sortBy = Seq(("l_shipdate", true, true))))
     }
 
+  /** Plain orders table with a committed table-statistics (NDV) file. */
+  def ordersAnalyzed(spark: SparkSession, sfDir: String): String =
+    iceberg(spark, sfDir, "orders_analyzed") { dir =>
+      IcebergTable.write(parquet(spark, sfDir, "orders"), dir)
+      graft.write.TableStats.computeTableStats(spark, dir)
+    }
+
   /** Orders table with MoR DELETE of 'F' orders applied. */
   def ordersDeleted(spark: SparkSession, sfDir: String): String =
     iceberg(spark, sfDir, "orders_deleted") { dir =>

@@ -133,6 +133,12 @@ object IcebergTable {
       retainLast: Int = 1): graft.write.Maintenance.ExpireResult =
     graft.write.Maintenance.expireSnapshots(spark, path, olderThanMs, retainLast)
 
+  /** ANALYZE: compute per-column NDV distributed, write a Puffin
+    * statistics file, register it in metadata (see
+    * [[graft.write.TableStats.computeTableStats]]). */
+  def computeTableStats(spark: SparkSession, path: String): graft.write.TableStats.Result =
+    graft.write.TableStats.computeTableStats(spark, path)
+
   /** Orphan-file cleanup (see [[graft.write.Maintenance.removeOrphanFiles]]). */
   def removeOrphanFiles(spark: SparkSession, path: String,
       olderThanMs: Long): graft.write.Maintenance.OrphanResult =

@@ -262,6 +262,21 @@ object SparkEntry {
     "meta_partition_stats" -> ((s, dir) =>
       IcebergTable.partitionStats(s, Fixtures.ordersByMonth(s, dir))),
 
+    // ANALYZE: compute_table_stats writes a Puffin NDV statistics file; the
+    // query surfaces the registered NDV for two small-cardinality columns,
+    // where HyperLogLog++ is exact — so the DuckDB oracle can compare
+    // against exact COUNT(DISTINCT ...) values.
+    "meta_ndv_stats" -> ((s, dir) => {
+      val path = Fixtures.ordersAnalyzed(s, dir)
+      val conf = s.sessionState.newHadoopConf()
+      val meta = graft.core.TableMetadata.load(path, conf)
+      val ndv = meta.ndvFor(meta.currentSnapshot.get.snapshotId)
+      val byName = meta.currentSchema.fields.map(f => f.name -> f.id).toMap
+      import s.implicits._
+      Seq("o_orderpriority", "o_orderstatus")
+        .map(c => (c, ndv(byName(c)))).toDF("column_name", "ndv")
+    }),
+
     // ---- pipeline: dedup ----
     "dedup_exact" -> ((s, dir) => {
       val d = pq(s, dir, "documents").select("doc_id", "text")
@@ -506,6 +521,14 @@ object SparkEntry {
   def oracleSql: Map[String, String] = TpchExtra.oracleSql ++ Map(
     "q1_pricing" -> q1OracleShape,
     "ice_q1_roundtrip" -> q1OracleShape,
+
+    // NDV stats are HLL-exact at these cardinalities (3 statuses,
+    // 5 priorities), so exact COUNT(DISTINCT) is a valid oracle.
+    "meta_ndv_stats" ->
+      """SELECT 'o_orderpriority' AS column_name,
+        |       count(DISTINCT o_orderpriority)::BIGINT AS ndv FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(DISTINCT o_orderstatus)::BIGINT FROM orders""".stripMargin,
 
     "q3_shipping" ->
       """SELECT l_orderkey, o_orderdate,

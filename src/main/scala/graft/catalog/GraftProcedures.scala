@@ -158,6 +158,33 @@ private[catalog] class RemoveOrphanFilesProcedure(catalog: GraftSparkCatalog)
  * `fast_forward` to publish a write-audit-publish branch. Path tables only —
  * a REST catalog server owns its tables' ref lifecycle.
  */
+/**
+ * `CALL graft.system.compute_table_stats(table => 'db.t')` — ANALYZE for
+ * Iceberg tables: computes per-column NDV distributed
+ * (approx_count_distinct), writes a Puffin statistics file, and registers
+ * it in metadata's `statistics` field, which GraftScan's column statistics
+ * then feed to Spark CBO (see [[graft.write.TableStats]]).
+ */
+private[catalog] class ComputeTableStatsProcedure(catalog: GraftSparkCatalog)
+    extends OneRowProcedure {
+  override def name(): String = "compute_table_stats"
+  override def description(): String =
+    "Compute per-column NDV, write a Puffin statistics file, register it in table metadata"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build())
+  protected val outputSchema = StructType(Seq(
+    StructField("statistics_file", StringType, nullable = false),
+    StructField("analyzed_columns", LongType, nullable = false)))
+  override def call(input: InternalRow): JIterator[Scan] = {
+    require(!input.isNullAt(0), "compute_table_stats: 'table' must not be NULL")
+    val table = input.getUTF8String(0).toString
+    val r = graft.write.TableStats.computeTableStats(SparkSession.active,
+      catalog.pathTableLocation(table, "compute_table_stats"))
+    oneRow(org.apache.spark.unsafe.types.UTF8String.fromString(r.statisticsPath),
+      r.ndv.size.toLong)
+  }
+}
+
 private[catalog] class CreateRefProcedure(catalog: GraftSparkCatalog)
     extends OneRowProcedure {
   override def name(): String = "create_ref"

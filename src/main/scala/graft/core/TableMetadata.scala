@@ -38,6 +38,29 @@ case class SnapshotRef(snapshotId: Long, isBranch: Boolean) {
   def refType: String = if (isBranch) "branch" else "tag"
 }
 
+/** Blob descriptor inside a table-statistics file entry (Iceberg spec
+  * "Table statistics" — blob-metadata). `properties("ndv")` is the
+  * convention readers use for per-column distinct counts (the reference
+  * round-trips the field via its REST bindings,
+  * src/rest_catalog/objects/statistics_file.cpp). */
+case class BlobMetadata(
+    blobType: String,
+    snapshotId: Long,
+    sequenceNumber: Long,
+    fields: Seq[Int],
+    properties: Map[String, String])
+
+/** A table-statistics (Puffin) file registered in table metadata. */
+case class StatisticsFile(
+    snapshotId: Long,
+    path: String,
+    fileSizeInBytes: Long,
+    fileFooterSizeInBytes: Long,
+    blobMetadata: Seq[BlobMetadata])
+
+/** A partition-statistics file registered in table metadata. */
+case class PartitionStatisticsFile(snapshotId: Long, path: String, fileSizeInBytes: Long)
+
 case class PartitionField(sourceId: Int, fieldId: Int, name: String, transform: Transform)
 case class PartitionSpec(specId: Int, fields: Seq[PartitionField]) {
   def isUnpartitioned: Boolean = fields.forall(_.transform == Transforms.Void) || fields.isEmpty
@@ -66,6 +89,10 @@ case class TableMetadata(
     metadataLog: Seq[(Long, String)], // (timestampMs, metadataFile)
     refs: Map[String, SnapshotRef], // ref name -> (snapshot id, branch|tag)
     nextRowId: Option[Long] = None,
+    /** Table-statistics (Puffin) files keyed by snapshot; carry per-column
+      * NDV used for CBO column statistics. */
+    statistics: Seq[StatisticsFile] = Nil,
+    partitionStatistics: Seq[PartitionStatisticsFile] = Nil,
     /** Version number of the metadata FILE this was loaded from (path
       * tables). Commits target loadedVersion+1, so two writers that loaded
       * the same version collide on publish instead of silently leapfrogging
@@ -115,6 +142,21 @@ case class TableMetadata(
   /** Schema bound to a snapshot (falls back to current). */
   def schemaFor(snap: Option[SnapshotInfo]): IcebergSchema =
     snap.flatMap(_.schemaId).map(schema).getOrElse(currentSchema)
+
+  /** Per-field NDV from the statistics file registered for `snapshotId`
+    * (exact-snapshot match only — stats computed on another snapshot can
+    * both over- and under-count this one). Blob type is not checked: the
+    * `ndv` property carries the estimate whether the payload is a real
+    * theta sketch (other engines' ANALYZE) or graft's own ndv blob. */
+  def ndvFor(snapshotId: Long): Map[Int, Long] =
+    statistics.find(_.snapshotId == snapshotId).map { sf =>
+      sf.blobMetadata.flatMap { b =>
+        for {
+          fieldId <- b.fields.headOption if b.fields.size == 1
+          ndv <- b.properties.get("ndv").flatMap(s => scala.util.Try(s.toLong).toOption)
+        } yield fieldId -> ndv
+      }.toMap
+    }.getOrElse(Map.empty)
 }
 
 sealed trait SnapshotLookup
@@ -361,7 +403,28 @@ object TableMetadata {
       refs = Option(root.get("refs")).map(_.properties().asScala.map(e => e.getKey -> SnapshotRef(
         e.getValue.get("snapshot-id").asLong(),
         isBranch = Option(e.getValue.get("type")).forall(_.asText() != "tag"))).toMap).getOrElse(Map.empty),
-      nextRowId = Option(root.get("next-row-id")).map(_.asLong()))
+      nextRowId = Option(root.get("next-row-id")).map(_.asLong()),
+      statistics = arr(root.get("statistics")).map { s =>
+        StatisticsFile(
+          snapshotId = s.get("snapshot-id").asLong(),
+          path = s.get("statistics-path").asText(),
+          fileSizeInBytes = Option(s.get("file-size-in-bytes")).map(_.asLong()).getOrElse(0L),
+          fileFooterSizeInBytes = Option(s.get("file-footer-size-in-bytes")).map(_.asLong()).getOrElse(0L),
+          blobMetadata = arr(s.get("blob-metadata")).map { b =>
+            BlobMetadata(
+              blobType = Option(b.get("type")).map(_.asText()).getOrElse(""),
+              snapshotId = Option(b.get("snapshot-id")).map(_.asLong()).getOrElse(-1L),
+              sequenceNumber = Option(b.get("sequence-number")).map(_.asLong()).getOrElse(-1L),
+              fields = arr(b.get("fields")).map(_.asInt()),
+              properties = strMap(b.get("properties")))
+          })
+      },
+      partitionStatistics = arr(root.get("partition-statistics")).map { s =>
+        PartitionStatisticsFile(
+          snapshotId = s.get("snapshot-id").asLong(),
+          path = s.get("statistics-path").asText(),
+          fileSizeInBytes = Option(s.get("file-size-in-bytes")).map(_.asLong()).getOrElse(0L))
+      })
   }
 
   // ---------- JSON write ----------
@@ -432,6 +495,37 @@ object TableMetadata {
       val n = F.objectNode(); n.put("timestamp-ms", ts); n.put("metadata-file", pth); mlog.add(n)
     }
     m.nextRowId.foreach(r => o.put("next-row-id", r))
+    if (m.statistics.nonEmpty) {
+      val stArr = o.putArray("statistics")
+      m.statistics.foreach { sf =>
+        val so = F.objectNode()
+        so.put("snapshot-id", sf.snapshotId)
+        so.put("statistics-path", sf.path)
+        so.put("file-size-in-bytes", sf.fileSizeInBytes)
+        so.put("file-footer-size-in-bytes", sf.fileFooterSizeInBytes)
+        val ba = so.putArray("blob-metadata")
+        sf.blobMetadata.foreach { b =>
+          val bo = F.objectNode()
+          bo.put("type", b.blobType)
+          bo.put("snapshot-id", b.snapshotId)
+          bo.put("sequence-number", b.sequenceNumber)
+          val fa = bo.putArray("fields"); b.fields.foreach(fa.add)
+          val pr = bo.putObject("properties"); b.properties.foreach { case (k, v) => pr.put(k, v) }
+          ba.add(bo)
+        }
+        stArr.add(so)
+      }
+    }
+    if (m.partitionStatistics.nonEmpty) {
+      val psArr = o.putArray("partition-statistics")
+      m.partitionStatistics.foreach { sf =>
+        val so = F.objectNode()
+        so.put("snapshot-id", sf.snapshotId)
+        so.put("statistics-path", sf.path)
+        so.put("file-size-in-bytes", sf.fileSizeInBytes)
+        psArr.add(so)
+      }
+    }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(o)
   }
 }

@@ -89,6 +89,58 @@ object Puffin {
   private def jsonStr(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
+  /** A generic blob to write into a Puffin file (table-statistics files). */
+  case class BlobSpec(
+      blobType: String,
+      fields: Seq[Int],
+      snapshotId: Long,
+      sequenceNumber: Long,
+      payload: Array[Byte],
+      properties: Map[String, String])
+
+  /** Result of [[writeBlobs]]: offsets/lengths per blob plus the file and
+    * footer sizes table metadata records for the statistics entry. */
+  case class WrittenPuffin(blobOffsets: Seq[(Long, Long)], fileSize: Long, footerSize: Long)
+
+  /** Write a generic Puffin file: magic, raw blob payloads, footer
+    * (magic + JSON payload + payload size LE + flags + magic). Used for
+    * table-statistics files; the DV path keeps its own framing (DV blobs
+    * wrap payloads in [len][magic][bitmap][crc]). */
+  def writeBlobs(path: String, conf: Configuration, blobs: Seq[BlobSpec]): WrittenPuffin = {
+    val fsys = new Path(path).getFileSystem(conf)
+    val out = fsys.create(new Path(path), true)
+    val magic = "PFA1".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    out.write(magic)
+    var offset = 4L
+    val offsets = Seq.newBuilder[(Long, Long)]
+    val blobJson = new StringBuilder("[")
+    blobs.zipWithIndex.foreach { case (b, i) =>
+      out.write(b.payload)
+      offsets += ((offset, b.payload.length.toLong))
+      if (i > 0) blobJson.append(",")
+      val props = b.properties.map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }.mkString(",")
+      blobJson.append(
+        s"""{"type":${jsonStr(b.blobType)},"fields":[${b.fields.mkString(",")}],""" +
+          s""""snapshot-id":${b.snapshotId},"sequence-number":${b.sequenceNumber},""" +
+          s""""offset":$offset,"length":${b.payload.length},"properties":{$props}}""")
+      offset += b.payload.length
+    }
+    blobJson.append("]")
+    val footerPayload = s"""{"blobs":${blobJson.toString},"properties":{}}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    out.write(magic)
+    out.write(footerPayload)
+    val tail = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    tail.putInt(footerPayload.length)
+    tail.putInt(0) // flags
+    out.write(tail.array())
+    out.write(magic)
+    out.close()
+    // Footer per the spec: Magic + FooterPayload + PayloadSize + Flags + Magic.
+    WrittenPuffin(offsets.result(), offset + 4 + footerPayload.length + 8 + 4,
+      4L + footerPayload.length + 8L + 4L)
+  }
+
   /** Decode a deletion-vector blob into sorted row positions. */
   def decodeDeletionVector(path: String, conf: Configuration, offset: Long, length: Long): Array[Long] = {
     val bm = decodeDeletionVectorBitmap(path, conf, offset, length)

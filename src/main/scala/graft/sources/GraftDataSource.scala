@@ -295,16 +295,29 @@ private[sources] class GraftScan(path: String, required: StructType,
     * defaults — at scale this is what lets a filtered dimension broadcast
     * and prevents a fact table from ever being elected as a build side.
     * Row count is omitted under merge-on-read deletes (counts would
-    * overestimate) — size still bounds the broadcast decision safely. */
+    * overestimate) — size still bounds the broadcast decision safely.
+    *
+    * Column-level statistics (consumed by Spark CBO when
+    * `spark.sql.cbo.enabled` is set): null counts and min/max aggregated
+    * from the SURVIVING files' manifest entries (post-pruning, so a
+    * filtered scan advertises filtered ranges), NDV from the table's
+    * statistics (Puffin) file when one is registered for the scanned
+    * snapshot — the `statistics` metadata field other engines' ANALYZE
+    * writes and graft's own compute_table_stats produces. */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
     val p = plannedOnce
     val bytes = p.dataFiles.map(_.info.fileSizeInBytes).sum
     val rows = p.dataFiles.map(_.info.recordCount).sum
     val hasDeletes = p.deleteFiles.nonEmpty
+    val colStats = GraftScan.buildColumnStats(p, required,
+      if (hasDeletes) None else Some(rows))
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
       override def numRows(): java.util.OptionalLong =
         if (hasDeletes) java.util.OptionalLong.empty() else java.util.OptionalLong.of(rows)
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats
     }
   }
 
@@ -313,6 +326,92 @@ private[sources] class GraftScan(path: String, required: StructType,
 
   override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
     new GraftRelation(context, required, effOpts, this).asInstanceOf[T]
+}
+
+private[sources] object GraftScan {
+  import graft.core.{IcebergType, IcebergTypes, SingleValue}
+  import graft.read.ScanPlan
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+  import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+
+  /** Types whose manifest bounds deserialize to values Spark's estimation
+    * layer can compare/convert (Catalyst-internal forms: date = days Int,
+    * timestamps = micros Long). Strings/binary are excluded — bounds may be
+    * truncated on write, and CBO range math doesn't use them. */
+  private def boundValue(t: IcebergType, bytes: Array[Byte]): Option[Any] = t match {
+    case IcebergTypes.BooleanT | IcebergTypes.IntT | IcebergTypes.LongT |
+        IcebergTypes.FloatT | IcebergTypes.DoubleT | IcebergTypes.DateT |
+        IcebergTypes.TimestampT | IcebergTypes.TimestampTzT |
+        IcebergTypes.TimestampNsT | IcebergTypes.TimestampTzNsT =>
+      Option(SingleValue.deserialize(bytes, t))
+    case d: IcebergTypes.DecimalT =>
+      Option(SingleValue.deserialize(bytes, d)).map {
+        case b: java.math.BigDecimal => org.apache.spark.sql.types.Decimal(b)
+        case other => other
+      }
+    case _ => None
+  }
+
+  private def asDouble(v: Any): Double = v match {
+    case b: Boolean => if (b) 1d else 0d
+    case n: java.lang.Number => n.doubleValue()
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case _ => Double.NaN
+  }
+
+  /** Aggregate per-column stats over the SURVIVING data files: min/max =
+    * extremes of the files' bounds (every file must carry the bound — a
+    * single stats-less file makes the range unknown), nullCount = sum
+    * (skipped under deletes: removed rows would overcount), NDV = table
+    * statistics file, capped at the post-pruning row count. */
+  def buildColumnStats(p: ScanPlan, required: StructType, rows: Option[Long])
+      : java.util.Map[NamedReference, ColumnStatistics] = {
+    val out = new java.util.HashMap[NamedReference, ColumnStatistics]()
+    val files = p.dataFiles
+    if (files.isEmpty) return out
+    val ndv = p.snapshot.map(s => p.meta.ndvFor(s.snapshotId)).getOrElse(Map.empty[Int, Long])
+    val wanted = required.fieldNames.toSet
+    p.schema.fields.iterator.filter(f => wanted.contains(f.name)).foreach { f =>
+      val id = f.id
+      val nulls: Option[Long] = rows.flatMap { _ =>
+        val counts = files.map(_.info.nullValueCounts.get(id))
+        if (counts.forall(_.isDefined)) Some(counts.flatMap(x => x).sum) else None
+      }
+      // A file without a bound still pins the range when the column is
+      // all-null there (no bound is written for all-null files — Iceberg
+      // convention); any OTHER missing bound makes the range unknown.
+      def extreme(lower: Boolean): Option[Any] = {
+        val contributing = files.filterNot(pf =>
+          pf.info.nullValueCounts.get(id).contains(pf.info.recordCount))
+        val all = contributing.map(pf =>
+          (if (lower) pf.info.lowerBounds else pf.info.upperBounds).get(id))
+        if (contributing.isEmpty || !all.forall(_.isDefined)) None
+        else {
+          val vals = all.flatMap(x => x).flatMap(b => boundValue(f.fieldType, b))
+          if (vals.size != contributing.size) None
+          else Some(if (lower) vals.minBy(asDouble) else vals.maxBy(asDouble))
+        }
+      }
+      val minV = extreme(lower = true)
+      val maxV = extreme(lower = false)
+      val dc: Option[Long] = ndv.get(id).map(n => rows.fold(n)(r => math.min(n, r)))
+      if (nulls.isDefined || minV.isDefined || maxV.isDefined || dc.isDefined) {
+        out.put(Expressions.column(f.name), new ColumnStatistics {
+          override def distinctCount(): java.util.OptionalLong =
+            dc.map(java.util.OptionalLong.of(_)).getOrElse(java.util.OptionalLong.empty())
+          override def min(): java.util.Optional[Object] =
+            minV.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+              .getOrElse(java.util.Optional.empty[Object]())
+          override def max(): java.util.Optional[Object] =
+            maxV.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+              .getOrElse(java.util.Optional.empty[Object]())
+          override def nullCount(): java.util.OptionalLong =
+            nulls.map(java.util.OptionalLong.of(_)).getOrElse(java.util.OptionalLong.empty())
+        })
+      }
+    }
+    out
+  }
 }
 
 private[sources] class GraftRelation(context: SQLContext,

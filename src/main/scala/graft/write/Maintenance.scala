@@ -89,9 +89,18 @@ object Maintenance {
     deadLists.foreach(rm)
 
     val keptIds = keep.map(_.snapshotId).toSet
+    // Statistics files ride with their snapshot: expire the entry and
+    // delete the Puffin file when its snapshot goes.
+    val (keepStats, deadStats) = meta.statistics.partition(s => keptIds.contains(s.snapshotId))
+    deadStats.foreach(s => rm(s.path))
+    val (keepPartStats, deadPartStats) =
+      meta.partitionStatistics.partition(s => keptIds.contains(s.snapshotId))
+    deadPartStats.foreach(s => rm(s.path))
     val trimmed = meta.copy(
       snapshots = keep,
       snapshotLog = meta.snapshotLog.filter { case (_, id) => keptIds.contains(id) },
+      statistics = keepStats,
+      partitionStatistics = keepPartStats,
       lastUpdatedMs = System.currentTimeMillis())
     val committed = IcebergWrite.commitMetadataNextVersion(trimmed, conf)
     val (deadDeletes, deadData) = candFiles.partition(_._2 == 1)
