@@ -86,6 +86,53 @@ class TableStatsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.cbo.enabled", "false")
   }
 
+  test("NDV-driven selectivity flips a filtered join to broadcast under CBO") {
+    // The 100 TB posture this feature exists for: an equality filter on a
+    // low-NDV column shrinks the ESTIMATED size of the dimension side by
+    // 1/ndv, electing a broadcast join at plan time. Without column stats
+    // the filter keeps the full relation size and the join shuffles.
+    val dimPath = tmpDir("graft_cbo_dim")
+    val factPath = tmpDir("graft_cbo_fact")
+    import spark.implicits._
+    // 200 categories over 40k rows; category is a string so the ONLY
+    // stats signal an equality filter can use is the NDV from the
+    // statistics file (graft reports no string min/max).
+    val dim = spark.range(40000).select(
+      $"id", concat(lit("cat_"), ($"id" % 200).cast("string")).as("cat"),
+      concat(lit("payload-"), $"id".cast("string"), lit("-XXXXXXXXXXXXXXXXXXXXXXXXXXXXXXXX")).as("pad"))
+    IcebergTable.write(dim.toDF(), dimPath)
+    IcebergTable.computeTableStats(spark, dimPath)
+    val fact = spark.range(200000).select($"id", ($"id" % 40000).as("dim_id"))
+    IcebergTable.write(fact.toDF(), factPath)
+
+    val dimBytes = graft.core.TableMetadata.load(dimPath, spark.sessionState.newHadoopConf())
+      .currentSnapshot.get.summary.get("total-files-size").map(_.toLong)
+      .getOrElse(1000000L)
+    def joinPlan(cbo: Boolean): String = {
+      spark.conf.set("spark.sql.cbo.enabled", cbo.toString)
+      // Threshold between full dim size and dim/200: only the NDV-scaled
+      // estimate clears it.
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (dimBytes / 4).toString)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val d = spark.read.format("graft").load(dimPath).where($"cat" === "cat_7")
+        val f = spark.read.format("graft").load(factPath)
+        f.join(d, f("dim_id") === d("id")).groupBy(d("cat")).count()
+          .queryExecution.executedPlan.toString
+      } finally {
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.enabled")
+      }
+    }
+    val withCbo = joinPlan(cbo = true)
+    val withoutCbo = joinPlan(cbo = false)
+    assert(withCbo.contains("BroadcastHashJoin"),
+      s"CBO + NDV stats should broadcast the filtered dim side:\n$withCbo")
+    assert(!withoutCbo.contains("BroadcastHashJoin"),
+      s"without CBO the full-size estimate must not broadcast:\n$withoutCbo")
+  }
+
   test("expire_snapshots drops statistics entries and files with their snapshot") {
     val path = tmpDir("graft_stats_expire")
     import spark.implicits._
