@@ -178,8 +178,7 @@ private[catalog] class ComputeTableStatsProcedure(catalog: GraftSparkCatalog)
   override def call(input: InternalRow): JIterator[Scan] = {
     require(!input.isNullAt(0), "compute_table_stats: 'table' must not be NULL")
     val table = input.getUTF8String(0).toString
-    val r = graft.write.TableStats.computeTableStats(SparkSession.active,
-      catalog.pathTableLocation(table, "compute_table_stats"))
+    val r = catalog.computeStatsFor(SparkSession.active, table)
     oneRow(org.apache.spark.unsafe.types.UTF8String.fromString(r.statisticsPath),
       r.ndv.size.toLong)
   }

@@ -467,6 +467,21 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Proced
     else graft.write.Dml.PathOps(resolve(ident)._1)
   }
 
+  /** compute_table_stats routing: REST tables register the statistics file
+    * via the `set-statistics` update action; path tables commit the next
+    * metadata version directly. */
+  private[catalog] def computeStatsFor(spark: SparkSession, table: String)
+      : graft.write.TableStats.Result = {
+    val ident = parseTableArg(table)
+    if (!isPathIdent(ident) && rest.isDefined) {
+      val r = rest.get
+      val (ns, name) = (ident.namespace.toSeq, ident.name)
+      val meta = r.loadTable(ns, name).metadata
+      graft.write.TableStats.computeWith(spark, meta,
+        entry => r.setStatistics(ns, name, entry).metadata)
+    } else graft.write.TableStats.computeTableStats(spark, resolve(ident)._1)
+  }
+
   /** Resolve a procedure's `table` argument to a filesystem table location,
     * refusing REST-named tables (their metadata lifecycle belongs to the
     * catalog server, so trimming snapshots behind its back is unsafe). */

@@ -331,6 +331,25 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
     extraUpdates.foreach(ups.add)
   }
 
+  /** Register a table-statistics file via the `set-statistics` update
+    * action (reference REST binding
+    * src/rest_catalog/objects/set_statistics_update.cpp: action +
+    * statistics + deprecated duplicate snapshot-id). No requirement is
+    * asserted — statistics registration is last-wins per snapshot. */
+  def setStatistics(ns: Seq[String], name: String, sf: StatisticsFile): LoadedTable = {
+    val o = F.objectNode()
+    o.putArray("requirements")
+    val ups = o.putArray("updates")
+    val u = F.objectNode()
+    u.put("action", "set-statistics")
+    u.put("snapshot-id", sf.snapshotId)
+    u.set[ObjectNode]("statistics", TableMetadata.statisticsFileToJson(sf))
+    ups.add(u)
+    val node = request("POST", s"/v1/namespaces/${nsPath(ns)}/tables/$name", Some(mapper.writeValueAsString(o)))
+    invalidate(ns, name)
+    parseLoadResult(node)
+  }
+
   def commitSnapshot(ns: Seq[String], name: String, expectedRefSnapshot: Option[Long],
       snapshot: SnapshotInfo, extraUpdates: Seq[ObjectNode] = Nil): LoadedTable = {
     val o = F.objectNode()

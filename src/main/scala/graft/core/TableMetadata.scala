@@ -404,27 +404,51 @@ object TableMetadata {
         e.getValue.get("snapshot-id").asLong(),
         isBranch = Option(e.getValue.get("type")).forall(_.asText() != "tag"))).toMap).getOrElse(Map.empty),
       nextRowId = Option(root.get("next-row-id")).map(_.asLong()),
-      statistics = arr(root.get("statistics")).map { s =>
-        StatisticsFile(
-          snapshotId = s.get("snapshot-id").asLong(),
-          path = s.get("statistics-path").asText(),
-          fileSizeInBytes = Option(s.get("file-size-in-bytes")).map(_.asLong()).getOrElse(0L),
-          fileFooterSizeInBytes = Option(s.get("file-footer-size-in-bytes")).map(_.asLong()).getOrElse(0L),
-          blobMetadata = arr(s.get("blob-metadata")).map { b =>
-            BlobMetadata(
-              blobType = Option(b.get("type")).map(_.asText()).getOrElse(""),
-              snapshotId = Option(b.get("snapshot-id")).map(_.asLong()).getOrElse(-1L),
-              sequenceNumber = Option(b.get("sequence-number")).map(_.asLong()).getOrElse(-1L),
-              fields = arr(b.get("fields")).map(_.asInt()),
-              properties = strMap(b.get("properties")))
-          })
-      },
+      statistics = arr(root.get("statistics")).map(parseStatisticsFile),
       partitionStatistics = arr(root.get("partition-statistics")).map { s =>
         PartitionStatisticsFile(
           snapshotId = s.get("snapshot-id").asLong(),
           path = s.get("statistics-path").asText(),
           fileSizeInBytes = Option(s.get("file-size-in-bytes")).map(_.asLong()).getOrElse(0L))
       })
+  }
+
+  /** Parse one `statistics` entry (also the payload of a REST
+    * `set-statistics` update). */
+  def parseStatisticsFile(s: JsonNode): StatisticsFile =
+    StatisticsFile(
+      snapshotId = s.get("snapshot-id").asLong(),
+      path = s.get("statistics-path").asText(),
+      fileSizeInBytes = Option(s.get("file-size-in-bytes")).map(_.asLong()).getOrElse(0L),
+      fileFooterSizeInBytes = Option(s.get("file-footer-size-in-bytes")).map(_.asLong()).getOrElse(0L),
+      blobMetadata = arr(s.get("blob-metadata")).map { b =>
+        BlobMetadata(
+          blobType = Option(b.get("type")).map(_.asText()).getOrElse(""),
+          snapshotId = Option(b.get("snapshot-id")).map(_.asLong()).getOrElse(-1L),
+          sequenceNumber = Option(b.get("sequence-number")).map(_.asLong()).getOrElse(-1L),
+          fields = arr(b.get("fields")).map(_.asInt()),
+          properties = strMap(b.get("properties")))
+      })
+
+  /** Serialize one `statistics` entry (shared by metadata JSON write and
+    * the REST `set-statistics` update body). */
+  def statisticsFileToJson(sf: StatisticsFile): ObjectNode = {
+    val so = F.objectNode()
+    so.put("snapshot-id", sf.snapshotId)
+    so.put("statistics-path", sf.path)
+    so.put("file-size-in-bytes", sf.fileSizeInBytes)
+    so.put("file-footer-size-in-bytes", sf.fileFooterSizeInBytes)
+    val ba = so.putArray("blob-metadata")
+    sf.blobMetadata.foreach { b =>
+      val bo = F.objectNode()
+      bo.put("type", b.blobType)
+      bo.put("snapshot-id", b.snapshotId)
+      bo.put("sequence-number", b.sequenceNumber)
+      val fa = bo.putArray("fields"); b.fields.foreach(fa.add)
+      val pr = bo.putObject("properties"); b.properties.foreach { case (k, v) => pr.put(k, v) }
+      ba.add(bo)
+    }
+    so
   }
 
   // ---------- JSON write ----------
@@ -497,24 +521,7 @@ object TableMetadata {
     m.nextRowId.foreach(r => o.put("next-row-id", r))
     if (m.statistics.nonEmpty) {
       val stArr = o.putArray("statistics")
-      m.statistics.foreach { sf =>
-        val so = F.objectNode()
-        so.put("snapshot-id", sf.snapshotId)
-        so.put("statistics-path", sf.path)
-        so.put("file-size-in-bytes", sf.fileSizeInBytes)
-        so.put("file-footer-size-in-bytes", sf.fileFooterSizeInBytes)
-        val ba = so.putArray("blob-metadata")
-        sf.blobMetadata.foreach { b =>
-          val bo = F.objectNode()
-          bo.put("type", b.blobType)
-          bo.put("snapshot-id", b.snapshotId)
-          bo.put("sequence-number", b.sequenceNumber)
-          val fa = bo.putArray("fields"); b.fields.foreach(fa.add)
-          val pr = bo.putObject("properties"); b.properties.foreach { case (k, v) => pr.put(k, v) }
-          ba.add(bo)
-        }
-        stArr.add(so)
-      }
+      m.statistics.foreach(sf => stArr.add(statisticsFileToJson(sf)))
     }
     if (m.partitionStatistics.nonEmpty) {
       val psArr = o.putArray("partition-statistics")

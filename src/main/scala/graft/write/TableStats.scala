@@ -51,14 +51,29 @@ object TableStats {
     IcebergRead.ensureConfs(spark)
     val conf = spark.sessionState.newHadoopConf()
     val meta = TableMetadata.load(path, conf)
+    computeWith(spark, meta, entry => {
+      val newMeta = meta.copy(
+        statistics = meta.statistics.filterNot(_.snapshotId == entry.snapshotId) :+ entry,
+        lastUpdatedMs = System.currentTimeMillis())
+      IcebergWrite.commitMetadataNextVersion(newMeta, conf)
+    })
+  }
+
+  /** The engine core, commit-agnostic: path tables commit the next metadata
+    * version directly; REST tables post a `set-statistics` update. */
+  def computeWith(spark: SparkSession, meta: TableMetadata,
+      commit: StatisticsFile => TableMetadata): Result = {
+    IcebergRead.ensureConfs(spark)
+    val conf = spark.sessionState.newHadoopConf()
     val snap = meta.currentSnapshot.getOrElse(
-      throw new IllegalStateException(s"compute_table_stats: table at $path has no current snapshot"))
+      throw new IllegalStateException(
+        s"compute_table_stats: table at ${meta.location} has no current snapshot"))
     val schema = meta.schemaFor(Some(snap))
     val cols = schema.fields.filter(f => countable(f.fieldType))
     if (cols.isEmpty)
       throw new IllegalStateException("compute_table_stats: no countable top-level columns")
 
-    val df = IcebergRead.load(spark, path, ReadOptions())
+    val df = IcebergRead.loadWithMetadata(spark, meta, conf, ReadOptions())
     val aggs = cols.map(f => approx_count_distinct(col(s"`${f.name}`")).as(f.name))
     // One row of per-column counts reaches the driver — never row data.
     val row = df.agg(aggs.head, aggs.drop(1): _*).collect()(0)
@@ -79,10 +94,7 @@ object TableStats {
     }
     val entry = StatisticsFile(snap.snapshotId, statsPath,
       written.fileSize, written.footerSize, blobMeta)
-    val newMeta = meta.copy(
-      statistics = meta.statistics.filterNot(_.snapshotId == snap.snapshotId) :+ entry,
-      lastUpdatedMs = System.currentTimeMillis())
-    val committed = IcebergWrite.commitMetadataNextVersion(newMeta, conf)
+    val committed = commit(entry)
     Result(statsPath, ndvByField.map { case (f, n) => f.name -> n }.toMap, committed)
   }
 }

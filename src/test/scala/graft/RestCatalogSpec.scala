@@ -92,6 +92,30 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     assert(t.metadata.currentSnapshot.get.operation == "append")
   }
 
+  test("set-statistics registers an NDV statistics file on a REST table") {
+    catalog.createNamespace(Seq("stats"))
+    val src = spark.read.parquet(s"$sfDir/nation.parquet")
+    val loc = tmpDir("graft_rest_stats")
+    catalog.createTable(Seq("stats"), "nation", IcebergTypes.fromSpark(src.schema), loc)
+    catalog.appendDF(src, Seq("stats"), "nation")
+
+    val meta = catalog.loadTable(Seq("stats"), "nation").metadata
+    val r = graft.write.TableStats.computeWith(spark, meta,
+      entry => catalog.setStatistics(Seq("stats"), "nation", entry).metadata)
+    assert(r.ndv("n_regionkey") == 5L)
+
+    val after = catalog.loadTable(Seq("stats"), "nation").metadata
+    assert(after.statistics.size == 1)
+    val snapId = after.currentSnapshot.get.snapshotId
+    val regionkeyId = after.currentSchema.fields.find(_.name == "n_regionkey").get.id
+    assert(after.ndvFor(snapId).get(regionkeyId).contains(5L))
+
+    // Re-analyze replaces the entry for the same snapshot, not appends.
+    graft.write.TableStats.computeWith(spark, after,
+      entry => catalog.setStatistics(Seq("stats"), "nation", entry).metadata)
+    assert(catalog.loadTable(Seq("stats"), "nation").metadata.statistics.size == 1)
+  }
+
   test("commit with stale expected snapshot is rejected with 409") {
     val t = catalog.loadTable(Seq("etl"), "region")
     val snap = t.metadata.currentSnapshot.get

@@ -112,6 +112,13 @@ class TestRestServer {
         case "remove-properties" =>
           val rm = u.get("removals").elements().asScala.map(_.asText()).toSeq
           m = m.copy(properties = m.properties -- rm)
+        case "set-statistics" =>
+          val sf = TableMetadata.parseStatisticsFile(u.get("statistics"))
+          m = m.copy(statistics =
+            m.statistics.filterNot(_.snapshotId == sf.snapshotId) :+ sf)
+        case "remove-statistics" =>
+          val sid = u.get("snapshot-id").asLong()
+          m = m.copy(statistics = m.statistics.filterNot(_.snapshotId == sid))
         case _ =>
       }
     })
