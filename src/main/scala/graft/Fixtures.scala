@@ -69,6 +69,23 @@ object Fixtures {
       IcebergTable.write(parquet(spark, sfDir, table), dir)
     }
 
+  private val analyzed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** [[plain]] + a committed NDV statistics file (ANALYZE). Idempotent:
+    * skips when the current snapshot already has statistics, so persistent
+    * bench fixtures are analyzed once across JVMs. */
+  def plainAnalyzed(spark: SparkSession, sfDir: String, table: String): String = {
+    val path = plain(spark, sfDir, table)
+    if (analyzed.add(path)) {
+      val conf = spark.sessionState.newHadoopConf()
+      val meta = graft.core.TableMetadata.load(path, conf)
+      val hasStats = meta.currentSnapshot.exists(s =>
+        meta.statistics.exists(_.snapshotId == s.snapshotId))
+      if (!hasStats) graft.write.TableStats.computeTableStats(spark, path)
+    }
+    path
+  }
+
   def lineitemPlain(spark: SparkSession, sfDir: String): String =
     plain(spark, sfDir, "lineitem")
 

@@ -245,9 +245,16 @@ object TpchExtra {
 
   private def run(name: String)(s: SparkSession, dir: String): DataFrame = {
     val routed = iceRouted.getOrElse(name, Set.empty)
+    // Experiment switch (bench A/B): route Iceberg tables through the DSv2
+    // front-end over ANALYZEd fixtures, so CBO (enable via
+    // SPARK_GRAFT_EXTRA_CONF="spark.sql.cbo.enabled=true") sees the scans'
+    // column statistics (NDV/null/min-max). Default path unchanged.
+    val dsv2 = sys.env.contains("SPARK_GRAFT_TQ_DSV2")
     tableNames.foreach { t =>
       val df =
-        if (routed(t)) IcebergTable.load(s, Fixtures.plain(s, dir, t))
+        if (routed(t) && dsv2)
+          s.read.format("graft").load(Fixtures.plainAnalyzed(s, dir, t))
+        else if (routed(t)) IcebergTable.load(s, Fixtures.plain(s, dir, t))
         else s.read.parquet(s"$dir/$t.parquet")
       df.createOrReplaceTempView(s"${name}_$t")
     }

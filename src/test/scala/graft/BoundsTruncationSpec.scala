@@ -160,6 +160,36 @@ class BoundsTruncationSpec extends SparkSpec {
     assert(tLo.head._2.length == 4)
   }
 
+  test("partition field-summary string bounds truncate with ROUNDED-UP upper bound") {
+    // Reference test_partition_summary_string_upper_bound (duckdb-iceberg
+    // #1047): a truncate(20) partition value is longer than the 16-byte
+    // summary truncation; the upper bound must round up (truncate +
+    // increment) or the manifest prunes away from its own partition.
+    import spark.implicits._
+    val path = tmpDir("graft_summary_bounds")
+    val df = Seq((1, "0123456789abcdef0123456789abcdef")).toDF("id", "p")
+    IcebergTable.write(df, path, graft.write.TableWriteOptions(
+      partitionBy = Seq(("p", graft.core.Transforms.Truncate(20)))))
+
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = graft.core.TableMetadata.load(path, conf)
+    val manifests = graft.manifest.ManifestIO.manifestsOf(meta, meta.currentSnapshot.get, conf)
+    val summary = manifests.head.partitions.head
+    val partitionValue = "0123456789abcdef0123" // truncate(20, value)
+    val lower = new String(summary.lowerBound.get, java.nio.charset.StandardCharsets.UTF_8)
+    val upper = new String(summary.upperBound.get, java.nio.charset.StandardCharsets.UTF_8)
+    assert(lower <= partitionValue, s"lower '$lower' must be <= '$partitionValue'")
+    assert(upper >= partitionValue, s"upper '$upper' must be >= '$partitionValue' (rounded up)")
+    assert(summary.lowerBound.get.length <= 16)
+    assert(summary.upperBound.get.length <= 17) // increment may not shorten
+
+    // End-to-end: the #1047 failure mode is the partition pruning itself
+    // away — the filtered read must still find the row.
+    val got = IcebergTable.load(spark, path,
+      graft.read.ReadOptions(filterSql = Some("p = '0123456789abcdef0123456789abcdef'")))
+    assert(got.count() == 1)
+  }
+
   test("truncated-bound pruning soundness fuzz: filters never drop a matching file") {
     val rnd = new scala.util.Random(4242)
     val alphabet = "abcé世zzz"
