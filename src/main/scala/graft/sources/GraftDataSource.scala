@@ -279,14 +279,18 @@ private[sources] class GraftScan(path: String, required: StructType,
   override def readSchema(): StructType = required
 
   /** Planned once, at whichever comes first of stats estimation (Catalyst
-    * optimization) and execution — manifests are not re-read for the other. */
+    * optimization) and execution — manifests are not re-read for the other.
+    * Path tables additionally hit the process-wide [[GraftScan.cachedPlan]]
+    * keyed on (metadata file, options): a self-join materializes one
+    * GraftScan per table reference, and without the cache each re-plans the
+    * same manifests — driver-side cost that multiplies on big tables. */
   private[sources] lazy val plannedOnce: ScanPlan = {
     val spark = SparkSession.active
     IcebergRead.ensureConfs(spark)
     val conf = spark.sessionState.newHadoopConf()
     preloaded match {
       case Some(m) => IcebergRead.planWithMetadata(spark, m, conf, effOpts)
-      case None => IcebergRead.plan(spark, path, effOpts)
+      case None => GraftScan.cachedPlan(spark, path, conf, effOpts)
     }
   }
 
@@ -324,6 +328,19 @@ private[sources] class GraftScan(path: String, required: StructType,
   override def description(): String =
     s"GraftIcebergScan path=$path pushed=[${filterSql.getOrElse("")}] columns=[${required.fieldNames.mkString(",")}]"
 
+  /** The assembled merge-on-read DataFrame, projected to the required
+    * columns — shared by the V1 bridge's buildScan and the plan
+    * substitution in [[GraftScanStatistics]]. */
+  private[sources] def assembleProjected(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    IcebergRead.ensureConfs(spark)
+    val conf = spark.sessionState.newHadoopConf()
+    val p = plannedOnce
+    GraftDataSource.lastScanFiles = Some((p.dataFiles.size, p.totalDataFiles))
+    val df = IcebergRead.assemble(spark, p, conf, effOpts)
+    if (required.fieldNames.isEmpty) df
+    else df.select(required.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+  }
+
   override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
     new GraftRelation(context, required, effOpts, this).asInstanceOf[T]
 }
@@ -334,6 +351,45 @@ private[sources] object GraftScan {
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
   import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
 
+  /** Process-wide scan-plan cache. The key's metadata FILE path is the
+    * freshness token: Iceberg metadata files are immutable and every commit
+    * publishes the next version, so resolving the current file (one cheap
+    * FS probe — version hint or directory listing, no manifest IO) is
+    * enough to know whether a cached plan is current. Bounded LRU; stale
+    * versions age out. */
+  private val planCache =
+    new java.util.LinkedHashMap[(String, graft.read.ReadOptions), ScanPlan](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, graft.read.ReadOptions), ScanPlan]): Boolean = size() > 32
+    }
+
+  def cachedPlan(spark: SparkSession, path: String,
+      conf: org.apache.hadoop.conf.Configuration,
+      opts: graft.read.ReadOptions): ScanPlan = {
+    val metaFile =
+      try graft.core.TableMetadata.findMetadataFile(path, conf, opts.metadataVersion, opts.versionNameFormat)
+      catch { case _: Exception => return IcebergRead.plan(spark, path, opts) }
+    val key = (metaFile, opts)
+    planCache.synchronized(Option(planCache.get(key))) match {
+      case Some(p) => p
+      case None =>
+        val p = IcebergRead.plan(spark, path, opts)
+        planCache.synchronized(planCache.put(key, p))
+        p
+    }
+  }
+
+  /** TimestampNTZ (Iceberg `timestamp` / `timestamp_ns`) columns get NO
+    * column statistics at all: Spark's FilterEstimation.evaluateBinary
+    * matches on the attribute's type with no TimestampNTZType case, so ANY
+    * ColumnStat entry (even count-only) on an NTZ column crashes CBO
+    * planning with a MatchError when the query ranges over it (verified on
+    * Spark 4.1, tq7's l_shipdate filter). */
+  private def cboSafe(t: IcebergType): Boolean = t match {
+    case IcebergTypes.TimestampT | IcebergTypes.TimestampNsT => false
+    case _ => true
+  }
+
   /** Types whose manifest bounds deserialize to values Spark's estimation
     * layer can compare/convert (Catalyst-internal forms: date = days Int,
     * timestamps = micros Long). Strings/binary are excluded — bounds may be
@@ -341,8 +397,7 @@ private[sources] object GraftScan {
   private def boundValue(t: IcebergType, bytes: Array[Byte]): Option[Any] = t match {
     case IcebergTypes.BooleanT | IcebergTypes.IntT | IcebergTypes.LongT |
         IcebergTypes.FloatT | IcebergTypes.DoubleT | IcebergTypes.DateT |
-        IcebergTypes.TimestampT | IcebergTypes.TimestampTzT |
-        IcebergTypes.TimestampNsT | IcebergTypes.TimestampTzNsT =>
+        IcebergTypes.TimestampTzT | IcebergTypes.TimestampTzNsT =>
       Option(SingleValue.deserialize(bytes, t))
     case d: IcebergTypes.DecimalT =>
       Option(SingleValue.deserialize(bytes, d)).map {
@@ -371,7 +426,8 @@ private[sources] object GraftScan {
     if (files.isEmpty) return out
     val ndv = p.snapshot.map(s => p.meta.ndvFor(s.snapshotId)).getOrElse(Map.empty[Int, Long])
     val wanted = required.fieldNames.toSet
-    p.schema.fields.iterator.filter(f => wanted.contains(f.name)).foreach { f =>
+    p.schema.fields.iterator
+      .filter(f => wanted.contains(f.name) && cboSafe(f.fieldType)).foreach { f =>
       val id = f.id
       val nulls: Option[Long] = rows.flatMap { _ =>
         val counts = files.map(_.info.nullValueCounts.get(id))
@@ -421,18 +477,15 @@ private[sources] class GraftRelation(context: SQLContext,
   override def schema: StructType = required
   override def toString: String =
     s"GraftIcebergScan pushed=[${opts.filterSql.getOrElse("")}] columns=[${required.fieldNames.mkString(",")}]"
-  override def buildScan(): RDD[Row] = {
-    val spark = context.sparkSession
-    IcebergRead.ensureConfs(spark)
-    val conf = spark.sessionState.newHadoopConf()
-    val p: ScanPlan = scan.plannedOnce
-    GraftDataSource.lastScanFiles = Some((p.dataFiles.size, p.totalDataFiles))
-    val df = IcebergRead.assemble(spark, p, conf, opts)
-    val projected =
-      if (required.fieldNames.isEmpty) df
-      else df.select(required.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
-    projected.rdd
-  }
+  /** The inner DataFrame's rows flow through as InternalRow (Spark's V1
+    * contract: `needConversion=false` means buildScan's RDD[Row] actually
+    * carries InternalRows). The default external-Row detour deserializes
+    * and re-serializes EVERY row at the bridge — at sf1 that is seconds of
+    * pure conversion on a fact-table scan; at 100 TB it is the difference
+    * between a pass-through plan and a per-row tax. */
+  override val needConversion: Boolean = false
+  override def buildScan(): RDD[Row] =
+    scan.assembleProjected(context.sparkSession).queryExecution.toRdd.asInstanceOf[RDD[Row]]
 }
 
 /** The V1Scan bridge hides `SupportsReportStatistics` from Catalyst —
@@ -468,22 +521,67 @@ private[graft] class GraftStatsV1ScanWrapper(
 /** Runs in the "User Provided Optimizers" batch — the only hook AFTER
   * V2ScanRelationPushDown (which creates the V1ScanWrapper) and before
   * physical join selection; extension injection points (optimizer rules,
-  * pre-CBO rules) all run earlier, before the scan exists. */
+  * pre-CBO rules) all run earlier, before the scan exists.
+  *
+  * Two rewrites, chosen by `spark.sql.cbo.enabled`:
+  *
+  *  - CBO OFF (default): SUBSTITUTE the scan relation with the assembled
+  *    read's own optimized logical plan (filters already applied inside).
+  *    The V1 bridge otherwise executes the inner plan to an RDD and
+  *    re-scans it — two codegen pipelines and a per-row boundary where the
+  *    direct API runs one fused plan. After substitution Catalyst sees the
+  *    parquet relations themselves: full whole-stage codegen, and
+  *    size-based broadcast still sees accurate (post-pruning) file bytes.
+  *
+  *  - CBO ON: keep the relation, rewrap for manifest-accurate stats — the
+  *    DSv2 node is what carries rowCount + column statistics (NDV, null
+  *    counts, min/max) into Catalyst's estimation, which substitution
+  *    would discard.
+  *
+  * `transformUpWithSubqueries` so scans inside EXISTS / scalar subqueries
+  * get the same treatment. */
 private[graft] object GraftScanStatistics
     extends org.apache.spark.sql.catalyst.rules.Rule[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
-  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression}
+  import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
   import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2ScanRelation, V1ScanWrapper}
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case r: DataSourceV2ScanRelation =>
-      r.scan match {
-        case w: V1ScanWrapper if !w.isInstanceOf[GraftStatsV1ScanWrapper] =>
-          w.v1Scan match {
-            case g: GraftScan =>
-              r.copy(scan = new GraftStatsV1ScanWrapper(g, w.handledFilters, w.pushedDownOperators))
-            case _ => r
-          }
-        case _ => r
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // DML plans (DELETE/UPDATE/MERGE rewrites, V2 writes) pattern-match the
+    // relation node in their strategies — never substitute under a command.
+    val isCommand = plan.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Command])
+    plan.transformUpWithSubqueries {
+      case r: DataSourceV2ScanRelation =>
+        r.scan match {
+          case w: V1ScanWrapper if !w.isInstanceOf[GraftStatsV1ScanWrapper] =>
+            w.v1Scan match {
+              case g: GraftScan =>
+                val cbo = SparkSession.getActiveSession.exists(_.sessionState.conf.cboEnabled)
+                val subst = if (cbo || isCommand) None else substitute(r, g)
+                subst.getOrElse(
+                  r.copy(scan = new GraftStatsV1ScanWrapper(g, w.handledFilters, w.pushedDownOperators)))
+              case _ => r
+            }
+          case _ => r
+        }
+    }
+  }
+
+  /** Inline the assembled read plan in place of the scan relation, output
+    * re-aliased onto the relation's attribute ids. Bails (None) on any
+    * shape mismatch — the stats-wrapper path is always a correct fallback. */
+  private def substitute(r: DataSourceV2ScanRelation, g: GraftScan): Option[LogicalPlan] = {
+    if (sys.env.contains("SPARK_GRAFT_DISABLE_PLAN_SUBST")) return None
+    try {
+      val spark = SparkSession.getActiveSession.getOrElse(return None)
+      val inner = g.assembleProjected(spark).queryExecution.optimizedPlan
+      if (inner.output.size != r.output.size) return None
+      val zipped = r.output.zip(inner.output)
+      if (zipped.exists { case (o, i) => o.dataType != i.dataType }) return None
+      val aliases: Seq[NamedExpression] = zipped.map { case (o, i) =>
+        Alias(i, o.name)(exprId = o.exprId, qualifier = o.qualifier)
       }
+      Some(Project(aliases, inner))
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Registered idempotently whenever a [[GraftTable]] is constructed

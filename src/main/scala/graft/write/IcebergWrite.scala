@@ -228,8 +228,27 @@ object IcebergWrite {
           val perRow = if (rows > 0) math.max(1L, bytes / rows) else 256L
           math.max(1000L, target / perRow)
         }
-    def writerFor(df: DataFrame) =
-      recordsPerFile.foldLeft(df.write)((w, n) => w.option("maxRecordsPerFile", n))
+    // Iceberg write.parquet.* physical properties → parquet writer options
+    // (reference iceberg_insert.cpp ICEBERG_TABLE_PROPERTY_MAPPING). Byte
+    // sizes accept the formatted forms Iceberg allows ("128MB"). The codec
+    // name passes through `compression` (zstd/snappy/gzip/lz4/uncompressed);
+    // zstd level maps to the hadoop-parquet level key.
+    val parquetOpts: Seq[(String, String)] = Seq(
+      meta.properties.get("write.parquet.compression-codec")
+        .map(v => "compression" -> v.toLowerCase(java.util.Locale.ROOT)),
+      meta.properties.get("write.parquet.compression-level")
+        .map(v => "parquet.compression.codec.zstd.level" -> v),
+      meta.properties.get("write.parquet.row-group-size-bytes")
+        .map(v => "parquet.block.size" -> parseByteSize(v).toString),
+      meta.properties.get("write.parquet.page-size-bytes")
+        .map(v => "parquet.page.size" -> parseByteSize(v).toString),
+      meta.properties.get("write.parquet.dict-size-bytes")
+        .map(v => "parquet.dictionary.page.size" -> parseByteSize(v).toString)
+    ).flatten
+    def writerFor(df: DataFrame) = {
+      val base = recordsPerFile.foldLeft(df.write)((w, n) => w.option("maxRecordsPerFile", n))
+      parquetOpts.foldLeft(base)((w, kv) => w.option(kv._1, kv._2))
+    }
     if (gpCols.nonEmpty) {
       // Co-locate rows per partition before the write: one shuffle, then one
       // file per partition value (not per task x partition).

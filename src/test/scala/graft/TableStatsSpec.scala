@@ -151,6 +151,31 @@ class TableStatsSpec extends SparkSpec {
     assert(!fsys.exists(new org.apache.hadoop.fs.Path(statsPath)), "stats puffin not deleted")
   }
 
+  test("DSv2 scan-plan cache: same metadata version re-plans zero manifests; a commit invalidates") {
+    val path = tmpDir("graft_plan_cache")
+    import spark.implicits._
+    IcebergTable.write((1 to 100).map(i => (i, s"v$i")).toDF("id", "v"), path)
+
+    def manifestReads[A](f: => A): Long = {
+      val before = graft.manifest.ManifestIO.manifestReads.get()
+      f
+      graft.manifest.ManifestIO.manifestReads.get() - before
+    }
+    val first = manifestReads(spark.read.format("graft").load(path).count())
+    assert(first > 0, "first read must plan manifests")
+    // Second scan — and a self-join, which materializes several scan
+    // instances — reuse the cached plan: zero manifest IO.
+    assert(manifestReads(spark.read.format("graft").load(path).count()) == 0)
+    val d = spark.read.format("graft").load(path)
+    assert(manifestReads(d.as("a").join(d.as("b"), "id").count()) == 0)
+
+    // A commit publishes the next metadata version -> cache key changes.
+    IcebergTable.append(Seq((101, "x")).toDF("id", "v"), path)
+    val fresh = spark.read.format("graft").load(path)
+    assert(manifestReads(fresh.count()) > 0, "post-commit read must re-plan")
+    assert(fresh.count() == 101)
+  }
+
   test("statistics field round-trips through metadata JSON") {
     val sf = StatisticsFile(42L, "/t/metadata/42-x.stats", 100L, 30L,
       Seq(BlobMetadata("graft-ndv-v1", 42L, 7L, Seq(3), Map("ndv" -> "19"))))
