@@ -277,6 +277,15 @@ object SparkEntry {
         .map(c => (c, ndv(byName(c)))).toDF("column_name", "ndv")
     }),
 
+    // Metadata-only aggregate pushdown (DSv2): COUNT(*)/COUNT/MIN/MAX
+    // answered from manifest counts and bounds — no data file opened.
+    "ice_agg_pushdown" -> ((s, dir) =>
+      s.read.format("graft").load(Fixtures.plain(s, dir, "orders"))
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          min(col("o_custkey")).as("min_cust"),
+          max(col("o_custkey")).as("max_cust"),
+          count(col("o_orderkey")).cast("long").as("n_orders"))),
+
     // ---- pipeline: dedup ----
     "dedup_exact" -> ((s, dir) => {
       val d = pq(s, dir, "documents").select("doc_id", "text")
@@ -521,6 +530,11 @@ object SparkEntry {
   def oracleSql: Map[String, String] = TpchExtra.oracleSql ++ Map(
     "q1_pricing" -> q1OracleShape,
     "ice_q1_roundtrip" -> q1OracleShape,
+
+    "ice_agg_pushdown" ->
+      """SELECT count(*)::BIGINT AS n_rows, min(o_custkey) AS min_cust,
+        |       max(o_custkey) AS max_cust, count(o_orderkey)::BIGINT AS n_orders
+        |FROM orders""".stripMargin,
 
     // NDV stats are HLL-exact at these cardinalities (3 statuses,
     // 5 priorities), so exact COUNT(DISTINCT) is a valid oracle.

@@ -40,7 +40,11 @@ private[catalog] class RewriteDataFilesProcedure(catalog: GraftSparkCatalog)
       .comment("defaults to write.[parquet.]target-file-size-bytes table property, else 512 MiB")
       .build(),
     ProcedureParameter.in("min_input_files", LongType).defaultValue("5").build(),
-    ProcedureParameter.in("rewrite_all", BooleanType).defaultValue("false").build())
+    ProcedureParameter.in("rewrite_all", BooleanType).defaultValue("false").build(),
+    ProcedureParameter.in("strategy", StringType).defaultValue("'binpack'")
+      .comment("'binpack' or 'sort'").build(),
+    ProcedureParameter.in("sort_order", StringType).defaultValue("NULL")
+      .comment("sort strategy: 'c1 ASC NULLS LAST, c2 DESC'; NULL = table sort order").build())
 
   private val outputSchema = StructType(Seq(
     StructField("rewritten_data_files", LongType, nullable = false),
@@ -53,8 +57,10 @@ private[catalog] class RewriteDataFilesProcedure(catalog: GraftSparkCatalog)
     val target = if (input.isNullAt(1)) None else Some(input.getLong(1))
     val minInput = if (input.isNullAt(2)) 5L else input.getLong(2)
     val rewriteAll = !input.isNullAt(3) && input.getBoolean(3)
+    val strategy = if (input.isNullAt(4)) "binpack" else input.getUTF8String(4).toString
+    val sortOrder = if (input.isNullAt(5)) None else Some(input.getUTF8String(5).toString)
     val r = Dml.rewriteDataFiles(SparkSession.active, catalog.dmlOpsFor(table),
-      target, minInput.toInt, rewriteAll)
+      target, minInput.toInt, rewriteAll, strategy, sortOrder)
     val row: InternalRow = new GenericInternalRow(
       Array[Any](r.rewrittenDataFiles, r.addedDataFiles, r.rewrittenBytes))
     Collections.singletonList[Scan](new LocalScan {

@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /**
@@ -248,9 +248,11 @@ private[graft] class GraftTable(path: String, tableSchema: StructType,
 
 private[sources] class GraftScanBuilder(path: String, tableSchema: StructType, opts: ReadOptions,
     preloaded: Option[TableMetadata] = None)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
+  private var aggScan: Option[GraftLocalAggScan] = None
 
   /** Record every filter we can express as SQL (they drive metadata pruning
     * + parquet pushdown); return ALL filters as residual — Spark re-applies
@@ -262,7 +264,117 @@ private[sources] class GraftScanBuilder(path: String, tableSchema: StructType, o
   }
   override def pushedFilters(): Array[Filter] = accepted
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new GraftScan(path, required, accepted, opts, preloaded)
+
+  /** Metadata-only aggregate pushdown: unfiltered, ungrouped COUNT(*) /
+    * COUNT(col) / MIN / MAX answered from manifest counts and bounds
+    * without opening a single data file — the SQL-surface generalization
+    * of the reference's count(*) fast path
+    * (iceberg_multi_file_list.cpp:332-364). Refused (falls back to a
+    * normal scan) whenever the answer could be inexact: deletes pending,
+    * any file missing the needed count/bound, string/binary bounds (may be
+    * truncated on write), float/double with NaNs (NaN is outside bounds). */
+  override def supportCompletePushDown(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    tryAgg(agg).isDefined
+  override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    aggScan = tryAgg(agg)
+    aggScan.isDefined
+  }
+
+  private def tryAgg(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[GraftLocalAggScan] = try {
+    import graft.core.{IcebergType, IcebergTypes, SingleValue}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    if (agg.groupByExpressions.nonEmpty || accepted.nonEmpty || opts.filterSql.isDefined) return None
+    val spark = SparkSession.getActiveSession.getOrElse(return None)
+    IcebergRead.ensureConfs(spark)
+    val conf = spark.sessionState.newHadoopConf()
+    val p = preloaded match {
+      case Some(m) => IcebergRead.planWithMetadata(spark, m, conf, opts)
+      case None => GraftScan.cachedPlan(spark, path, conf, opts)
+    }
+    if (p.deleteFiles.nonEmpty) return None
+    val files = p.dataFiles
+    val byName = p.schema.fields.map(f => f.name -> f).toMap
+
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[IcebergTypes.NestedField] =
+      e match {
+        case nr: NamedReference if nr.fieldNames.length == 1 => byName.get(nr.fieldNames()(0))
+        case _ => None
+      }
+    // Bounds usable as exact MIN/MAX: fixed-width comparable types only;
+    // float/double additionally need proven-zero NaN counts in every file.
+    def exactBounds(f: IcebergTypes.NestedField): Boolean = f.fieldType match {
+      case IcebergTypes.BooleanT | IcebergTypes.IntT | IcebergTypes.LongT |
+          IcebergTypes.DateT | IcebergTypes.TimeT | IcebergTypes.TimestampT |
+          IcebergTypes.TimestampTzT | IcebergTypes.TimestampNsT |
+          IcebergTypes.TimestampTzNsT | _: IcebergTypes.DecimalT => true
+      case IcebergTypes.FloatT | IcebergTypes.DoubleT =>
+        files.forall(pf => pf.info.nanValueCounts.get(f.id).contains(0L))
+      case _ => false
+    }
+    def cmp(a: Any, b: Any): Int = (a, b) match {
+      case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y)
+      case _ => graft.write.Pruning2.cmpAny(a, b)
+    }
+    def toInternal(v: Any, t: IcebergType): Any = (v, t) match {
+      case (b: java.math.BigDecimal, _) => org.apache.spark.sql.types.Decimal(b)
+      case (other, _) => other
+    }
+    // MIN/MAX over surviving files: a file whose column is all-null has no
+    // bound and contributes nothing; every other file must carry the bound.
+    def extremum(f: IcebergTypes.NestedField, lower: Boolean): Option[Option[Any]] = {
+      if (!exactBounds(f)) return None
+      val contributing = files.filterNot(pf =>
+        pf.info.nullValueCounts.get(f.id).contains(pf.info.recordCount))
+      if (contributing.isEmpty) return Some(None) // all rows null -> NULL
+      val bounds = contributing.map(pf =>
+        (if (lower) pf.info.lowerBounds else pf.info.upperBounds).get(f.id))
+      if (!bounds.forall(_.isDefined)) return None
+      val vals = bounds.flatMap(x => x).map(b => SingleValue.deserialize(b, f.fieldType))
+      Some(Some(toInternal(
+        if (lower) vals.reduceLeft((a, b) => if (cmp(a, b) <= 0) a else b)
+        else vals.reduceLeft((a, b) => if (cmp(a, b) >= 0) a else b), f.fieldType)))
+    }
+
+    val results: Seq[Option[(StructField, Any)]] = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        Some((StructField("count(*)", org.apache.spark.sql.types.LongType, nullable = false),
+          files.map(_.info.recordCount).sum))
+      case c: Count if !c.isDistinct =>
+        fieldOf(c.column).flatMap { f =>
+          val vc = files.map(_.info.valueCounts.get(f.id))
+          val nc = files.map(_.info.nullValueCounts.get(f.id))
+          if (vc.forall(_.isDefined) && nc.forall(_.isDefined))
+            Some((StructField(s"count(${f.name})", org.apache.spark.sql.types.LongType, nullable = false),
+              vc.flatMap(x => x).sum - nc.flatMap(x => x).sum))
+          else None
+        }
+      case m: Min =>
+        fieldOf(m.column).flatMap(f => extremum(f, lower = true).map(v =>
+          (StructField(s"min(${f.name})", f.fieldType.toSpark), v.orNull)))
+      case m: Max =>
+        fieldOf(m.column).flatMap(f => extremum(f, lower = false).map(v =>
+          (StructField(s"max(${f.name})", f.fieldType.toSpark), v.orNull)))
+      case _ => None
+    }
+    if (results.exists(_.isEmpty)) return None
+    val flat = results.flatten
+    Some(new GraftLocalAggScan(StructType(flat.map(_._1)),
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(flat.map(_._2).toArray)))
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  override def build(): Scan =
+    aggScan.getOrElse(new GraftScan(path, required, accepted, opts, preloaded))
+}
+
+/** One-row driver-side scan carrying a metadata-answered aggregate. */
+private[sources] class GraftLocalAggScan(schema: StructType,
+    row: org.apache.spark.sql.catalyst.InternalRow)
+    extends org.apache.spark.sql.connector.read.LocalScan {
+  override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = Array(row)
+  override def readSchema(): StructType = schema
+  override def description(): String = "GraftMetadataAggregate"
 }
 
 private[sources] class GraftScan(path: String, required: StructType,

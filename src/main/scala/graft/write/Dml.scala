@@ -537,13 +537,49 @@ object Dml {
     * apply to it) — compacting one partition of a 100 TB table reads one
     * partition, not the table. Delete files survive the commit unless
     * everything they can reference was rewritten. */
+  /** Parse a `sort_order` spec string ("c1 ASC NULLS LAST, c2 DESC, c3")
+    * into sort fields against the table schema. */
+  private[graft] def parseSortSpec(spec: String, schema: IcebergSchema): Seq[SortField] =
+    spec.split(",").map(_.trim).filter(_.nonEmpty).map { part =>
+      val toks = part.split("\\s+").toSeq
+      val name = toks.head
+      val f = schema.fields.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"sort_order column '$name' not in table schema"))
+      val upper = toks.drop(1).map(_.toUpperCase(java.util.Locale.ROOT))
+      val asc = !upper.contains("DESC")
+      val nullsFirst =
+        if (upper.containsSlice(Seq("NULLS", "LAST"))) false
+        else if (upper.containsSlice(Seq("NULLS", "FIRST"))) true
+        else asc // Iceberg defaults: ASC -> nulls-first, DESC -> nulls-last
+      SortField(f.id, Transforms.Identity, asc, nullsFirst)
+    }.toSeq
+
   def rewriteDataFiles(spark: SparkSession, ops: TableOps,
       targetFileSizeBytes: Option[Long] = None,
       minInputFiles: Int = 2,
-      rewriteAll: Boolean = false): RewriteResult = {
+      rewriteAll: Boolean = false,
+      strategy: String = "binpack",
+      sortOrderSpec: Option[String] = None): RewriteResult = {
     require(minInputFiles >= 1, s"min_input_files must be >= 1, got $minInputFiles")
     val conf = spark.sessionState.newHadoopConf()
     val meta = ops.load(conf)
+    // Sort-strategy compaction (Iceberg's rewrite_data_files strategy =>
+    // 'sort'): rewrite the selected groups CLUSTERED by the given sort
+    // order (or the table's own), so scans over the sort columns prune by
+    // file bounds afterwards. Binpack refuses a sort_order — silently
+    // ignoring it would be worse than erroring.
+    val sortOverride: Option[Seq[SortField]] = strategy.toLowerCase(java.util.Locale.ROOT) match {
+      case "binpack" =>
+        require(sortOrderSpec.isEmpty, "sort_order requires strategy => 'sort'")
+        None
+      case "sort" =>
+        Some(sortOrderSpec.map(s => parseSortSpec(s, meta.currentSchema)).getOrElse(
+          meta.sortOrder(meta.defaultSortOrderId).map(_.fields).filter(_.nonEmpty).getOrElse(
+            throw new IllegalArgumentException(
+              "strategy => 'sort' needs a sort_order argument or a table sort order"))))
+      case other =>
+        throw new IllegalArgumentException(s"Unknown rewrite strategy '$other' (binpack, sort)")
+    }
     // Explicit argument wins, then the table's own write target properties,
     // then 512 MiB (reference ResolveTargetFileSizeBytes,
     // rewrite_data_files_planner.cpp:43-58).
@@ -616,7 +652,12 @@ object Dml {
       val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
       rows = rows.coalesce(n)
     }
-    val (dataEntries0, _) = IcebergWrite.writeDataFiles(rows, meta, conf)
+    // The resolved target drives the writer's file rolling too (writeData-
+    // Files calibrates records/file from it) — without this, a global sort's
+    // range shuffle can collapse to one oversized output under AQE.
+    val writeMeta = meta.copy(properties =
+      meta.properties + ("write.target-file-size-bytes" -> targetBytes.toString))
+    val (dataEntries0, _) = IcebergWrite.writeDataFiles(rows, writeMeta, conf, sortOverride)
     // Sequence pin (reference rewrite_data_files_executor.cpp:140-141):
     // rewritten files are pinned to the BASE (current-at-rewrite-start)
     // snapshot's sequence number, NOT the replace snapshot's new one — a

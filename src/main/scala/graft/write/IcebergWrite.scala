@@ -164,8 +164,11 @@ object IcebergWrite {
 
   /** Write data files for `df` under the table layout; returns ADDED
     * manifest entries (stats included) without committing. */
+  /** `sortOverride`: replace the table's sort order for THIS write (sort-
+    * strategy compaction); written entries then carry no sort-order id —
+    * their layout is not the table's declared order. */
   private[graft] def writeDataFiles(df: DataFrame, meta: TableMetadata,
-      conf: Configuration): (Seq[ManifestEntry], String) = {
+      conf: Configuration, sortOverride: Option[Seq[SortField]] = None): (Seq[ManifestEntry], String) = {
     val spark = df.sparkSession
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
@@ -195,7 +198,9 @@ object IcebergWrite {
     gpCols.foreach { case (n, c) => out = out.withColumn(n, c) }
 
     // Sorted writes (reference iceberg_insert.cpp:477-511,767-794).
-    val sortCols: Seq[Column] = meta.sortOrder(meta.defaultSortOrderId).toSeq.flatMap(_.fields).map { sf =>
+    val sortFieldsEff: Seq[SortField] = sortOverride.getOrElse(
+      meta.sortOrder(meta.defaultSortOrderId).toSeq.flatMap(_.fields))
+    val sortCols: Seq[Column] = sortFieldsEff.map { sf =>
       val src = schema.idToField(sf.sourceId)
       val c = sf.transform.column(col(schema.pathOfId(sf.sourceId)), src.fieldType)
       if (sf.nullsFirst) (if (sf.ascending) c.asc_nulls_first else c.desc_nulls_first)
@@ -272,7 +277,7 @@ object IcebergWrite {
     }
     val stagingUri = new Path(stagingDir).toUri.toString
     val specFields = spec.fields
-    val sortOrderId = meta.defaultSortOrderId
+    val sortOrderId = if (sortOverride.isDefined) 0 else meta.defaultSortOrderId
     val sch = schema
     val metricsSpec = MetricsSpec.fromProperties(meta.properties)
 

@@ -76,6 +76,45 @@ class DmlSpec extends SparkSpec {
     assert(after.fastRowCount.contains(src.filter("l_quantity >= 5").count()))
   }
 
+  test("rewriteDataFiles strategy=sort re-clusters files so range scans prune by bounds") {
+    import org.apache.spark.sql.functions._
+    val src = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val path = tmpDir("graft_dml_sortrw")
+    // Random order across 6 files: every file's l_orderkey range spans the
+    // whole domain, so a key-range filter prunes nothing.
+    IcebergTable.write(src.orderBy(rand(42)).repartition(6), path)
+    val cut = src.agg(expr("percentile_approx(l_orderkey, 0.1)")).collect()(0).getLong(0)
+    val before = IcebergTable.plan(spark, path,
+      graft.read.ReadOptions(filterSql = Some(s"l_orderkey <= $cut")))
+    assert(before.dataFiles.size == 6, "interleaved files must all survive the range filter")
+
+    // Small target keeps several output files so bounds have ranges to cut.
+    val totalBytes = before.dataFiles.map(_.info.fileSizeInBytes).sum
+    val r = graft.write.Dml.rewriteDataFiles(spark, graft.write.Dml.PathOps(path),
+      targetFileSizeBytes = Some(math.max(1L, totalBytes / 4)),
+      rewriteAll = true, strategy = "sort", sortOrderSpec = Some("l_orderkey ASC"))
+    assert(r.rewrittenDataFiles == 6)
+    val after = IcebergTable.plan(spark, path,
+      graft.read.ReadOptions(filterSql = Some(s"l_orderkey <= $cut")))
+    assert(after.dataFiles.size < after.totalDataFiles,
+      s"sorted rewrite should let bounds prune: kept ${after.dataFiles.size} of ${after.totalDataFiles}")
+    assertSameResult(src, IcebergTable.load(spark, path))
+
+    // Written entries carry no sort-order id (custom order != table order).
+    assert(IcebergTable.plan(spark, path).dataFiles.forall(_.info.sortOrderId.forall(_ == 0)))
+
+    // binpack + sort_order is a user error, not a silent ignore.
+    intercept[IllegalArgumentException] {
+      graft.write.Dml.rewriteDataFiles(spark, graft.write.Dml.PathOps(path),
+        strategy = "binpack", sortOrderSpec = Some("l_orderkey"))
+    }
+    // sort with neither an argument nor a table order is refused.
+    intercept[IllegalArgumentException] {
+      graft.write.Dml.rewriteDataFiles(spark, graft.write.Dml.PathOps(path),
+        rewriteAll = true, strategy = "sort")
+    }
+  }
+
   test("rewriteDataFiles compacts ONLY the qualifying partition; others untouched") {
     val src = spark.read.parquet(s"$sfDir/orders.parquet")
     val path = tmpDir("graft_dml_rewrite_partial")

@@ -152,6 +152,42 @@ class PlanQualitySpec extends SparkSpec {
       s"expected 2-column ReadSchema, got: $readSchema")
   }
 
+  test("metadata aggregate pushdown: count/min/max answer from manifests, no data read") {
+    val src = spark.read.parquet(s"$sfDir/orders.parquet")
+    val path = Fixtures.iceberg(spark, sfDir, "agg_pushdown_orders") { dir =>
+      IcebergTable.write(src, dir)
+    }
+    val t = spark.read.format("graft").load(path)
+    // Integer min/max: bounds are exact. (Float/double min/max stay on the
+    // normal scan unless NaN counts prove zero — our writer does not emit
+    // nan_value_counts, and NaN sits outside parquet bounds.)
+    val q = t.agg(count(lit(1)).as("n"), min("o_custkey").as("mn"),
+      max("o_custkey").as("mx"), count("o_custkey").as("nc"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"),
+      s"expected metadata-answered aggregate (LocalTableScan):\n${plan.take(1500)}")
+    assert(!plan.contains("Scan parquet"), "no data file may be opened for a metadata aggregate")
+    val row = q.collect()(0)
+    val exp = src.agg(count(lit(1)), min("o_custkey"), max("o_custkey"), count("o_custkey")).collect()(0)
+    assert(row == exp, s"metadata aggregate $row != scan aggregate $exp")
+    // Doubles fall back (NaN-unsafe without nan_value_counts).
+    assert(!t.agg(min("o_totalprice")).queryExecution.executedPlan.toString.contains("LocalTableScan"))
+
+    // A filter disables the fast path (residual filters must re-apply).
+    val filtered = t.where(col("o_orderstatus") === "F").agg(count(lit(1)).as("n"))
+    assert(!filtered.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(filtered.collect()(0).getLong(0) == src.filter("o_orderstatus = 'F'").count())
+
+    // Deletes disable it too: counts from manifests would overcount.
+    val delPath = Fixtures.ordersDeleted(spark, sfDir)
+    val afterDelete = spark.read.format("graft").load(delPath).agg(count(lit(1)).as("n"))
+    assert(!afterDelete.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+
+    // String min/max must NOT be answered from (possibly truncated) bounds.
+    val strAgg = t.agg(min("o_orderstatus").as("m"))
+    assert(!strAgg.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+  }
+
   test("IVF probe pushes the _ivf_cell IN predicate to the scan (no k-means in the query)") {
     import graft.pipeline.Similarity
     val idxDir = Fixtures.embeddingsIvfIndexed(spark, sfDir)
