@@ -114,6 +114,14 @@ object Fixtures {
       graft.write.TableStats.computeTableStats(spark, dir)
     }
 
+  /** Identity-partitioned orders with a committed partition-statistics file. */
+  def ordersPartitionAnalyzed(spark: SparkSession, sfDir: String): String =
+    iceberg(spark, sfDir, "orders_pstats") { dir =>
+      IcebergTable.write(parquet(spark, sfDir, "orders"), dir,
+        TableWriteOptions(partitionBy = Seq(("o_orderstatus", Transforms.Identity))))
+      graft.write.TableStats.computePartitionStats(spark, dir)
+    }
+
   /** Orders table with MoR DELETE of 'F' orders applied. */
   def ordersDeleted(spark: SparkSession, sfDir: String): String =
     iceberg(spark, sfDir, "orders_deleted") { dir =>

@@ -139,6 +139,11 @@ object IcebergTable {
   def computeTableStats(spark: SparkSession, path: String): graft.write.TableStats.Result =
     graft.write.TableStats.computeTableStats(spark, path)
 
+  /** Write + register a spec-schema partition-statistics file (see
+    * [[graft.write.TableStats.computePartitionStats]]). */
+  def computePartitionStats(spark: SparkSession, path: String): graft.write.TableStats.PartitionStatsResult =
+    graft.write.TableStats.computePartitionStats(spark, path)
+
   /** Orphan-file cleanup (see [[graft.write.Maintenance.removeOrphanFiles]]). */
   def removeOrphanFiles(spark: SparkSession, path: String,
       olderThanMs: Long): graft.write.Maintenance.OrphanResult =

@@ -277,6 +277,18 @@ object SparkEntry {
         .map(c => (c, ndv(byName(c)))).toDF("column_name", "ndv")
     }),
 
+    // Partition-statistics FILE (Iceberg spec schema, written by
+    // compute_partition_stats): per-partition record counts come straight
+    // from the registered parquet file, no manifest walk.
+    "meta_partition_stats_file" -> ((s, dir) => {
+      val path = Fixtures.ordersPartitionAnalyzed(s, dir)
+      val conf = s.sessionState.newHadoopConf()
+      val meta = graft.core.TableMetadata.load(path, conf)
+      s.read.parquet(meta.partitionStatistics.head.path)
+        .selectExpr("partition.o_orderstatus AS o_orderstatus",
+          "data_record_count AS n_rows")
+    }),
+
     // Metadata-only aggregate pushdown (DSv2): COUNT(*)/COUNT/MIN/MAX
     // answered from manifest counts and bounds — no data file opened.
     "ice_agg_pushdown" -> ((s, dir) =>
@@ -530,6 +542,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] = TpchExtra.oracleSql ++ Map(
     "q1_pricing" -> q1OracleShape,
     "ice_q1_roundtrip" -> q1OracleShape,
+
+    "meta_partition_stats_file" ->
+      """SELECT o_orderstatus, count(*)::BIGINT AS n_rows
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     "ice_agg_pushdown" ->
       """SELECT count(*)::BIGINT AS n_rows, min(o_custkey) AS min_cust,

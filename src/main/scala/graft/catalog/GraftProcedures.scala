@@ -190,6 +190,28 @@ private[catalog] class ComputeTableStatsProcedure(catalog: GraftSparkCatalog)
   }
 }
 
+/** `CALL graft.system.compute_partition_stats(table => 'db.t')` — write a
+  * spec-schema partition-statistics file from manifest entries and
+  * register it in metadata (see [[graft.write.TableStats.computePartitionStats]]). */
+private[catalog] class ComputePartitionStatsProcedure(catalog: GraftSparkCatalog)
+    extends OneRowProcedure {
+  override def name(): String = "compute_partition_stats"
+  override def description(): String =
+    "Write a partition-statistics file (Iceberg spec schema) and register it in table metadata"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build())
+  protected val outputSchema = StructType(Seq(
+    StructField("statistics_file", StringType, nullable = false),
+    StructField("partitions", LongType, nullable = false)))
+  override def call(input: InternalRow): JIterator[Scan] = {
+    require(!input.isNullAt(0), "compute_partition_stats: 'table' must not be NULL")
+    val table = input.getUTF8String(0).toString
+    val r = graft.write.TableStats.computePartitionStats(SparkSession.active,
+      catalog.pathTableLocation(table, "compute_partition_stats"))
+    oneRow(org.apache.spark.unsafe.types.UTF8String.fromString(r.statisticsPath), r.partitions)
+  }
+}
+
 private[catalog] class CreateRefProcedure(catalog: GraftSparkCatalog)
     extends OneRowProcedure {
   override def name(): String = "create_ref"

@@ -430,6 +430,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Proced
       case "drop_partition_field" => new DropPartitionFieldProcedure(this)
       case "create_changelog_view" => new CreateChangelogViewProcedure(this)
       case "compute_table_stats" => new ComputeTableStatsProcedure(this)
+      case "compute_partition_stats" => new ComputePartitionStatsProcedure(this)
       case other => throw new RuntimeException(s"Procedure system.$other not found")
     }
   }
@@ -439,7 +440,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Proced
       Array("rewrite_data_files", "expire_snapshots", "remove_orphan_files",
         "create_ref", "drop_ref", "rollback_to_snapshot", "set_current_snapshot",
         "fast_forward", "add_partition_field", "drop_partition_field",
-        "create_changelog_view", "compute_table_stats")
+        "create_changelog_view", "compute_table_stats", "compute_partition_stats")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 

@@ -176,6 +176,40 @@ class TableStatsSpec extends SparkSpec {
     assert(fresh.count() == 101)
   }
 
+  test("compute_partition_stats writes a spec-schema file aggregated from manifests") {
+    val path = tmpDir("graft_pstats")
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    IcebergTable.write(orders, path, TableWriteOptions(
+      partitionBy = Seq(("o_orderstatus", graft.core.Transforms.Identity))))
+    // MoR delete in one partition exercises the delete-count columns.
+    IcebergTable.delete(spark, path, "o_orderstatus = 'F' AND o_orderkey % 2 = 0")
+
+    val r = IcebergTable.computePartitionStats(spark, path)
+    val conf = spark.sessionState.newHadoopConf()
+    val after = TableMetadata.load(path, conf)
+    assert(after.partitionStatistics.size == 1)
+    assert(after.partitionStatistics.head.path == r.statisticsPath)
+
+    val stats = spark.read.parquet(r.statisticsPath)
+    assert(stats.columns.toSeq == Seq("partition", "spec_id", "data_record_count",
+      "data_file_count", "total_data_file_size_in_bytes", "position_delete_record_count",
+      "position_delete_file_count", "equality_delete_record_count",
+      "equality_delete_file_count", "total_record_count"))
+    // Per-partition data_record_count matches the source GROUP BY.
+    val got = stats.selectExpr("partition.o_orderstatus AS s", "data_record_count")
+      .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
+    val exp = orders.groupBy("o_orderstatus").count()
+      .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
+    assert(got == exp, s"partition record counts $got != $exp")
+    // The deleted partition reports its position-delete rows; post-delete
+    // total_record_count reconciles with an actual read.
+    val fRow = stats.filter(org.apache.spark.sql.functions.expr("partition.o_orderstatus = 'F'"))
+      .selectExpr("position_delete_record_count", "total_record_count").collect()(0)
+    assert(fRow.getLong(0) > 0)
+    val fLive = IcebergTable.load(spark, path).filter("o_orderstatus = 'F'").count()
+    assert(fRow.getLong(1) == fLive, s"total_record_count ${fRow.getLong(1)} != live $fLive")
+  }
+
   test("statistics field round-trips through metadata JSON") {
     val sf = StatisticsFile(42L, "/t/metadata/42-x.stats", 100L, 30L,
       Seq(BlobMetadata("graft-ndv-v1", 42L, 7L, Seq(3), Map("ndv" -> "19"))))
