@@ -512,7 +512,23 @@ object SparkEntry {
 
     "text_fingerprint" -> ((s, dir) =>
       pq(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.fingerprintUdf(col("text")).as("fp"))))
+        .select(col("doc_id"), TextAnalysis.fingerprintUdf(col("text")).as("fp"))),
+
+    // PII detection over the corpus. The synthetic documents carry no PII,
+    // so deterministic PII is injected by doc_id residue IDENTICALLY here
+    // and in the oracle SQL — the regex counting is what's under test.
+    "text_pii" -> ((s, dir) => {
+      val d = pq(s, dir, "documents").select("doc_id", "text")
+        .withColumn("text", concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact user"), col("doc_id"), lit("@corp-mail.com now"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" see https://example.org/doc/"), col("doc_id"), lit(" page"))).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            concat(lit(" call +1415550"), col("doc_id") % 10000, lit(" today"))).otherwise(lit(""))))
+      TextAnalysis.piiFeatures(d, "text")
+        .select("doc_id", "n_emails", "n_urls", "n_phones")
+    }))
 
   /** Side datasets Verify dumps next to the query results: the ANN
     * candidate sets (deterministic — seeded planes / persisted centroids),
@@ -791,6 +807,22 @@ object SparkEntry {
         |  CAST(sum(octet_length(encode(text)) +
         |    CASE doc_id % 4 WHEN 0 THEN 4 WHEN 1 THEN 3 WHEN 2 THEN 4 ELSE 8 END) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // Same deterministic PII injection as the Spark entry, then the same
+    // simple character-class regexes (Java regex and RE2 agree on them).
+    "text_pii" ->
+      """WITH injected AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id || '@corp-mail.com now' ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' see https://example.org/doc/' || doc_id || ' page' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0 THEN ' call +1415550' || (doc_id % 10000) || ' today' ELSE '' END
+        |    AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, 'https?://[A-Za-z0-9./_%-]+')) AS BIGINT) AS n_urls,
+        |  CAST(len(regexp_extract_all(text, '\+[0-9]{7,15}')) AS BIGINT) AS n_phones
+        |FROM injected""".stripMargin,
 
     "text_stats" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS docs,

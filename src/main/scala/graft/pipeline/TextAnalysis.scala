@@ -89,6 +89,27 @@ object TextAnalysis {
     } else best
   }
 
+  /** PII patterns: deliberately simple character-class regexes (no
+    * backrefs, no lookaround) so they mean the same thing under Java's
+    * regex (Spark codegen) and RE2 (DuckDB oracle, other engines). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[A-Za-z0-9./_%-]+"
+  val PhoneRe = "\\+[0-9]{7,15}"
+
+  /** Per-document PII detection: counts of email / URL / phone matches plus
+    * a redacted text column — entirely codegen'd builtins
+    * (`regexp_extract_all` / `regexp_replace`), no UDF: at corpus scale
+    * this runs inside whole-stage codegen with zero serialization. */
+  def piiFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails", size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long"))
+      .withColumn("n_urls", size(regexp_extract_all(t, lit(UrlRe), lit(0))).cast("long"))
+      .withColumn("n_phones", size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(regexp_replace(t,
+          EmailRe, "[EMAIL]"), UrlRe, "[URL]"), PhoneRe, "[PHONE]"))
+  }
+
   /** 64-bit rolling-hash document fingerprint over normalized text. */
   def fingerprintUdf = udf((s: String) => {
     if (s == null) 0L

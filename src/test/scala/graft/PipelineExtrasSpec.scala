@@ -83,6 +83,30 @@ class PipelineExtrasSpec extends SparkSpec {
     assert(frames.schema.fieldNames.contains("frame_index"))
   }
 
+  test("PII detection: counts + redaction over mixed text, builtins only") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    val docs = Seq(
+      (1L, "write to a.b-c_d@ex-ample.co.uk or x@y.io; see https://ex.org/a_b/c%20d page"),
+      (2L, "call +14155551234 or +4930123456 now"),
+      (3L, "no pii here at all"),
+      (4L, "edge: not-an-email @@ http:// bare, short +123456 too short")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiFeatures(docs, "text")
+      .select("doc_id", "n_emails", "n_urls", "n_phones", "redacted")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 2 && out(1L).getLong(2) == 1)
+    assert(out(2L).getLong(3) == 2)
+    assert(out(3L).getLong(1) == 0 && out(3L).getLong(2) == 0 && out(3L).getLong(3) == 0)
+    assert(out(4L).getLong(1) == 0 && out(4L).getLong(2) == 0 && out(4L).getLong(3) == 0)
+    val red1 = out(1L).getString(4)
+    assert(red1.contains("[EMAIL]") && red1.contains("[URL]") && !red1.contains("@"))
+    assert(out(2L).getString(4) == "call [PHONE] or [PHONE] now")
+    // The plan stays inside codegen: no UDF in the PII path.
+    val plan = TextAnalysis.piiFeatures(docs, "text").queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
+  }
+
   test("embedding-cosine near-dup finds exact duplicates without crossJoin") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet").select("vec_id", "embedding")
     val dup = e.union(e.select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
