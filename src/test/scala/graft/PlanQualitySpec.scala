@@ -188,6 +188,38 @@ class PlanQualitySpec extends SparkSpec {
     assert(!strAgg.queryExecution.executedPlan.toString.contains("LocalTableScan"))
   }
 
+  test("aggregate pushdown fuzz: metadata answers always equal scan answers") {
+    // Seeded random tables: nulls at random rates (including all-null
+    // columns in some files), several files, int/long/date columns. The
+    // pushed COUNT/MIN/MAX must equal the computed aggregate every time.
+    import spark.implicits._
+    val rng = new scala.util.Random(20260814L)
+    for (round <- 1 to 5) {
+      val n = 200 + rng.nextInt(800)
+      val nullRate = rng.nextDouble() * 0.5
+      val rows = (1 to n).map { i =>
+        (i.toLong,
+          if (rng.nextDouble() < nullRate) None else Some(rng.nextInt(10000) - 5000),
+          if (round == 3) None else Some(rng.nextLong() % 1000000L),
+          java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(rng.nextInt(20000).toLong)))
+      }
+      val df = rows.toDF("id", "a", "b", "d").repartition(1 + rng.nextInt(5))
+      val path = tmpDir(s"graft_aggfuzz_$round")
+      IcebergTable.write(df, path)
+      val t = spark.read.format("graft").load(path)
+      val agg = t.agg(count(lit(1)).as("n"), count(col("a")).as("na"),
+        min(col("a")).as("mna"), max(col("a")).as("mxa"),
+        min(col("b")).as("mnb"), max(col("b")).as("mxb"),
+        min(col("d")).as("mnd"), max(col("d")).as("mxd"))
+      assert(agg.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+        s"round $round: aggregate should push to metadata")
+      val got = agg.collect()(0)
+      val exp = df.agg(count(lit(1)), count(col("a")), min(col("a")), max(col("a")),
+        min(col("b")), max(col("b")), min(col("d")), max(col("d"))).collect()(0)
+      assert(got == exp, s"round $round: pushed $got != computed $exp")
+    }
+  }
+
   test("IVF probe pushes the _ivf_cell IN predicate to the scan (no k-means in the query)") {
     import graft.pipeline.Similarity
     val idxDir = Fixtures.embeddingsIvfIndexed(spark, sfDir)
