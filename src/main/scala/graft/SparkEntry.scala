@@ -514,6 +514,13 @@ object SparkEntry {
       pq(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprintUdf(col("text")).as("fp"))),
 
+    // Context-window chunking: one row per overlapping token window
+    // (max 64 tokens, stride 48) — the packing step before training.
+    "text_chunk" -> ((s, dir) =>
+      TextAnalysis.chunkDocuments(
+        pq(s, dir, "documents").select("doc_id", "text"),
+        "text", "doc_id", maxTokens = 64, overlap = 16)),
+
     // PII detection over the corpus. The synthetic documents carry no PII,
     // so deterministic PII is injected by doc_id residue IDENTICALLY here
     // and in the oracle SQL — the regex counting is what's under test.
@@ -807,6 +814,18 @@ object SparkEntry {
         |  CAST(sum(octet_length(encode(text)) +
         |    CASE doc_id % 4 WHEN 0 THEN 4 WHEN 1 THEN 3 WHEN 2 THEN 4 ELSE 8 END) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // Mirrors chunkDocuments: starts = 0, 48, ... <= n_words-1 (inclusive
+    // series on both engines), 1-based 64-token slices, space re-join.
+    "text_chunk" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(s AS BIGINT) AS chunk_start,
+        |  array_to_string(words[s + 1 : s + 64], ' ') AS chunk_text,
+        |  CAST(least(len(words) - s, 64) AS BIGINT) AS n_tokens
+        |FROM w, unnest(generate_series(0, greatest(len(words) - 1, 0), 48)) AS t(s)""".stripMargin,
 
     // Same deterministic PII injection as the Spark entry, then the same
     // simple character-class regexes (Java regex and RE2 agree on them).

@@ -110,6 +110,27 @@ object TextAnalysis {
           EmailRe, "[EMAIL]"), UrlRe, "[URL]"), PhoneRe, "[PHONE]"))
   }
 
+  /** Split documents into overlapping token-window chunks (context-window
+    * packing for training): one output row per chunk, `chunk_start` = token
+    * offset, stride = maxTokens - overlap. Pure builtins
+    * (split/sequence/posexplode/slice) — the explode happens inside the
+    * scan's task, so a 100 TB corpus chunks with zero extra shuffle and no
+    * driver involvement; chunk rows flow straight into downstream dedup /
+    * quality filters. */
+  def chunkDocuments(df: DataFrame, textCol: String, idCol: String,
+      maxTokens: Int = 64, overlap: Int = 16): DataFrame = {
+    require(maxTokens > overlap && overlap >= 0,
+      s"need maxTokens > overlap >= 0, got maxTokens=$maxTokens overlap=$overlap")
+    val step = maxTokens - overlap
+    df.withColumn("_words", split(trim(col(textCol)), "\\s+"))
+      .select(col(idCol), col("_words"),
+        posexplode(sequence(lit(0), greatest(size(col("_words")) - 1, lit(0)), lit(step))))
+      .select(col(idCol),
+        col("col").cast("long").as("chunk_start"),
+        array_join(slice(col("_words"), col("col") + 1, lit(maxTokens)), " ").as("chunk_text"),
+        least(size(col("_words")) - col("col"), lit(maxTokens)).cast("long").as("n_tokens"))
+  }
+
   /** 64-bit rolling-hash document fingerprint over normalized text. */
   def fingerprintUdf = udf((s: String) => {
     if (s == null) 0L

@@ -107,6 +107,30 @@ class PipelineExtrasSpec extends SparkSpec {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
   }
 
+  test("chunkDocuments: overlapping token windows cover every token exactly") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    val words = (1 to 150).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, words), (2L, "a b c"), (3L, "single")).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkDocuments(docs, "text", "doc_id", maxTokens = 64, overlap = 16)
+      .collect().groupBy(_.getLong(0))
+    // 150 tokens, stride 48: starts 0,48,96,144 -> 4 chunks.
+    val c1 = chunks(1L).sortBy(_.getLong(1))
+    assert(c1.map(_.getLong(1)).toSeq == Seq(0L, 48L, 96L, 144L))
+    assert(c1.map(_.getLong(3)).toSeq == Seq(64L, 64L, 54L, 6L))
+    assert(c1.head.getString(2).startsWith("w1 w2 ") && c1.head.getString(2).endsWith(" w64"))
+    assert(c1.last.getString(2) == "w145 w146 w147 w148 w149 w150")
+    // Consecutive chunks overlap by exactly `overlap` tokens.
+    assert(c1(0).getString(2).split(" ").takeRight(16).toSeq ==
+      c1(1).getString(2).split(" ").take(16).toSeq)
+    // Short docs: one chunk, intact.
+    assert(chunks(2L).length == 1 && chunks(2L).head.getString(2) == "a b c")
+    assert(chunks(3L).head.getLong(3) == 1L)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkDocuments(docs, "text", "doc_id", maxTokens = 16, overlap = 16)
+    }
+  }
+
   test("embedding-cosine near-dup finds exact duplicates without crossJoin") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet").select("vec_id", "embedding")
     val dup = e.union(e.select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
