@@ -210,6 +210,22 @@ class TableStatsSpec extends SparkSpec {
     assert(fRow.getLong(1) == fLive, s"total_record_count ${fRow.getLong(1)} != live $fLive")
   }
 
+  test("NDV statistics survive a column rename (field-id keyed, not name keyed)") {
+    val path = tmpDir("graft_stats_rename")
+    import spark.implicits._
+    IcebergTable.write(Seq((1, "a"), (2, "b"), (3, "a")).toDF("id", "cat"), path)
+    IcebergTable.computeTableStats(spark, path)
+    IcebergTable.renameColumn(spark, path, "cat", "category")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val stats = spark.read.format("graft").load(path)
+        .queryExecution.optimizedPlan.stats
+      val byName = stats.attributeStats.map { case (a, cs) => a.name -> cs }
+      assert(byName("category").distinctCount.contains(BigInt(2)),
+        s"renamed column should keep its NDV: ${byName.get("category")}")
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+  }
+
   test("statistics field round-trips through metadata JSON") {
     val sf = StatisticsFile(42L, "/t/metadata/42-x.stats", 100L, 30L,
       Seq(BlobMetadata("graft-ndv-v1", 42L, 7L, Seq(3), Map("ndv" -> "19"))))
