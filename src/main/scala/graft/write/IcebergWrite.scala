@@ -249,7 +249,23 @@ object IcebergWrite {
         .map(v => "parquet.page.size" -> parseByteSize(v).toString),
       meta.properties.get("write.parquet.dict-size-bytes")
         .map(v => "parquet.dictionary.page.size" -> parseByteSize(v).toString)
-    ).flatten
+    ).flatten ++ {
+      // Per-column bloom filters: Iceberg's
+      // write.parquet.bloom-filter-enabled.column.<name> /
+      // bloom-filter-fpp.column.<name> map onto parquet-mr's
+      // column-scoped "<key>#<column>" conf form (the reference notes the
+      // per-column/per-table mismatch as a TODO and skips them,
+      // iceberg_insert.cpp). Equality probes on high-cardinality columns
+      // then skip row groups without dictionary support.
+      val enPre = "write.parquet.bloom-filter-enabled.column."
+      val fppPre = "write.parquet.bloom-filter-fpp.column."
+      meta.properties.collect {
+        case (k, v) if k.startsWith(enPre) =>
+          s"parquet.bloom.filter.enabled#${k.substring(enPre.length)}" -> v
+        case (k, v) if k.startsWith(fppPre) =>
+          s"parquet.bloom.filter.fpp#${k.substring(fppPre.length)}" -> v
+      }.toSeq
+    }
     def writerFor(df: DataFrame) = {
       val base = recordsPerFile.foldLeft(df.write)((w, n) => w.option("maxRecordsPerFile", n))
       parquetOpts.foldLeft(base)((w, kv) => w.option(kv._1, kv._2))

@@ -199,6 +199,33 @@ class EndToEndSpec extends SparkSpec {
     assertSameResult(df, IcebergTable.load(spark, path))
   }
 
+  test("write.parquet.bloom-filter-enabled.column.X writes a per-column bloom filter") {
+    import org.apache.spark.sql.functions._
+    val path = tmpDir("graft_bloom")
+    val df = spark.range(50000).toDF("id")
+      .withColumn("key", concat(lit("k"), col("id")))
+      .withColumn("other", col("id") % 100)
+    IcebergTable.write(df.coalesce(1), path, graft.write.TableWriteOptions(
+      properties = Map(
+        "write.parquet.bloom-filter-enabled.column.key" -> "true",
+        "write.parquet.bloom-filter-fpp.column.key" -> "0.01")))
+    val conf = spark.sessionState.newHadoopConf()
+    val file = IcebergTable.plan(spark, path).dataFiles.head
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.resolvedPath), conf))
+    try {
+      import scala.jdk.CollectionConverters._
+      val block = reader.getFooter.getBlocks.asScala.head
+      def bloomOf(name: String) = block.getColumns.asScala
+        .find(_.getPath.toDotString == name)
+        .flatMap(c => Option(reader.getBloomFilterDataReader(block).readBloomFilter(c)))
+      assert(bloomOf("key").isDefined, "bloom filter missing on opted-in column")
+      assert(bloomOf("other").isEmpty, "bloom filter must not appear on other columns")
+    } finally reader.close()
+    assertSameResult(df, IcebergTable.load(spark, path))
+  }
+
   test("object-storage layouts: hash-prefixed paths, flat partition paths, custom write.data.path") {
     val src = spark.read.parquet(s"$sfDir/orders.parquet")
 
