@@ -317,6 +317,11 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Proced
           Option(c.newComment()).filter(_.nonEmpty))
       case p: SetProperty if p.property() == "format-version" =>
         Evolution.upgradeFormatVersion(spark, loc, p.value().toInt)
+      case p: SetProperty if p.property() == "sort-order" =>
+        // The reference's ALTER TABLE ... SET SORTED BY, Spark-style: the
+        // same 'sort-order' spec string accepted at CREATE becomes a real
+        // sort-order evolution (new default order id), not a property.
+        Evolution.setSortOrder(spark, loc, parseSortOrderSpec(p.value()))
       case p: SetProperty =>
         Evolution.setProperties(spark, loc, Map(p.property() -> p.value()))
       case p: RemoveProperty =>

@@ -196,4 +196,36 @@ object Evolution {
     val meta = TableMetadata.load(path, conf)
     commit(meta.copy(properties = meta.properties -- keys), conf)
   }
+
+  /** Replace the table's DEFAULT sort order (reference `ALTER TABLE ... SET
+    * SORTED BY`, test_set_sorted_by_metadata.test): an identical existing
+    * order is REUSED by id; otherwise a new order-id = max+1 is appended —
+    * existing data files keep their recorded order, only future writes
+    * sort by the new default. `fields` = (column, ascending, nullsFirst);
+    * empty = revert to unsorted (order 0). */
+  def setSortOrder(spark: SparkSession, path: String,
+      fields: Seq[(String, Boolean, Boolean)]): TableMetadata = {
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = TableMetadata.load(path, conf)
+    val schema = meta.currentSchema
+    val sortFields = fields.map { case (name, asc, nullsFirst) =>
+      val f = schema.fields.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"SET SORTED BY column '$name' not in table schema"))
+      SortField(f.id, Transforms.Identity, asc, nullsFirst)
+    }
+    if (sortFields.isEmpty)
+      return commit(meta.copy(defaultSortOrderId = 0,
+        sortOrders =
+          if (meta.sortOrders.exists(_.orderId == 0)) meta.sortOrders
+          else meta.sortOrders :+ SortOrder(0, Nil)), conf)
+    meta.sortOrders.find(_.fields == sortFields) match {
+      case Some(existing) =>
+        commit(meta.copy(defaultSortOrderId = existing.orderId), conf)
+      case None =>
+        val nextId = (meta.sortOrders.map(_.orderId) :+ 0).max + 1
+        commit(meta.copy(
+          sortOrders = meta.sortOrders :+ SortOrder(nextId, sortFields),
+          defaultSortOrderId = nextId), conf)
+    }
+  }
 }

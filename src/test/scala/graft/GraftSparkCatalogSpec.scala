@@ -302,6 +302,41 @@ class GraftSparkCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     assert(head2.length == 2)
   }
 
+  test("ALTER TABLE SET TBLPROPERTIES sort-order evolves the default sort order") {
+    // Reference ALTER TABLE ... SET SORTED BY semantics
+    // (test_set_sorted_by_metadata.test): each distinct spec gets the next
+    // order id; re-setting an identical spec reuses its id; future writes
+    // sort by the new default.
+    val wh = tmpDir("graft_so_wh")
+    spark.conf.set("spark.sql.catalog.socat", classOf[graft.catalog.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.socat.warehouse", wh)
+    import spark.implicits._
+    val path = s"$wh/db/t_sorted"
+    IcebergTable.write(Seq((3, 30L), (1, 10L), (2, 20L)).toDF("a", "b"), path)
+    val conf = spark.sessionState.newHadoopConf()
+
+    spark.sql("ALTER TABLE socat.db.t_sorted SET TBLPROPERTIES ('sort-order' = 'a ASC NULLS FIRST')")
+    val m1 = graft.core.TableMetadata.load(path, conf)
+    assert(m1.defaultSortOrderId == 1)
+    assert(m1.sortOrder(1).get.fields.map(f => (f.sourceId, f.ascending, f.nullsFirst)) ==
+      Seq((m1.currentSchema.fields.find(_.name == "a").get.id, true, true)))
+    assert(!m1.properties.contains("sort-order"), "spec must become a sort order, not a property")
+
+    spark.sql("ALTER TABLE socat.db.t_sorted SET TBLPROPERTIES ('sort-order' = 'b DESC NULLS LAST')")
+    val m2 = graft.core.TableMetadata.load(path, conf)
+    assert(m2.defaultSortOrderId == 2 && m2.sortOrders.map(_.orderId).sorted == Seq(0, 1, 2))
+
+    // Identical spec re-set: REUSED id, no new order appended.
+    spark.sql("ALTER TABLE socat.db.t_sorted SET TBLPROPERTIES ('sort-order' = 'a ASC NULLS FIRST')")
+    val m3 = graft.core.TableMetadata.load(path, conf)
+    assert(m3.defaultSortOrderId == 1 && m3.sortOrders.map(_.orderId).sorted == Seq(0, 1, 2))
+
+    // New appends honor the new default order (file-local sortedness).
+    IcebergTable.append(Seq((9, 90L), (4, 40L), (7, 70L)).toDF("a", "b"), path)
+    val newest = IcebergTable.plan(spark, path).dataFiles.maxBy(_.dataSeq)
+    assert(newest.info.sortOrderId.contains(1))
+  }
+
   test("ALTER TABLE via SQL: add/rename/drop column and properties evolve the schema") {
     val wh = tmpDir("graft_alt_wh")
     spark.conf.set("spark.sql.catalog.altcat", classOf[graft.catalog.GraftSparkCatalog].getName)
