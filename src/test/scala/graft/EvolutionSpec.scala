@@ -6,6 +6,26 @@ import org.apache.spark.sql.functions._
   * NULL, property functions, drop-column guards, MERGE delete action. */
 class EvolutionSpec extends SparkSpec {
 
+  test("time travel before a schema change reads the snapshot-bound OLD schema") {
+    import spark.implicits._
+    val path = tmpDir("graft_evo_tt")
+    IcebergTable.write(Seq((1, "x"), (2, "y")).toDF("id", "v"), path)
+    val conf = spark.sessionState.newHadoopConf()
+    val snap1 = graft.core.TableMetadata.load(path, conf).currentSnapshot.get.snapshotId
+    IcebergTable.addColumn(spark, path, "extra", "long")
+    IcebergTable.append(Seq((3, "z", 30L)).toDF("id", "v", "extra"), path)
+
+    val old = IcebergTable.load(spark, path,
+      graft.read.ReadOptions(snapshotId = Some(snap1)))
+    assert(old.columns.toSeq == Seq("id", "v"), s"old snapshot must use its schema: ${old.columns.toSeq}")
+    assert(old.count() == 2)
+    val now = IcebergTable.load(spark, path)
+    assert(now.columns.toSeq == Seq("id", "v", "extra") && now.count() == 3)
+    // DSv2 route infers the snapshot-bound schema too.
+    val dsv2Old = spark.read.format("graft").option("snapshot-id", snap1.toString).load(path)
+    assert(dsv2Old.columns.toSeq == Seq("id", "v") && dsv2Old.count() == 2)
+  }
+
   test("type widening int->long and float->double reads old files correctly") {
     import spark.implicits._
     val path = tmpDir("graft_widen")
