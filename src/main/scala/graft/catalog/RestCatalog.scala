@@ -78,7 +78,11 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
     }
   }
 
-  private def request(method: String, path: String, body: Option[String] = None): JsonNode = {
+  private def request(method: String, path: String, body: Option[String] = None): JsonNode =
+    requestAttempt(method, path, body, retryAuth = true)
+
+  private def requestAttempt(method: String, path: String, body: Option[String],
+      retryAuth: Boolean): JsonNode = {
     val uri = URI.create(s"$base$path")
     val b = HttpRequest.newBuilder(uri)
       .header("Content-Type", "application/json")
@@ -99,6 +103,14 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
       case "HEAD" => b.method("HEAD", HttpRequest.BodyPublishers.noBody())
     }).build()
     val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+    // A 401 under client-credentials means the server dropped our token
+    // early (revocation, restart): reacquire ONCE and retry (reference
+    // test_oauth2_token_reacquire). Static user tokens can't be reacquired
+    // — surface those as-is.
+    if (resp.statusCode() == 401 && retryAuth && opts.token.isEmpty && cachedToken.isDefined) {
+      cachedToken = None
+      return requestAttempt(method, path, body, retryAuth = false)
+    }
     if (resp.statusCode() >= 300) throw new RestCatalogException(resp.statusCode(), resp.body())
     if (resp.body() == null || resp.body().isEmpty) F.objectNode() else mapper.readTree(resp.body())
   }

@@ -266,6 +266,21 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     assert(catalog.listTables(Seq("etl")).isEmpty)
   }
 
+  test("client-credentials token reacquired once after server-side rotation (401 retry)") {
+    val cat = new RestCatalog(server.uri,
+      CatalogOptions(clientId = Some("cid"), clientSecret = Some("sec")))
+    cat.createNamespace(Seq("rot"))
+    assert(cat.listNamespaces().contains(Seq("rot")))
+    // Server rotates the token: the cached bearer is now invalid. The next
+    // call must 401, reacquire via client credentials, and succeed.
+    server.rotateToken()
+    assert(cat.listNamespaces().contains(Seq("rot")))
+    // A STATIC user token cannot be reacquired — the 401 surfaces.
+    val staticCat = new RestCatalog(server.uri, CatalogOptions(token = Some("stale-static")))
+    val ex = intercept[RestCatalogException](staticCat.namespaceProperties(Seq("rot")))
+    assert(ex.status == 401)
+  }
+
   test("a 401 on listing surfaces as an exception, not an empty catalog") {
     // Bad credentials present every listing as empty without this: an auth
     // misconfiguration must fail loudly. (403/404 still degrade to empty —

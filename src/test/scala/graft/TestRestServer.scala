@@ -17,7 +17,10 @@ import scala.jdk.CollectionConverters._
 class TestRestServer {
   private val mapper = new ObjectMapper()
   private val F = JsonNodeFactory.instance
-  val token = "test-token"
+  @volatile var token = "test-token"
+  /** Simulate server-side token revocation/rotation: the old bearer 401s,
+    * a fresh client-credentials exchange yields the new token. */
+  def rotateToken(): Unit = token = "rotated-" + java.util.UUID.randomUUID().toString.take(8)
 
   case class Ns(props: TrieMap[String, String] = TrieMap.empty,
       tables: TrieMap[String, TableMetadata] = TrieMap.empty)
