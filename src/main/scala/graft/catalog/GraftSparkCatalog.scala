@@ -322,6 +322,12 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Proced
         // same 'sort-order' spec string accepted at CREATE becomes a real
         // sort-order evolution (new default order id), not a property.
         Evolution.setSortOrder(spark, loc, parseSortOrderSpec(p.value()))
+      case p: SetProperty if p.property() == "partition-spec" =>
+        // The reference's ALTER TABLE ... SET/RESET PARTITIONED BY:
+        // 'a, bucket(8, id)' replaces the default spec (reverting reuses
+        // the original spec id); empty string resets to unpartitioned.
+        Evolution.setPartitionSpec(spark, loc,
+          Evolution.parsePartitionSpecString(p.value()))
       case p: SetProperty =>
         Evolution.setProperties(spark, loc, Map(p.property() -> p.value()))
       case p: RemoveProperty =>

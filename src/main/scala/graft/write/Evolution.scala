@@ -169,6 +169,77 @@ object Evolution {
       lastPartitionId = newFieldId), conf)
   }
 
+  /** Parse a partition-spec string: `a, bucket(8, id), months(ts),
+    * truncate(10, s)` — the CREATE-TABLE transform surface as text. */
+  def parsePartitionSpecString(spec: String): Seq[(String, Transform)] = {
+    // Split on top-level commas only (transform args contain commas).
+    val terms = Seq.newBuilder[String]
+    var depth = 0; val cur = new StringBuilder
+    spec.foreach {
+      case '(' => depth += 1; cur.append('(')
+      case ')' => depth -= 1; cur.append(')')
+      case ',' if depth == 0 => terms += cur.toString; cur.clear()
+      case c => cur.append(c)
+    }
+    if (cur.toString.trim.nonEmpty) terms += cur.toString
+    val FnRe = """(\w+)\s*\((.*)\)""".r
+    terms.result().map(_.trim).filter(_.nonEmpty).map {
+      case FnRe(fn, args) =>
+        val a = args.split(",").map(_.trim).toSeq
+        fn.toLowerCase(java.util.Locale.ROOT) match {
+          case "bucket" => (a(1), Transforms.Bucket(a(0).toInt))
+          case "truncate" => (a(1), Transforms.Truncate(a(0).toInt))
+          case "year" | "years" => (a(0), Transforms.Year)
+          case "month" | "months" => (a(0), Transforms.Month)
+          case "day" | "days" => (a(0), Transforms.Day)
+          case "hour" | "hours" => (a(0), Transforms.Hour)
+          case other => throw new IllegalArgumentException(
+            s"Unknown partition transform '$other' (identity, bucket, truncate, year, month, day, hour)")
+        }
+      case plain => (plain, Transforms.Identity)
+    }
+  }
+
+  /** Wholesale partition-spec replacement (reference `ALTER TABLE ... SET
+    * PARTITIONED BY`, test_partition_revert_to_previous /
+    * reset_then_repartition): an existing spec with the same field list is
+    * REUSED by id (reverting restores the original spec id); otherwise a
+    * new spec is appended. (sourceId, transform) pairs seen in ANY
+    * historical spec keep their partition field id — the Iceberg invariant
+    * that lets per-file spec resolution prune across evolutions. Empty
+    * `fields` = RESET to unpartitioned. */
+  def setPartitionSpec(spark: SparkSession, path: String,
+      fields: Seq[(String, Transform)]): TableMetadata = {
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = TableMetadata.load(path, conf)
+    val schema = meta.currentSchema
+    val existingByKey: Map[(Int, String), PartitionField] =
+      meta.specs.flatMap(_.fields).map(pf => (pf.sourceId, pf.transform.toString) -> pf).toMap
+    var nextFieldId = meta.lastPartitionId
+    val newFields = fields.map { case (column, t) =>
+      val src = schema.fields.find(_.name == column).getOrElse(
+        throw new IllegalArgumentException(s"Partition source column '$column' not in schema"))
+      existingByKey.getOrElse((src.id, t.toString), {
+        nextFieldId += 1
+        val fieldName = t match {
+          case Transforms.Identity => column
+          case Transforms.Bucket(_) => s"${column}_bucket"
+          case Transforms.Truncate(_) => s"${column}_trunc"
+          case other => s"${column}_$other"
+        }
+        PartitionField(src.id, nextFieldId, fieldName, t)
+      })
+    }
+    meta.specs.find(_.fields == newFields) match {
+      case Some(sp) =>
+        commit(meta.copy(defaultSpecId = sp.specId, lastPartitionId = nextFieldId), conf)
+      case None =>
+        val newSpecId = meta.specs.map(_.specId).max + 1
+        commit(meta.copy(specs = meta.specs :+ PartitionSpec(newSpecId, newFields),
+          defaultSpecId = newSpecId, lastPartitionId = nextFieldId), conf)
+    }
+  }
+
   /** ALTER TABLE ... DROP PARTITION FIELD: a new default spec without the
     * field. Files written under older specs still prune on it. */
   def dropPartitionField(spark: SparkSession, path: String, fieldName: String): TableMetadata = {

@@ -6,6 +6,51 @@ import org.apache.spark.sql.functions._
   * NULL, property functions, drop-column guards, MERGE delete action. */
 class EvolutionSpec extends SparkSpec {
 
+  test("SET PARTITIONED BY: replace, revert (spec-id reuse), reset to unpartitioned") {
+    // Reference test_partition_revert_to_previous / reset_then_repartition:
+    // inserts under three successive specs all stay readable, and reverting
+    // to a previous layout reuses the ORIGINAL spec id and field ids.
+    import spark.implicits._
+    import graft.write.Evolution
+    import graft.core.Transforms
+    val path = tmpDir("graft_set_pspec")
+    def rows(off: Int) = (0 until 25).map(i => (i % 5, off + i)).toDF("a", "b")
+    IcebergTable.write(rows(0), path, graft.write.TableWriteOptions(
+      partitionBy = Seq(("a", Transforms.Identity))))
+    val conf = spark.sessionState.newHadoopConf()
+    val spec0 = graft.core.TableMetadata.load(path, conf).defaultSpec
+
+    Evolution.setPartitionSpec(spark, path, Evolution.parsePartitionSpecString("b"))
+    IcebergTable.append(rows(100), path)
+    val m1 = graft.core.TableMetadata.load(path, conf)
+    assert(m1.defaultSpec.fields.map(_.name) == Seq("b"))
+    assert(m1.defaultSpecId != spec0.specId)
+
+    // Revert to partitioning by a: the ORIGINAL spec id + field id return.
+    Evolution.setPartitionSpec(spark, path, Evolution.parsePartitionSpecString("a"))
+    IcebergTable.append(rows(200), path)
+    val m2 = graft.core.TableMetadata.load(path, conf)
+    assert(m2.defaultSpecId == spec0.specId, "revert must reuse the original spec id")
+    assert(m2.defaultSpec.fields == spec0.fields)
+
+    // All 75 rows remain readable across the three specs; pruning on `a`
+    // still works for the files written under specs 0 and 2.
+    val all = IcebergTable.load(spark, path)
+    assert(all.count() == 75)
+    assert(all.filter("a = 3").count() == 15)
+
+    // RESET to unpartitioned.
+    Evolution.setPartitionSpec(spark, path, Nil)
+    assert(graft.core.TableMetadata.load(path, conf).defaultSpec.isUnpartitioned)
+    IcebergTable.append(rows(300), path)
+    assert(IcebergTable.load(spark, path).count() == 100)
+
+    // Transform spec strings parse the CREATE surface.
+    assert(Evolution.parsePartitionSpecString("a, bucket(8, b), months(ts), truncate(4, s)")
+      .map { case (c, t) => (c, t.toString) } ==
+      Seq(("a", "identity"), ("b", "bucket[8]"), ("ts", "month"), ("s", "truncate[4]")))
+  }
+
   test("time travel before a schema change reads the snapshot-bound OLD schema") {
     import spark.implicits._
     val path = tmpDir("graft_evo_tt")

@@ -337,6 +337,23 @@ class GraftSparkCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     assert(newest.info.sortOrderId.contains(1))
   }
 
+  test("ALTER TABLE SET TBLPROPERTIES partition-spec replaces the default spec via SQL") {
+    val wh = tmpDir("graft_ps_wh")
+    spark.conf.set("spark.sql.catalog.pscat", classOf[graft.catalog.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.pscat.warehouse", wh)
+    import spark.implicits._
+    val path = s"$wh/db/t_pspec"
+    IcebergTable.write(Seq((1, 10L), (2, 20L)).toDF("a", "b"), path,
+      graft.write.TableWriteOptions(partitionBy = Seq(("a", graft.core.Transforms.Identity))))
+    spark.sql("ALTER TABLE pscat.db.t_pspec SET TBLPROPERTIES ('partition-spec' = 'bucket(4, b)')")
+    val conf = spark.sessionState.newHadoopConf()
+    val m = graft.core.TableMetadata.load(path, conf)
+    assert(m.defaultSpec.fields.map(f => (f.name, f.transform.toString)) == Seq(("b_bucket", "bucket[4]")))
+    assert(!m.properties.contains("partition-spec"))
+    IcebergTable.append(Seq((3, 30L)).toDF("a", "b"), path)
+    assert(spark.sql("SELECT count(*) FROM pscat.db.t_pspec").collect()(0).getLong(0) == 3)
+  }
+
   test("ALTER TABLE via SQL: add/rename/drop column and properties evolve the schema") {
     val wh = tmpDir("graft_alt_wh")
     spark.conf.set("spark.sql.catalog.altcat", classOf[graft.catalog.GraftSparkCatalog].getName)
