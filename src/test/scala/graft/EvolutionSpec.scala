@@ -51,6 +51,29 @@ class EvolutionSpec extends SparkSpec {
       Seq(("a", "identity"), ("b", "bucket[8]"), ("ts", "month"), ("s", "truncate[4]")))
   }
 
+  test("DELETE and UPDATE after partition-spec evolution hit rows in old-spec files") {
+    // Reference delete_after_partition_spec_evolution /
+    // update_after_partition_spec_evolution: row-level DML after SET
+    // PARTITIONED BY must delete/update rows in files written under the
+    // PREVIOUS spec (positional deletes are path-matched, spec-agnostic).
+    import spark.implicits._
+    import graft.write.Evolution
+    val path = tmpDir("graft_dml_after_pspec")
+    IcebergTable.write((0 until 20).map(i => (i % 4, i)).toDF("a", "b"), path,
+      graft.write.TableWriteOptions(partitionBy = Seq(("a", graft.core.Transforms.Identity))))
+    Evolution.setPartitionSpec(spark, path, Evolution.parsePartitionSpecString("b"))
+    IcebergTable.append((100 until 110).map(i => (i % 4, i)).toDF("a", "b"), path)
+
+    // Deletes rows from BOTH old-spec and new-spec files.
+    IcebergTable.delete(spark, path, "b % 2 = 0")
+    val left = IcebergTable.load(spark, path)
+    assert(left.count() == 15, s"10 old + 5 new odd rows expected, got ${left.count()}")
+    assert(left.filter("b % 2 = 0").count() == 0)
+
+    IcebergTable.update(spark, path, "b = 1", Map("a" -> "99"))
+    assert(IcebergTable.load(spark, path).filter("a = 99").count() == 1)
+  }
+
   test("time travel before a schema change reads the snapshot-bound OLD schema") {
     import spark.implicits._
     val path = tmpDir("graft_evo_tt")
