@@ -102,5 +102,19 @@ class PlanningScaleSpec extends SparkSpec {
     assert(statsReads == NManifests)
     assert(pStats.dataFiles.size == 1,
       s"id bounds should keep 1 of ${NManifests * PerManifest} files, kept ${pStats.dataFiles.size}")
+
+    // Aggregate pushdown at metadata scale: commit the synthetic snapshot
+    // and count(*) through the DSv2 path. The 9.9M-row answer comes from
+    // manifests alone — none of the 9900 data files exists on disk, so any
+    // attempt to open one would fail loudly.
+    graft.write.IcebergWrite.commitMetadataNextVersion(bigMeta, conf)
+    val t0 = System.nanoTime()
+    val counted = spark.read.format("graft").load(path)
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1))).collect()(0).getLong(0)
+    val aggSec = (System.nanoTime() - t0) / 1e9
+    assert(counted == NManifests.toLong * PerManifest * 1000L,
+      s"metadata count(*) got $counted")
+    assert(aggSec < 10.0, f"metadata count(*) took $aggSec%.2fs — budget 10s")
   }
 }
