@@ -66,7 +66,45 @@ private[graft] object GraftDmlRewrite extends Rule[LogicalPlan] {
   private def unsupported(what: String): Nothing =
     throw new UnsupportedOperationException(s"graft MERGE INTO does not support $what")
 
+  private def graftRelation(plan: LogicalPlan): Option[(GraftTable, DataSourceV2Relation)] =
+    plan match {
+      case SubqueryAlias(_, child) => graftRelation(child)
+      case r: DataSourceV2Relation => r.table match {
+        case g: GraftTable => Some((g, r))
+        case _ => None
+      }
+      case _ => None
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    // DELETE with a subquery predicate (IN/EXISTS over another table —
+    // reference issue_1235.test): SupportsDelete filters can't express it,
+    // so lower to a matched-row delete: the analyzed condition filters the
+    // target's file-position scan (relation swapped for the keepFileMeta
+    // plan with attribute ids preserved), and the matched (_g_path, _g_pos)
+    // rows become positional deletes / DVs. Subquery-free DELETE keeps the
+    // SupportsDelete path.
+    case d: DeleteFromTable if d.childrenResolved &&
+        org.apache.spark.sql.catalyst.expressions.SubqueryExpression.hasSubquery(d.condition) &&
+        graftRelation(d.table).isDefined =>
+      val (g, rel) = graftRelation(d.table).get
+      g.dmlRefusal("DELETE").foreach(msg => throw new UnsupportedOperationException(msg))
+      val condition = d.condition
+      val relOutput = rel.output
+      GraftDmlCommand(s"GraftDeleteSubquery ${g.name()}",
+        spark => {
+          import org.apache.spark.sql.catalyst.expressions.Alias
+          val inner = org.apache.spark.sql.GraftStreamShim.planOf(g.metaScanDF(spark))
+          val byName = inner.output.map(a => a.name -> a).toMap
+          val aliases = relOutput.map(o =>
+            Alias(byName(o.name), o.name)(exprId = o.exprId, qualifier = o.qualifier)) ++
+            Seq(byName("_g_path"), byName("_g_pos"))
+          val filtered = Filter(condition, Project(aliases, inner))
+          val matched = org.apache.spark.sql.GraftStreamShim.dfFromPlan(spark, filtered)
+            .select("_g_path", "_g_pos")
+          Dml.deleteMatched(spark, g.dmlOps, matched); ()
+        })
+
     case u: UpdateTable if u.resolved && graftTarget(u.table).isDefined =>
       val (g, _) = graftTarget(u.table).get
       g.dmlRefusal("UPDATE").foreach(msg => throw new UnsupportedOperationException(msg))

@@ -184,6 +184,14 @@ private[graft] class GraftTable(path: String, tableSchema: StructType,
     * commit through the catalog transaction, path tables by metadata rename. */
   private[graft] def dmlOps: graft.write.Dml.TableOps =
     restDmlOps.getOrElse(graft.write.Dml.PathOps(path))
+  /** Scan with `_g_path`/`_g_pos` file-position columns — the row-identity
+    * surface subquery DELETE lowers onto. */
+  private[graft] def metaScanDF(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    IcebergRead.ensureConfs(spark)
+    val conf = spark.sessionState.newHadoopConf()
+    IcebergRead.loadWithMetadata(spark, dmlOps.load(conf), conf,
+      baseOpts.copy(keepFileMeta = true))
+  }
   /** DML precondition shared by DELETE/UPDATE/MERGE: no time travel. */
   private[graft] def dmlRefusal(op: String): Option[String] =
     if (baseOpts.snapshotId.nonEmpty || baseOpts.asOfTimestampMs.nonEmpty)

@@ -240,6 +240,19 @@ object Dml {
       removedDvRefs = rd.removedDvRefs, preassignedSnapshotId = rd.snapshotId)
   }
 
+  /** DELETE by an arbitrary matched-row set: `matched` carries the
+    * `_g_path`/`_g_pos` file-position columns of the rows to remove (from a
+    * keepFileMeta scan) — the lowering target for subquery DELETE
+    * predicates, which filter pushdown cannot express. */
+  def deleteMatched(spark: SparkSession, ops: TableOps, matched: DataFrame): TableMetadata = {
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = ops.load(conf)
+    val rd = writeRowDeletes(spark, meta, matched.select("_g_path", "_g_pos"))
+    if (rd.entries.isEmpty) meta
+    else ops.commit(meta, Nil, rd.entries, "delete", conf,
+      removedDvRefs = rd.removedDvRefs, preassignedSnapshotId = rd.snapshotId)
+  }
+
   /** Result of writing row-level deletes: manifest entries to add, data-file
     * paths whose previous DV entries are superseded, and the preassigned
     * snapshot id (v3 DV writes stamp it into Puffin blob metadata). */

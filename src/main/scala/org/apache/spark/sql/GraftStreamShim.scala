@@ -39,4 +39,9 @@ object GraftStreamShim {
   def dfFromPlan(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     CDataset.ofRows(spark.asInstanceOf[CSparkSession], plan)
+
+  /** A DataFrame's analyzed logical plan — used by the subquery-DELETE
+    * lowering to splice the file-position scan under the condition. */
+  def planOf(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[CDataset[Row]].queryExecution.analyzed
 }

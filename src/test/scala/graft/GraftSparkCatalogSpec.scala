@@ -302,6 +302,36 @@ class GraftSparkCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     assert(head2.length == 2)
   }
 
+  test("DELETE with an IN-subquery over another Iceberg table (issue_1235 shape)") {
+    val wh = tmpDir("graft_subq_wh")
+    spark.conf.set("spark.sql.catalog.sqcat", classOf[graft.catalog.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.sqcat.warehouse", wh)
+    import spark.implicits._
+    val target = s"$wh/db/dl_target"
+    val probe = s"$wh/db/dl_probe"
+    IcebergTable.write(Seq((1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")).toDF("id", "data"),
+      target, graft.write.TableWriteOptions(formatVersion = 3))
+    IcebergTable.write((Seq(2) ++ (1000 until 1100)).toDF("id"), probe,
+      graft.write.TableWriteOptions(formatVersion = 3))
+
+    spark.sql("DELETE FROM sqcat.db.dl_target WHERE id IN (SELECT id FROM sqcat.db.dl_probe)")
+    val after = spark.sql("SELECT * FROM sqcat.db.dl_target ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(after == Seq((1, "a"), (3, "c"), (4, "d"), (5, "e")))
+    // Merge-on-read: v3 wrote a deletion vector, no data file rewritten.
+    val meta = graft.core.TableMetadata.load(target, spark.sessionState.newHadoopConf())
+    assert(meta.snapshots.size == 2)
+    assert(IcebergTable.plan(spark, target).deleteFiles.nonEmpty)
+
+    // NOT EXISTS (correlated) lowers through the same path: ids 1 and 3
+    // have no probe row at id+996 (997/999 < 1000) and get deleted; 4 and 5
+    // map to probe ids 1000/1001 and survive.
+    spark.sql("DELETE FROM sqcat.db.dl_target WHERE NOT EXISTS " +
+      "(SELECT 1 FROM sqcat.db.dl_probe p WHERE p.id = dl_target.id + 996)")
+    assert(spark.sql("SELECT id FROM sqcat.db.dl_target ORDER BY id")
+      .collect().map(_.getInt(0)).toSeq == Seq(4, 5))
+  }
+
   test("ALTER TABLE SET TBLPROPERTIES sort-order evolves the default sort order") {
     // Reference ALTER TABLE ... SET SORTED BY semantics
     // (test_set_sorted_by_metadata.test): each distinct spec gets the next
