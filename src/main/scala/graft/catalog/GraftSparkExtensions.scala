@@ -105,6 +105,35 @@ private[graft] object GraftDmlRewrite extends Rule[LogicalPlan] {
           Dml.deleteMatched(spark, g.dmlOps, matched); ()
         })
 
+    // UPDATE with a subquery predicate: same matched-row lowering as
+    // DELETE, then rewrite-and-reinsert of the matched rows. Subqueries in
+    // SET expressions stay unsupported (they would need per-row plans).
+    case u: UpdateTable if u.resolved &&
+        u.condition.exists(org.apache.spark.sql.catalyst.expressions.SubqueryExpression.hasSubquery) &&
+        graftRelation(u.table).isDefined =>
+      val (g, rel) = graftRelation(u.table).get
+      g.dmlRefusal("UPDATE").foreach(msg => throw new UnsupportedOperationException(msg))
+      if (u.assignments.exists(a =>
+          org.apache.spark.sql.catalyst.expressions.SubqueryExpression.hasSubquery(a.value)))
+        throw new UnsupportedOperationException(
+          "graft UPDATE does not support subqueries in SET expressions")
+      val set = u.assignments.map(a => assignKey("UPDATE", a.key) -> bareSql(a.value)).toMap
+      val condition = u.condition.get
+      val relOutput = rel.output
+      GraftDmlCommand(s"GraftUpdateSubquery ${g.name()}",
+        spark => {
+          import org.apache.spark.sql.catalyst.expressions.Alias
+          val inner = org.apache.spark.sql.GraftStreamShim.planOf(
+            g.metaScanDF(spark, withLineage = true))
+          val byName = inner.output.map(a => a.name -> a).toMap
+          val aliases = relOutput.map(o =>
+            Alias(byName(o.name), o.name)(exprId = o.exprId, qualifier = o.qualifier)) ++
+            inner.output.filter(a => Set("_g_path", "_g_pos", "_row_id").contains(a.name))
+          val filtered = Filter(condition, Project(aliases, inner))
+          val matched = org.apache.spark.sql.GraftStreamShim.dfFromPlan(spark, filtered)
+          Dml.updateMatched(spark, g.dmlOps, matched, set); ()
+        })
+
     case u: UpdateTable if u.resolved && graftTarget(u.table).isDefined =>
       val (g, _) = graftTarget(u.table).get
       g.dmlRefusal("UPDATE").foreach(msg => throw new UnsupportedOperationException(msg))

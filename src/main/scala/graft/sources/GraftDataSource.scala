@@ -185,12 +185,16 @@ private[graft] class GraftTable(path: String, tableSchema: StructType,
   private[graft] def dmlOps: graft.write.Dml.TableOps =
     restDmlOps.getOrElse(graft.write.Dml.PathOps(path))
   /** Scan with `_g_path`/`_g_pos` file-position columns — the row-identity
-    * surface subquery DELETE lowers onto. */
-  private[graft] def metaScanDF(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    * surface subquery DELETE/UPDATE lower onto. `withLineage` adds
+    * `_row_id` on v3 tables (updates must carry row ids through). */
+  private[graft] def metaScanDF(spark: SparkSession,
+      withLineage: Boolean = false): org.apache.spark.sql.DataFrame = {
     IcebergRead.ensureConfs(spark)
     val conf = spark.sessionState.newHadoopConf()
-    IcebergRead.loadWithMetadata(spark, dmlOps.load(conf), conf,
-      baseOpts.copy(keepFileMeta = true))
+    val meta = dmlOps.load(conf)
+    IcebergRead.loadWithMetadata(spark, meta, conf,
+      baseOpts.copy(keepFileMeta = true,
+        withRowLineage = withLineage && meta.formatVersion >= 3))
   }
   /** DML precondition shared by DELETE/UPDATE/MERGE: no time travel. */
   private[graft] def dmlRefusal(op: String): Option[String] =

@@ -456,6 +456,29 @@ object Dml {
     } finally matched.unpersist()
   }
 
+  /** UPDATE by an arbitrary matched-row set (subquery predicates): the
+    * caller supplies the FULL matched rows incl. `_g_path`/`_g_pos` (and
+    * `_row_id` on v3) from a keepFileMeta scan; `set` applies as in
+    * [[update]]. */
+  def updateMatched(spark: SparkSession, ops: TableOps, matched0: DataFrame,
+      set: Map[String, String]): TableMetadata = {
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = ops.load(conf)
+    val schema = meta.currentSchema
+    val v3 = meta.formatVersion >= 3
+    val matched = matched0.cache()
+    try {
+      val rd = writeRowDeletes(spark, meta, matched.select("_g_path", "_g_pos"))
+      if (rd.entries.isEmpty) return meta
+      val updated = matched.select((schema.fields.map { f =>
+        set.get(f.name).map(e => expr(e).cast(f.fieldType.toSpark).as(f.name)).getOrElse(col(f.name))
+      } ++ (if (v3) Seq(col("_row_id")) else Nil)).toIndexedSeq: _*)
+      val (dataEntries, _) = IcebergWrite.writeDataFiles(updated, meta, conf)
+      ops.commit(meta, dataEntries, rd.entries, "overwrite", conf,
+        removedDvRefs = rd.removedDvRefs, preassignedSnapshotId = rd.snapshotId)
+    } finally matched.unpersist()
+  }
+
   /** MERGE INTO actions. `update`: target-col -> SQL expr over `s.*`/`t.*`;
     * `insert`: target-col -> SQL expr over `s.*` (None = no insert clause;
     * insertAll maps source columns by name). */

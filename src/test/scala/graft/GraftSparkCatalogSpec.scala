@@ -323,6 +323,12 @@ class GraftSparkCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     assert(meta.snapshots.size == 2)
     assert(IcebergTable.plan(spark, target).deleteFiles.nonEmpty)
 
+    // UPDATE with a subquery predicate lowers the same way.
+    spark.sql("UPDATE sqcat.db.dl_target SET data = 'probed' " +
+      "WHERE id + 999 IN (SELECT id FROM sqcat.db.dl_probe)")
+    assert(spark.sql("SELECT count(*) FROM sqcat.db.dl_target WHERE data = 'probed'")
+      .collect()(0).getLong(0) == 4, "ids 1,3,4,5 all map into the probe range")
+
     // NOT EXISTS (correlated) lowers through the same path: ids 1 and 3
     // have no probe row at id+996 (997/999 < 1000) and get deleted; 4 and 5
     // map to probe ids 1000/1001 and survive.
