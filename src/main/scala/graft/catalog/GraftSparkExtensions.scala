@@ -150,24 +150,27 @@ private[graft] object GraftDmlRewrite extends Rule[LogicalPlan] {
       val sSet = AttributeSet(m.sourceTable.output)
       val onCond = tsSql(m.mergeCondition, tSet, sSet)
 
-      var actions = Dml.MergeActions()
-      m.matchedActions match {
-        case Seq() =>
-        case Seq(UpdateAction(None, assigns, _)) =>
-          actions = actions.copy(matchedUpdate = Some(
+      // Ordered clause lists: conditional and multiple WHEN clauses lower
+      // to first-matching-clause-wins semantics in Dml.merge (reference
+      // merge_into_multiple_update_delete_actions.test).
+      val matchedClauses = m.matchedActions.map {
+        case UpdateAction(cond, assigns, _) =>
+          Dml.MatchedClause(cond.map(c => tsSql(c, tSet, sSet)), Some(
             assigns.map(a => assignKey("MERGE", a.key) -> tsSql(a.value, tSet, sSet)).toMap))
-        case Seq(DeleteAction(None)) => actions = actions.copy(matchedDelete = true)
-        case _ => unsupported(
-          "conditional or multiple WHEN MATCHED clauses (one unconditional UPDATE or DELETE)")
+        case DeleteAction(cond) =>
+          Dml.MatchedClause(cond.map(c => tsSql(c, tSet, sSet)), None)
+        case other => unsupported(s"WHEN MATCHED action ${other.getClass.getSimpleName}")
       }
-      m.notMatchedActions match {
-        case Seq() =>
-        case Seq(InsertAction(None, assigns)) =>
-          actions = actions.copy(insert = Some(
-            assigns.map(a => assignKey("MERGE", a.key) -> tsSql(a.value, tSet, sSet)).toMap))
-        case _ => unsupported(
-          "conditional or multiple WHEN NOT MATCHED clauses (one unconditional INSERT)")
+      val notMatchedClauses = m.notMatchedActions.map {
+        case InsertAction(cond, assigns) =>
+          Dml.NotMatchedClause(cond.map(c => tsSql(c, tSet, sSet)),
+            assigns.map(a => assignKey("MERGE", a.key) -> tsSql(a.value, tSet, sSet)).toMap)
+        case InsertStarAction(cond) =>
+          Dml.NotMatchedClause(cond.map(c => tsSql(c, tSet, sSet)), insertAll = true)
+        case other => unsupported(s"WHEN NOT MATCHED action ${other.getClass.getSimpleName}")
       }
+      val actions = Dml.MergeActions(
+        matchedClauses = matchedClauses, notMatchedClauses = notMatchedClauses)
       val sourcePlan = m.sourceTable
       GraftDmlCommand(s"GraftMergeInto ${g.name()}",
         spark => {

@@ -479,15 +479,38 @@ object Dml {
     } finally matched.unpersist()
   }
 
-  /** MERGE INTO actions. `update`: target-col -> SQL expr over `s.*`/`t.*`;
-    * `insert`: target-col -> SQL expr over `s.*` (None = no insert clause;
-    * insertAll maps source columns by name). */
+  /** One WHEN MATCHED clause: optional condition (SQL over `t.*`/`s.*`),
+    * `set` = update assignments, None = DELETE. Clauses apply in order —
+    * the FIRST whose condition holds wins; a matched row no clause accepts
+    * is left untouched. */
+  case class MatchedClause(condSql: Option[String], set: Option[Map[String, String]])
+  /** One WHEN NOT MATCHED clause: optional condition (over `s.*`),
+    * assignments, or `insertAll` (source columns by name). */
+  case class NotMatchedClause(condSql: Option[String],
+      ins: Map[String, String] = Map.empty, insertAll: Boolean = false)
+
+  /** MERGE INTO actions. Legacy single-clause fields (`matchedUpdate` /
+    * `matchedDelete` / `insert` / `insertAll`) remain supported; the
+    * ordered `matchedClauses` / `notMatchedClauses` lists take precedence
+    * when non-empty (conditional and multiple WHEN clauses, reference
+    * merge_into_multiple_update_delete_actions.test). */
   case class MergeActions(
       matchedUpdate: Option[Map[String, String]] = None,
       matchedDelete: Boolean = false,
       insert: Option[Map[String, String]] = None,
       insertAll: Boolean = false,
-      errorOnMultipleMatches: Boolean = true)
+      errorOnMultipleMatches: Boolean = true,
+      matchedClauses: Seq[MatchedClause] = Nil,
+      notMatchedClauses: Seq[NotMatchedClause] = Nil) {
+    private[graft] def matchedEff: Seq[MatchedClause] =
+      if (matchedClauses.nonEmpty) matchedClauses
+      else matchedUpdate.map(s => MatchedClause(None, Some(s))).toSeq ++
+        (if (matchedDelete) Seq(MatchedClause(None, None)) else Nil)
+    private[graft] def notMatchedEff: Seq[NotMatchedClause] =
+      if (notMatchedClauses.nonEmpty) notMatchedClauses
+      else if (insertAll) Seq(NotMatchedClause(None, insertAll = true))
+      else insert.map(i => NotMatchedClause(None, i)).toSeq
+  }
 
   /** MERGE INTO target t USING source s ON cond — join-based MoR merge
     * producing one OVERWRITE snapshot. */
@@ -507,40 +530,59 @@ object Dml {
     val t = target.alias("t")
     val s = source.alias("s")
     val joined = t.join(s, expr(onCond), "inner").cache()
+    val matchedClauses = actions.matchedEff
+    val notMatchedClauses = actions.notMatchedEff
+    // First-matching-clause-wins: a row is AFFECTED when any clause's
+    // condition holds (unconditional clause = always); clause k applies
+    // when its condition holds and no earlier clause's did. NULL conditions
+    // count as not-held (coalesce false).
+    def held(c: Option[String]): Column =
+      c.map(sql => coalesce(expr(sql), lit(false))).getOrElse(lit(true))
+    def appliesAt[C](clauses: Seq[(Option[String], C)], k: Int): Column =
+      clauses.take(k).foldLeft(held(clauses(k)._1))((acc, prev) => acc && !held(prev._1))
     try {
       // WHEN MATCHED ... multiple source matches for one target row is an
       // error (match-once semantics, as PhysicalMergeInto enforces).
-      if (actions.errorOnMultipleMatches && (actions.matchedUpdate.isDefined || actions.matchedDelete)) {
+      if (actions.errorOnMultipleMatches && matchedClauses.nonEmpty) {
         val dup = joined.groupBy(col("t._g_path"), col("t._g_pos")).count().filter(col("count") > 1).limit(1).count()
         require(dup == 0, "MERGE: a target row matched multiple source rows")
       }
-      val rd =
-        if (actions.matchedUpdate.isDefined || actions.matchedDelete)
-          writeRowDeletes(spark, meta,
-            joined.select(col("t._g_path").as("_g_path"), col("t._g_pos").as("_g_pos")))
-        else RowDeletes(Nil, Set.empty, None)
+      val mPairs = matchedClauses.map(c => (c.condSql, c))
+      val anyMatched: Option[Column] =
+        if (matchedClauses.isEmpty) None
+        else Some(matchedClauses.map(c => held(c.condSql)).reduce(_ || _))
+      val rd = anyMatched match {
+        case Some(affected) =>
+          writeRowDeletes(spark, meta, joined.filter(affected)
+            .select(col("t._g_path").as("_g_path"), col("t._g_pos").as("_g_pos")))
+        case None => RowDeletes(Nil, Set.empty, None)
+      }
 
       // v3: updated rows keep their original _row_id (materialized); newly
       // inserted rows carry null and draw fresh ids from first_row_id.
-      val updatedRows: Option[DataFrame] = actions.matchedUpdate.map { set =>
-        joined.select((schema.fields.map { f =>
-          set.get(f.name).map(e => expr(e).cast(f.fieldType.toSpark).as(f.name))
-            .getOrElse(col(s"t.${f.name}"))
-        } ++ (if (v3) Seq(col("t._row_id").as("_row_id")) else Nil)).toIndexedSeq: _*)
+      val updatedRows: Seq[DataFrame] = mPairs.zipWithIndex.collect {
+        case ((_, MatchedClause(_, Some(set))), k) =>
+          joined.filter(appliesAt(mPairs, k)).select((schema.fields.map { f =>
+            set.get(f.name).map(e => expr(e).cast(f.fieldType.toSpark).as(f.name))
+              .getOrElse(col(s"t.${f.name}"))
+          } ++ (if (v3) Seq(col("t._row_id").as("_row_id")) else Nil)).toIndexedSeq: _*)
       }
-      val insertedRows: Option[DataFrame] = {
+      val insertedRows: Seq[DataFrame] = {
         val notMatched = s.join(t, expr(onCond), "left_anti")
         val nullLineage = if (v3) Seq(lit(null).cast("long").as("_row_id")) else Nil
-        if (actions.insertAll)
-          Some(notMatched.select((schema.fields.map(f => col(f.name)) ++ nullLineage).toIndexedSeq: _*))
-        else actions.insert.map { ins =>
-          notMatched.select((schema.fields.map { f =>
-            ins.get(f.name).map(e => expr(e).cast(f.fieldType.toSpark).as(f.name))
-              .getOrElse(lit(null).cast(f.fieldType.toSpark).as(f.name))
-          } ++ nullLineage).toIndexedSeq: _*)
+        val nmPairs = notMatchedClauses.map(c => (c.condSql, c))
+        nmPairs.zipWithIndex.map { case ((_, c), k) =>
+          val rows = notMatched.filter(appliesAt(nmPairs, k))
+          if (c.insertAll)
+            rows.select((schema.fields.map(f => col(f.name)) ++ nullLineage).toIndexedSeq: _*)
+          else
+            rows.select((schema.fields.map { f =>
+              c.ins.get(f.name).map(e => expr(e).cast(f.fieldType.toSpark).as(f.name))
+                .getOrElse(lit(null).cast(f.fieldType.toSpark).as(f.name))
+            } ++ nullLineage).toIndexedSeq: _*)
         }
       }
-      val newRows = (updatedRows.toSeq ++ insertedRows.toSeq).reduceOption(_ unionByName _)
+      val newRows = (updatedRows ++ insertedRows).reduceOption(_ unionByName _)
       val dataEntries = newRows.map(df => IcebergWrite.writeDataFiles(df, meta, conf)._1).getOrElse(Nil)
       if (dataEntries.isEmpty && rd.entries.isEmpty) meta
       else ops.commit(meta, dataEntries, rd.entries, "overwrite", conf,

@@ -302,6 +302,36 @@ class GraftSparkCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     assert(head2.length == 2)
   }
 
+  test("MERGE with multiple conditional WHEN clauses (first-matching wins)") {
+    // Reference merge_into_multiple_update_delete_actions.test shape:
+    // conditional UPDATE, conditional DELETE, fallthrough UPDATE, plus a
+    // conditional INSERT — first applicable clause per row wins.
+    val wh = tmpDir("graft_mmerge_wh")
+    spark.conf.set("spark.sql.catalog.mmcat", classOf[graft.catalog.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.mmcat.warehouse", wh)
+    import spark.implicits._
+    val path = s"$wh/db/t_mm"
+    IcebergTable.write(Seq((1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40))
+      .toDF("id", "data", "v"), path)
+    Seq((1, 100), (2, 200), (3, 300), (9, 900)).toDF("id", "sv")
+      .createOrReplaceTempView("mm_src")
+
+    spark.sql("""MERGE INTO mmcat.db.t_mm t USING mm_src s ON t.id = s.id
+      WHEN MATCHED AND s.sv = 100 THEN UPDATE SET data = 'hundred', v = s.sv
+      WHEN MATCHED AND t.v = 20 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = t.v + s.sv
+      WHEN NOT MATCHED AND s.sv > 500 THEN INSERT (id, data, v) VALUES (s.id, 'new', s.sv)""")
+
+    val got = spark.sql("SELECT * FROM mmcat.db.t_mm ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
+    assert(got == Seq(
+      (1, "hundred", 100), // first clause
+      // id=2 deleted by second clause
+      (3, "c", 330),       // fallthrough update: 30 + 300
+      (4, "d", 40),        // unmatched target row untouched
+      (9, "new", 900)))    // conditional insert
+  }
+
   test("DELETE with an IN-subquery over another Iceberg table (issue_1235 shape)") {
     val wh = tmpDir("graft_subq_wh")
     spark.conf.set("spark.sql.catalog.sqcat", classOf[graft.catalog.GraftSparkCatalog].getName)
