@@ -146,7 +146,6 @@ private[graft] object GraftDmlRewrite extends Rule[LogicalPlan] {
       val (g, tSet) = graftTarget(m.targetTable).get
       g.dmlRefusal("MERGE INTO").foreach(msg => throw new UnsupportedOperationException(msg))
       if (m.withSchemaEvolution) unsupported("WITH SCHEMA EVOLUTION")
-      if (m.notMatchedBySourceActions.nonEmpty) unsupported("WHEN NOT MATCHED BY SOURCE")
       val sSet = AttributeSet(m.sourceTable.output)
       val onCond = tsSql(m.mergeCondition, tSet, sSet)
 
@@ -169,8 +168,17 @@ private[graft] object GraftDmlRewrite extends Rule[LogicalPlan] {
           Dml.NotMatchedClause(cond.map(c => tsSql(c, tSet, sSet)), insertAll = true)
         case other => unsupported(s"WHEN NOT MATCHED action ${other.getClass.getSimpleName}")
       }
+      val notMatchedBySource = m.notMatchedBySourceActions.map {
+        case UpdateAction(cond, assigns, _) =>
+          Dml.MatchedClause(cond.map(c => tsSql(c, tSet, sSet)), Some(
+            assigns.map(a => assignKey("MERGE", a.key) -> tsSql(a.value, tSet, sSet)).toMap))
+        case DeleteAction(cond) =>
+          Dml.MatchedClause(cond.map(c => tsSql(c, tSet, sSet)), None)
+        case other => unsupported(s"WHEN NOT MATCHED BY SOURCE action ${other.getClass.getSimpleName}")
+      }
       val actions = Dml.MergeActions(
-        matchedClauses = matchedClauses, notMatchedClauses = notMatchedClauses)
+        matchedClauses = matchedClauses, notMatchedClauses = notMatchedClauses,
+        notMatchedBySourceClauses = notMatchedBySource)
       val sourcePlan = m.sourceTable
       GraftDmlCommand(s"GraftMergeInto ${g.name()}",
         spark => {

@@ -501,7 +501,11 @@ object Dml {
       insertAll: Boolean = false,
       errorOnMultipleMatches: Boolean = true,
       matchedClauses: Seq[MatchedClause] = Nil,
-      notMatchedClauses: Seq[NotMatchedClause] = Nil) {
+      notMatchedClauses: Seq[NotMatchedClause] = Nil,
+      /** WHEN NOT MATCHED BY SOURCE: target rows with no source match;
+        * conditions reference `t.*` only. Same clause shape as matched
+        * (set = UPDATE, None = DELETE), first-matching wins. */
+      notMatchedBySourceClauses: Seq[MatchedClause] = Nil) {
     private[graft] def matchedEff: Seq[MatchedClause] =
       if (matchedClauses.nonEmpty) matchedClauses
       else matchedUpdate.map(s => MatchedClause(None, Some(s))).toSeq ++
@@ -532,6 +536,7 @@ object Dml {
     val joined = t.join(s, expr(onCond), "inner").cache()
     val matchedClauses = actions.matchedEff
     val notMatchedClauses = actions.notMatchedEff
+    var nmsCache: Option[DataFrame] = None
     // First-matching-clause-wins: a row is AFFECTED when any clause's
     // condition holds (unconditional clause = always); clause k applies
     // when its condition holds and no earlier clause's did. NULL conditions
@@ -548,25 +553,37 @@ object Dml {
         require(dup == 0, "MERGE: a target row matched multiple source rows")
       }
       val mPairs = matchedClauses.map(c => (c.condSql, c))
-      val anyMatched: Option[Column] =
-        if (matchedClauses.isEmpty) None
-        else Some(matchedClauses.map(c => held(c.condSql)).reduce(_ || _))
-      val rd = anyMatched match {
-        case Some(affected) =>
-          writeRowDeletes(spark, meta, joined.filter(affected)
-            .select(col("t._g_path").as("_g_path"), col("t._g_pos").as("_g_pos")))
+      // WHEN NOT MATCHED BY SOURCE operates on target rows with no source
+      // match — the target-side anti-join, same clause mechanics.
+      val nmsClauses = actions.notMatchedBySourceClauses
+      val nmsPairs = nmsClauses.map(c => (c.condSql, c))
+      val nmsRows: Option[DataFrame] =
+        if (nmsClauses.isEmpty) None
+        else Some(t.join(s, expr(onCond), "left_anti").cache())
+      nmsCache = nmsRows
+      def affectedOf(df: DataFrame, clauses: Seq[MatchedClause]): DataFrame =
+        df.filter(clauses.map(c => held(c.condSql)).reduce(_ || _))
+          .select(col("t._g_path").as("_g_path"), col("t._g_pos").as("_g_pos"))
+      val deletePositions: Seq[DataFrame] =
+        (if (matchedClauses.nonEmpty) Seq(affectedOf(joined, matchedClauses)) else Nil) ++
+          nmsRows.map(df => affectedOf(df, nmsClauses)).toSeq
+      val rd = deletePositions.reduceOption(_ unionByName _) match {
+        case Some(pos) => writeRowDeletes(spark, meta, pos)
         case None => RowDeletes(Nil, Set.empty, None)
       }
 
       // v3: updated rows keep their original _row_id (materialized); newly
       // inserted rows carry null and draw fresh ids from first_row_id.
-      val updatedRows: Seq[DataFrame] = mPairs.zipWithIndex.collect {
-        case ((_, MatchedClause(_, Some(set))), k) =>
-          joined.filter(appliesAt(mPairs, k)).select((schema.fields.map { f =>
-            set.get(f.name).map(e => expr(e).cast(f.fieldType.toSpark).as(f.name))
-              .getOrElse(col(s"t.${f.name}"))
-          } ++ (if (v3) Seq(col("t._row_id").as("_row_id")) else Nil)).toIndexedSeq: _*)
-      }
+      def updatesOf(df: DataFrame, pairs: Seq[(Option[String], MatchedClause)]): Seq[DataFrame] =
+        pairs.zipWithIndex.collect {
+          case ((_, MatchedClause(_, Some(set))), k) =>
+            df.filter(appliesAt(pairs, k)).select((schema.fields.map { f =>
+              set.get(f.name).map(e => expr(e).cast(f.fieldType.toSpark).as(f.name))
+                .getOrElse(col(s"t.${f.name}"))
+            } ++ (if (v3) Seq(col("t._row_id").as("_row_id")) else Nil)).toIndexedSeq: _*)
+        }
+      val updatedRows: Seq[DataFrame] =
+        updatesOf(joined, mPairs) ++ nmsRows.toSeq.flatMap(df => updatesOf(df, nmsPairs))
       val insertedRows: Seq[DataFrame] = {
         val notMatched = s.join(t, expr(onCond), "left_anti")
         val nullLineage = if (v3) Seq(lit(null).cast("long").as("_row_id")) else Nil
@@ -587,7 +604,7 @@ object Dml {
       if (dataEntries.isEmpty && rd.entries.isEmpty) meta
       else ops.commit(meta, dataEntries, rd.entries, "overwrite", conf,
         removedDvRefs = rd.removedDvRefs, preassignedSnapshotId = rd.snapshotId)
-    } finally joined.unpersist()
+    } finally { joined.unpersist(); nmsCache.foreach(_.unpersist()) }
   }
 
   /** CREATE TABLE AS SELECT. */

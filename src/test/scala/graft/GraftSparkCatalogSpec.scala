@@ -332,6 +332,28 @@ class GraftSparkCatalogSpec extends SparkSpec with BeforeAndAfterAll {
       (9, "new", 900)))    // conditional insert
   }
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE updates/deletes unreferenced target rows") {
+    val wh = tmpDir("graft_nms_wh")
+    spark.conf.set("spark.sql.catalog.nmscat", classOf[graft.catalog.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.nmscat.warehouse", wh)
+    import spark.implicits._
+    val path = s"$wh/db/t_nms"
+    IcebergTable.write(Seq((1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40))
+      .toDF("id", "data", "v"), path)
+    Seq((1, 100)).toDF("id", "sv").createOrReplaceTempView("nms_src")
+
+    // id=1 matched -> updated from source; ids 2,3,4 unmatched-by-source:
+    // v=20 deleted, the rest marked stale.
+    spark.sql("""MERGE INTO nmscat.db.t_nms t USING nms_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = s.sv
+      WHEN NOT MATCHED BY SOURCE AND t.v = 20 THEN DELETE
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET data = 'stale'""")
+
+    val got = spark.sql("SELECT * FROM nmscat.db.t_nms ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
+    assert(got == Seq((1, "a", 100), (3, "stale", 30), (4, "stale", 40)))
+  }
+
   test("DELETE with an IN-subquery over another Iceberg table (issue_1235 shape)") {
     val wh = tmpDir("graft_subq_wh")
     spark.conf.set("spark.sql.catalog.sqcat", classOf[graft.catalog.GraftSparkCatalog].getName)
