@@ -66,6 +66,12 @@ private[graft] object GraftDmlRewrite extends Rule[LogicalPlan] {
   private def unsupported(what: String): Nothing =
     throw new UnsupportedOperationException(s"graft MERGE INTO does not support $what")
 
+  private def relOutputNamesOf(plan: LogicalPlan): Seq[String] = plan match {
+    case SubqueryAlias(_, child) => relOutputNamesOf(child)
+    case r: DataSourceV2Relation => r.output.map(_.name)
+    case other => other.output.map(_.name)
+  }
+
   private def graftRelation(plan: LogicalPlan): Option[(GraftTable, DataSourceV2Relation)] =
     plan match {
       case SubqueryAlias(_, child) => graftRelation(child)
@@ -152,10 +158,22 @@ private[graft] object GraftDmlRewrite extends Rule[LogicalPlan] {
       // Ordered clause lists: conditional and multiple WHEN clauses lower
       // to first-matching-clause-wins semantics in Dml.merge (reference
       // merge_into_multiple_update_delete_actions.test).
+      // UPDATE/INSERT SET * assign every target column from the same-named
+      // source column (which must exist).
+      def starAssignments(): Map[String, String] = {
+        val sourceNames = m.sourceTable.output.map(_.name).toSet
+        relOutputNamesOf(m.targetTable).map { n =>
+          if (!sourceNames.contains(n)) unsupported(
+            s"SET * with no source column named '$n'")
+          n -> s"s.`$n`"
+        }.toMap
+      }
       val matchedClauses = m.matchedActions.map {
         case UpdateAction(cond, assigns, _) =>
           Dml.MatchedClause(cond.map(c => tsSql(c, tSet, sSet)), Some(
             assigns.map(a => assignKey("MERGE", a.key) -> tsSql(a.value, tSet, sSet)).toMap))
+        case UpdateStarAction(cond) =>
+          Dml.MatchedClause(cond.map(c => tsSql(c, tSet, sSet)), Some(starAssignments()))
         case DeleteAction(cond) =>
           Dml.MatchedClause(cond.map(c => tsSql(c, tSet, sSet)), None)
         case other => unsupported(s"WHEN MATCHED action ${other.getClass.getSimpleName}")

@@ -352,6 +352,16 @@ class GraftSparkCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     val got = spark.sql("SELECT * FROM nmscat.db.t_nms ORDER BY id")
       .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
     assert(got == Seq((1, "a", 100), (3, "stale", 30), (4, "stale", 40)))
+
+    // UPDATE SET * / INSERT * assign all target columns by source name.
+    Seq((3, "three", 333), (7, "seven", 777)).toDF("id", "data", "v")
+      .createOrReplaceTempView("nms_src2")
+    spark.sql("""MERGE INTO nmscat.db.t_nms t USING nms_src2 s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    val got2 = spark.sql("SELECT * FROM nmscat.db.t_nms ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
+    assert(got2 == Seq((1, "a", 100), (3, "three", 333), (4, "stale", 40), (7, "seven", 777)))
   }
 
   test("DELETE with an IN-subquery over another Iceberg table (issue_1235 shape)") {
