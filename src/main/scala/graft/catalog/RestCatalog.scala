@@ -126,7 +126,35 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
   private def nsPath(ns: Seq[String]): String =
     ns.map(pathSegment).mkString("%1F")
 
-  // ---------- config ----------
+  // ---------- config & prefix ----------
+
+  /** Catalog config resolved ONCE (first prefixed request). Real IRC
+    * catalogs (Polaris, Glue IRC, S3 Tables, Lakekeeper) return a `prefix`
+    * in `GET /v1/config` that must be spliced into every subsequent route
+    * as `/v1/{prefix}/...` (reference catalog_api.cpp:167-278 —
+    * `AddPrefixComponents(catalog.prefix)` on every endpoint; spec routes
+    * are `/v1/{prefix}/namespaces/...`). A config fetch failure degrades to
+    * no prefix with a warning so bare servers that don't serve /v1/config
+    * keep working. */
+  private lazy val resolvedConfig: Map[String, String] =
+    try config()
+    catch {
+      case e: Exception =>
+        System.err.println(s"[graft-catalog] GET /v1/config failed (${e.getMessage}); assuming no prefix")
+        Map.empty
+    }
+
+  /** "/v1" or "/v1/{prefix}" — the root every catalog route (except
+    * /v1/config and /v1/oauth/tokens, which the spec leaves unprefixed)
+    * hangs off. A prefix may contain '/' (several path components); each
+    * component is percent-encoded separately, like the reference's
+    * AddPrefixComponents. */
+  private lazy val apiRoot: String =
+    ("/v1" +: resolvedConfig.get("prefix").filter(_.nonEmpty).toSeq
+      .flatMap(_.split("/").toSeq.filter(_.nonEmpty)).map(pathSegment)).mkString("/")
+
+  /** The prefix this client splices into routes (test/debug probe). */
+  def resolvedPrefix: Option[String] = resolvedConfig.get("prefix").filter(_.nonEmpty)
 
   def config(): Map[String, String] = {
     val node = request("GET", "/v1/config" + opts.warehouse.map(w => s"?warehouse=$w").getOrElse(""))
@@ -175,7 +203,7 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
   }
 
   def listNamespaces(): Seq[Seq[String]] =
-    pagedList("/v1/namespaces", { node =>
+    pagedList(s"$apiRoot/namespaces", { node =>
       val out = Seq.newBuilder[Seq[String]]
       val it = node.get("namespaces").elements()
       while (it.hasNext) {
@@ -192,14 +220,14 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
     val o = F.objectNode()
     val arr = o.putArray("namespace"); ns.foreach(arr.add)
     val props = o.putObject("properties"); properties.foreach { case (k, v) => props.put(k, v) }
-    request("POST", "/v1/namespaces", Some(mapper.writeValueAsString(o)))
+    request("POST", s"$apiRoot/namespaces", Some(mapper.writeValueAsString(o)))
   }
 
   def dropNamespace(ns: Seq[String]): Unit =
-    request("DELETE", s"/v1/namespaces/${nsPath(ns)}")
+    request("DELETE", s"$apiRoot/namespaces/${nsPath(ns)}")
 
   def namespaceProperties(ns: Seq[String]): Map[String, String] = {
-    val node = request("GET", s"/v1/namespaces/${nsPath(ns)}")
+    val node = request("GET", s"$apiRoot/namespaces/${nsPath(ns)}")
     val p = node.get("properties")
     if (p == null) Map.empty
     else {
@@ -215,13 +243,13 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
     val o = F.objectNode()
     val rm = o.putArray("removals"); removals.foreach(rm.add)
     val up = o.putObject("updates"); updates.foreach { case (k, v) => up.put(k, v) }
-    request("POST", s"/v1/namespaces/${nsPath(ns)}/properties", Some(mapper.writeValueAsString(o)))
+    request("POST", s"$apiRoot/namespaces/${nsPath(ns)}/properties", Some(mapper.writeValueAsString(o)))
   }
 
   // ---------- tables ----------
 
   def listTables(ns: Seq[String]): Seq[String] =
-    pagedList(s"/v1/namespaces/${nsPath(ns)}/tables", { node =>
+    pagedList(s"$apiRoot/namespaces/${nsPath(ns)}/tables", { node =>
       val out = Seq.newBuilder[String]
       val it = node.get("identifiers").elements()
       while (it.hasNext) out += it.next().get("name").asText()
@@ -247,7 +275,7 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
       if (hit != null && System.currentTimeMillis() - hit._1 <= opts.maxTableStalenessMs)
         return hit._2
     }
-    val node = request("GET", s"/v1/namespaces/${nsPath(ns)}/tables/$name")
+    val node = request("GET", s"$apiRoot/namespaces/${nsPath(ns)}/tables/$name")
     val t = parseLoadResult(node)
     if (opts.maxTableStalenessMs > 0) tableCache.put(key, (System.currentTimeMillis(), t))
     t
@@ -290,12 +318,12 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
       }
     }
     val props = o.putObject("properties"); properties.foreach { case (k, v) => props.put(k, v) }
-    val node = request("POST", s"/v1/namespaces/${nsPath(ns)}/tables", Some(mapper.writeValueAsString(o)))
+    val node = request("POST", s"$apiRoot/namespaces/${nsPath(ns)}/tables", Some(mapper.writeValueAsString(o)))
     parseLoadResult(node)
   }
 
   def dropTable(ns: Seq[String], name: String, purge: Boolean = false): Unit = {
-    request("DELETE", s"/v1/namespaces/${nsPath(ns)}/tables/$name${if (purge) "?purgeRequested=true" else ""}")
+    request("DELETE", s"$apiRoot/namespaces/${nsPath(ns)}/tables/$name${if (purge) "?purgeRequested=true" else ""}")
     invalidate(ns, name)
   }
 
@@ -304,7 +332,7 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
     val o = F.objectNode()
     val s = o.putObject("source"); val sArr = s.putArray("namespace"); ns.foreach(sArr.add); s.put("name", from)
     val d = o.putObject("destination"); val dArr = d.putArray("namespace"); ns.foreach(dArr.add); d.put("name", to)
-    request("POST", "/v1/tables/rename", Some(mapper.writeValueAsString(o)))
+    request("POST", s"$apiRoot/tables/rename", Some(mapper.writeValueAsString(o)))
   }
 
   // ---------- commits ----------
@@ -357,7 +385,7 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
     u.put("snapshot-id", sf.snapshotId)
     u.set[ObjectNode]("statistics", TableMetadata.statisticsFileToJson(sf))
     ups.add(u)
-    val node = request("POST", s"/v1/namespaces/${nsPath(ns)}/tables/$name", Some(mapper.writeValueAsString(o)))
+    val node = request("POST", s"$apiRoot/namespaces/${nsPath(ns)}/tables/$name", Some(mapper.writeValueAsString(o)))
     invalidate(ns, name)
     parseLoadResult(node)
   }
@@ -366,7 +394,7 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
       snapshot: SnapshotInfo, extraUpdates: Seq[ObjectNode] = Nil): LoadedTable = {
     val o = F.objectNode()
     fillCommitBody(o, expectedRefSnapshot, snapshot, extraUpdates)
-    val node = request("POST", s"/v1/namespaces/${nsPath(ns)}/tables/$name", Some(mapper.writeValueAsString(o)))
+    val node = request("POST", s"$apiRoot/namespaces/${nsPath(ns)}/tables/$name", Some(mapper.writeValueAsString(o)))
     invalidate(ns, name)
     parseLoadResult(node)
   }
@@ -395,7 +423,7 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
       fillCommitBody(t, c.expectedRefSnapshot, c.snapshot, c.extraUpdates)
       arr.add(t)
     }
-    request("POST", "/v1/transactions/commit", Some(mapper.writeValueAsString(o)))
+    request("POST", s"$apiRoot/transactions/commit", Some(mapper.writeValueAsString(o)))
     changes.foreach(c => invalidate(c.ns, c.name))
   }
 
@@ -472,7 +500,7 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
     val conf = applyVendedCredentials(spark.sessionState.newHadoopConf(), t.config)
     val o = F.objectNode()
     t.metadata.currentSnapshotId.foreach(id => o.put("snapshot-id", id))
-    val node = request("POST", s"/v1/namespaces/${nsPath(ns)}/tables/$name/plan",
+    val node = request("POST", s"$apiRoot/namespaces/${nsPath(ns)}/tables/$name/plan",
       Some(mapper.writeValueAsString(o)))
     require(Option(node.get("plan-status")).map(_.asText()).contains("completed"),
       s"scan planning not completed: $node")

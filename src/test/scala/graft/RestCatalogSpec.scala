@@ -291,6 +291,57 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     assert(e.status == 401)
   }
 
+  test("config prefix is applied to every catalog route (Polaris/Glue-style prefixed catalogs)") {
+    // A fresh server that VENDS a prefix and 404s any un-prefixed route —
+    // the shape every real IRC catalog (Polaris, Glue IRC, S3 Tables)
+    // presents. The client must resolve /v1/config once and splice
+    // /v1/{prefix}/ into namespaces, tables, commits, plan, rename and
+    // transactions (reference catalog_api.cpp AddPrefixComponents on all
+    // endpoints).
+    val pserver = new TestRestServer
+    pserver.prefix = Some("catalogs/demo")
+    pserver.start()
+    try {
+      val cat = new RestCatalog(pserver.uri,
+        CatalogOptions(clientId = Some("id"), clientSecret = Some("secret")))
+      assert(cat.resolvedPrefix.contains("catalogs/demo"))
+
+      cat.createNamespace(Seq("db"), Map("owner" -> "graft"))
+      assert(cat.listNamespaces() == Seq(Seq("db")))
+      assert(cat.namespaceProperties(Seq("db"))("owner") == "graft")
+      cat.updateNamespaceProperties(Seq("db"), Map("x" -> "1"), Seq("owner"))
+
+      val src = spark.read.parquet(s"$sfDir/region.parquet")
+      cat.createTable(Seq("db"), "region", IcebergTypes.fromSpark(src.schema),
+        tmpDir("prefix_region"))
+      assert(cat.listTables(Seq("db")) == Seq("region"))
+      cat.appendDF(src, Seq("db"), "region") // load + commit round-trip
+      assertSameResult(src, cat.loadDF(spark, Seq("db"), "region"))
+      assertSameResult(src, cat.loadDFServerPlanned(spark, Seq("db"), "region"))
+
+      // multi-table transaction route is prefixed too
+      cat.createTable(Seq("db"), "r2", IcebergTypes.fromSpark(src.schema),
+        tmpDir("prefix_r2"))
+      cat.appendAllDF(Seq((src, Seq("db"), "r2")))
+      assert(cat.loadDF(spark, Seq("db"), "r2").count() == src.count())
+
+      cat.renameTable(Seq("db"), "r2", "r3")
+      assert(cat.listTables(Seq("db")).contains("r3"))
+      cat.dropTable(Seq("db"), "r3")
+
+      // Every logged catalog route carried the prefix; only config/oauth
+      // stayed bare.
+      val bare = pserver.loggedRequests.filterNot { case (_, p) =>
+        p == "/v1/config" || p == "/v1/oauth/tokens" || p.startsWith("/v1/catalogs/demo")
+      }
+      assert(bare.isEmpty, s"un-prefixed catalog requests issued: $bare")
+      assert(pserver.loggedRequests.exists(_._2 == "/v1/catalogs/demo/namespaces"))
+      assert(pserver.loggedRequests.exists(_._2 == "/v1/catalogs/demo/transactions/commit"))
+      assert(pserver.loggedRequests.exists(_._2 == "/v1/catalogs/demo/tables/rename"))
+      assert(pserver.loggedRequests.exists(_._2.endsWith("/tables/region/plan")))
+    } finally pserver.stop()
+  }
+
   test("multi-level namespaces round-trip through the REST paths (unit-separator encoding)") {
     catalog.createNamespace(Seq("deep", "child"))
     assert(catalog.listNamespaces().contains(Seq("deep", "child")))

@@ -48,6 +48,18 @@ class TestRestServer {
     * catalog vending scoped storage credentials per table. */
   @volatile var vendedConfig: Map[String, String] = Map.empty
 
+  /** When set, `GET /v1/config` vends this prefix in `overrides` and every
+    * catalog route REQUIRES it (`/v1/{prefix}/namespaces/...`), 404-ing
+    * bare `/v1/namespaces/...` paths — simulates Polaris/Glue/S3 Tables,
+    * which all vend a prefix. May contain '/' (multi-component). */
+  @volatile var prefix: Option[String] = None
+
+  /** Every request's (method, raw path) in arrival order — lets specs pin
+    * exactly which routes a client operation issued. */
+  val requestLog = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+  def clearLog(): Unit = requestLog.clear()
+  def loggedRequests: Seq[(String, String)] = requestLog.asScala.toSeq
+
   /** When set, list endpoints page their results `listPageSize` at a time
     * with integer-offset `next-page-token`s — exercises client pagination. */
   @volatile var listPageSize: Option[Int] = None
@@ -136,8 +148,20 @@ class TestRestServer {
     private def route(ex: HttpExchange): Unit = {
       // URI.getPath decodes %1F to the raw unit separator; normalize
       // multi-level namespace segments to the dotted internal key.
-      val path = ex.getRequestURI.getPath.replace('\u001f', '.')
+      val rawPath = ex.getRequestURI.getPath.replace('\u001f', '.')
       val method = ex.getRequestMethod
+      requestLog.add((method, ex.getRequestURI.getPath))
+      // Prefix enforcement: with a vended prefix, every route except
+      // /v1/config and /v1/oauth/tokens must carry it -- strip it before
+      // matching; bare paths 404 like a real prefixed catalog would.
+      val path = prefix match {
+        case Some(p) if rawPath != "/v1/config" && rawPath != "/v1/oauth/tokens" =>
+          val pp = "/v1/" + p
+          if (rawPath == pp) "/v1"
+          else if (rawPath.startsWith(pp + "/")) "/v1" + rawPath.drop(pp.length)
+          else return respond(ex, 404, s"""{"error":"missing prefix '$p' in path $rawPath"}""")
+        case _ => rawPath
+      }
       def body: JsonNode = mapper.readTree(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
 
       if (path == "/v1/oauth/tokens" && method == "POST") {
@@ -199,7 +223,8 @@ class TestRestServer {
               respond(ex, 200, mapper.writeValueAsString(o))
           }
         case ("GET", "/v1/config") =>
-          respond(ex, 200, """{"defaults":{"warehouse":"memory"},"overrides":{}}""")
+          val ov = prefix.map(p => s""""prefix":"$p"""").getOrElse("")
+          respond(ex, 200, s"""{"defaults":{"warehouse":"memory"},"overrides":{$ov}}""")
 
         case ("GET", "/v1/namespaces") =>
           val o = F.objectNode()
