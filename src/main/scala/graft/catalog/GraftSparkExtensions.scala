@@ -24,9 +24,11 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
  *
  * The rewrite re-renders analyzed expressions as SQL text (`Expression.sql`)
  * with qualifiers normalized to Dml.merge's `t`/`s` aliases (target/source),
- * so a user's own aliases don't have to match. Unsupported shapes —
- * conditional WHEN clauses, WHEN NOT MATCHED BY SOURCE, nested-field
- * assignment, schema evolution — fail loudly rather than mis-executing.
+ * so a user's own aliases don't have to match. The full MERGE clause matrix
+ * is lowered: multiple conditional WHEN clauses (first-matching-wins), WHEN
+ * NOT MATCHED BY SOURCE update/delete, and UPDATE SET * / INSERT *. Still
+ * unsupported shapes — nested-field assignment, schema evolution — fail
+ * loudly rather than mis-executing.
  */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =

@@ -264,6 +264,11 @@ object IcebergTypes {
 case class IcebergSchema(schemaId: Int, struct: IcebergTypes.StructT, lastColumnId: Int = 0) {
   def toSpark: StructType = struct.toSpark.asInstanceOf[StructType]
   def fields: Seq[IcebergTypes.NestedField] = struct.fields
+  /** Top-level column by name, matching Spark's default case-insensitive
+    * resolution — an exact-case match wins when two columns differ only by
+    * case. */
+  def findField(name: String): Option[IcebergTypes.NestedField] =
+    fields.find(_.name == name).orElse(fields.find(_.name.equalsIgnoreCase(name)))
   /** Flat map of field-id -> (dotted name path, type) including nested fields. */
   lazy val idToField: Map[Int, IcebergTypes.NestedField] = {
     val buf = Map.newBuilder[Int, IcebergTypes.NestedField]

@@ -479,12 +479,15 @@ private[sources] object GraftScan {
     * freshness token: Iceberg metadata files are immutable and every commit
     * publishes the next version, so resolving the current file (one cheap
     * FS probe — version hint or directory listing, no manifest IO) is
-    * enough to know whether a cached plan is current. Bounded LRU; stale
-    * versions age out. */
+    * enough to know whether a cached plan is current. The file's
+    * (length, mtime) is folded into the key too: DROP + re-CREATE at the
+    * same location reproduces the same deterministic v1.metadata.json NAME
+    * for a different table, and serving the old plan would silently read
+    * deleted files. Bounded LRU; stale versions age out. */
   private val planCache =
-    new java.util.LinkedHashMap[(String, graft.read.ReadOptions), ScanPlan](16, 0.75f, true) {
+    new java.util.LinkedHashMap[(String, Long, Long, graft.read.ReadOptions), ScanPlan](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, graft.read.ReadOptions), ScanPlan]): Boolean = size() > 32
+          e: java.util.Map.Entry[(String, Long, Long, graft.read.ReadOptions), ScanPlan]): Boolean = size() > 32
     }
 
   def cachedPlan(spark: SparkSession, path: String,
@@ -493,7 +496,13 @@ private[sources] object GraftScan {
     val metaFile =
       try graft.core.TableMetadata.findMetadataFile(path, conf, opts.metadataVersion, opts.versionNameFormat)
       catch { case _: Exception => return IcebergRead.plan(spark, path, opts) }
-    val key = (metaFile, opts)
+    val st =
+      try {
+        val p = new org.apache.hadoop.fs.Path(metaFile)
+        val s = p.getFileSystem(conf).getFileStatus(p)
+        (s.getLen, s.getModificationTime)
+      } catch { case _: Exception => (-1L, -1L) }
+    val key = (metaFile, st._1, st._2, opts)
     planCache.synchronized(Option(planCache.get(key))) match {
       case Some(p) => p
       case None =>
@@ -531,11 +540,16 @@ private[sources] object GraftScan {
     case _ => None
   }
 
-  private def asDouble(v: Any): Double = v match {
-    case b: Boolean => if (b) 1d else 0d
-    case n: java.lang.Number => n.doubleValue()
-    case d: org.apache.spark.sql.types.Decimal => d.toDouble
-    case _ => Double.NaN
+  /** Exact same-type bound comparison (bounds of one column share a type):
+    * long/decimal stay integral/decimal instead of flowing through a lossy
+    * double conversion. */
+  private val statOrdering: Ordering[Any] = Ordering.fromLessThan { (a, b) =>
+    ((a, b) match {
+      case (x: org.apache.spark.sql.types.Decimal, y: org.apache.spark.sql.types.Decimal) =>
+        x.compare(y)
+      case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y)
+      case _ => graft.write.Pruning2.cmpAny(a, b)
+    }) < 0
   }
 
   /** Aggregate per-column stats over the SURVIVING data files: min/max =
@@ -569,7 +583,10 @@ private[sources] object GraftScan {
         else {
           val vals = all.flatMap(x => x).flatMap(b => boundValue(f.fieldType, b))
           if (vals.size != contributing.size) None
-          else Some(if (lower) vals.minBy(asDouble) else vals.maxBy(asDouble))
+          // Type-aware comparison: a double conversion loses precision on
+          // long/decimal bounds beyond 2^53, and a wrong extremum poisons
+          // CBO's range estimates.
+          else Some(if (lower) vals.min(statOrdering) else vals.max(statOrdering))
         }
       }
       val minV = extreme(lower = true)

@@ -365,7 +365,7 @@ object Dml {
     }
     val schema = meta.currentSchema
     val eqFields = keys.schema.fieldNames.toSeq.map { n =>
-      schema.fields.find(_.name == n)
+      schema.findField(n)
         .getOrElse(throw new IllegalArgumentException(s"Unknown delete key column $n"))
     }
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
@@ -638,14 +638,24 @@ object Dml {
     spec.split(",").map(_.trim).filter(_.nonEmpty).map { part =>
       val toks = part.split("\\s+").toSeq
       val name = toks.head
-      val f = schema.fields.find(_.name == name).getOrElse(
+      val f = schema.findField(name).getOrElse(
         throw new IllegalArgumentException(s"sort_order column '$name' not in table schema"))
-      val upper = toks.drop(1).map(_.toUpperCase(java.util.Locale.ROOT))
-      val asc = !upper.contains("DESC")
-      val nullsFirst =
-        if (upper.containsSlice(Seq("NULLS", "LAST"))) false
-        else if (upper.containsSlice(Seq("NULLS", "FIRST"))) true
-        else asc // Iceberg defaults: ASC -> nulls-first, DESC -> nulls-last
+      // Strict token grammar — a typo like 'DES' or 'NULS FIRST' must error,
+      // not silently fall back to ASC nulls-first.
+      var rest = toks.drop(1).map(_.toUpperCase(java.util.Locale.ROOT))
+      val asc = rest.headOption match {
+        case Some("ASC") => rest = rest.tail; true
+        case Some("DESC") => rest = rest.tail; false
+        case _ => true
+      }
+      val nullsFirst = rest match {
+        case Seq() => asc // Iceberg defaults: ASC -> nulls-first, DESC -> nulls-last
+        case Seq("NULLS", "FIRST") => true
+        case Seq("NULLS", "LAST") => false
+        case other => throw new IllegalArgumentException(
+          s"Unrecognized sort_order token(s) '${other.mkString(" ")}' in '$part' " +
+            "(expected: column [ASC|DESC] [NULLS FIRST|NULLS LAST])")
+      }
       SortField(f.id, Transforms.Identity, asc, nullsFirst)
     }.toSeq
 

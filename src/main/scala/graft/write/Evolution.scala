@@ -54,7 +54,7 @@ object Evolution {
     val conf = spark.sessionState.newHadoopConf()
     val meta = TableMetadata.load(path, conf)
     val cur = meta.currentSchema
-    val f = cur.fields.find(_.name == name)
+    val f = cur.findField(name)
       .getOrElse(throw new IllegalArgumentException(s"No column $name"))
     require(!meta.specs.exists(_.fields.exists(_.sourceId == f.id)),
       s"Cannot drop $name: referenced by a partition spec")
@@ -95,7 +95,7 @@ object Evolution {
     val conf = spark.sessionState.newHadoopConf()
     val meta = TableMetadata.load(path, conf)
     val cur = meta.currentSchema
-    val f = cur.fields.find(_.name == name)
+    val f = cur.findField(name)
       .getOrElse(throw new IllegalArgumentException(s"No column $name"))
     val t = IcebergTypes.parsePrimitive(newType)
     import IcebergTypes._
@@ -148,7 +148,7 @@ object Evolution {
     val conf = spark.sessionState.newHadoopConf()
     val meta = TableMetadata.load(path, conf)
     val t = Transforms.parse(transformStr)
-    val src = meta.currentSchema.fields.find(_.name == column).getOrElse(
+    val src = meta.currentSchema.findField(column).getOrElse(
       throw new IllegalArgumentException(s"Partition source column '$column' not in schema"))
     val fieldName = name.getOrElse(t match {
       case Transforms.Identity => column
@@ -217,7 +217,7 @@ object Evolution {
       meta.specs.flatMap(_.fields).map(pf => (pf.sourceId, pf.transform.toString) -> pf).toMap
     var nextFieldId = meta.lastPartitionId
     val newFields = fields.map { case (column, t) =>
-      val src = schema.fields.find(_.name == column).getOrElse(
+      val src = schema.findField(column).getOrElse(
         throw new IllegalArgumentException(s"Partition source column '$column' not in schema"))
       existingByKey.getOrElse((src.id, t.toString), {
         nextFieldId += 1
@@ -280,7 +280,7 @@ object Evolution {
     val meta = TableMetadata.load(path, conf)
     val schema = meta.currentSchema
     val sortFields = fields.map { case (name, asc, nullsFirst) =>
-      val f = schema.fields.find(_.name == name).getOrElse(
+      val f = schema.findField(name).getOrElse(
         throw new IllegalArgumentException(s"SET SORTED BY column '$name' not in table schema"))
       SortField(f.id, Transforms.Identity, asc, nullsFirst)
     }

@@ -293,7 +293,16 @@ object IcebergWrite {
     }
     val stagingUri = new Path(stagingDir).toUri.toString
     val specFields = spec.fields
-    val sortOrderId = if (sortOverride.isDefined) 0 else meta.defaultSortOrderId
+    // An ad-hoc sort override that happens to EQUAL the table's default
+    // order keeps the declared order id — stamping 0 would strip a valid
+    // sortedness declaration interoperating readers rely on.
+    val sortOrderId = sortOverride match {
+      case None => meta.defaultSortOrderId
+      case Some(fields)
+        if meta.sortOrder(meta.defaultSortOrderId).map(_.fields).contains(fields) =>
+        meta.defaultSortOrderId
+      case Some(_) => 0
+    }
     val sch = schema
     val metricsSpec = MetricsSpec.fromProperties(meta.properties)
 

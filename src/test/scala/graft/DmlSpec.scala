@@ -113,6 +113,31 @@ class DmlSpec extends SparkSpec {
       graft.write.Dml.rewriteDataFiles(spark, graft.write.Dml.PathOps(path),
         rewriteAll = true, strategy = "sort")
     }
+    // Typos in the spec error loudly instead of silently parsing as ASC
+    // nulls-first; column resolution is case-insensitive like Spark's.
+    intercept[IllegalArgumentException] {
+      graft.write.Dml.rewriteDataFiles(spark, graft.write.Dml.PathOps(path),
+        rewriteAll = true, strategy = "sort", sortOrderSpec = Some("l_orderkey ASC NULS FIRST"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.write.Dml.rewriteDataFiles(spark, graft.write.Dml.PathOps(path),
+        rewriteAll = true, strategy = "sort", sortOrderSpec = Some("no_such_col"))
+    }
+    assert(graft.write.Dml.parseSortSpec("L_ORDERKEY DESC NULLS LAST",
+      graft.core.TableMetadata.load(path, spark.sessionState.newHadoopConf()).currentSchema)
+      .head.ascending == false)
+
+    // A sort rewrite using the TABLE'S OWN default order keeps the declared
+    // sort-order id on rewritten entries (readers rely on the sortedness
+    // declaration); only a custom ad-hoc order falls back to 0.
+    graft.write.Evolution.setSortOrder(spark, path, Seq(("l_orderkey", true, true)))
+    graft.write.Dml.rewriteDataFiles(spark, graft.write.Dml.PathOps(path),
+      rewriteAll = true, strategy = "sort")
+    val declared = graft.core.TableMetadata.load(path,
+      spark.sessionState.newHadoopConf()).defaultSortOrderId
+    assert(declared != 0)
+    assert(IcebergTable.plan(spark, path).dataFiles.forall(_.info.sortOrderId.contains(declared)),
+      "default-order sort rewrite must stamp the table's sort-order id")
   }
 
   test("rewriteDataFiles compacts ONLY the qualifying partition; others untouched") {

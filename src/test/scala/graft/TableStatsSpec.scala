@@ -176,6 +176,26 @@ class TableStatsSpec extends SparkSpec {
     assert(fresh.count() == 101)
   }
 
+  test("DSv2 scan-plan cache: DROP + re-CREATE at the same location is not served the stale plan") {
+    // Path-table metadata files have deterministic NAMES (v1.metadata.json),
+    // so a dropped-and-recreated table reproduces the old cache key's path;
+    // the file's (length, mtime) freshness token must still invalidate —
+    // serving the old plan would silently read the deleted table's files.
+    val path = tmpDir("graft_plan_cache_recreate")
+    import spark.implicits._
+    IcebergTable.write((1 to 50).map(i => (i, "old")).toDF("id", "v"), path)
+    assert(spark.read.format("graft").load(path).count() == 50) // populate cache
+
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(conf).delete(p, true)
+    IcebergTable.write((1 to 7).map(i => (i, "new")).toDF("id", "v"), path)
+
+    val again = spark.read.format("graft").load(path)
+    assert(again.count() == 7, "recreated table served the dropped table's cached plan")
+    assert(again.where($"v" === "new").count() == 7)
+  }
+
   test("compute_partition_stats writes a spec-schema file aggregated from manifests") {
     val path = tmpDir("graft_pstats")
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
