@@ -136,13 +136,33 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
     * are `/v1/{prefix}/namespaces/...`). A config fetch failure degrades to
     * no prefix with a warning so bare servers that don't serve /v1/config
     * keep working. */
-  private lazy val resolvedConfig: Map[String, String] =
-    try config()
+  private lazy val rawConfig: Option[JsonNode] =
+    try Some(request("GET", "/v1/config" + opts.warehouse.map(w => s"?warehouse=$w").getOrElse("")))
     catch {
       case e: Exception =>
         System.err.println(s"[graft-catalog] GET /v1/config failed (${e.getMessage}); assuming no prefix")
-        Map.empty
+        None
     }
+
+  private lazy val resolvedConfig: Map[String, String] =
+    rawConfig.map(n => jsonToMap(n.get("defaults")) ++ jsonToMap(n.get("overrides")))
+      .getOrElse(Map.empty)
+
+  /** Routes the server advertises in config `endpoints`; servers that omit
+    * the field get the spec's default endpoint set, which has NO HEAD
+    * routes (reference iceberg_catalog.cpp:416-429 — advertised endpoints
+    * win, AddDefaultSupportedEndpoints otherwise). */
+  private lazy val supportedUrls: Set[String] =
+    rawConfig.flatMap(n => Option(n.get("endpoints")).filterNot(_.isNull)).map { arr =>
+      val it = arr.elements(); val b = Set.newBuilder[String]
+      while (it.hasNext) b += it.next().asText()
+      b.result()
+    }.getOrElse(RestCatalog.defaultEndpoints)
+
+  private def requireEndpoint(route: String): Unit =
+    if (!supportedUrls.contains(route))
+      throw new UnsupportedOperationException(
+        s"This Iceberg REST catalog server does not support '$route'")
 
   /** "/v1" or "/v1/{prefix}" — the root every catalog route (except
     * /v1/config and /v1/oauth/tokens, which the spec leaves unprefixed)
@@ -156,17 +176,18 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
   /** The prefix this client splices into routes (test/debug probe). */
   def resolvedPrefix: Option[String] = resolvedConfig.get("prefix").filter(_.nonEmpty)
 
+  private def jsonToMap(n: JsonNode): Map[String, String] =
+    if (n == null) Map.empty
+    else {
+      val it = n.properties().iterator()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue.asText()) }
+      b.result()
+    }
+
   def config(): Map[String, String] = {
     val node = request("GET", "/v1/config" + opts.warehouse.map(w => s"?warehouse=$w").getOrElse(""))
-    def m(n: JsonNode): Map[String, String] =
-      if (n == null) Map.empty
-      else {
-        val it = n.properties().iterator()
-        val b = Map.newBuilder[String, String]
-        while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue.asText()) }
-        b.result()
-      }
-    m(node.get("defaults")) ++ m(node.get("overrides"))
+    jsonToMap(node.get("defaults")) ++ jsonToMap(node.get("overrides"))
   }
 
   // ---------- namespaces ----------
@@ -227,6 +248,7 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
     request("DELETE", s"$apiRoot/namespaces/${nsPath(ns)}")
 
   def namespaceProperties(ns: Seq[String]): Map[String, String] = {
+    requireEndpoint("GET /v1/{prefix}/namespaces/{namespace}")
     val node = request("GET", s"$apiRoot/namespaces/${nsPath(ns)}")
     val p = node.get("properties")
     if (p == null) Map.empty
@@ -240,6 +262,7 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
 
   def updateNamespaceProperties(ns: Seq[String], updates: Map[String, String],
       removals: Seq[String] = Nil): Unit = {
+    requireEndpoint("POST /v1/{prefix}/namespaces/{namespace}/properties")
     val o = F.objectNode()
     val rm = o.putArray("removals"); removals.foreach(rm.add)
     val up = o.putObject("updates"); updates.foreach { case (k, v) => up.put(k, v) }
@@ -296,15 +319,48 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
     LoadedTable(meta, loc, cfg)
   }
 
+  /** Existence probe: HEAD when the server advertises the HEAD route
+    * (cheaper — no LoadTableResult body), GET otherwise; an unexpected HEAD
+    * status falls back to GET rather than erroring (reference
+    * catalog_api.cpp:125-190 VerifyResponse / VerifyTableExistence /
+    * VerifySchemaExistence; test_minimal_head_requests.test). */
+  private def existenceCheck(path: String, headRoute: String): Boolean = {
+    if (supportedUrls.contains(headRoute)) {
+      statusOf("HEAD", path) match {
+        case st if st < 300 => return true
+        case 404 => return false
+        case _ => // odd status: fall through to GET, like the reference
+      }
+    }
+    try { request("GET", path); true }
+    catch { case e: RestCatalogException if e.status == 404 => false }
+  }
+
+  private def statusOf(method: String, path: String): Int =
+    try { requestAttempt(method, path, None, retryAuth = true); 200 }
+    catch { case e: RestCatalogException => e.status }
+
+  def namespaceExists(ns: Seq[String]): Boolean =
+    existenceCheck(s"$apiRoot/namespaces/${nsPath(ns)}",
+      "HEAD /v1/{prefix}/namespaces/{namespace}")
+
   def tableExists(ns: Seq[String], name: String): Boolean =
-    try { loadTable(ns, name); true } catch { case e: RestCatalogException if e.status == 404 => false }
+    existenceCheck(s"$apiRoot/namespaces/${nsPath(ns)}/tables/$name",
+      "HEAD /v1/{prefix}/namespaces/{namespace}/tables/{table}")
 
   def createTable(ns: Seq[String], name: String, schema: IcebergSchema,
       location: String, partitionSpec: Option[PartitionSpec] = None,
-      properties: Map[String, String] = Map.empty): LoadedTable = {
+      properties: Map[String, String] = Map.empty,
+      stageCreate: Boolean = false): LoadedTable = {
     val o = F.objectNode()
     o.put("name", name)
     o.put("location", location)
+    // stage-create: the server stages the table (invisible to loads/lists)
+    // until a later commit carrying assert-create materializes it together
+    // with its first data — CTAS becomes ONE atomic commit (reference
+    // iceberg_create_table_request.cpp:217-224,
+    // iceberg_table_set.cpp:281-298).
+    if (stageCreate) o.put("stage-create", true)
     o.set[JsonNode]("schema", schema.toJson)
     partitionSpec.foreach { sp =>
       val so = o.putObject("partition-spec")
@@ -343,13 +399,20 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
   /** Fill `requirements` + `updates` arrays for one table's snapshot commit
     * (shared by the single-table and multi-table transaction bodies). */
   private def fillCommitBody(o: ObjectNode, expectedRefSnapshot: Option[Long],
-      snapshot: SnapshotInfo, extraUpdates: Seq[ObjectNode]): Unit = {
+      snapshot: SnapshotInfo, extraUpdates: Seq[ObjectNode],
+      assertCreate: Boolean = false): Unit = {
     val reqs = o.putArray("requirements")
     val r = F.objectNode()
-    r.put("type", "assert-ref-snapshot-id"); r.put("ref", "main")
-    expectedRefSnapshot match {
-      case Some(id) => r.put("snapshot-id", id)
-      case None => r.putNull("snapshot-id")
+    if (assertCreate) {
+      // Committing a STAGED create: the requirement is that the table does
+      // not exist yet, not a snapshot assertion.
+      r.put("type", "assert-create")
+    } else {
+      r.put("type", "assert-ref-snapshot-id"); r.put("ref", "main")
+      expectedRefSnapshot match {
+        case Some(id) => r.put("snapshot-id", id)
+        case None => r.putNull("snapshot-id")
+      }
     }
     reqs.add(r)
     val ups = o.putArray("updates")
@@ -391,9 +454,10 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
   }
 
   def commitSnapshot(ns: Seq[String], name: String, expectedRefSnapshot: Option[Long],
-      snapshot: SnapshotInfo, extraUpdates: Seq[ObjectNode] = Nil): LoadedTable = {
+      snapshot: SnapshotInfo, extraUpdates: Seq[ObjectNode] = Nil,
+      assertCreate: Boolean = false): LoadedTable = {
     val o = F.objectNode()
-    fillCommitBody(o, expectedRefSnapshot, snapshot, extraUpdates)
+    fillCommitBody(o, expectedRefSnapshot, snapshot, extraUpdates, assertCreate)
     val node = request("POST", s"$apiRoot/namespaces/${nsPath(ns)}/tables/$name", Some(mapper.writeValueAsString(o)))
     invalidate(ns, name)
     parseLoadResult(node)
@@ -582,6 +646,32 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
       }
     }
 
+  /** CTAS through the catalog. With `stageCreate` the create request is
+    * staged server-side (table invisible to loads/lists) and the data
+    * commit carries assert-create, so table + first snapshot appear in ONE
+    * atomic commit — a concurrent CREATE of the same name loses cleanly at
+    * commit time instead of racing between our create and append
+    * (reference iceberg_table_set.cpp:281-298, catalog_api.cpp:587-596;
+    * test_drop_and_create_table_in_a_transaction.test shape). Without it,
+    * create-then-append (two commits). */
+  def ctasDF(df: DataFrame, ns: Seq[String], name: String, location: String,
+      properties: Map[String, String] = Map.empty,
+      stageCreate: Boolean = false): LoadedTable = {
+    val schema = IcebergTypes.fromSpark(df.schema)
+    if (!stageCreate) {
+      createTable(ns, name, schema, location, None, properties)
+      appendDF(df, ns, name)
+    } else {
+      val staged = createTable(ns, name, schema, location, None, properties,
+        stageCreate = true)
+      val conf = df.sparkSession.sessionState.newHadoopConf()
+      val meta = staged.metadata
+      val (entries, _) = IcebergWrite.writeDataFiles(df, meta, conf)
+      val (snapshot, _) = IcebergWrite.buildSnapshotFiles(meta, entries, Nil, "append", conf)
+      commitSnapshot(ns, name, None, snapshot, assertCreate = true)
+    }
+  }
+
   def appendDF(df: DataFrame, ns: Seq[String], name: String): LoadedTable = {
     val spark = df.sparkSession
     val conf = spark.sessionState.newHadoopConf()
@@ -606,6 +696,26 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
 }
 
 object RestCatalog {
+  /** The REST spec's default endpoint set, used when the server's config
+    * response has no `endpoints` field. NO HEAD routes — HEAD probes are
+    * strictly opt-in by advertisement (reference
+    * iceberg_catalog.cpp:266-296 AddDefaultSupportedEndpoints). */
+  val defaultEndpoints: Set[String] = Set(
+    "GET /v1/{prefix}/namespaces",
+    "POST /v1/{prefix}/namespaces",
+    "GET /v1/{prefix}/namespaces/{namespace}",
+    "DELETE /v1/{prefix}/namespaces/{namespace}",
+    "POST /v1/{prefix}/namespaces/{namespace}/properties",
+    "GET /v1/{prefix}/namespaces/{namespace}/tables",
+    "POST /v1/{prefix}/namespaces/{namespace}/tables",
+    "GET /v1/{prefix}/namespaces/{namespace}/tables/{table}",
+    "POST /v1/{prefix}/namespaces/{namespace}/tables/{table}",
+    "DELETE /v1/{prefix}/namespaces/{namespace}/tables/{table}",
+    "POST /v1/{prefix}/namespaces/{namespace}/register",
+    "POST /v1/{prefix}/namespaces/{namespace}/tables/{table}/metrics",
+    "POST /v1/{prefix}/tables/rename",
+    "POST /v1/{prefix}/transactions/commit")
+
   /** Test probe: the Hadoop conf (with vended credentials applied) that the
     * most recent catalog-routed scan actually used — lets tests assert the
     * LoadTableResult `config` reached the executors' FileIO, not just that

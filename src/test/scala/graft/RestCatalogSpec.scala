@@ -291,6 +291,89 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     assert(e.status == 401)
   }
 
+  test("staged CTAS: one atomic commit, table invisible until it") {
+    catalog.createNamespace(Seq("stg"))
+    val src = spark.read.parquet(s"$sfDir/region.parquet")
+    server.clearLog()
+    val t = catalog.ctasDF(src, Seq("stg"), "r", tmpDir("staged_r"), stageCreate = true)
+    // One create POST (staged) + exactly ONE commit POST.
+    val commits = server.loggedRequests.filter { case (m, p) =>
+      m == "POST" && p.endsWith("/tables/r") }
+    assert(commits.size == 1, s"staged CTAS must commit once, saw: ${server.loggedRequests}")
+    assert(t.metadata.currentSnapshotId.isDefined)
+    assertSameResult(src, catalog.loadDF(spark, Seq("stg"), "r"))
+
+    // The staged table is invisible between create and commit: stage a
+    // second one and probe before committing.
+    val staged = catalog.createTable(Seq("stg"), "ghost",
+      IcebergTypes.fromSpark(src.schema), tmpDir("staged_ghost"), stageCreate = true)
+    assert(!catalog.tableExists(Seq("stg"), "ghost"),
+      "stage-created table must be invisible before its commit")
+    assert(!catalog.listTables(Seq("stg")).contains("ghost"))
+    // Committing with assert-create materializes it.
+    val conf = spark.sessionState.newHadoopConf()
+    val (e1, _) = graft.write.IcebergWrite.writeDataFiles(src, staged.metadata, conf)
+    val (s1, _) = graft.write.IcebergWrite.buildSnapshotFiles(staged.metadata, e1, Nil, "append", conf)
+    catalog.commitSnapshot(Seq("stg"), "ghost", None, s1, assertCreate = true)
+    assert(catalog.tableExists(Seq("stg"), "ghost"))
+    assertSameResult(src, catalog.loadDF(spark, Seq("stg"), "ghost"))
+
+    // assert-create against an EXISTING name loses cleanly with 409.
+    val staged2 = catalog.createTable(Seq("stg"), "ghost2",
+      IcebergTypes.fromSpark(src.schema), tmpDir("staged_ghost2"), stageCreate = true)
+    val (e2, _) = graft.write.IcebergWrite.writeDataFiles(src, staged2.metadata, conf)
+    val (s2, _) = graft.write.IcebergWrite.buildSnapshotFiles(staged2.metadata, e2, Nil, "append", conf)
+    // someone else creates ghost2 first
+    catalog.createTable(Seq("stg"), "ghost2", IcebergTypes.fromSpark(src.schema), tmpDir("raced"))
+    val ex = intercept[RestCatalogException] {
+      catalog.commitSnapshot(Seq("stg"), "ghost2", None, s2, assertCreate = true)
+    }
+    assert(ex.status == 409)
+  }
+
+  test("HEAD existence probes only when advertised; un-advertised ops refused (minimal-head-requests)") {
+    val hserver = new TestRestServer
+    hserver.start()
+    try {
+      // Default (no `endpoints` in config): existence checks use GET — the
+      // spec's default endpoint set has no HEAD routes.
+      val cat = new RestCatalog(hserver.uri, CatalogOptions(token = Some(hserver.token)))
+      cat.createNamespace(Seq("h"))
+      val src = spark.read.parquet(s"$sfDir/region.parquet")
+      cat.createTable(Seq("h"), "r", IcebergTypes.fromSpark(src.schema), tmpDir("head_r"))
+      hserver.clearLog()
+      assert(cat.tableExists(Seq("h"), "r"))
+      assert(!cat.tableExists(Seq("h"), "nope"))
+      assert(hserver.loggedRequests.count(_._1 == "HEAD") == 0,
+        "HEAD must be opt-in by advertisement")
+      assert(hserver.loggedRequests.count(_._1 == "GET") == 2)
+
+      // Advertised HEAD routes: each existence check is exactly one HEAD,
+      // zero GETs (reference test_minimal_head_requests shape).
+      hserver.advertisedEndpoints = Some((graft.catalog.RestCatalog.defaultEndpoints ++ Set(
+        "HEAD /v1/{prefix}/namespaces/{namespace}",
+        "HEAD /v1/{prefix}/namespaces/{namespace}/tables/{table}")).toSeq)
+      val cat2 = new RestCatalog(hserver.uri, CatalogOptions(token = Some(hserver.token)))
+      cat2.resolvedPrefix // force the one-time config fetch before counting
+      hserver.clearLog()
+      assert(cat2.tableExists(Seq("h"), "r"))
+      assert(!cat2.tableExists(Seq("h"), "nope"))
+      assert(cat2.namespaceExists(Seq("h")))
+      assert(!cat2.namespaceExists(Seq("nope")))
+      val reqs = hserver.loggedRequests
+      assert(reqs.size == 4 && reqs.forall(_._1 == "HEAD"),
+        s"advertised HEAD probes must not fall back to GET: $reqs")
+
+      // An endpoints list WITHOUT an op refuses it client-side rather than
+      // sending a request the server never advertised.
+      hserver.advertisedEndpoints = Some(Seq("GET /v1/{prefix}/namespaces"))
+      val cat3 = new RestCatalog(hserver.uri, CatalogOptions(token = Some(hserver.token)))
+      intercept[UnsupportedOperationException](cat3.namespaceProperties(Seq("h")))
+      intercept[UnsupportedOperationException](
+        cat3.updateNamespaceProperties(Seq("h"), Map("a" -> "b")))
+    } finally hserver.stop()
+  }
+
   test("config prefix is applied to every catalog route (Polaris/Glue-style prefixed catalogs)") {
     // A fresh server that VENDS a prefix and 404s any un-prefixed route —
     // the shape every real IRC catalog (Polaris, Glue IRC, S3 Tables)

@@ -23,7 +23,10 @@ class TestRestServer {
   def rotateToken(): Unit = token = "rotated-" + java.util.UUID.randomUUID().toString.take(8)
 
   case class Ns(props: TrieMap[String, String] = TrieMap.empty,
-      tables: TrieMap[String, TableMetadata] = TrieMap.empty)
+      tables: TrieMap[String, TableMetadata] = TrieMap.empty,
+      /** stage-create'd tables: invisible to GET/HEAD/list until a commit
+        * carrying assert-create materializes them into `tables`. */
+      staged: TrieMap[String, TableMetadata] = TrieMap.empty)
   val namespaces = new TrieMap[String, Ns]()
 
   private var server: HttpServer = _
@@ -53,6 +56,11 @@ class TestRestServer {
     * bare `/v1/namespaces/...` paths — simulates Polaris/Glue/S3 Tables,
     * which all vend a prefix. May contain '/' (multi-component). */
   @volatile var prefix: Option[String] = None
+
+  /** When set, served as the config response's `endpoints` array — the
+    * client must honor exactly these routes (HEAD probes are opt-in via
+    * advertisement; un-advertised ops are refused client-side). */
+  @volatile var advertisedEndpoints: Option[Seq[String]] = None
 
   /** Every request's (method, raw path) in arrival order — lets specs pin
     * exactly which routes a client operation issued. */
@@ -223,8 +231,14 @@ class TestRestServer {
               respond(ex, 200, mapper.writeValueAsString(o))
           }
         case ("GET", "/v1/config") =>
-          val ov = prefix.map(p => s""""prefix":"$p"""").getOrElse("")
-          respond(ex, 200, s"""{"defaults":{"warehouse":"memory"},"overrides":{$ov}}""")
+          val o = F.objectNode()
+          o.putObject("defaults").put("warehouse", "memory")
+          val ovr = o.putObject("overrides")
+          prefix.foreach(p => ovr.put("prefix", p))
+          advertisedEndpoints.foreach { eps =>
+            val arr = o.putArray("endpoints"); eps.foreach(arr.add)
+          }
+          respond(ex, 200, mapper.writeValueAsString(o))
 
         case ("GET", "/v1/namespaces") =>
           val o = F.objectNode()
@@ -277,6 +291,7 @@ class TestRestServer {
             case Some(n) =>
               val b = body
               val name = b.get("name").asText()
+              val stage = Option(b.get("stage-create")).exists(_.asBoolean())
               if (n.tables.contains(name)) return respond(ex, 409, """{"error":"table exists"}""")
               val schema = IcebergTypes.parseSchema(b.get("schema"))
               val spec = Option(b.get("partition-spec")).map { sn =>
@@ -298,7 +313,7 @@ class TestRestServer {
                 defaultSortOrderId = 0, sortOrders = Seq(SortOrder(0, Nil)),
                 properties = props, currentSnapshotId = None,
                 snapshots = Nil, snapshotLog = Nil, metadataLog = Nil, refs = Map.empty)
-              n.tables.put(name, meta)
+              if (stage) n.staged.put(name, meta) else n.tables.put(name, meta)
               respond(ex, 200, loadResult(meta))
           }
 
@@ -311,16 +326,28 @@ class TestRestServer {
         case ("POST", TableRe(ns, t)) => // commit
           namespaces.get(ns) match {
             case None => respond(ex, 404, """{"error":"no such namespace"}""")
-            case Some(n) => n.tables.get(t) match {
-              case None => respond(ex, 404, """{"error":"no such table"}""")
-              case Some(meta) =>
-                val b = body
-                if (!requirementsOk(b, meta))
-                  return respond(ex, 409, """{"error":"requirement failed"}""")
-                val m = applyUpdates(b, meta)
-                n.tables.put(t, m)
-                respond(ex, 200, loadResult(m))
-            }
+            case Some(n) =>
+              val b = body
+              val hasAssertCreate = Option(b.get("requirements")).exists(
+                _.elements().asScala.exists(_.get("type").asText() == "assert-create"))
+              (n.tables.get(t), n.staged.get(t)) match {
+                case (Some(_), _) if hasAssertCreate =>
+                  respond(ex, 409, """{"error":"assert-create failed: table exists"}""")
+                case (Some(meta), _) =>
+                  if (!requirementsOk(b, meta))
+                    respond(ex, 409, """{"error":"requirement failed"}""")
+                  else {
+                    val m = applyUpdates(b, meta)
+                    n.tables.put(t, m)
+                    respond(ex, 200, loadResult(m))
+                  }
+                case (None, Some(stagedMeta)) if hasAssertCreate =>
+                  val m = applyUpdates(b, stagedMeta)
+                  n.staged.remove(t)
+                  n.tables.put(t, m)
+                  respond(ex, 200, loadResult(m))
+                case _ => respond(ex, 404, """{"error":"no such table"}""")
+              }
           }
 
         case ("POST", "/v1/transactions/commit") => // atomic multi-table commit
@@ -345,6 +372,12 @@ class TestRestServer {
             }
             respond(ex, 204)
           }
+
+        case ("HEAD", TableRe(ns, t)) =>
+          respond(ex, if (namespaces.get(ns).exists(_.tables.contains(t))) 200 else 404)
+
+        case ("HEAD", NsRe(ns)) =>
+          respond(ex, if (namespaces.contains(ns)) 200 else 404)
 
         case ("DELETE", TableRe(ns, t)) =>
           namespaces.get(ns).flatMap(_.tables.remove(t)) match {
