@@ -247,6 +247,14 @@ object IcebergTypes {
       val t =
         if (sf.dataType == LongType && sf.metadata.contains("iceberg.type")
           && sf.metadata.getString("iceberg.type") == "time") TimeT
+        // geometry/geography surface as WKB binary + intent marker; the
+        // marker re-declares the Iceberg type on write so bbox bounds and
+        // interop typing survive the Spark round-trip.
+        else if (sf.dataType == BinaryType && sf.metadata.contains("iceberg.type")
+          && Seq("geometry", "geography").contains(sf.metadata.getString("iceberg.type")))
+          GeometryT(
+            if (sf.metadata.contains("iceberg.crs")) Some(sf.metadata.getString("iceberg.crs")) else None,
+            geography = sf.metadata.getString("iceberg.type") == "geography")
         else conv(sf.dataType)
       val doc = if (sf.metadata.contains("comment")) Some(sf.metadata.getString("comment")) else None
       NestedField(id, sf.name, required = !sf.nullable, t, doc = doc)

@@ -118,6 +118,17 @@ object IcebergFunctions {
         (args: Seq[Expression]) => IcebergBucketExpr(litInt(args.head, "bucket count"), args(1)), "built-in")
       reg.createOrReplaceTempFunction("iceberg_truncate",
         (args: Seq[Expression]) => IcebergTruncateExpr(litInt(args.head, "truncate width"), args(1)), "built-in")
+      // Geometry surface: WKB envelope + bbox-overlap predicate (the
+      // engine's form of the reference's `geom && <box>`). UDF kernels —
+      // no Spark builtin parses WKB; file-level pruning happens in
+      // Pruning.fileStatsMatch against Appendix D bounds, so the UDF only
+      // sees rows of files that survived.
+      spark.udf.register("st_bbox", (wkb: Array[Byte]) =>
+        graft.core.Wkb.envelope(wkb).map(e => Array(e._1, e._2, e._3, e._4)).orNull)
+      spark.udf.register("st_intersects_bbox",
+        (wkb: Array[Byte], x1: Double, y1: Double, x2: Double, y2: Double) =>
+          graft.core.Wkb.envelope(wkb).exists(e =>
+            graft.core.Wkb.intersects(e._1, e._2, e._3, e._4, x1, y1, x2, y2)))
       registered += spark
     }
   }

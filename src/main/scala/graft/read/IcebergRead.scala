@@ -109,6 +109,9 @@ object IcebergRead {
     new MetadataBuilder().putLong("parquet.field.id", id.toLong).build()
 
   def ensureConfs(spark: SparkSession): Unit = {
+    // st_intersects_bbox / iceberg_bucket / ... must resolve in any session
+    // whose scans apply graft filter SQL.
+    graft.functions.IcebergFunctions.register(spark)
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")

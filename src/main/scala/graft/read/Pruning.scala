@@ -30,6 +30,9 @@ object PredOp {
   case object IsNull extends PredOp
   case object IsNotNull extends PredOp
   case class In(values: Seq[Any]) extends PredOp
+  /** `st_intersects_bbox(geom, xmin, ymin, xmax, ymax)` — geometry bbox
+    * overlap, pruned against Appendix D geometry bounds. */
+  case class BBoxIntersects(xmin: Double, ymin: Double, xmax: Double, ymax: Double) extends PredOp
 }
 
 /** One conjunct: column `name` `op` `value` (value in internal form).
@@ -85,7 +88,22 @@ object Pruning {
     case IsNotNull(c) => attrName(c).map(n => ColumnPredicate(n, PredOp.IsNotNull, null))
     case In(c, list) if list.forall(_.isInstanceOf[Literal]) =>
       attrName(c).map(n => ColumnPredicate(n, PredOp.In(list.map(l => internal(l.asInstanceOf[Literal].value))), null))
+    // Geometry bbox predicate as a bare conjunct: the engine's spatial
+    // surface for the reference's `geom && <box>` (bounding-box overlap).
+    case f: UnresolvedFunction if f.nameParts.last.equalsIgnoreCase("st_intersects_bbox") =>
+      f.arguments match {
+        case Seq(col, a, b, c, d) =>
+          for {
+            n <- attrName(col)
+            x1 <- litDouble(a); y1 <- litDouble(b); x2 <- litDouble(c); y2 <- litDouble(d)
+          } yield ColumnPredicate(n, PredOp.BBoxIntersects(x1, y1, x2, y2), null)
+        case _ => None
+      }
     case _ => None
+  }
+
+  private def litDouble(e: Expression): Option[Double] = litVal(e).collect {
+    case n: Number => n.doubleValue()
   }
 
   /** `variant_get(col, '$.path' [, type])` / `try_variant_get(...)` →
@@ -315,6 +333,24 @@ object Pruning {
                 boundsMatch(p.op, p.value, None, None, mayContainNull, allNull)
             }
           case _ if p.variantPath.isDefined => true // path predicate on a non-variant column
+          case _: IcebergTypes.GeometryT =>
+            // Bounds (when present) are Appendix D bbox blobs: lower =
+            // (xmin, ymin, ...), upper = (xmax, ymax, ...). Only the bbox
+            // predicate and nullability prune; everything else stays
+            // conservative (reference iceberg_predicate.cpp:287-291).
+            p.op match {
+              case PredOp.BBoxIntersects(qx1, qy1, qx2, qy2) =>
+                if (allNull) false
+                else (df.lowerBounds.get(id).flatMap(Wkb.decodeBound),
+                      df.upperBounds.get(id).flatMap(Wkb.decodeBound)) match {
+                  case (Some((fx1, fy1)), Some((fx2, fy2))) =>
+                    Wkb.intersects(fx1, fy1, fx2, fy2, qx1, qy1, qx2, qy2)
+                  case _ => true
+                }
+              case PredOp.IsNull => mayContainNull
+              case PredOp.IsNotNull => !allNull
+              case _ => true
+            }
           case t =>
             val lower = df.lowerBounds.get(id).flatMap(b => safeDeserialize(b, t))
             val upper = df.upperBounds.get(id).flatMap(b => safeDeserialize(b, t))

@@ -366,7 +366,9 @@ object IcebergWrite {
             sortOrderId, conf, metricsSpec)
         }
       }
-    (entries, writeUuid)
+    // Geometry columns: footer stats can't bound WKB — one extra pass over
+    // just those columns fills Appendix D bbox bounds. No-op otherwise.
+    (GeoBounds.patch(spark, entries, sch), writeUuid)
   }
 
   /** Staging-write partition column for a spec field (dot-free: nested

@@ -1,0 +1,128 @@
+package graft
+
+import graft.core.{IcebergTypes, Wkb}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Geometry: WKB envelope parsing, Appendix D bbox bounds on write, and
+  * bbox-predicate file pruning on read (reference
+  * test_read_geometry_read_with_stats.test: `geom && box` skips files by
+  * geometry stats; iceberg_data_file_stats.cpp:146-168 Appendix D encode). */
+class GeometrySpec extends SparkSpec {
+
+  /** Little-endian WKB point. */
+  private def wkbPoint(x: Double, y: Double): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(21).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte); bb.putInt(1); bb.putDouble(x); bb.putDouble(y)
+    bb.array()
+  }
+
+  private def wkbLineString(pts: (Double, Double)*): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(9 + 16 * pts.size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte); bb.putInt(2); bb.putInt(pts.size)
+    pts.foreach { case (x, y) => bb.putDouble(x); bb.putDouble(y) }
+    bb.array()
+  }
+
+  test("Wkb.envelope: points, linestrings, polygons, collections, Z/M and EWKB variants") {
+    assert(Wkb.envelope(wkbPoint(3.0, -7.5)).contains((3.0, -7.5, 3.0, -7.5)))
+    assert(Wkb.envelope(wkbLineString((152.0, -35.0), (147.0, 34.0)))
+      .contains((147.0, -35.0, 152.0, 34.0)))
+
+    // Big-endian point
+    val be = java.nio.ByteBuffer.allocate(21).order(java.nio.ByteOrder.BIG_ENDIAN)
+    be.put(0.toByte); be.putInt(1); be.putDouble(1.0); be.putDouble(2.0)
+    assert(Wkb.envelope(be.array()).contains((1.0, 2.0, 1.0, 2.0)))
+
+    // ISO PointZ (type 1001): Z skipped
+    val z = java.nio.ByteBuffer.allocate(29).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    z.put(1.toByte); z.putInt(1001); z.putDouble(5.0); z.putDouble(6.0); z.putDouble(99.0)
+    assert(Wkb.envelope(z.array()).contains((5.0, 6.0, 5.0, 6.0)))
+
+    // EWKB point with Z flag + SRID
+    val e = java.nio.ByteBuffer.allocate(33).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    e.put(1.toByte); e.putInt(0x80000000 | 0x20000000 | 1); e.putInt(4326)
+    e.putDouble(-1.0); e.putDouble(-2.0); e.putDouble(3.0)
+    assert(Wkb.envelope(e.array()).contains((-1.0, -2.0, -1.0, -2.0)))
+
+    // Polygon (1 ring, 4 pts)
+    val ring = Seq((0.0, 0.0), (4.0, 0.0), (4.0, 3.0), (0.0, 0.0))
+    val pg = java.nio.ByteBuffer.allocate(13 + 16 * ring.size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    pg.put(1.toByte); pg.putInt(3); pg.putInt(1); pg.putInt(ring.size)
+    ring.foreach { case (x, y) => pg.putDouble(x); pg.putDouble(y) }
+    assert(Wkb.envelope(pg.array()).contains((0.0, 0.0, 4.0, 3.0)))
+
+    // GeometryCollection of two points
+    val gc = java.nio.ByteBuffer.allocate(9 + 21 * 2).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    gc.put(1.toByte); gc.putInt(7); gc.putInt(2)
+    gc.put(wkbPoint(10.0, 10.0)); gc.put(wkbPoint(-10.0, 20.0))
+    assert(Wkb.envelope(gc.array()).contains((-10.0, 10.0, 10.0, 20.0)))
+
+    // Empty point (NaN coords), null, corrupt -> None
+    val nan = java.nio.ByteBuffer.allocate(21).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    nan.put(1.toByte); nan.putInt(1); nan.putDouble(Double.NaN); nan.putDouble(Double.NaN)
+    assert(Wkb.envelope(nan.array()).isEmpty)
+    assert(Wkb.envelope(null).isEmpty)
+    assert(Wkb.envelope(Array[Byte](1, 99, 0, 0, 0)).isEmpty)
+
+    // Appendix D blob round-trip; 24/32-byte (XYZ/XYZM) blobs decode too
+    assert(Wkb.decodeBound(Wkb.encodeBound(1.5, -2.5)).contains((1.5, -2.5)))
+    val xyz = java.nio.ByteBuffer.allocate(24).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    xyz.putDouble(7.0); xyz.putDouble(8.0); xyz.putDouble(9.0)
+    assert(Wkb.decodeBound(xyz.array()).contains((7.0, 8.0)))
+    assert(Wkb.decodeBound(Array.fill[Byte](8)(0)).isEmpty)
+  }
+
+  test("geometry table: Appendix D bounds written per file; bbox predicate prunes files and filters rows") {
+    val path = tmpDir("graft_geometry")
+    // Four appends = four files, each a distinct spatial tile.
+    val geomField = IcebergTypes.NestedField(2, "geom", required = false,
+      IcebergTypes.GeometryT(Some("srid:4326"))).toSpark
+    val schema = StructType(Seq(StructField("id", IntegerType, nullable = false), geomField))
+    def tile(x0: Double, y0: Double, idBase: Int) = {
+      val rows = (0 until 25).map(i =>
+        Row(idBase + i, wkbPoint(x0 + (i % 5) * 2.0, y0 + (i / 5) * 2.0)))
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    }
+    IcebergTable.write(tile(0, 0, 0), path)        // bbox [0,8]x[0,8]
+    IcebergTable.append(tile(100, 0, 100), path)   // [100,108]x[0,8]
+    IcebergTable.append(tile(0, 100, 200), path)   // [0,8]x[100,108]
+    IcebergTable.append(tile(100, 100, 300), path) // [100,108]x[100,108]
+
+    // Schema round-trip keeps geometry typing (the marker re-declares it).
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = graft.core.TableMetadata.load(path, conf)
+    val gf = meta.currentSchema.fields.find(_.name == "geom").get
+    assert(gf.fieldType == IcebergTypes.GeometryT(Some("srid:4326")))
+
+    // Every file carries 16-byte Appendix D bounds with the tile's bbox.
+    val plan = IcebergTable.plan(spark, path)
+    assert(plan.dataFiles.size == 4)
+    plan.dataFiles.foreach { f =>
+      val lo = f.info.lowerBounds.get(gf.id).flatMap(Wkb.decodeBound)
+        .getOrElse(fail(s"no geometry lower bound on ${f.recordedPath}"))
+      val hi = f.info.upperBounds.get(gf.id).flatMap(Wkb.decodeBound)
+        .getOrElse(fail(s"no geometry upper bound on ${f.recordedPath}"))
+      assert(hi._1 - lo._1 == 8.0 && hi._2 - lo._2 == 8.0, s"tile bbox wrong: $lo..$hi")
+    }
+
+    // A query box covering only the first tile plans exactly ONE file.
+    val q = "st_intersects_bbox(geom, -1.0D, -1.0D, 9.0D, 9.0D)"
+    val pruned = IcebergTable.plan(spark, path, graft.read.ReadOptions(filterSql = Some(q)))
+    assert(pruned.dataFiles.size == 1,
+      s"bbox should prune to 1 of 4 files, kept ${pruned.dataFiles.size}")
+
+    // Row-level semantics: a box overlapping part of one tile keeps only
+    // the points inside it.
+    val q2 = "st_intersects_bbox(geom, -1.0D, -1.0D, 3.0D, 3.0D)"
+    val rows = IcebergTable.load(spark, path, graft.read.ReadOptions(filterSql = Some(q2)))
+    assert(rows.count() == 4) // points (0,0),(2,0),(0,2),(2,2)
+    // And the disjoint box matches nothing (all four files pruned).
+    val none = IcebergTable.plan(spark, path,
+      graft.read.ReadOptions(filterSql = Some("st_intersects_bbox(geom, 500.0D, 500.0D, 600.0D, 600.0D)")))
+    assert(none.dataFiles.isEmpty)
+
+    // Full table reads still work and null-safety holds.
+    assert(IcebergTable.load(spark, path).count() == 100)
+  }
+}
