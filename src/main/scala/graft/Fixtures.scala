@@ -101,6 +101,14 @@ object Fixtures {
         TableWriteOptions(partitionBy = Seq(("l_orderkey", Transforms.Bucket(8)))))
     }
 
+  /** Bucket(16) on l_orderkey — matches fn_bucket's scalar call so the
+    * write-transform partition values can oracle the function output. */
+  def lineitemBucket16(spark: SparkSession, sfDir: String): String =
+    iceberg(spark, sfDir, "lineitem_bucket16") { dir =>
+      IcebergTable.write(parquet(spark, sfDir, "lineitem"), dir,
+        TableWriteOptions(partitionBy = Seq(("l_orderkey", Transforms.Bucket(16)))))
+    }
+
   def lineitemSorted(spark: SparkSession, sfDir: String): String =
     iceberg(spark, sfDir, "lineitem_sorted") { dir =>
       IcebergTable.write(parquet(spark, sfDir, "lineitem"), dir,

@@ -557,6 +557,20 @@ object SparkEntry {
       Similarity.ivfCandidates(
         idx.copy(cells = idx.cells.filter(col("vec_id") =!= 1)), q, nprobe = 4)
         .select("vec_id")
+    }),
+    // (l_orderkey -> bucket) recovered from a bucket(16)-partitioned table's
+    // hive-style data directories: the WRITE-transform path, independent of
+    // the scalar iceberg_bucket expression fn_bucket runs. DuckDB compares
+    // the two — murmur3 itself stays spec-vector-pinned in
+    // HashTransformSpec (inexpressible in SQL).
+    "bucket_expected" -> ((s, dir) => {
+      val path = Fixtures.lineitemBucket16(s, dir)
+      IcebergTable.load(s, path)
+        .filter(col("l_orderkey") < 100)
+        .select(col("l_orderkey"),
+          regexp_extract(input_file_name(), "_gp_l_orderkey_bucket=(\\d+)", 1)
+            .cast("int").as("bucket"))
+        .distinct()
     }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -732,6 +746,14 @@ object SparkEntry {
       """SELECT DISTINCT l_orderkey,
         |  l_orderkey - ((l_orderkey % 100 + 100) % 100) AS trunc_100
         |FROM lineitem WHERE l_orderkey < 500""".stripMargin,
+
+    // murmur3 is inexpressible in SQL; the oracle instead reads the side
+    // dataset Verify dumps from the WRITE-transform path (bucket(16)
+    // partition dirs of a real written table) and must match the scalar
+    // function's output exactly.
+    "fn_bucket" ->
+      """SELECT l_orderkey, bucket
+        |FROM read_parquet('__GRAFT_OUT__/bucket_expected/*.parquet')""".stripMargin,
 
     "dedup_exact" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS keeper_id,
