@@ -117,4 +117,133 @@ class PlanningScaleSpec extends SparkSpec {
       s"metadata count(*) got $counted")
     assert(aggSec < 10.0, f"metadata count(*) took $aggSec%.2fs — budget 10s")
   }
+
+  test("delete planning at scale: 1000 delete entries; per-query delete survivors stay O(touched partitions)") {
+    import spark.implicits._
+    val path = tmpDir("graft_bigmeta_del")
+    val seed = Seq((0L, 0, "x")).toDF("id", "part", "payload")
+    IcebergTable.write(seed, path, TableWriteOptions(
+      partitionBy = Seq(("part", Transforms.Identity))))
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = TableMetadata.load(path, conf)
+    val schema = meta.currentSchema
+    val idF = schema.fieldByPath("id")
+    val spec = meta.defaultSpec
+    val partitionFields = spec.fields.map { pf =>
+      (pf.name, pf.transform.resultType(schema.idToField(pf.sourceId).fieldType), pf.fieldId)
+    }
+    val snapId = meta.currentSnapshot.get.snapshotId
+    def dataPath(part: Int, j: Int) = s"${meta.location}/data/fake-$part-$j.parquet"
+
+    // Data: 300 partitions x 33 files, one manifest per partition,
+    // id-ranges globally disjoint (same shape as the read-side probe).
+    val dataManifests = (0 until NManifests).map { m =>
+      val entries = (0 until PerManifest).map { j =>
+        val gid = (m * PerManifest + j).toLong
+        ManifestEntry(EntryStatus.Added, Some(snapId), Some(1L), Some(1L), DataFileInfo(
+          content = FileContent.Data, filePath = dataPath(m, j), fileFormat = "parquet",
+          partitionValues = Seq(m), recordCount = 1000L, fileSizeInBytes = 1L << 20,
+          columnSizes = Map.empty,
+          valueCounts = Map(idF.id -> 1000L), nullValueCounts = Map(idF.id -> 0L),
+          nanValueCounts = Map.empty,
+          lowerBounds = Map(idF.id -> SingleValue.serialize(gid * 1000L, IcebergTypes.LongT)),
+          upperBounds = Map(idF.id -> SingleValue.serialize(gid * 1000L + 999L, IcebergTypes.LongT)),
+          splitOffsets = Nil, equalityIds = Nil, sortOrderId = None))
+      }
+      val mPath = s"${meta.location}/metadata/del-data-$m.avro"
+      val len = ManifestIO.writeManifest(mPath, conf, partitionFields, entries, Map.empty)
+      ManifestFile(mPath, len, spec.specId, 0, 1L, 1L, snapId,
+        PerManifest, 0, 0, PerManifest * 1000L, 0L, 0L,
+        partitions = Seq(FieldSummary(containsNull = false, containsNan = None,
+          lowerBound = Some(SingleValue.serialize(m, IcebergTypes.IntT)),
+          upperBound = Some(SingleValue.serialize(m, IcebergTypes.IntT)))))
+    }
+
+    // Deletes: 100 delete manifests x 10 entries = 1000, each manifest
+    // spanning partitions [3m, 3m+2]. Per partition: two positional deletes
+    // pinned by path bounds to data files j=0 / j=1, plus (every third
+    // entry) one equality delete with a narrow id range inside file j=2.
+    val NDelManifests = 100
+    val pathFid = graft.read.IcebergRead.PosDeletePathFieldIdPublic
+    val deleteManifests = (0 until NDelManifests).map { m =>
+      val entries = (0 until 10).map { i =>
+        val part = 3 * m + i % 3
+        val info =
+          if (i < 6) { // positional, referenced file via exact path bounds
+            val ref = dataPath(part, i % 2)
+            val b = ref.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            DataFileInfo(
+              content = FileContent.PositionDeletes, filePath = s"${meta.location}/data/del-$m-$i.parquet",
+              fileFormat = "parquet", partitionValues = Seq(part), recordCount = 5L,
+              fileSizeInBytes = 1L << 10, columnSizes = Map.empty,
+              valueCounts = Map.empty, nullValueCounts = Map.empty, nanValueCounts = Map.empty,
+              lowerBounds = Map(pathFid -> b), upperBounds = Map(pathFid -> b),
+              splitOffsets = Nil, equalityIds = Nil, sortOrderId = None)
+          } else { // equality delete: id range inside file (part, j=2)
+            val gid = (part * PerManifest + 2).toLong
+            DataFileInfo(
+              content = FileContent.EqualityDeletes, filePath = s"${meta.location}/data/eqdel-$m-$i.parquet",
+              fileFormat = "parquet", partitionValues = Seq(part), recordCount = 3L,
+              fileSizeInBytes = 1L << 10, columnSizes = Map.empty,
+              valueCounts = Map(idF.id -> 3L), nullValueCounts = Map(idF.id -> 0L),
+              nanValueCounts = Map.empty,
+              lowerBounds = Map(idF.id -> SingleValue.serialize(gid * 1000L, IcebergTypes.LongT)),
+              upperBounds = Map(idF.id -> SingleValue.serialize(gid * 1000L + 10L, IcebergTypes.LongT)),
+              splitOffsets = Nil, equalityIds = Seq(idF.id), sortOrderId = None)
+          }
+        ManifestEntry(EntryStatus.Added, Some(snapId), Some(2L), Some(2L), info)
+      }
+      val mPath = s"${meta.location}/metadata/del-del-$m.avro"
+      val len = ManifestIO.writeManifest(mPath, conf, partitionFields, entries, Map.empty)
+      ManifestFile(mPath, len, spec.specId, 1, 2L, 2L, snapId,
+        10, 0, 0, 0L, 0L, 10L * 5,
+        partitions = Seq(FieldSummary(containsNull = false, containsNan = None,
+          lowerBound = Some(SingleValue.serialize(3 * m, IcebergTypes.IntT)),
+          upperBound = Some(SingleValue.serialize(3 * m + 2, IcebergTypes.IntT)))))
+    }
+
+    val listPath = s"${meta.location}/metadata/del-list.avro"
+    ManifestIO.writeManifestList(listPath, conf, dataManifests ++ deleteManifests)
+    val snap = meta.currentSnapshot.get.copy(snapshotId = 998L, manifestList = listPath,
+      sequenceNumber = 2L)
+    val bigMeta = meta.copy(snapshots = Seq(snap), currentSnapshotId = Some(998L),
+      lastSequenceNumber = 2L)
+
+    def probe(opts: ReadOptions): (graft.read.ScanPlan, Long) = {
+      val r0 = ManifestIO.manifestReads.get()
+      val p = IcebergRead.planWithMetadata(spark, bigMeta, conf, opts)
+      (p, ManifestIO.manifestReads.get() - r0)
+    }
+
+    // Stable across 3 runs: same counts every time.
+    (1 to 3).foreach { _ =>
+      // Unfiltered: everything read once, all deletes survive planning.
+      val (pAll, rAll) = probe(ReadOptions())
+      assert(rAll == NManifests + NDelManifests, s"expected ${NManifests + NDelManifests} reads, got $rAll")
+      assert(pAll.dataFiles.size == NManifests * PerManifest)
+      assert(pAll.deleteFiles.size == NDelManifests * 10)
+
+      // Partition-scoped query: ONE data manifest + ONE delete manifest read
+      // (summary pruning), and only the touched partition's deletes survive
+      // — the per-query delete-open set is O(touched partitions), not
+      // O(total deletes). Partition 137 lives in delete manifest 45
+      // (parts 135-137) with entries i in {2,5,8}: two positional + one eq.
+      val (pPart, rPart) = probe(ReadOptions(filterSql = Some("part = 137")))
+      assert(rPart == 2, s"partition query should read 2 manifests (1 data + 1 delete), read $rPart")
+      assert(pPart.dataFiles.size == PerManifest)
+      assert(pPart.deleteFiles.size == 3,
+        s"partition 137 has 3 deletes, planner kept ${pPart.deleteFiles.size}")
+      assert(pPart.deleteFiles.forall(_.info.partitionValues == Seq(137)))
+
+      // Narrowing to one data file drops positional deletes whose path
+      // bounds reference other files: only the equality delete survives.
+      val gid137 = (137 * PerManifest + 5).toLong // file (137, j=5)
+      val (pOne, _) = probe(ReadOptions(
+        filterSql = Some(s"part = 137 AND id = ${gid137 * 1000L + 7L}")))
+      assert(pOne.dataFiles.size == 1)
+      assert(pOne.deleteFiles.size == 1 &&
+        pOne.deleteFiles.head.info.content == FileContent.EqualityDeletes,
+        s"path-bounds should drop both positional deletes, kept ${pOne.deleteFiles.map(_.info.filePath)}")
+    }
+  }
 }
