@@ -64,7 +64,10 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     val path = parameters("path")
     val conf = ctx.sparkSession.sessionState.newHadoopConf()
     val s = schema.getOrElse(TableMetadata.load(path, conf).currentSchema.toSpark)
-    new GraftMicroBatchSource(ctx.sparkSession, path, s)
+    val maxFiles = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("maxFilesPerTrigger") => v.trim.toInt
+    }
+    new GraftMicroBatchSource(ctx.sparkSession, path, s, maxFiles)
   }
 
   // ---- Structured Streaming micro-batch sink (SURVEY §2.9) ----
@@ -764,19 +767,31 @@ private[graft] object GraftStreamOffset {
   * shape as the reference's incremental hooks — snapshots ARE the offsets
   * (SURVEY §2.9). */
 private[graft] class GraftMicroBatchSource(spark: SparkSession, path: String,
-    sourceSchema: StructType) extends org.apache.spark.sql.execution.streaming.Source {
+    sourceSchema: StructType,
+    maxFilesPerTrigger: Option[Int] = None)
+    extends org.apache.spark.sql.execution.streaming.Source {
 
   override def schema: StructType = sourceSchema
 
+  // Rate-limiting position: the newest offset this source has handed out or
+  // replayed. After a restart it starts empty; the first (possibly empty)
+  // replayed batch re-establishes it from the engine's checkpointed range.
+  @volatile private var lastSeen: Option[GraftStreamOffset] = None
+
   override def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] =
-    graft.streaming.Streams.latestCursor(spark, path)
-      .map { case (id, ord) => GraftStreamOffset(id, ord) }
+    (maxFilesPerTrigger match {
+      case Some(cap) => graft.streaming.Streams.cappedCursor(
+        spark, path, lastSeen.map(_.snapshotId), cap)
+      case None => graft.streaming.Streams.latestCursor(spark, path)
+    }).map { case (id, ord) => GraftStreamOffset(id, ord) }
 
   override def getBatch(start: Option[org.apache.spark.sql.execution.streaming.Offset],
       end: org.apache.spark.sql.execution.streaming.Offset): org.apache.spark.sql.DataFrame = {
     val endOff = GraftStreamOffset.of(end)
-    val startId = start.map(GraftStreamOffset.of(_).snapshotId)
-    val df = graft.streaming.Streams.appendsBetween(spark, path, startId, endOff.snapshotId)
+    val startOff = start.map(GraftStreamOffset.of(_))
+    lastSeen = Some((lastSeen.toSeq ++ startOff.toSeq :+ endOff).maxBy(_.ordinal))
+    val df = graft.streaming.Streams.appendsBetween(spark, path,
+      startOff.map(_.snapshotId), endOff.snapshotId)
     org.apache.spark.sql.GraftStreamShim.asStreamingDF(df)
   }
 

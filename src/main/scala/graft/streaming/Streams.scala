@@ -267,6 +267,41 @@ object Streams {
     meta.currentSnapshot.map(s => (s.snapshotId, meta.snapshots.indexWhere(_.snapshotId == s.snapshotId).toLong))
   }
 
+  /** Rate-limited cursor (`maxFilesPerTrigger` backpressure): the newest
+    * main-ancestry snapshot whose cumulative added data files since
+    * `afterSnapshotId` (exclusive) stays within `maxFiles` — always
+    * admitting at least one snapshot so the stream progresses. Per-snapshot
+    * counts come from the snapshot summary's `added-data-files` (stamped by
+    * every engine write; a snapshot without it is admitted alone,
+    * conservatively). Metadata-only: no manifest IO — at 100 TB the summary
+    * read is the whole cost of pacing a backlog. */
+  def cappedCursor(spark: SparkSession, path: String,
+      afterSnapshotId: Option[Long], maxFiles: Int): Option[(Long, Long)] = {
+    require(maxFiles > 0, s"maxFilesPerTrigger must be positive, got $maxFiles")
+    val meta = TableMetadata.load(path, spark.sessionState.newHadoopConf())
+    val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
+    meta.currentSnapshotId.flatMap { head =>
+      var chain = List.empty[SnapshotInfo]
+      var cur: Option[Long] = Some(head)
+      while (cur.isDefined && cur != afterSnapshotId && byId.contains(cur.get)) {
+        val s = byId(cur.get)
+        chain = s :: chain
+        cur = s.parentSnapshotId
+      }
+      val admitted = chain.foldLeft((Option.empty[SnapshotInfo], maxFiles)) {
+        case ((done, budget), s) =>
+          val files = s.summary.get("added-data-files")
+            .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(maxFiles)
+          if (done.isEmpty) (Some(s), budget - files) // at least one
+          else if (files <= budget) (Some(s), budget - files)
+          else (done, -1) // budget spent: stop admitting (fold keeps `done`)
+      }._1
+      // No new snapshots (caught up): report the head unchanged.
+      admitted.orElse(Some(byId(head)))
+        .map(s => (s.snapshotId, meta.snapshots.indexWhere(_.snapshotId == s.snapshotId).toLong))
+    }
+  }
+
   /** Structured Streaming reader over a directory of event parquet files
     * (schema must be supplied for file streams). */
   def readEventStream(spark: SparkSession, dir: String,

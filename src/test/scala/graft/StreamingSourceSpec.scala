@@ -41,6 +41,54 @@ class StreamingSourceSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == orders.count())
   }
 
+  test("maxFilesPerTrigger: capped cursor admits whole snapshots within the file budget") {
+    import spark.implicits._
+    val dir = tmpDir("graft_stream_capped")
+    // 5 snapshots x 2 files = 10 files.
+    def batch(tag: Int) = (1 to 10).map(i => (tag * 100 + i, s"v$tag")).toDF("id", "v").repartition(2)
+    IcebergTable.write(batch(0), dir)
+    (1 to 4).foreach(t => IcebergTable.append(batch(t), dir))
+
+    val meta = graft.core.TableMetadata.load(dir, spark.sessionState.newHadoopConf())
+    val chain = meta.snapshots.map(_.snapshotId)
+    assert(chain.size == 5)
+    assert(meta.snapshots.forall(_.summary.get("added-data-files").contains("2")))
+
+    // cap 4 = 2 snapshots per step: None -> s2 -> s4 -> s5 (head) -> s5.
+    val s = graft.streaming.Streams
+    assert(s.cappedCursor(spark, dir, None, 4).map(_._1).contains(chain(1)))
+    assert(s.cappedCursor(spark, dir, Some(chain(1)), 4).map(_._1).contains(chain(3)))
+    assert(s.cappedCursor(spark, dir, Some(chain(3)), 4).map(_._1).contains(chain(4)))
+    // caught up: head reported unchanged -> engine sees no new batch
+    assert(s.cappedCursor(spark, dir, Some(chain(4)), 4).map(_._1).contains(chain(4)))
+    // cap smaller than one snapshot still admits one (progress guarantee)
+    assert(s.cappedCursor(spark, dir, None, 1).map(_._1).contains(chain(0)))
+
+    // End-to-end: with the option, the backlog drains over 3 bounded
+    // batches instead of one 10-file batch; the graft table sink makes the
+    // batch boundary observable as one APPEND snapshot per micro-batch.
+    val tmp = tmpDir("graft_stream_capped_run")
+    val dst = s"$tmp/dst"
+    graft.write.IcebergWrite.createTable(spark, dst,
+      spark.read.format("graft").load(dir).schema)
+    val q = spark.readStream.format("graft")
+      .option("maxFilesPerTrigger", "4").load(dir)
+      .writeStream.format("graft")
+      .option("path", dst).option("checkpointLocation", s"$tmp/chk")
+      .trigger(Trigger.ProcessingTime(0L)).start()
+    val deadline = System.currentTimeMillis() + 120000
+    def dstCount() =
+      try IcebergTable.load(spark, dst).count() catch { case _: Exception => 0L }
+    while (dstCount() < 50 && System.currentTimeMillis() < deadline) Thread.sleep(200)
+    q.stop(); q.awaitTermination()
+    assert(dstCount() == 50, s"expected all 50 rows, got ${dstCount()}")
+    val dstMeta = graft.core.TableMetadata.load(dst, spark.sessionState.newHadoopConf())
+    val appends = dstMeta.snapshots.filter(_.summary.get("added-records").exists(_ != "0"))
+    assert(appends.size == 3,
+      s"cap 4 over 10 files should make 3 micro-batches, made ${appends.size}: " +
+        dstMeta.snapshots.map(_.summary.get("added-records")).mkString(","))
+  }
+
   test("offset json roundtrip") {
     val o = graft.sources.GraftStreamOffset(123456789L, 7L)
     assert(graft.sources.GraftStreamOffset.fromJson(o.json()) == o)
