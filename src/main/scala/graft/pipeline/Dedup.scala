@@ -128,24 +128,46 @@ object Dedup {
     val banded = docs.select(col("_id"), posexplode(bandsUdf(col("_text"))))
       .toDF("_id", "_b", "_h")
 
-    // Bucket join: candidate pairs only within (band, hash) buckets.
-    val pairUdf = udf((ids: Seq[Long]) => {
-      val sorted = ids.sorted
-      val out = Seq.newBuilder[(Long, Long)]
-      var i = 0
-      while (i < sorted.length) {
-        var j = i + 1
-        while (j < sorted.length) { out += ((sorted(i), sorted(j))); j += 1 }
-        i += 1
-      }
-      out.result()
-    })
-    banded.groupBy("_b", "_h")
-      .agg(collect_list(col("_id")).as("_ids"))
-      .filter(size(col("_ids")).between(2, maxBucket))
-      .select(explode(pairUdf(col("_ids"))).as("_p"))
-      .select(col("_p._1").as("id_a"), col("_p._2").as("id_b"))
+    // Bucket-scoped pairs as a SELF-JOIN on the band key, not a
+    // collect_list + pair-expanding UDF: a full bucket of k members emits
+    // its k(k-1)/2 pairs STREAMED through the join (codegen, spillable),
+    // where the UDF shape materialized them as one k²/2-element Scala Seq
+    // in a single row — a multi-MB allocation per dense bucket whose GC
+    // made wall time bimodal. Both the size aggregation and the join
+    // shuffle hash by (_b, _h), so the banding pass is shuffled once and
+    // reused (ReusedExchange), not recomputed.
+    bandedBucketPairs(banded, maxBucket, Seq.empty)
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** (id_a, id_b [, carried cols suffixed _a/_b]) for every intra-bucket
+    * pair of `banded` (_id, _b, _h, carried...), buckets capped at
+    * `maxBucket` members (skew guard). */
+  private def bandedBucketPairs(banded: DataFrame, maxBucket: Int,
+      carry: Seq[String]): DataFrame = {
+    // The skew cap rides a WINDOW count over the same (_b, _h) shuffle the
+    // join needs — no separate size-aggregation branch, which would be a
+    // third full evaluation of the banding pass (the hash UDFs are
+    // nondeterministic, so Spark cannot ReusedExchange them away).
+    // Singleton buckets survive the filter but emit no pairs in the join.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("_b", "_h")
+    // Persisted so the hash+banding pass runs ONCE, with both join sides
+    // reading the (id, band, hash) projection back — ~24 bytes x bands per
+    // doc, MEMORY_AND_DISK so a 100 TB corpus spills locally instead of
+    // recomputing the signature UDF per side (same pattern as the
+    // candidate-set persists in minhashNearDuplicates).
+    val keep = banded
+      .withColumn("_n", count(lit(1)).over(w))
+      .filter(col("_n") <= maxBucket)
+      .drop("_n")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def side(suffix: String) = keep.select(
+      (Seq(col("_b"), col("_h"), col("_id").as(s"id$suffix")) ++
+        carry.map(c => col(c).as(s"$c$suffix"))): _*)
+    side("_a").join(side("_b"), Seq("_b", "_h"))
+      .filter(col("id_a") < col("id_b"))
+      .drop("_b", "_h")
   }
 
   /** Candidate-pair count at/above which the re-score joins fall back from
@@ -260,27 +282,12 @@ object Dedup {
     val withH = df.select(col(idCol).cast("long").as("_id"), shUdf(col(textCol)).as("_sh"))
     val banded = withH.withColumn("_b", explode(array((0 until 4).map(lit): _*)))
       .withColumn("_h", expr("shiftrightunsigned(_sh, _b * 16)").bitwiseAND(lit(0xFFFFL)))
-    val buckets = banded.groupBy("_b", "_h")
-      .agg(collect_list(struct(col("_id"), col("_sh"))).as("_members"))
-      .filter(size(col("_members")).between(2, maxBucket))
-    val pairUdf = udf((members: Seq[org.apache.spark.sql.Row]) => {
-      val ms = members.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-      val out = Seq.newBuilder[(Long, Long, Int)]
-      var i = 0
-      while (i < ms.length) {
-        var j = i + 1
-        while (j < ms.length) {
-          val d = java.lang.Long.bitCount(ms(i)._2 ^ ms(j)._2)
-          out += ((ms(i)._1, ms(j)._1, d))
-          j += 1
-        }
-        i += 1
-      }
-      out.result()
-    })
-    buckets.select(explode(pairUdf(col("_members"))).as("_p"))
-      .select(col("_p._1").as("id_a"), col("_p._2").as("id_b"), col("_p._3").as("hamming"))
+    // Same self-join shape as minhash banding (see bandedBucketPairs);
+    // the Hamming distance is a codegen'd bit_count(xor), no UDF.
+    bandedBucketPairs(banded, maxBucket, Seq("_sh"))
+      .withColumn("hamming", expr("cast(bit_count(_sh_a ^ _sh_b) as int)"))
       .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
       .dropDuplicates("id_a", "id_b")
   }
 
