@@ -131,6 +131,43 @@ class PipelineExtrasSpec extends SparkSpec {
     }
   }
 
+  test("deterministic split + token-budget packing: reproducible, bounded bins, no global sort") {
+    import spark.implicits._
+    import graft.pipeline.Sampling
+    val docs = (1L to 5000L).map(i => (i, 50L + (i * 37) % 400)).toDF("doc_id", "n_tokens")
+
+    val s1 = Sampling.deterministicSplit(docs, "doc_id", valPct = 5, testPct = 5)
+    val s2 = Sampling.deterministicSplit(docs, "doc_id", valPct = 5, testPct = 5)
+    assertSameResult(s1, s2) // bit-for-bit reproducible
+    val byKind = s1.groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKind.keySet == Set("train", "val", "test"))
+    // hash buckets are near-uniform: each 5% slice within [2%, 8%]
+    assert(byKind("val") > 100 && byKind("val") < 400, s"val size ${byKind("val")}")
+    assert(byKind("test") > 100 && byKind("test") < 400)
+    assert(byKind.values.sum == 5000)
+    intercept[IllegalArgumentException](Sampling.deterministicSplit(docs, "doc_id", 60, 50))
+
+    val packed = Sampling.packByTokenBudget(docs, "doc_id", "n_tokens",
+      tokenBudget = 2048, shards = 8)
+    // Reproducible; shard = id % 8; bins contiguous from 0 per shard;
+    // every bin's span stays within budget + one max-doc overhang.
+    assertSameResult(packed, Sampling.packByTokenBudget(docs, "doc_id", "n_tokens", 2048, 8))
+    val rows = packed.orderBy("pack_shard", "doc_id")
+      .select("pack_shard", "pack_bin", "n_tokens").as[(Long, Long, Long)].collect()
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val bins = rs.map(_._2)
+      assert(bins.head == 0L)
+      bins.sliding(2).foreach { case Array(a, b) => assert(b == a || b == a + 1); case _ => }
+      rs.groupBy(_._2).foreach { case (_, binRows) =>
+        assert(binRows.map(_._3).sum <= 2048 + 449, // budget + max doc size
+          s"bin overflow: ${binRows.map(_._3).sum}")
+      }
+    }
+    // no global single-partition window: the plan partitions by pack_shard
+    val planStr = packed.queryExecution.executedPlan.toString
+    assert(!planStr.contains("SinglePartition"), "packing must not use a global window")
+  }
+
   test("embedding-cosine near-dup finds exact duplicates without crossJoin") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet").select("vec_id", "embedding")
     val dup = e.union(e.select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
