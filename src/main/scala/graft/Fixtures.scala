@@ -109,6 +109,29 @@ object Fixtures {
         TableWriteOptions(partitionBy = Seq(("l_orderkey", Transforms.Bucket(16)))))
     }
 
+  /** Supplier table with a WKB point geometry column derived
+    * deterministically from the key (x = key % 97, y = key % 61), written
+    * across several files so bbox file-pruning has bounds to cut. The
+    * coordinates being key-derived keeps the oracle SQL-expressible:
+    * point-in-box == two BETWEENs on the key residues. */
+  def supplierGeo(spark: SparkSession, sfDir: String): String =
+    iceberg(spark, sfDir, "supplier_geo") { dir =>
+      val wkbPoint = udf((x: Double, y: Double) => {
+        val bb = java.nio.ByteBuffer.allocate(21).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put(1.toByte); bb.putInt(1); bb.putDouble(x); bb.putDouble(y)
+        bb.array()
+      })
+      val geomMeta = graft.core.IcebergTypes
+        .NestedField(2, "geom", required = false,
+          graft.core.IcebergTypes.GeometryT(Some("srid:4326"))).toSpark.metadata
+      val df = parquet(spark, sfDir, "supplier")
+        .select(col("s_suppkey"),
+          wkbPoint((col("s_suppkey") % 97).cast("double"),
+            (col("s_suppkey") % 61).cast("double")).as("geom", geomMeta))
+        .repartition(4)
+      IcebergTable.write(df, dir)
+    }
+
   def lineitemSorted(spark: SparkSession, sfDir: String): String =
     iceberg(spark, sfDir, "lineitem_sorted") { dir =>
       IcebergTable.write(parquet(spark, sfDir, "lineitem"), dir,

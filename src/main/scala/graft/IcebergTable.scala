@@ -268,13 +268,27 @@ object IcebergTable {
   /** Human-readable bound rendering for the stats tables: internal values
     * surface the way the reference prints them (dates as `2024-01-01`, not
     * days-since-epoch; timestamps as `yyyy-MM-dd HH:mm:ss...`). */
-  private def renderBound(bytes: Array[Byte], t: graft.core.IcebergType): String = {
-    val v = SingleValue.toSparkValue(SingleValue.deserialize(bytes, t), t)
-    v match {
-      case ldt: java.time.LocalDateTime => ldt.toString.replace('T', ' ')
-      case i: java.time.Instant => i.toString.replace('T', ' ').stripSuffix("Z")
-      case other => String.valueOf(other)
-    }
+  private def renderBound(bytes: Array[Byte], t: graft.core.IcebergType): String = t match {
+    // GEOMETRY has no scalar min/max: the Appendix D bbox blob renders as
+    // the reference's JSON object — absent Z/M axes (and the reference
+    // writer's ±infinity XYM padding) are JSON null
+    // (test_geometry_column_stats.test).
+    case _: graft.core.IcebergTypes.GeometryT
+        if bytes.length % 8 == 0 && bytes.length >= 16 && bytes.length <= 32 =>
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val n = bytes.length / 8
+      val x = bb.getDouble(); val y = bb.getDouble()
+      val z = if (n >= 3) Some(bb.getDouble()) else None
+      val m = if (n == 4) Some(bb.getDouble()) else None
+      def j(o: Option[Double]) = o.filterNot(_.isInfinite).map(_.toString).getOrElse("null")
+      s"""{"bbox_x":$x,"bbox_y":$y,"bbox_z":${j(z)},"bbox_m":${j(m)}}"""
+    case _ =>
+      val v = SingleValue.toSparkValue(SingleValue.deserialize(bytes, t), t)
+      v match {
+        case ldt: java.time.LocalDateTime => ldt.toString.replace('T', ' ')
+        case i: java.time.Instant => i.toString.replace('T', ' ').stripSuffix("Z")
+        case other => String.valueOf(other)
+      }
   }
 
   /** `iceberg_column_stats(path)` (reference iceberg_column_stats.cpp). */

@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Sampling, Similarity, TextAnalysis}
 import graft.read.ReadOptions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -172,6 +172,14 @@ object SparkEntry {
           ReadOptions(filterSql = Some("l_orderkey = 42")))
         .agg(round(sum("l_quantity"), 2).as("qty"),
           count(lit(1)).cast("long").as("n"))),
+
+    // Geometry bbox scan: WKB points with Appendix-D bounds; the bbox
+    // predicate prunes files and filters rows. Point coordinates are
+    // key-derived so DuckDB can oracle it with two BETWEENs.
+    "ice_geometry_bbox" -> ((s, dir) =>
+      IcebergTable.load(s, Fixtures.supplierGeo(s, dir),
+          ReadOptions(filterSql = Some("st_intersects_bbox(geom, 10.0D, 20.0D, 30.0D, 40.0D)")))
+        .select(col("s_suppkey"))),
 
     "ice_time_travel" -> ((s, dir) => {
       val (path, firstSnap) = Fixtures.ordersTwoSnapshots(s, dir)
@@ -521,6 +529,25 @@ object SparkEntry {
         pq(s, dir, "documents").select("doc_id", "text"),
         "text", "doc_id", maxTokens = 64, overlap = 16)),
 
+    // Deterministic hash-bucket split: re-running on the same corpus (or
+    // another engine) reproduces the same train/val/test assignment.
+    "text_split" -> ((s, dir) =>
+      Sampling.deterministicSplit(
+        pq(s, dir, "documents").select("doc_id", "n_chars"), "doc_id")
+        .groupBy("split").agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum("n_chars").cast("long").as("n_chars"))),
+
+    // Sharded greedy sequence packing by token budget: per-shard cumulative
+    // sums, never a global sort.
+    "text_pack" -> ((s, dir) =>
+      Sampling.packByTokenBudget(
+        pq(s, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", "n_chars", tokenBudget = 4096, shards = 16)
+        .groupBy("pack_shard", "pack_bin").agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum("n_chars").cast("long").as("bin_chars"))),
+
     // PII detection over the corpus. The synthetic documents carry no PII,
     // so deterministic PII is injected by doc_id residue IDENTICALLY here
     // and in the oracle SQL — the regex counting is what's under test.
@@ -747,6 +774,11 @@ object SparkEntry {
         |  l_orderkey - ((l_orderkey % 100 + 100) % 100) AS trunc_100
         |FROM lineitem WHERE l_orderkey < 500""".stripMargin,
 
+    "ice_geometry_bbox" ->
+      """SELECT s_suppkey FROM supplier
+        |WHERE (s_suppkey % 97) BETWEEN 10 AND 30
+        |  AND (s_suppkey % 61) BETWEEN 20 AND 40""".stripMargin,
+
     // murmur3 is inexpressible in SQL; the oracle instead reads the side
     // dataset Verify dumps from the WRITE-transform path (bucket(16)
     // partition dirs of a real written table) and must match the scalar
@@ -864,6 +896,33 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, 'https?://[A-Za-z0-9./_%-]+')) AS BIGINT) AS n_urls,
         |  CAST(len(regexp_extract_all(text, '\+[0-9]{7,15}')) AS BIGINT) AS n_phones
         |FROM injected""".stripMargin,
+
+    // Same multiplicative-hash bucket arithmetic: exact Long math in both
+    // engines (DuckDB's wider intermediate types agree — id is first
+    // reduced mod 1e6 so the product never exceeds Int64).
+    "text_split" ->
+      """WITH b AS (
+        |  SELECT doc_id, n_chars,
+        |    (doc_id % 1000003 * 2654435761 % 1000000007) % 100 AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 5 THEN 'val'
+        |            WHEN bucket < 10 THEN 'test'
+        |            ELSE 'train' END AS split,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |FROM b GROUP BY 1""".stripMargin,
+
+    "text_pack" ->
+      """WITH c AS (
+        |  SELECT doc_id, n_chars, doc_id % 16 AS pack_shard,
+        |    sum(n_chars) OVER (PARTITION BY doc_id % 16 ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM documents)
+        |SELECT pack_shard, CAST(floor((cum_max - 1) / 4096) AS BIGINT) AS pack_bin,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS bin_chars
+        |FROM (SELECT doc_id, n_chars, pack_shard, cum AS cum_max FROM c)
+        |GROUP BY 1, 2""".stripMargin,
 
     "text_stats" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS docs,

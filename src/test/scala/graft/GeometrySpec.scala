@@ -124,5 +124,17 @@ class GeometrySpec extends SparkSpec {
 
     // Full table reads still work and null-safety holds.
     assert(IcebergTable.load(spark, path).count() == 100)
+
+    // iceberg_column_stats renders the bbox as the reference's JSON object
+    // (test_geometry_column_stats.test: absent Z/M are JSON null).
+    val stats = IcebergTable.columnStats(spark, path)
+      .filter(org.apache.spark.sql.functions.col("column_name") === "geom")
+      .collect()
+    assert(stats.nonEmpty)
+    val lows = stats.map(_.getAs[String]("lower_bound")).toSet
+    assert(lows.contains("""{"bbox_x":0.0,"bbox_y":0.0,"bbox_z":null,"bbox_m":null}"""),
+      s"geometry lower bounds rendered as: $lows")
+    assert(stats.map(_.getAs[String]("upper_bound")).toSet
+      .contains("""{"bbox_x":108.0,"bbox_y":108.0,"bbox_z":null,"bbox_m":null}"""))
   }
 }
