@@ -39,7 +39,13 @@ case class CatalogOptions(
       * the reference's `authorization_type 'sigv4'` ATTACH option
       * (src/catalog/rest/storage/authorization/sigv4.cpp). Takes precedence
       * over bearer/OAuth2 auth when set. */
-    sigv4: Option[SigV4Credentials] = None)
+    sigv4: Option[SigV4Credentials] = None,
+    /** `X-Iceberg-Access-Delegation` sent on table load/create — catalogs
+      * like Polaris only vend storage credentials when the client
+      * advertises it. "vended-credentials" by default like the reference
+      * (`access_delegation_mode` ATTACH option, iceberg_attach.hpp:35
+      * default VENDED_CREDENTIALS); None disables the header. */
+    accessDelegationMode: Option[String] = Some("vended-credentials"))
 
 class RestCatalogException(val status: Int, msg: String) extends RuntimeException(s"HTTP $status: $msg")
 
@@ -78,14 +84,20 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
     }
   }
 
-  private def request(method: String, path: String, body: Option[String] = None): JsonNode =
-    requestAttempt(method, path, body, retryAuth = true)
+  private def request(method: String, path: String, body: Option[String] = None,
+      headers: Map[String, String] = Map.empty): JsonNode =
+    requestAttempt(method, path, body, retryAuth = true, headers)
+
+  /** Header for endpoints that may vend storage credentials. */
+  private def delegationHeader: Map[String, String] =
+    opts.accessDelegationMode.map("X-Iceberg-Access-Delegation" -> _).toMap
 
   private def requestAttempt(method: String, path: String, body: Option[String],
-      retryAuth: Boolean): JsonNode = {
+      retryAuth: Boolean, headers: Map[String, String] = Map.empty): JsonNode = {
     val uri = URI.create(s"$base$path")
     val b = HttpRequest.newBuilder(uri)
       .header("Content-Type", "application/json")
+    headers.foreach { case (k, v) => b.header(k, v) }
     opts.sigv4 match {
       case Some(creds) =>
         val payload = body.map(_.getBytes(StandardCharsets.UTF_8))
@@ -109,7 +121,7 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
     // — surface those as-is.
     if (resp.statusCode() == 401 && retryAuth && opts.token.isEmpty && cachedToken.isDefined) {
       cachedToken = None
-      return requestAttempt(method, path, body, retryAuth = false)
+      return requestAttempt(method, path, body, retryAuth = false, headers)
     }
     if (resp.statusCode() >= 300) throw new RestCatalogException(resp.statusCode(), resp.body())
     if (resp.body() == null || resp.body().isEmpty) F.objectNode() else mapper.readTree(resp.body())
@@ -298,7 +310,8 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
       if (hit != null && System.currentTimeMillis() - hit._1 <= opts.maxTableStalenessMs)
         return hit._2
     }
-    val node = request("GET", s"$apiRoot/namespaces/${nsPath(ns)}/tables/$name")
+    val node = request("GET", s"$apiRoot/namespaces/${nsPath(ns)}/tables/$name",
+      headers = delegationHeader)
     val t = parseLoadResult(node)
     if (opts.maxTableStalenessMs > 0) tableCache.put(key, (System.currentTimeMillis(), t))
     t
@@ -374,7 +387,23 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
       }
     }
     val props = o.putObject("properties"); properties.foreach { case (k, v) => props.put(k, v) }
-    val node = request("POST", s"$apiRoot/namespaces/${nsPath(ns)}/tables", Some(mapper.writeValueAsString(o)))
+    val node = request("POST", s"$apiRoot/namespaces/${nsPath(ns)}/tables",
+      Some(mapper.writeValueAsString(o)), headers = delegationHeader)
+    parseLoadResult(node)
+  }
+
+  /** Register an EXISTING table by its metadata-file location (the spec's
+    * `POST /v1/{prefix}/namespaces/{namespace}/register` — how a table
+    * written path-style, or migrated from another catalog, becomes
+    * catalog-managed without rewriting anything). */
+  def registerTable(ns: Seq[String], name: String, metadataLocation: String): LoadedTable = {
+    requireEndpoint("POST /v1/{prefix}/namespaces/{namespace}/register")
+    val o = F.objectNode()
+    o.put("name", name)
+    o.put("metadata-location", metadataLocation)
+    val node = request("POST", s"$apiRoot/namespaces/${nsPath(ns)}/register",
+      Some(mapper.writeValueAsString(o)), headers = delegationHeader)
+    invalidate(ns, name)
     parseLoadResult(node)
   }
 

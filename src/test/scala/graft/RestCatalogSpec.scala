@@ -291,6 +291,38 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     assert(e.status == 401)
   }
 
+  test("register an existing path table; access-delegation header gates vended credentials") {
+    catalog.createNamespace(Seq("reg"))
+    val src = spark.read.parquet(s"$sfDir/region.parquet")
+    // A table written path-style (no catalog) becomes catalog-managed via
+    // POST .../register with its metadata location — nothing rewritten.
+    val loc = tmpDir("graft_register_src")
+    IcebergTable.write(src, loc)
+    val t = catalog.registerTable(Seq("reg"), "adopted", loc)
+    assert(t.metadata.currentSnapshotId.isDefined)
+    assert(catalog.listTables(Seq("reg")) == Seq("adopted"))
+    assertSameResult(src, catalog.loadDF(spark, Seq("reg"), "adopted"))
+    // duplicate registration conflicts
+    val ex = intercept[RestCatalogException](catalog.registerTable(Seq("reg"), "adopted", loc))
+    assert(ex.status == 409)
+
+    // Polaris-style: credentials vended ONLY when the client advertises
+    // X-Iceberg-Access-Delegation (the default mode, like the reference).
+    server.vendedConfig = Map("s3.access-key-id" -> "DELEGATED_AK")
+    server.requireDelegationHeader = true
+    try {
+      assert(catalog.loadTable(Seq("reg"), "adopted").config
+        .get("s3.access-key-id").contains("DELEGATED_AK"))
+      val plain = new RestCatalog(server.uri, CatalogOptions(
+        token = Some(server.token), accessDelegationMode = None))
+      assert(plain.loadTable(Seq("reg"), "adopted").config.isEmpty,
+        "without the header the catalog must not vend credentials")
+    } finally {
+      server.vendedConfig = Map.empty
+      server.requireDelegationHeader = false
+    }
+  }
+
   test("staged CTAS: one atomic commit, table invisible until it") {
     catalog.createNamespace(Seq("stg"))
     val src = spark.read.parquet(s"$sfDir/region.parquet")

@@ -48,8 +48,12 @@ class TestRestServer {
   }
 
   /** When non-empty, served in every LoadTableResult `config` — simulates a
-    * catalog vending scoped storage credentials per table. */
+    * catalog vending scoped storage credentials per table. With
+    * `requireDelegationHeader`, credentials are vended ONLY to requests
+    * carrying `X-Iceberg-Access-Delegation` (how Polaris-style catalogs
+    * behave). */
   @volatile var vendedConfig: Map[String, String] = Map.empty
+  @volatile var requireDelegationHeader: Boolean = false
 
   /** When set, `GET /v1/config` vends this prefix in `overrides` and every
     * catalog route REQUIRES it (`/v1/{prefix}/namespaces/...`), 404-ing
@@ -84,12 +88,13 @@ class TestRestServer {
         (slice, if (off + sz < all.size) Some((off + sz).toString) else None)
     }
 
-  private def loadResult(meta: TableMetadata): String = {
+  private def loadResult(meta: TableMetadata, delegated: Boolean = true): String = {
     val o = F.objectNode()
     o.put("metadata-location", s"${meta.location}/metadata/v-rest.metadata.json")
     o.set[JsonNode]("metadata", mapper.readTree(TableMetadata.toJson(meta)))
     val cfg = o.putObject("config")
-    vendedConfig.foreach { case (k, v) => cfg.put(k, v) }
+    if (!requireDelegationHeader || delegated)
+      vendedConfig.foreach { case (k, v) => cfg.put(k, v) }
     mapper.writeValueAsString(o)
   }
 
@@ -183,6 +188,7 @@ class TestRestServer {
       val TableRe = "/v1/namespaces/([^/]+)/tables/([^/]+)".r
       val PlanRe = "/v1/namespaces/([^/]+)/tables/([^/]+)/plan".r
       val NsPropsRe = "/v1/namespaces/([^/]+)/properties".r
+      val RegisterRe = "/v1/namespaces/([^/]+)/(register)".r
       val NsRe = "/v1/namespaces/([^/]+)".r
 
       (method, path) match {
@@ -320,7 +326,25 @@ class TestRestServer {
         case ("GET", TableRe(ns, t)) =>
           namespaces.get(ns).flatMap(_.tables.get(t)) match {
             case None => respond(ex, 404, """{"error":"no such table"}""")
-            case Some(meta) => respond(ex, 200, loadResult(meta))
+            case Some(meta) =>
+              val delegated = Option(ex.getRequestHeaders
+                .getFirst("X-Iceberg-Access-Delegation")).isDefined
+              respond(ex, 200, loadResult(meta, delegated))
+          }
+
+        case ("POST", RegisterRe(ns, _)) =>
+          namespaces.get(ns) match {
+            case None => respond(ex, 404, """{"error":"no such namespace"}""")
+            case Some(n) =>
+              val b = body
+              val name = b.get("name").asText()
+              if (n.tables.contains(name)) respond(ex, 409, """{"error":"table exists"}""")
+              else {
+                val loc = b.get("metadata-location").asText()
+                val meta = TableMetadata.load(loc, new org.apache.hadoop.conf.Configuration())
+                n.tables.put(name, meta)
+                respond(ex, 200, loadResult(meta))
+              }
           }
 
         case ("POST", TableRe(ns, t)) => // commit
