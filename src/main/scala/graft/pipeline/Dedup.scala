@@ -64,18 +64,31 @@ object Dedup {
       val wh = new Array[Long](words.length)
       var w = 0
       while (w < words.length) { wh(w) = fnv64(words(w)); w += 1 }
+      // Shingle hashes first, then one tight per-permutation scan: the
+      // permutation state stays in a register across the whole shingle
+      // array instead of re-loading sig(p) per (shingle, perm) pair.
+      val n = words.length - shingleSize + 1
+      val sh = new Array[Long](n)
       var i = 0
-      while (i <= words.length - shingleSize) {
+      while (i < n) {
         var h = 0xcbf29ce484222325L
         var k = 0
         while (k < shingleSize) { h ^= wh(i + k); h *= 0x100000001b3L; k += 1 }
-        var p = 0
-        while (p < MinhashPerms) {
-          val v = permA(p) * h + permB(p)
-          if (v < sig(p)) sig(p) = v
-          p += 1
-        }
+        sh(i) = h
         i += 1
+      }
+      var p = 0
+      while (p < MinhashPerms) {
+        val a = permA(p); val b = permB(p)
+        var mn = Long.MaxValue
+        var j = 0
+        while (j < n) {
+          val v = a * sh(j) + b
+          if (v < mn) mn = v
+          j += 1
+        }
+        sig(p) = mn
+        p += 1
       }
     }
     sig
@@ -236,7 +249,7 @@ object Dedup {
     val cands = minhashCandidatePairs(df, textCol, idCol, shingleSize, maxBucket).persist()
     val nCand = cands.count()
     val texts = df.select(col(idCol).cast("long").as("_id"), col(textCol).as("_text"))
-    val gramsUdf = udf((t: String) => ngrams(if (t == null) "" else t, shingleSize).toArray)
+    val gramsUdf = udf((t: String) => ngramHashes(if (t == null) "" else t, shingleSize))
       .asNondeterministic()
     val candIds = cands.select(col("id_a").as("_id"))
       .union(cands.select(col("id_b").as("_id"))).distinct()
@@ -289,6 +302,38 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Distinct word-shingle HASHES, sorted — set semantics identical to the
+    * string shingles (64-bit collisions are ~1e-13 per document) but the
+    * exact-Jaccard re-score then intersects longs instead of allocating
+    * and comparing one string per shingle, which dominated the re-score
+    * cost on dup-dense corpora. */
+  def ngramHashes(s: String, n: Int): Array[Long] = {
+    val w = s.toLowerCase.split("\\W+").filter(_.nonEmpty)
+    if (w.length < n) Array(fnv64(w.mkString(" ")))
+    else {
+      val wh = new Array[Long](w.length)
+      var x = 0
+      while (x < w.length) { wh(x) = fnv64(w(x)); x += 1 }
+      val out = new Array[Long](w.length - n + 1)
+      var i = 0
+      while (i <= w.length - n) {
+        var h = 0xcbf29ce484222325L
+        var k = 0
+        while (k < n) { h ^= wh(i + k); h *= 0x100000001b3L; k += 1 }
+        out(i) = h
+        i += 1
+      }
+      java.util.Arrays.sort(out)
+      var m = 0
+      var j = 0
+      while (j < out.length) {
+        if (j == 0 || out(j) != out(j - 1)) { out(m) = out(j); m += 1 }
+        j += 1
+      }
+      java.util.Arrays.copyOf(out, m)
+    }
   }
 
   /** Word n-gram shingle set (the unit of exact Jaccard). */
