@@ -417,3 +417,66 @@ private[catalog] class CreateChangelogViewProcedure(catalog: GraftSparkCatalog)
     oneRow(org.apache.spark.unsafe.types.UTF8String.fromString(viewName))
   }
 }
+
+/**
+ * `CALL graft.system.rewrite_manifests(table => 'db.t')` — standalone
+ * manifest compaction ([[graft.write.Maintenance.rewriteManifests]]): a
+ * metadata-only REPLACE snapshot whose bin-packed manifests cut
+ * per-query driver planning cost on commit-heavy tables.
+ */
+private[catalog] class RewriteManifestsProcedure(catalog: GraftSparkCatalog)
+    extends OneRowProcedure {
+  override def name(): String = "rewrite_manifests"
+  override def description(): String =
+    "Bin-pack the current snapshot's data manifests into target-sized ones (metadata-only)"
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("target_size_bytes", LongType).defaultValue("NULL")
+      .comment("manifest target size; NULL = commit.manifest.target-size-bytes or 8 MiB")
+      .build())
+
+  protected val outputSchema = StructType(Seq(
+    StructField("rewritten_manifests_count", IntegerType, nullable = false),
+    StructField("added_manifests_count", IntegerType, nullable = false)))
+
+  override def call(input: InternalRow): JIterator[Scan] = {
+    require(!input.isNullAt(0), "rewrite_manifests: 'table' must not be NULL")
+    val table = input.getUTF8String(0).toString
+    val target = if (input.isNullAt(1)) None else Some(input.getLong(1))
+    val r = graft.write.Maintenance.rewriteManifests(SparkSession.active,
+      catalog.pathTableLocation(table, "rewrite_manifests"), target)
+    oneRow(r.rewrittenManifests, r.addedManifests)
+  }
+}
+
+/**
+ * `CALL graft.system.register_table(table => 'db.t', metadata_file =>
+ * '/path/v3.metadata.json')` — adopt an EXISTING table into a REST
+ * catalog by metadata location (RestCatalog.registerTable; nothing is
+ * rewritten or moved).
+ */
+private[catalog] class RegisterTableProcedure(catalog: GraftSparkCatalog)
+    extends OneRowProcedure {
+  override def name(): String = "register_table"
+  override def description(): String =
+    "Register an existing Iceberg table with the REST catalog by metadata location"
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("metadata_file", StringType).build())
+
+  protected val outputSchema = StructType(Seq(
+    StructField("current_snapshot_id", LongType, nullable = true),
+    StructField("total_data_files_count", LongType, nullable = true)))
+
+  override def call(input: InternalRow): JIterator[Scan] = {
+    require(!input.isNullAt(0) && !input.isNullAt(1),
+      "register_table: 'table' and 'metadata_file' must not be NULL")
+    val t = catalog.registerRestTable(input.getUTF8String(0).toString,
+      input.getUTF8String(1).toString)
+    oneRow(t.metadata.currentSnapshotId.map(Long.box).orNull,
+      t.metadata.currentSnapshot.flatMap(_.summary.get("total-data-files"))
+        .flatMap(_.toLongOption).map(Long.box).orNull)
+  }
+}

@@ -442,6 +442,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Proced
       case "create_changelog_view" => new CreateChangelogViewProcedure(this)
       case "compute_table_stats" => new ComputeTableStatsProcedure(this)
       case "compute_partition_stats" => new ComputePartitionStatsProcedure(this)
+      case "rewrite_manifests" => new RewriteManifestsProcedure(this)
+      case "register_table" => new RegisterTableProcedure(this)
       case other => throw new RuntimeException(s"Procedure system.$other not found")
     }
   }
@@ -451,7 +453,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Proced
       Array("rewrite_data_files", "expire_snapshots", "remove_orphan_files",
         "create_ref", "drop_ref", "rollback_to_snapshot", "set_current_snapshot",
         "fast_forward", "add_partition_field", "drop_partition_field",
-        "create_changelog_view", "compute_table_stats", "compute_partition_stats")
+        "create_changelog_view", "compute_table_stats", "compute_partition_stats",
+        "rewrite_manifests", "register_table")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -503,6 +506,19 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Proced
       throw new UnsupportedOperationException(
         s"$proc on a REST-catalog table is not supported — the catalog server owns its metadata lifecycle")
     resolve(ident)._1
+  }
+
+  /** register_table: REST-backed catalogs only — a path/warehouse catalog
+    * already addresses tables by location, there is nothing to register. */
+  private[catalog] def registerRestTable(table: String,
+      metadataLocation: String): RestCatalog#LoadedTable = {
+    val ident = parseTableArg(table)
+    rest match {
+      case Some(r) if !isPathIdent(ident) =>
+        r.registerTable(ident.namespace.toSeq, ident.name, metadataLocation)
+      case _ => throw new UnsupportedOperationException(
+        "register_table requires a REST-backed catalog")
+    }
   }
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = rest match {

@@ -50,9 +50,20 @@ object ManifestMerge {
     if (!mergeEnabled(meta)) return manifests
     val minCount = positiveLong(meta, MinCountProp, DefaultMinCount.toLong).toInt
     val targetSize = positiveLong(meta, TargetSizeProp, DefaultTargetSize)
-    val (data, deletes) = manifests.partition(_.content == 0)
+    val (data, _) = manifests.partition(_.content == 0)
     if (data.size < minCount) return manifests
+    binPack(meta, manifests, conf, targetSize)._1
+  }
 
+  /** Bin-pack data manifests to `targetSize` regardless of count policy —
+    * the standalone `rewrite_manifests` path. Returns (new manifest list,
+    * #manifests rewritten, #merged manifests created); delete manifests
+    * pass through. */
+  def binPack(meta: TableMetadata, manifests: Seq[ManifestFile],
+      conf: Configuration, targetSize: Long): (Seq[ManifestFile], Int, Int) = {
+    val (data, deletes) = manifests.partition(_.content == 0)
+    var rewritten = 0
+    var created = 0
     // Bin-pack per partition spec, walking from the end (oldest first).
     val out = Seq.newBuilder[ManifestFile]
     data.groupBy(_.partitionSpecId).foreach { case (specId, group) =>
@@ -65,10 +76,14 @@ object ManifestMerge {
       }
       bins.foreach { bin =>
         if (bin.size == 1) out += bin.head
-        else out += mergeBin(meta, specId, bin, conf)
+        else {
+          out += mergeBin(meta, specId, bin, conf)
+          rewritten += bin.size
+          created += 1
+        }
       }
     }
-    out.result() ++ deletes
+    (out.result() ++ deletes, rewritten, created)
   }
 
   private def mergeBin(meta: TableMetadata, specId: Int, bin: Seq[ManifestFile],
@@ -100,6 +115,9 @@ object ManifestMerge {
       addedRowsCount = 0L,
       existingRowsCount = entries.map(_.dataFile.recordCount).sum,
       deletedRowsCount = 0L,
-      partitions = Nil)
+      // Real partition-bound summaries — a merged manifest without them
+      // would always survive manifest-level pruning, costing one manifest
+      // read per query forever after.
+      partitions = graft.write.IcebergWrite.partitionSummaries(partitionFields, entries))
   }
 }

@@ -387,6 +387,43 @@ object IcebergWrite {
     (num.trim.toDouble * mult).toLong
   }
 
+  /** Per-manifest partition-bound field summaries (shared by snapshot
+    * assembly and manifest compaction).*/
+    private[graft] def partitionSummaries(partitionFields: Seq[(String, IcebergType, Int)], entries: Seq[ManifestEntry]): Seq[FieldSummary] =
+      partitionFields.zipWithIndex.map { case ((_, t, _), i) =>
+        val vals = entries.map(_.dataFile.partitionValues.lift(i).orNull)
+        val nonNull = vals.filter(_ != null)
+        val ser = nonNull.map(v => (v, SingleValue.serialize(Pruning2.internalForBounds(v, t), t)))
+        val sorted = ser.sortWith((a, b) => Pruning2.cmpAny(a._1, b._1) < 0)
+        // String partition summaries truncate like data-file bounds, but the
+        // upper bound must ROUND UP (truncate + increment) — a plain
+        // truncation can sit below the partition's own values and prune the
+        // manifest away from them (reference
+        // test_partition_summary_string_upper_bound, duckdb-iceberg#1047).
+        // Increment-impossible prefixes fall back to the exact value.
+        val truncatable = t == IcebergTypes.StringT || t == IcebergTypes.BinaryT
+        def truncLower(b: Array[Byte], v: Any): Array[Byte] =
+          if (!truncatable || b.length <= 16) b
+          else v match {
+            case s: String => SingleValue.serialize(FooterStats.truncateLowerString(s, 16), t)
+            case bb: Array[Byte] => FooterStats.truncateLowerBinary(bb, 16)
+            case _ => b
+          }
+        def truncUpper(b: Array[Byte], v: Any): Array[Byte] =
+          if (!truncatable || b.length <= 16) b
+          else v match {
+            case s: String => FooterStats.truncateUpperString(s, 16)
+              .map(u => SingleValue.serialize(u, t)).getOrElse(b)
+            case bb: Array[Byte] => FooterStats.truncateUpperBinary(bb, 16).getOrElse(b)
+            case _ => b
+          }
+        FieldSummary(
+          containsNull = vals.exists(_ == null),
+          containsNan = None,
+          lowerBound = sorted.headOption.map { case (v, b) => truncLower(b, v) },
+          upperBound = sorted.lastOption.map { case (v, b) => truncUpper(b, v) })
+      }
+
   /** File count at/above which footer-stats reads run as a Spark job instead
     * of on the driver. Overridable for tests. */
   @volatile private[graft] var statsDistributeThreshold: Int = 64
@@ -577,39 +614,7 @@ object IcebergWrite {
     fsys.mkdirs(new Path(metaDir))
 
     def summariesWith(partitionFields: Seq[(String, IcebergType, Int)])(entries: Seq[ManifestEntry]): Seq[FieldSummary] =
-      partitionFields.zipWithIndex.map { case ((_, t, _), i) =>
-        val vals = entries.map(_.dataFile.partitionValues.lift(i).orNull)
-        val nonNull = vals.filter(_ != null)
-        val ser = nonNull.map(v => (v, SingleValue.serialize(Pruning2.internalForBounds(v, t), t)))
-        val sorted = ser.sortWith((a, b) => Pruning2.cmpAny(a._1, b._1) < 0)
-        // String partition summaries truncate like data-file bounds, but the
-        // upper bound must ROUND UP (truncate + increment) — a plain
-        // truncation can sit below the partition's own values and prune the
-        // manifest away from them (reference
-        // test_partition_summary_string_upper_bound, duckdb-iceberg#1047).
-        // Increment-impossible prefixes fall back to the exact value.
-        val truncatable = t == IcebergTypes.StringT || t == IcebergTypes.BinaryT
-        def truncLower(b: Array[Byte], v: Any): Array[Byte] =
-          if (!truncatable || b.length <= 16) b
-          else v match {
-            case s: String => SingleValue.serialize(FooterStats.truncateLowerString(s, 16), t)
-            case bb: Array[Byte] => FooterStats.truncateLowerBinary(bb, 16)
-            case _ => b
-          }
-        def truncUpper(b: Array[Byte], v: Any): Array[Byte] =
-          if (!truncatable || b.length <= 16) b
-          else v match {
-            case s: String => FooterStats.truncateUpperString(s, 16)
-              .map(u => SingleValue.serialize(u, t)).getOrElse(b)
-            case bb: Array[Byte] => FooterStats.truncateUpperBinary(bb, 16).getOrElse(b)
-            case _ => b
-          }
-        FieldSummary(
-          containsNull = vals.exists(_ == null),
-          containsNan = None,
-          lowerBound = sorted.headOption.map { case (v, b) => truncLower(b, v) },
-          upperBound = sorted.lastOption.map { case (v, b) => truncUpper(b, v) })
-      }
+      IcebergWrite.partitionSummaries(partitionFields, entries)
 
     var newManifests = Seq.empty[ManifestFile]
 

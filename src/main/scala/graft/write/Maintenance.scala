@@ -157,6 +157,67 @@ object Maintenance {
     OrphanResult(dead.size, dead)
   }
 
+  /** What [[rewriteManifests]] did. */
+  case class RewriteManifestsResult(meta: TableMetadata,
+      rewrittenManifests: Int, addedManifests: Int)
+
+  /** Standalone manifest compaction (the `rewrite_manifests` procedure):
+    * bin-pack the CURRENT snapshot's data manifests to
+    * `commit.manifest.target-size-bytes` (or `targetSizeBytes`) and commit
+    * the result as one metadata-only REPLACE snapshot. Entries keep their
+    * original explicit sequence numbers; merged manifests carry real
+    * partition-bound summaries so manifest-level pruning keeps working.
+    *
+    * This is the planning-cost lever for a long-lived 100 TB table:
+    * thousands of per-commit micro-manifests become a handful of
+    * target-sized ones, and every subsequent query's driver-side planning
+    * reads those instead (the same cost the 300-manifest planning probe
+    * measures). Row data never moves; the commit is invisible to the CDC
+    * changelog (operation 'replace'). */
+  def rewriteManifests(spark: SparkSession, path: String,
+      targetSizeBytes: Option[Long] = None): RewriteManifestsResult = {
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = TableMetadata.load(path, conf)
+    val snap = meta.currentSnapshot.getOrElse(
+      return RewriteManifestsResult(meta, 0, 0))
+    val manifests = ManifestIO.manifestsOf(meta, snap, conf)
+    val target = targetSizeBytes
+      .orElse(meta.properties.get(graft.manifest.ManifestMerge.TargetSizeProp)
+        .flatMap(_.toLongOption).filter(_ > 0))
+      .getOrElse(graft.manifest.ManifestMerge.DefaultTargetSize)
+    val (merged, rewritten, created) =
+      graft.manifest.ManifestMerge.binPack(meta, manifests, conf, target)
+    if (rewritten == 0) return RewriteManifestsResult(meta, 0, 0)
+
+    val snapshotId = IcebergWrite.newSnapshotId()
+    val seq = meta.lastSequenceNumber + 1
+    val listPath = s"${meta.location}/metadata/snap-$snapshotId-rwm.avro"
+    ManifestIO.writeManifestList(listPath, conf, merged,
+      formatVersion = meta.formatVersion)
+    val totalRecords = merged.filter(_.content == 0).map(_.liveRowsCount).sum
+    val snapshot = SnapshotInfo(
+      snapshotId = snapshotId,
+      parentSnapshotId = Some(snap.snapshotId),
+      sequenceNumber = seq,
+      timestampMs = System.currentTimeMillis(),
+      manifestList = listPath,
+      summary = Map(
+        "operation" -> "replace",
+        "manifests-replaced" -> rewritten.toString,
+        "manifests-created" -> created.toString,
+        "total-records" -> totalRecords.toString),
+      schemaId = Some(meta.currentSchemaId))
+    val newMeta = meta.copy(
+      currentSnapshotId = Some(snapshotId),
+      snapshots = meta.snapshots :+ snapshot,
+      lastSequenceNumber = seq,
+      lastUpdatedMs = snapshot.timestampMs,
+      snapshotLog = meta.snapshotLog :+ ((snapshot.timestampMs, snapshotId)),
+      refs = meta.refs + ("main" -> graft.core.SnapshotRef(snapshotId, isBranch = true)))
+    RewriteManifestsResult(
+      IcebergWrite.commitMetadataNextVersion(newMeta, conf), rewritten, created)
+  }
+
   private def distinctByPath(ms: Seq[ManifestFile]): Seq[ManifestFile] =
     ms.distinctBy(_.path)
 

@@ -102,6 +102,76 @@ class MaintenanceSpec extends SparkSpec {
     assertSameResult(IcebergTable.load(spark, path), src)
   }
 
+  test("rewriteManifests: metadata-only compaction keeps rows, pruning summaries, and CDC invisibility") {
+    import org.apache.spark.sql.functions.col
+    val path = tmpDir("graft_rwm")
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    // 8 per-partition-spread appends -> 8 data manifests.
+    IcebergTable.write(orders.limit(0), path, graft.write.TableWriteOptions(
+      partitionBy = Seq(("o_orderstatus", graft.core.Transforms.Identity))))
+    (0 until 8).foreach(i => IcebergTable.append(
+      orders.filter(col("o_orderkey") % 8 === i), path))
+    val conf = spark.sessionState.newHadoopConf()
+    def manifestCount(): Int = {
+      val m = graft.core.TableMetadata.load(path, conf)
+      graft.manifest.ManifestIO.manifestsOf(m, m.currentSnapshot.get, conf).size
+    }
+    assert(manifestCount() == 8)
+    val before = IcebergTable.load(spark, path)
+    val beforeRows = before.count()
+    val headBefore = graft.core.TableMetadata.load(path, conf).currentSnapshotId.get
+
+    val r = graft.write.Maintenance.rewriteManifests(spark, path)
+    assert(r.rewrittenManifests == 8 && r.addedManifests == 1,
+      s"expected 8->1, got ${r.rewrittenManifests}->${r.addedManifests}")
+    assert(manifestCount() == 1)
+    // Rows identical; snapshot is a REPLACE on top of the old head.
+    val after = IcebergTable.load(spark, path)
+    assert(after.count() == beforeRows)
+    assertSameResult(before, after)
+    val meta = graft.core.TableMetadata.load(path, conf)
+    assert(meta.currentSnapshot.get.operation == "replace")
+    assert(meta.currentSnapshot.get.parentSnapshotId.contains(headBefore))
+
+    // The merged manifest kept REAL partition summaries: a partition
+    // predicate still prunes at file level and (with several specs') the
+    // summary bounds exist.
+    val merged = graft.manifest.ManifestIO.manifestsOf(meta, meta.currentSnapshot.get, conf).head
+    assert(merged.partitions.nonEmpty && merged.partitions.head.lowerBound.isDefined,
+      "merged manifest must carry partition-bound summaries")
+    assertSameResult(
+      IcebergTable.load(spark, path, graft.read.ReadOptions(filterSql = Some("o_orderstatus = 'F'"))),
+      orders.filter("o_orderstatus = 'F'"))
+
+    // CDC: the replace commit contributes no changelog rows.
+    val changes = graft.streaming.Streams.changesBetween(spark, path,
+      Some(headBefore), meta.currentSnapshotId.get)
+    assert(changes.count() == 0, "rewrite_manifests must be changelog-invisible")
+
+    // Idempotent: nothing left to merge.
+    val again = graft.write.Maintenance.rewriteManifests(spark, path)
+    assert(again.rewrittenManifests == 0)
+  }
+
+  test("CALL system.rewrite_manifests via SQL; register_table refused without REST") {
+    val wh = tmpDir("graft_rwm_wh")
+    spark.conf.set("spark.sql.catalog.rwmcat", classOf[graft.catalog.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.rwmcat.warehouse", wh)
+    val src = spark.read.parquet(s"$sfDir/region.parquet")
+    val path = s"$wh/db/region_m"
+    IcebergTable.write(src, path)
+    (1 to 3).foreach(_ => IcebergTable.append(src.limit(1), path))
+    val row = spark.sql(
+      "CALL rwmcat.system.rewrite_manifests(table => 'db.region_m')").collect()(0)
+    assert(row.getInt(0) == 4 && row.getInt(1) == 1)
+    assert(spark.sql("SELECT count(*) FROM rwmcat.db.region_m").collect()(0).getLong(0)
+      == src.count() + 3)
+    // register_table needs a REST catalog behind the name.
+    val e = intercept[Exception](spark.sql(
+      "CALL rwmcat.system.register_table(table => 'db.x', metadata_file => '/nope')").collect())
+    assert(e.getMessage.contains("REST"))
+  }
+
   test("CALL system.expire_snapshots and remove_orphan_files via SQL; REST-named refused") {
     val wh = tmpDir("graft_maint_wh")
     spark.conf.set("spark.sql.catalog.maintcat", classOf[graft.catalog.GraftSparkCatalog].getName)

@@ -306,6 +306,18 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     val ex = intercept[RestCatalogException](catalog.registerTable(Seq("reg"), "adopted", loc))
     assert(ex.status == 409)
 
+    // SQL face: CALL <cat>.system.register_table against the same server.
+    spark.conf.set("spark.sql.catalog.regcat",
+      classOf[graft.catalog.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.regcat.uri", server.uri)
+    spark.conf.set("spark.sql.catalog.regcat.token", server.token)
+    val row = spark.sql(
+      s"CALL regcat.system.register_table(table => 'reg.adopted2', metadata_file => '$loc')")
+      .collect()(0)
+    assert(!row.isNullAt(0), "register_table must surface the adopted snapshot id")
+    assert(spark.sql("SELECT count(*) FROM regcat.reg.adopted2").collect()(0).getLong(0)
+      == src.count())
+
     // Polaris-style: credentials vended ONLY when the client advertises
     // X-Iceberg-Access-Delegation (the default mode, like the reference).
     server.vendedConfig = Map("s3.access-key-id" -> "DELEGATED_AK")
