@@ -480,3 +480,31 @@ private[catalog] class RegisterTableProcedure(catalog: GraftSparkCatalog)
         .flatMap(_.toLongOption).map(Long.box).orNull)
   }
 }
+
+/**
+ * `CALL graft.system.rewrite_position_delete_files(table => 'db.t')` —
+ * [[graft.write.Dml.rewritePositionDeleteFiles]]: drop dangling positional
+ * delete rows and compact the rest to one sorted delete file per
+ * partition, one metadata REPLACE snapshot.
+ */
+private[catalog] class RewritePositionDeletesProcedure(catalog: GraftSparkCatalog)
+    extends OneRowProcedure {
+  override def name(): String = "rewrite_position_delete_files"
+  override def description(): String =
+    "Compact positional delete files and drop dangling delete rows"
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType).build())
+
+  protected val outputSchema = StructType(Seq(
+    StructField("rewritten_delete_files_count", IntegerType, nullable = false),
+    StructField("added_delete_files_count", IntegerType, nullable = false),
+    StructField("removed_dangling_rows", LongType, nullable = false)))
+
+  override def call(input: InternalRow): JIterator[Scan] = {
+    require(!input.isNullAt(0), "rewrite_position_delete_files: 'table' must not be NULL")
+    val r = Dml.rewritePositionDeleteFiles(SparkSession.active,
+      catalog.dmlOpsFor(input.getUTF8String(0).toString))
+    oneRow(r.rewrittenDeleteFiles, r.addedDeleteFiles, r.removedDanglingRows)
+  }
+}

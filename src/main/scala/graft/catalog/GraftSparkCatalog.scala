@@ -443,6 +443,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Proced
       case "compute_table_stats" => new ComputeTableStatsProcedure(this)
       case "compute_partition_stats" => new ComputePartitionStatsProcedure(this)
       case "rewrite_manifests" => new RewriteManifestsProcedure(this)
+      case "rewrite_position_delete_files" => new RewritePositionDeletesProcedure(this)
       case "register_table" => new RegisterTableProcedure(this)
       case other => throw new RuntimeException(s"Procedure system.$other not found")
     }
@@ -454,7 +455,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Proced
         "create_ref", "drop_ref", "rollback_to_snapshot", "set_current_snapshot",
         "fast_forward", "add_partition_field", "drop_partition_field",
         "create_changelog_view", "compute_table_stats", "compute_partition_stats",
-        "rewrite_manifests", "register_table")
+        "rewrite_manifests", "register_table", "rewrite_position_delete_files")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 

@@ -63,13 +63,22 @@ object Dml {
       .select(col("_m_recorded").as("file_path", fieldMeta(PosDeletePathFieldId)),
         col("pos").cast("long").as("pos", fieldMeta(PosDeletePosFieldId)),
         col("_m_pk").as("_pk"))
+    writeDeleteRows(spark, meta, dels, staging, partTuples.map(_.swap))
+  }
+
+  /** Stage `dels` (file_path, pos, _pk) as sorted positional-delete parquet
+    * files, one per referenced partition, and return their manifest
+    * entries. */
+  private def writeDeleteRows(spark: SparkSession, meta: TableMetadata,
+      dels: DataFrame, staging: String,
+      indexToTuple: Map[Int, Seq[Any]]): Seq[ManifestEntry] = {
+    val conf = spark.sessionState.newHadoopConf()
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     dels.repartition(col("_pk")).sortWithinPartitions("file_path", "pos")
       .write.partitionBy("_pk").parquet(staging)
 
     val fsys = TableMetadata.fs(staging, conf)
-    val indexToTuple = partTuples.map(_.swap)
     val files = {
       val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
       val it = fsys.listFiles(new Path(staging), true)
@@ -610,6 +619,52 @@ object Dml {
   /** CREATE TABLE AS SELECT. */
   def ctas(df: DataFrame, path: String, opts: TableWriteOptions = TableWriteOptions()): TableMetadata =
     IcebergWrite.writeTable(df, path, opts)
+
+  /** What [[rewritePositionDeleteFiles]] did. */
+  case class RewritePosDeletesResult(meta: TableMetadata, rewrittenDeleteFiles: Int,
+      addedDeleteFiles: Int, removedDanglingRows: Long)
+
+  /** Rewrite positional delete files (the `rewrite_position_delete_files`
+    * procedure): drop DANGLING delete rows (whose referenced data file is no
+    * longer live — left behind by compaction / overwrites), deduplicate, and
+    * compact the survivors into one sorted delete file per partition. One
+    * REPLACE snapshot; row data never moves. v3 deletion vectors are left
+    * alone (already one per data file).
+    *
+    * Scale shape: the rewrite reads ONLY the positional delete files (small
+    * relative to data) plus the plan's file list; the dangling filter is a
+    * broadcast join against the live-path list (metadata-sized). A MoR
+    * table under steady DELETE/UPDATE load accretes one delete file per
+    * touched partition per commit — this collapses them so every
+    * subsequent scan's anti-join reads one file per partition instead of
+    * hundreds. */
+  def rewritePositionDeleteFiles(spark: SparkSession, ops: TableOps): RewritePosDeletesResult = {
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = ops.load(conf)
+    val p = IcebergRead.planWithMetadata(spark, meta, conf, ReadOptions())
+    val posDeletes = p.deleteFiles.filter(d =>
+      d.info.content == FileContent.PositionDeletes && d.info.fileFormat == "parquet")
+    if (posDeletes.isEmpty) return RewritePosDeletesResult(meta, 0, 0, 0L)
+    IcebergRead.ensureConfs(spark)
+    val partTuples = p.dataFiles.map(_.info.partitionValues).distinct.zipWithIndex.toMap
+    val fileInfo = p.dataFiles.map(f => (f.recordedPath, partTuples(f.info.partitionValues)))
+      .toDF("_m_recorded", "_m_pk")
+    val rows = spark.read.parquet(posDeletes.map(_.resolvedPath): _*)
+      .select(col("file_path"), col("pos"))
+    val totalBefore = posDeletes.map(_.info.recordCount).sum
+    val kept = rows.join(broadcast(fileInfo), col("file_path") === col("_m_recorded"))
+      .select(col("file_path").as("file_path", fieldMeta(PosDeletePathFieldId)),
+        col("pos").cast("long").as("pos", fieldMeta(PosDeletePosFieldId)),
+        col("_m_pk").as("_pk"))
+      .dropDuplicates("file_path", "pos")
+    val staging = s"${meta.location}/data/${UUID.randomUUID().toString}-rwdel"
+    val entries = writeDeleteRows(spark, meta, kept, staging, partTuples.map(_.swap))
+    val keptRows = entries.map(_.dataFile.recordCount).sum
+    val newMeta = ops.commit(meta, Nil, entries, "replace", conf,
+      removedDataPaths = posDeletes.map(_.info.filePath).toSet)
+    RewritePosDeletesResult(newMeta, posDeletes.size, entries.size, totalBefore - keptRows)
+  }
 
   /** What a [[rewriteDataFiles]] run did, mirroring the reference's result
     * columns (iceberg_rewrite_data_files.cpp:168 `rewritten_data_files,

@@ -140,6 +140,67 @@ class DmlSpec extends SparkSpec {
       "default-order sort rewrite must stamp the table's sort-order id")
   }
 
+  test("rewrite_position_delete_files: drops dangling rows, compacts to one delete file per partition") {
+    import org.apache.spark.sql.functions.col
+    val src = spark.read.parquet(s"$sfDir/orders.parquet")
+    val path = tmpDir("graft_rwposdel")
+    // Per partition: one big file + one small file; deletes hit BOTH.
+    IcebergTable.write(src.filter("o_orderkey % 97 != 0"), path,
+      graft.write.TableWriteOptions(partitionBy = Seq(("o_orderstatus", graft.core.Transforms.Identity))))
+    IcebergTable.append(src.filter("o_orderkey % 97 = 0"), path)
+    IcebergTable.delete(spark, path, "o_orderkey % 5 = 0")
+    IcebergTable.delete(spark, path, "o_orderkey % 7 = 1")
+    val expected = src.filter("NOT(o_orderkey % 5 = 0) AND NOT(o_orderkey % 7 = 1)")
+    assertSameResult(IcebergTable.load(spark, path), expected)
+
+    // Dangling rows: simulate an external writer dropping a data file
+    // WITHOUT cleaning the delete rows that referenced it (our own
+    // rewriteDataFiles absorbs deletes, so the gap must come from outside
+    // — e.g. an engine with deferred delete cleanup).
+    val conf = spark.sessionState.newHadoopConf()
+    val pMid = IcebergTable.plan(spark, path)
+    val victim = pMid.dataFiles.minBy(_.info.fileSizeInBytes)
+    graft.write.IcebergWrite.commitSnapshot(
+      graft.core.TableMetadata.load(path, conf), Nil, Nil, "delete", conf,
+      removedDataPaths = Set(victim.info.filePath))
+    val contentBefore = IcebergTable.load(spark, path)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    contentBefore.count() // materialize pre-rewrite content
+
+    val pBefore = IcebergTable.plan(spark, path)
+    val posBefore = pBefore.deleteFiles.count(_.info.content == graft.manifest.FileContent.PositionDeletes)
+    assert(posBefore >= 2, s"need several delete files to compact, have $posBefore")
+
+    val r = graft.write.Dml.rewritePositionDeleteFiles(spark, graft.write.Dml.PathOps(path))
+    assert(r.rewrittenDeleteFiles == posBefore)
+    assert(r.removedDanglingRows > 0, "partial compaction must have left dangling delete rows")
+    val pAfter = IcebergTable.plan(spark, path)
+    val partitionsWithDeletes = pAfter.deleteFiles.map(_.info.partitionValues).distinct.size
+    assert(pAfter.deleteFiles.size == partitionsWithDeletes,
+      s"expected one delete file per touched partition, got ${pAfter.deleteFiles.size} for $partitionsWithDeletes partitions")
+    assert(pAfter.deleteFiles.size < posBefore)
+    // Row results identical; the commit is a changelog-invisible REPLACE.
+    assertSameResult(IcebergTable.load(spark, path), contentBefore)
+    assert(graft.core.TableMetadata.load(path, conf).currentSnapshot.get.operation == "replace")
+    assert(graft.streaming.Streams.changesBetween(spark, path,
+      Some(pBefore.snapshot.get.snapshotId), r.meta.currentSnapshotId.get).count() == 0)
+
+    // Idempotent second run: nothing dangling, already one per partition —
+    // rewrites in place with zero dangling rows.
+    val r2 = graft.write.Dml.rewritePositionDeleteFiles(spark, graft.write.Dml.PathOps(path))
+    assert(r2.removedDanglingRows == 0)
+    assertSameResult(IcebergTable.load(spark, path), contentBefore)
+    contentBefore.unpersist()
+
+    // v3 DV tables are untouched (no parquet positional deletes).
+    val v3 = tmpDir("graft_rwposdel_v3")
+    IcebergTable.write(src.limit(100), v3,
+      graft.write.TableWriteOptions(formatVersion = 3))
+    IcebergTable.delete(spark, v3, "o_orderkey % 2 = 0")
+    val rv3 = graft.write.Dml.rewritePositionDeleteFiles(spark, graft.write.Dml.PathOps(v3))
+    assert(rv3.rewrittenDeleteFiles == 0 && rv3.addedDeleteFiles == 0)
+  }
+
   test("rewriteDataFiles compacts ONLY the qualifying partition; others untouched") {
     val src = spark.read.parquet(s"$sfDir/orders.parquet")
     val path = tmpDir("graft_dml_rewrite_partial")
