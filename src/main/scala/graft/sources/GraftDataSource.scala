@@ -394,12 +394,20 @@ private[sources] class GraftLocalAggScan(schema: StructType,
 
 private[sources] class GraftScan(path: String, required: StructType,
     pushed: Array[Filter], opts: ReadOptions,
-    preloaded: Option[TableMetadata] = None)
+    preloaded: Option[TableMetadata] = None,
+    /** Predicates Catalyst cannot push as `Filter`s (geometry bbox UDF) —
+      * injected by [[GraftScanStatistics]] from the residual Filter node so
+      * file-level pruning still sees them on the SQL route. */
+    private[sources] val extraFilterSql: Option[String] = None)
     extends V1Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   private val filterSql: Option[String] = {
-    val parts = pushed.flatMap(FilterSql.convert)
+    val parts = pushed.flatMap(FilterSql.convert) ++ extraFilterSql
     if (parts.isEmpty) None else Some(parts.map(p => s"($p)").mkString(" AND "))
   }
+
+  private[sources] def withExtraFilter(sql: String): GraftScan =
+    new GraftScan(path, required, pushed, opts, preloaded,
+      Some(extraFilterSql.fold(sql)(e => s"($e) AND ($sql)")))
   private val needLineage = required.fieldNames.exists(GraftTable.LineageColumns.contains)
   private val effOpts =
     opts.copy(filterSql = filterSql, withRowLineage = opts.withRowLineage || needLineage)
@@ -693,7 +701,26 @@ private[graft] object GraftScanStatistics
     // DML plans (DELETE/UPDATE/MERGE rewrites, V2 writes) pattern-match the
     // relation node in their strategies — never substitute under a command.
     val isCommand = plan.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Command])
-    plan.transformUpWithSubqueries {
+    // Pre-pass: geometry bbox predicates are UDF calls, which the V2
+    // pushdown cannot translate to source Filters — they stay in the
+    // residual Filter node. Feed their SQL form into the scan so Appendix D
+    // bounds prune files; the Filter stays for row-level semantics.
+    val withGeo = plan.transformUpWithSubqueries {
+      case f @ org.apache.spark.sql.catalyst.plans.logical.Filter(cond, r: DataSourceV2ScanRelation) =>
+        r.scan match {
+          case w: V1ScanWrapper => w.v1Scan match {
+            case g: GraftScan =>
+              val preds = bboxConjuncts(cond, r)
+                .filterNot(p => g.extraFilterSql.exists(_.contains(p)))
+              if (preds.isEmpty) f
+              else f.copy(child =
+                r.copy(scan = w.copy(v1Scan = g.withExtraFilter(preds.mkString(" AND ")))))
+            case _ => f
+          }
+          case _ => f
+        }
+    }
+    withGeo.transformUpWithSubqueries {
       case r: DataSourceV2ScanRelation =>
         r.scan match {
           case w: V1ScanWrapper if !w.isInstanceOf[GraftStatsV1ScanWrapper] =>
@@ -707,6 +734,35 @@ private[graft] object GraftScanStatistics
             }
           case _ => r
         }
+    }
+  }
+
+  /** Top-level `st_intersects_bbox(col, x1, y1, x2, y2)` conjuncts of a
+    * resolved filter over `rel`, rendered back to filter SQL. */
+  private def bboxConjuncts(cond: org.apache.spark.sql.catalyst.expressions.Expression,
+      rel: DataSourceV2ScanRelation): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Literal, ScalaUDF}
+    def split(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+      case And(l, r) => split(l) ++ split(r)
+      case other => Seq(other)
+    }
+    def d(e: org.apache.spark.sql.catalyst.expressions.Expression): Option[Double] = e match {
+      case Literal(v: Double, _) => Some(v)
+      case Literal(v: Float, _) => Some(v.toDouble)
+      case Literal(v: Int, _) => Some(v.toDouble)
+      case Literal(v: Long, _) => Some(v.toDouble)
+      case _ => None
+    }
+    split(cond).flatMap {
+      case u: ScalaUDF if u.udfName.contains("st_intersects_bbox") =>
+        u.children match {
+          case Seq(a: AttributeReference, e1, e2, e3, e4) if rel.outputSet.contains(a) =>
+            for (x1 <- d(e1); y1 <- d(e2); x2 <- d(e3); y2 <- d(e4))
+              yield s"st_intersects_bbox(`${a.name}`, ${x1}D, ${y1}D, ${x2}D, ${y2}D)"
+          case _ => None
+        }
+      case _ => None
     }
   }
 

@@ -125,6 +125,20 @@ class GeometrySpec extends SparkSpec {
     // Full table reads still work and null-safety holds.
     assert(IcebergTable.load(spark, path).count() == 100)
 
+    // DSv2 SQL route: the bbox UDF cannot be pushed as a source Filter, but
+    // the optimizer pre-pass feeds it to the scan — same 1-of-4 file prune
+    // as the direct API, with the residual Filter keeping row semantics.
+    graft.functions.IcebergFunctions.register(spark)
+    graft.sources.GraftDataSource.lastScanFiles = None
+    val dsv2 = spark.read.format("graft").load(path)
+      .where(org.apache.spark.sql.functions.expr(
+        "st_intersects_bbox(geom, -1.0D, -1.0D, 3.0D, 3.0D)"))
+    assert(dsv2.count() == 4)
+    val (kept, total) = graft.sources.GraftDataSource.lastScanFiles
+      .getOrElse(fail("scan probe not recorded"))
+    assert(total == 4 && kept == 1,
+      s"DSv2 route should prune to 1 of 4 files via the bbox, kept $kept of $total")
+
     // iceberg_column_stats renders the bbox as the reference's JSON object
     // (test_geometry_column_stats.test: absent Z/M are JSON null).
     val stats = IcebergTable.columnStats(spark, path)
