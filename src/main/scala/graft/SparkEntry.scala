@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{Dedup, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Decontamination, Dedup, Sampling, Similarity, TextAnalysis}
 import graft.read.ReadOptions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -529,6 +529,16 @@ object SparkEntry {
         pq(s, dir, "documents").select("doc_id", "text"),
         "text", "doc_id", maxTokens = 64, overlap = 16)),
 
+    // Benchmark decontamination: per-doc fraction of 3-gram shingles that
+    // appear in an "eval set" (every 37th doc's text). Eval shingles
+    // broadcast; one corpus shuffle.
+    "text_decontaminate" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents").select("doc_id", "text")
+      val evalSet = docs.filter(col("doc_id") % 37 === 0).select(col("text").as("eval_text"))
+      Decontamination.contamination(docs, "text", "doc_id", evalSet, "eval_text",
+        n = 3, threshold = 0.5)
+    }),
+
     // Deterministic hash-bucket split: re-running on the same corpus (or
     // another engine) reproduces the same train/val/test assignment.
     "text_split" -> ((s, dir) =>
@@ -896,6 +906,31 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, 'https?://[A-Za-z0-9./_%-]+')) AS BIGINT) AS n_urls,
         |  CAST(len(regexp_extract_all(text, '\+[0-9]{7,15}')) AS BIGINT) AS n_phones
         |FROM injected""".stripMargin,
+
+    // Same 3-gram shingle construction as the minhash oracle; the eval set
+    // is every 37th document's shingles. Spark matches hashed shingles,
+    // the oracle matches the strings — identical counts absent 64-bit
+    // collisions.
+    "text_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN text IS NULL THEN [] ELSE list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') END AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |      ELSE list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+        |    FROM toks)),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 37 = 0),
+        |agg AS (
+        |  SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |    CAST(sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+        |  FROM sh LEFT JOIN ev ON sh.s = ev.s
+        |  GROUP BY sh.doc_id)
+        |SELECT doc_id, n_shingles, n_matched,
+        |  CASE WHEN n_shingles = 0 THEN 0.0 ELSE n_matched::DOUBLE / n_shingles END AS contamination,
+        |  (CASE WHEN n_shingles = 0 THEN 0.0 ELSE n_matched::DOUBLE / n_shingles END) >= 0.5 AS contaminated
+        |FROM agg""".stripMargin,
 
     // Same multiplicative-hash bucket arithmetic: exact Long math in both
     // engines (DuckDB's wider intermediate types agree — id is first

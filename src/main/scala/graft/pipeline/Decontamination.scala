@@ -1,0 +1,46 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Benchmark decontamination: flag training documents whose word n-gram
+ * shingles overlap an evaluation set — the standard guard against test-set
+ * leakage when assembling LLM training data.
+ *
+ * Scale shape (100 TB corpus, megabyte-scale eval sets): the EVAL side's
+ * distinct shingle hashes are collected into a broadcast (eval sets are
+ * benchmarks — thousands to millions of shingles, never corpus-sized);
+ * the corpus side is one projection exploding each document's distinct
+ * shingle hashes, a broadcast semi-probe, and a per-document count
+ * aggregation. One corpus-wide shuffle total (the groupBy on doc id, which
+ * combines map-side), zero corpus-vs-corpus joins. Shingles are 64-bit
+ * hashes ([[Dedup.ngramHashes]]) — set semantics identical to string
+ * shingles short of ~1e-13-per-doc collisions, at 8 bytes each.
+ */
+object Decontamination {
+
+  /** Per-document contamination report: (id, n_shingles, n_matched,
+    * contamination in [0,1], contaminated at `threshold`). A document with
+    * no shingles (empty text) reports 0 contamination. */
+  def contamination(corpus: DataFrame, textCol: String, idCol: String,
+      evalSet: DataFrame, evalTextCol: String,
+      n: Int = 8, threshold: Double = 0.5): DataFrame = {
+    val shingles = udf((t: String) => Dedup.ngramHashes(if (t == null) "" else t, n))
+    val evalShingles = evalSet
+      .select(explode(shingles(col(evalTextCol))).as("_sh")).distinct()
+    val docShingles = corpus
+      .select(col(idCol).cast("long").as(idCol), explode(shingles(col(textCol))).as("_sh"))
+      .distinct()
+    docShingles
+      .join(broadcast(evalShingles.withColumn("_hit", lit(1))), Seq("_sh"), "left")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).cast("long").as("n_shingles"),
+        sum(coalesce(col("_hit"), lit(0))).cast("long").as("n_matched"))
+      .withColumn("contamination",
+        when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(col("n_matched").cast("double") / col("n_shingles")))
+      .withColumn("contaminated", col("contamination") >= threshold)
+  }
+}
