@@ -363,6 +363,81 @@ object IcebergTable {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
+  /** `<table>.files` metadata table (the Iceberg-Spark convention): one row
+    * per live file in the current snapshot, data and delete files alike.
+    * Partition values render as a `name=value` string — stable across
+    * partition specs. */
+  def files(spark: SparkSession, path: String, opts: ReadOptions = ReadOptions()): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = TableMetadata.load(path, conf, opts.metadataVersion, opts.versionNameFormat)
+    val p = IcebergRead.planWithMetadata(spark, meta, conf, opts)
+    val schema = StructType(Seq(
+      StructField("content", IntegerType),
+      StructField("file_path", StringType),
+      StructField("file_format", StringType),
+      StructField("spec_id", IntegerType),
+      StructField("partition", StringType),
+      StructField("record_count", LongType),
+      StructField("file_size_in_bytes", LongType),
+      StructField("data_sequence_number", LongType),
+      StructField("sort_order_id", IntegerType)))
+    val rows = (p.dataFiles ++ p.deleteFiles).map { pf =>
+      Row(pf.info.content, pf.recordedPath, pf.info.fileFormat, pf.specId,
+        partitionString(meta, pf.specId, pf.info.partitionValues),
+        pf.info.recordCount, pf.info.fileSizeInBytes, pf.dataSeq,
+        pf.info.sortOrderId.map(Int.box).orNull)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** `<table>.partitions` metadata table: per live partition, file/row
+    * counts and byte totals split by content kind. */
+  def partitions(spark: SparkSession, path: String, opts: ReadOptions = ReadOptions()): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = TableMetadata.load(path, conf, opts.metadataVersion, opts.versionNameFormat)
+    val p = IcebergRead.planWithMetadata(spark, meta, conf, opts)
+    val schema = StructType(Seq(
+      StructField("partition", StringType),
+      StructField("spec_id", IntegerType),
+      StructField("record_count", LongType),
+      StructField("file_count", IntegerType),
+      StructField("total_data_file_size_in_bytes", LongType),
+      StructField("position_delete_file_count", IntegerType),
+      StructField("equality_delete_file_count", IntegerType)))
+    val byPart = (p.dataFiles ++ p.deleteFiles)
+      .groupBy(pf => (pf.specId, partitionString(meta, pf.specId, pf.info.partitionValues)))
+    val rows = byPart.toSeq.sortBy(_._1._2).map { case ((specId, part), fs) =>
+      val data = fs.filter(_.info.content == graft.manifest.FileContent.Data)
+      Row(part, specId,
+        data.map(_.info.recordCount).sum, data.size,
+        data.map(_.info.fileSizeInBytes).sum,
+        fs.count(_.info.content == graft.manifest.FileContent.PositionDeletes),
+        fs.count(_.info.content == graft.manifest.FileContent.EqualityDeletes))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** Partition tuple as `name=value/...` under its spec (empty string for
+    * unpartitioned files). */
+  private def partitionString(meta: graft.core.TableMetadata, specId: Int,
+      values: Seq[Any]): String = {
+    val spec = meta.spec(specId)
+    spec.fields.zip(values).map { case (pf, v) =>
+      val sch = meta.currentSchema
+      val rendered = v match {
+        case null => "null"
+        case b: Array[Byte] =>
+          val t = sch.idToField.get(pf.sourceId).map(f => pf.transform.resultType(f.fieldType))
+          t.map(tt => graft.read.Pruning.convertPartitionValue(b, tt)) match {
+            case Some(v) if !v.isInstanceOf[Array[Byte]] => String.valueOf(v)
+            case _ => java.util.Base64.getEncoder.encodeToString(b)
+          }
+        case other => String.valueOf(other)
+      }
+      s"${pf.name}=$rendered"
+    }.mkString("/")
+  }
+
   /** `iceberg_load_table_response(json)`: parse a REST LoadTableResult into
     * rows — the debug surface for catalog responses (reference
     * iceberg_load_table_response.cpp:68-248). */

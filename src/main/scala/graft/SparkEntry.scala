@@ -173,6 +173,13 @@ object SparkEntry {
         .agg(round(sum("l_quantity"), 2).as("qty"),
           count(lit(1)).cast("long").as("n"))),
 
+    // `<table>.partitions` metadata table: per-partition row counts must
+    // equal a plain GROUP BY over the source (value-exact oracle; file
+    // counts/bytes are engine-internal and verified in the SQL spec).
+    "meta_partitions" -> ((s, dir) =>
+      IcebergTable.partitions(s, Fixtures.ordersPartitionAnalyzed(s, dir))
+        .select(col("partition"), col("record_count"))),
+
     // Geometry bbox scan: WKB points with Appendix-D bounds; the bbox
     // predicate prunes files and filters rows. Point coordinates are
     // key-derived so DuckDB can oracle it with two BETWEENs.
@@ -783,6 +790,11 @@ object SparkEntry {
       """SELECT DISTINCT l_orderkey,
         |  l_orderkey - ((l_orderkey % 100 + 100) % 100) AS trunc_100
         |FROM lineitem WHERE l_orderkey < 500""".stripMargin,
+
+    "meta_partitions" ->
+      """SELECT 'o_orderstatus=' || o_orderstatus AS partition,
+        |  count(*)::BIGINT AS record_count
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "ice_geometry_bbox" ->
       """SELECT s_suppkey FROM supplier

@@ -140,6 +140,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Proced
     "manifest_entries" -> ((s, p) => graft.IcebergTable.manifestEntries(s, p)),
     "entries" -> ((s, p) => graft.IcebergTable.manifestEntries(s, p)),
     "column_stats" -> ((s, p) => graft.IcebergTable.columnStats(s, p)),
+    "files" -> ((s, p) => graft.IcebergTable.files(s, p)),
+    "partitions" -> ((s, p) => graft.IcebergTable.partitions(s, p)),
     "partition_stats" -> ((s, p) => graft.IcebergTable.partitionStats(s, p)),
     "properties" -> ((s, p) => graft.IcebergTable.tableProperties(s, p)),
     "refs" -> ((s, p) => graft.IcebergTable.refs(s, p)),

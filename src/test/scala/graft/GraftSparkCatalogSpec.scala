@@ -581,6 +581,26 @@ class GraftSparkCatalogSpec extends SparkSpec with BeforeAndAfterAll {
       "SELECT value FROM metacat.db.region_meta.properties WHERE key = 'fmt'")
       .collect().map(_.getString(0)).toSeq
     assert(props == Seq("iceberg"))
+
+    // t.files / t.partitions — the Iceberg-Spark metadata-table convention.
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val ppath = s"$wh/db/orders_meta"
+    IcebergTable.write(orders, ppath, graft.write.TableWriteOptions(
+      partitionBy = Seq(("o_orderstatus", graft.core.Transforms.Identity))))
+    IcebergTable.delete(spark, ppath, "o_orderstatus = 'F' AND o_orderkey % 2 = 0")
+    val files = spark.sql("SELECT * FROM metacat.db.orders_meta.files")
+    assert(files.filter("content = 0").count() == 3) // one data file per status
+    assert(files.filter("content = 1").count() >= 1) // the positional delete
+    assert(files.filter("partition = 'o_orderstatus=F' AND content = 1").count() >= 1,
+      "delete file must carry its partition string")
+    val parts = spark.sql(
+      "SELECT * FROM metacat.db.orders_meta.partitions ORDER BY partition").collect()
+    assert(parts.map(_.getAs[String]("partition")).toSeq ==
+      Seq("o_orderstatus=F", "o_orderstatus=O", "o_orderstatus=P"))
+    assert(parts.map(_.getAs[Long]("record_count")).sum == orders.count())
+    val fRow = parts.find(_.getAs[String]("partition") == "o_orderstatus=F").get
+    assert(fRow.getAs[Int]("position_delete_file_count") >= 1)
+    assert(parts.forall(_.getAs[Long]("total_data_file_size_in_bytes") > 0))
     // a missing base table still errors cleanly
     val e = intercept[Exception](spark.sql("SELECT * FROM metacat.db.nope.snapshots").collect())
     assert(e.getMessage.toLowerCase.contains("table"))
