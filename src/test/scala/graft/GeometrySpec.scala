@@ -73,6 +73,62 @@ class GeometrySpec extends SparkSpec {
     assert(Wkb.decodeBound(Array.fill[Byte](8)(0)).isEmpty)
   }
 
+  test("seeded fuzz: bbox pruning is SOUND — no query box ever loses a matching row") {
+    val rnd = new scala.util.Random(20260814L)
+    val geomField = IcebergTypes.NestedField(2, "geom", required = false,
+      IcebergTypes.GeometryT(None)).toSpark
+    val schema = StructType(Seq(StructField("id", IntegerType, nullable = false), geomField))
+
+    // 12 appends of mixed random points/linestrings (plus some nulls),
+    // envelopes tracked Scala-side as the oracle.
+    val path = tmpDir("graft_geometry_fuzz")
+    var oracle = Vector.empty[(Int, Option[(Double, Double, Double, Double)])]
+    var nextId = 0
+    def randGeom(): (Array[Byte], (Double, Double, Double, Double)) =
+      if (rnd.nextBoolean()) {
+        val x = rnd.nextDouble() * 200 - 100; val y = rnd.nextDouble() * 200 - 100
+        (wkbPoint(x, y), (x, y, x, y))
+      } else {
+        val pts = Seq.fill(2 + rnd.nextInt(4))(
+          (rnd.nextDouble() * 200 - 100, rnd.nextDouble() * 200 - 100))
+        (wkbLineString(pts: _*),
+          (pts.map(_._1).min, pts.map(_._2).min, pts.map(_._1).max, pts.map(_._2).max))
+      }
+    (0 until 12).foreach { _ =>
+      val rows = (0 until 15).map { _ =>
+        val id = nextId; nextId += 1
+        if (rnd.nextInt(10) == 0) { oracle :+= (id, None); Row(id, null) }
+        else {
+          val (wkb, env) = randGeom()
+          oracle :+= (id, Some(env))
+          Row(id, wkb)
+        }
+      }
+      val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      if (!graft.write.IcebergWrite.tableExists(path, spark.sessionState.newHadoopConf()))
+        IcebergTable.write(df, path)
+      else IcebergTable.append(df, path)
+    }
+
+    var pruned = 0
+    (1 to 25).foreach { _ =>
+      val x1 = rnd.nextDouble() * 240 - 120; val y1 = rnd.nextDouble() * 240 - 120
+      val x2 = x1 + rnd.nextDouble() * 80; val y2 = y1 + rnd.nextDouble() * 80
+      val expected = oracle.collect {
+        case (id, Some((ex1, ey1, ex2, ey2)))
+          if Wkb.intersects(ex1, ey1, ex2, ey2, x1, y1, x2, y2) => id
+      }.toSet
+      val q = s"st_intersects_bbox(geom, ${x1}D, ${y1}D, ${x2}D, ${y2}D)"
+      val plan = IcebergTable.plan(spark, path, graft.read.ReadOptions(filterSql = Some(q)))
+      pruned += plan.totalDataFiles - plan.dataFiles.size
+      val got = IcebergTable.load(spark, path, graft.read.ReadOptions(filterSql = Some(q)))
+        .select("id").collect().map(_.getInt(0)).toSet
+      assert(got == expected,
+        s"box ($x1,$y1)-($x2,$y2): missing=${expected -- got} extra=${got -- expected}")
+    }
+    assert(pruned > 0, "across 25 random boxes, pruning should have skipped some files")
+  }
+
   test("geometry table: Appendix D bounds written per file; bbox predicate prunes files and filters rows") {
     val path = tmpDir("graft_geometry")
     // Four appends = four files, each a distinct spatial tile.
