@@ -271,10 +271,36 @@ object IcebergWrite {
       parquetOpts.foldLeft(base)((w, kv) => w.option(kv._1, kv._2))
     }
     if (gpCols.nonEmpty) {
-      // Co-locate rows per partition before the write: one shuffle, then one
-      // file per partition value (not per task x partition).
-      out = out.repartition(gpCols.map(c => col(c._1)).toIndexedSeq: _*)
-      if (sortCols.nonEmpty) out = out.sortWithinPartitions(sortCols.toIndexedSeq: _*)
+      // `write.distribution-mode` (Iceberg write property): how rows reach
+      // the writing tasks. hash (default) = one shuffle on the partition
+      // key, one file per partition value; range = range-shuffle on
+      // partition + sort keys (globally clustered files — the layout a
+      // later sorted scan wants); none = NO shuffle, every task fans out
+      // into the partitions it already holds (no wire cost, more smaller
+      // files — the right trade when the input is already clustered).
+      val distMode = meta.properties.get("write.distribution-mode")
+        .map(_.trim.toLowerCase(java.util.Locale.ROOT)) match {
+        case None => "hash"
+        case Some(m @ ("none" | "hash" | "range")) => m
+        case Some(other) =>
+          System.err.println(s"Invalid value '$other' for Iceberg table property " +
+            "'write.distribution-mode'; expected none, hash or range, using default value 'hash'.")
+          "hash"
+      }
+      val gp = gpCols.map(c => col(c._1))
+      distMode match {
+        case "none" =>
+          // Task-local clustering only: keeps each task's partition runs
+          // contiguous so the partitionBy writer holds one open file at a
+          // time per partition.
+          out = out.sortWithinPartitions((gp ++ sortCols).toIndexedSeq: _*)
+        case "range" =>
+          out = out.repartitionByRange((gp ++ sortCols).toIndexedSeq: _*)
+          out = out.sortWithinPartitions((gp ++ sortCols).toIndexedSeq: _*)
+        case _ =>
+          out = out.repartition(gp.toIndexedSeq: _*)
+          if (sortCols.nonEmpty) out = out.sortWithinPartitions(sortCols.toIndexedSeq: _*)
+      }
       writerFor(out).partitionBy(gpCols.map(_._1): _*).parquet(stagingDir)
     } else {
       if (sortCols.nonEmpty) out = out.orderBy(sortCols.toIndexedSeq: _*)

@@ -226,6 +226,40 @@ class EndToEndSpec extends SparkSpec {
     assertSameResult(df, IcebergTable.load(spark, path))
   }
 
+  test("write.distribution-mode: none fans out task-locally, hash co-locates, range clusters; same rows") {
+    val src = spark.read.parquet(s"$sfDir/orders.parquet").repartition(4)
+    def writeWith(mode: Option[String]): (String, Int) = {
+      val path = tmpDir(s"graft_dist_${mode.getOrElse("default")}")
+      IcebergTable.write(src, path, graft.write.TableWriteOptions(
+        partitionBy = Seq(("o_orderstatus", graft.core.Transforms.Identity)),
+        properties = mode.map("write.distribution-mode" -> _).toMap))
+      (path, IcebergTable.plan(spark, path).dataFiles.size)
+    }
+    val (hashPath, hashFiles) = writeWith(None) // default = hash
+    val (nonePath, noneFiles) = writeWith(Some("none"))
+    val (rangePath, rangeFiles) = writeWith(Some("range"))
+    // Content identical in every mode.
+    assertSameResult(src, IcebergTable.load(spark, hashPath))
+    assertSameResult(src, IcebergTable.load(spark, nonePath))
+    assertSameResult(src, IcebergTable.load(spark, rangePath))
+    // hash: one file per partition value (3 statuses); none: the 4 input
+    // tasks each fan out -> more, smaller files; range: bounded by
+    // partition x shuffle-partition splits, at least one per partition.
+    assert(hashFiles == 3, s"hash mode should write 1 file/partition, wrote $hashFiles")
+    assert(noneFiles > hashFiles, s"none mode should fan out: $noneFiles <= $hashFiles")
+    assert(rangeFiles >= 3)
+    // Invalid value warns and falls back to hash rather than failing.
+    val (badPath, badFiles) = {
+      val path = tmpDir("graft_dist_bad")
+      IcebergTable.write(src, path, graft.write.TableWriteOptions(
+        partitionBy = Seq(("o_orderstatus", graft.core.Transforms.Identity)),
+        properties = Map("write.distribution-mode" -> "shuffleplease")))
+      (path, IcebergTable.plan(spark, path).dataFiles.size)
+    }
+    assert(badFiles == 3)
+    assertSameResult(src, IcebergTable.load(spark, badPath))
+  }
+
   test("object-storage layouts: hash-prefixed paths, flat partition paths, custom write.data.path") {
     val src = spark.read.parquet(s"$sfDir/orders.parquet")
 
