@@ -390,6 +390,36 @@ object IcebergTable {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
+  /** `<table>.manifests` metadata table: one row per manifest in the
+    * current snapshot's manifest list. */
+  def manifests(spark: SparkSession, path: String): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = TableMetadata.load(path, conf)
+    val schema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("length", LongType),
+      StructField("partition_spec_id", IntegerType),
+      StructField("content", IntegerType),
+      StructField("sequence_number", LongType),
+      StructField("min_sequence_number", LongType),
+      StructField("added_snapshot_id", LongType),
+      StructField("added_data_files_count", IntegerType),
+      StructField("existing_data_files_count", IntegerType),
+      StructField("deleted_data_files_count", IntegerType),
+      StructField("added_rows_count", LongType),
+      StructField("existing_rows_count", LongType),
+      StructField("deleted_rows_count", LongType)))
+    val rows = meta.currentSnapshot.toSeq.flatMap { s =>
+      ManifestIO.manifestsOf(meta, s, conf).map { m =>
+        Row(m.path, m.length, m.partitionSpecId, m.content,
+          m.sequenceNumber, m.minSequenceNumber, m.addedSnapshotId,
+          m.addedFilesCount, m.existingFilesCount, m.deletedFilesCount,
+          m.addedRowsCount, m.existingRowsCount, m.deletedRowsCount)
+      }
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
   /** `<table>.partitions` metadata table: per live partition, file/row
     * counts and byte totals split by content kind. */
   def partitions(spark: SparkSession, path: String, opts: ReadOptions = ReadOptions()): DataFrame = {

@@ -141,6 +141,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Proced
     "entries" -> ((s, p) => graft.IcebergTable.manifestEntries(s, p)),
     "column_stats" -> ((s, p) => graft.IcebergTable.columnStats(s, p)),
     "files" -> ((s, p) => graft.IcebergTable.files(s, p)),
+    "manifests" -> ((s, p) => graft.IcebergTable.manifests(s, p)),
     "partitions" -> ((s, p) => graft.IcebergTable.partitions(s, p)),
     "partition_stats" -> ((s, p) => graft.IcebergTable.partitionStats(s, p)),
     "properties" -> ((s, p) => graft.IcebergTable.tableProperties(s, p)),

@@ -601,6 +601,11 @@ class GraftSparkCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     val fRow = parts.find(_.getAs[String]("partition") == "o_orderstatus=F").get
     assert(fRow.getAs[Int]("position_delete_file_count") >= 1)
     assert(parts.forall(_.getAs[Long]("total_data_file_size_in_bytes") > 0))
+    val manifests = spark.sql("SELECT * FROM metacat.db.orders_meta.manifests").collect()
+    assert(manifests.length >= 2) // one data + one delete manifest
+    assert(manifests.exists(_.getAs[Int]("content") == 1), "delete manifest row expected")
+    assert(manifests.filter(_.getAs[Int]("content") == 0)
+      .map(_.getAs[Long]("added_rows_count")).sum == orders.count())
     // a missing base table still errors cleanly
     val e = intercept[Exception](spark.sql("SELECT * FROM metacat.db.nope.snapshots").collect())
     assert(e.getMessage.toLowerCase.contains("table"))
