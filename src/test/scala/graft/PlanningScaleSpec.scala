@@ -118,6 +118,80 @@ class PlanningScaleSpec extends SparkSpec {
     assert(aggSec < 10.0, f"metadata count(*) took $aggSec%.2fs — budget 10s")
   }
 
+  test("rewrite_manifests at metadata scale: 300 manifests collapse; planning reads drop to the bin count") {
+    import spark.implicits._
+    val path = tmpDir("graft_bigmeta_rwm")
+    val seed = Seq((0L, 0, "x")).toDF("id", "part", "payload")
+    IcebergTable.write(seed, path, TableWriteOptions(
+      partitionBy = Seq(("part", Transforms.Identity))))
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = TableMetadata.load(path, conf)
+    val schema = meta.currentSchema
+    val idF = schema.fieldByPath("id")
+    val spec = meta.defaultSpec
+    val partitionFields = spec.fields.map { pf =>
+      (pf.name, pf.transform.resultType(schema.idToField(pf.sourceId).fieldType), pf.fieldId)
+    }
+    val snapId = meta.currentSnapshot.get.snapshotId
+    val manifests = (0 until NManifests).map { m =>
+      val entries = (0 until PerManifest).map { j =>
+        val gid = (m * PerManifest + j).toLong
+        ManifestEntry(EntryStatus.Added, Some(snapId), Some(1L), Some(1L), DataFileInfo(
+          content = 0, filePath = s"${meta.location}/data/fake-$m-$j.parquet",
+          fileFormat = "parquet", partitionValues = Seq(m), recordCount = 1000L,
+          fileSizeInBytes = 1L << 20, columnSizes = Map.empty,
+          valueCounts = Map(idF.id -> 1000L), nullValueCounts = Map(idF.id -> 0L),
+          nanValueCounts = Map.empty,
+          lowerBounds = Map(idF.id -> SingleValue.serialize(gid * 1000L, IcebergTypes.LongT)),
+          upperBounds = Map(idF.id -> SingleValue.serialize(gid * 1000L + 999L, IcebergTypes.LongT)),
+          splitOffsets = Nil, equalityIds = Nil, sortOrderId = None))
+      }
+      val mPath = s"${meta.location}/metadata/rwm-$m.avro"
+      val len = ManifestIO.writeManifest(mPath, conf, partitionFields, entries, Map.empty)
+      ManifestFile(mPath, len, spec.specId, 0, 1L, 1L, snapId,
+        PerManifest, 0, 0, PerManifest * 1000L, 0L, 0L,
+        partitions = Seq(FieldSummary(containsNull = false, containsNan = None,
+          lowerBound = Some(SingleValue.serialize(m, IcebergTypes.IntT)),
+          upperBound = Some(SingleValue.serialize(m, IcebergTypes.IntT)))))
+    }
+    val listPath = s"${meta.location}/metadata/rwm-list.avro"
+    ManifestIO.writeManifestList(listPath, conf, manifests)
+    val snap = meta.currentSnapshot.get.copy(snapshotId = 997L, manifestList = listPath)
+    graft.write.IcebergWrite.commitMetadataNextVersion(
+      meta.copy(snapshots = Seq(snap), currentSnapshotId = Some(997L)), conf)
+
+    def reads[A](f: => A): (A, Long) = {
+      val r0 = ManifestIO.manifestReads.get()
+      val a = f
+      (a, ManifestIO.manifestReads.get() - r0)
+    }
+    val (pBefore, rBefore) = reads(IcebergTable.plan(spark, path))
+    assert(pBefore.dataFiles.size == NManifests * PerManifest && rBefore == NManifests)
+
+    val r = graft.write.Maintenance.rewriteManifests(spark, path)
+    assert(r.rewrittenManifests == NManifests)
+    assert(r.addedManifests < NManifests / 10,
+      s"300 micro-manifests should bin to a handful, got ${r.addedManifests}")
+
+    // Planning now reads the merged manifests; same file set survives.
+    val (pAfter, rAfter) = reads(IcebergTable.plan(spark, path))
+    assert(rAfter == r.addedManifests,
+      s"post-rewrite planning should read ${r.addedManifests} manifests, read $rAfter")
+    assert(pAfter.dataFiles.size == NManifests * PerManifest)
+
+    // Manifest-level pruning works THROUGH the merged summaries (the bins
+    // are re-summarized, not summary-less): a partition predicate reads a
+    // strict subset of the merged manifests.
+    val (pPart, rPart) = reads(IcebergTable.plan(spark, path,
+      graft.read.ReadOptions(filterSql = Some("part = 137"))))
+    assert(pPart.dataFiles.size == PerManifest)
+    assert(rPart < r.addedManifests || r.addedManifests == 1,
+      s"merged summaries should prune manifests: read $rPart of ${r.addedManifests}")
+
+    // count(*) fast path stays manifest-exact.
+    assert(pAfter.fastRowCount.contains(NManifests.toLong * PerManifest * 1000L))
+  }
+
   test("delete planning at scale: 1000 delete entries; per-query delete survivors stay O(touched partitions)") {
     import spark.implicits._
     val path = tmpDir("graft_bigmeta_del")
