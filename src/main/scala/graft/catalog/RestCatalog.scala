@@ -94,7 +94,13 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
 
   private def requestAttempt(method: String, path: String, body: Option[String],
       retryAuth: Boolean, headers: Map[String, String] = Map.empty): JsonNode = {
-    val uri = URI.create(s"$base$path")
+    // /v1/config always goes to the ATTACH uri; every other route honors a
+    // server-sent `uri` override from the config response (catalogs can
+    // redirect clients to a regional/data-plane endpoint — reference
+    // iceberg_catalog.cpp:408-412). The config fetch itself must not
+    // consult the override, or resolving it would recurse.
+    val effBase = if (path.startsWith("/v1/config")) base else effectiveBase
+    val uri = URI.create(s"$effBase$path")
     val b = HttpRequest.newBuilder(uri)
       .header("Content-Type", "application/json")
     headers.foreach { case (k, v) => b.header(k, v) }
@@ -187,6 +193,11 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
 
   /** The prefix this client splices into routes (test/debug probe). */
   def resolvedPrefix: Option[String] = resolvedConfig.get("prefix").filter(_.nonEmpty)
+
+  /** Base URI for catalog routes: the config response's `uri` override when
+    * the server sent one, else the ATTACH uri. */
+  private lazy val effectiveBase: String =
+    resolvedConfig.get("uri").map(_.stripSuffix("/")).getOrElse(base)
 
   private def jsonToMap(n: JsonNode): Map[String, String] =
     if (n == null) Map.empty

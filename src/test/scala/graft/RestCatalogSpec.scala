@@ -418,6 +418,30 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     } finally hserver.stop()
   }
 
+  test("config uri override redirects every catalog route to the vended endpoint") {
+    // Gateway A vends B's endpoint from /v1/config; all real work must land
+    // on B (reference honors overrides.uri the same way).
+    val gateway = new TestRestServer
+    val backend = new TestRestServer
+    gateway.start(); backend.start()
+    try {
+      gateway.uriOverride = Some(backend.uri)
+      val cat = new RestCatalog(gateway.uri, CatalogOptions(token = Some(backend.token)))
+      cat.createNamespace(Seq("redir"))
+      assert(cat.listNamespaces() == Seq(Seq("redir")))
+      // The namespace exists on the BACKEND, not the gateway.
+      assert(backend.namespaces.contains("redir"))
+      assert(!gateway.namespaces.contains("redir"))
+      val src = spark.read.parquet(s"$sfDir/region.parquet")
+      cat.createTable(Seq("redir"), "r", IcebergTypes.fromSpark(src.schema), tmpDir("redir_r"))
+      cat.appendDF(src, Seq("redir"), "r")
+      assertSameResult(src, cat.loadDF(spark, Seq("redir"), "r"))
+      val catalogReqs = gateway.loggedRequests.filterNot(_._2 == "/v1/config")
+      assert(catalogReqs.isEmpty,
+        s"after the uri override only /v1/config may hit the gateway: $catalogReqs")
+    } finally { gateway.stop(); backend.stop() }
+  }
+
   test("config prefix is applied to every catalog route (Polaris/Glue-style prefixed catalogs)") {
     // A fresh server that VENDS a prefix and 404s any un-prefixed route —
     // the shape every real IRC catalog (Polaris, Glue IRC, S3 Tables)

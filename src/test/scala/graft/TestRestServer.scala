@@ -61,6 +61,10 @@ class TestRestServer {
     * which all vend a prefix. May contain '/' (multi-component). */
   @volatile var prefix: Option[String] = None
 
+  /** When set, `GET /v1/config` vends this as an `overrides.uri` — the
+    * client must send every subsequent request to THAT endpoint. */
+  @volatile var uriOverride: Option[String] = None
+
   /** When set, served as the config response's `endpoints` array — the
     * client must honor exactly these routes (HEAD probes are opt-in via
     * advertisement; un-advertised ops are refused client-side). */
@@ -241,6 +245,7 @@ class TestRestServer {
           o.putObject("defaults").put("warehouse", "memory")
           val ovr = o.putObject("overrides")
           prefix.foreach(p => ovr.put("prefix", p))
+          uriOverride.foreach(u => ovr.put("uri", u))
           advertisedEndpoints.foreach { eps =>
             val arr = o.putArray("endpoints"); eps.foreach(arr.add)
           }
