@@ -21,13 +21,23 @@ import java.nio.{ByteBuffer, ByteOrder}
 object Wkb {
 
   /** 2D envelope of one WKB geometry; None for null/empty/corrupt input. */
-  def envelope(wkb: Array[Byte]): Option[(Double, Double, Double, Double)] = {
+  def envelope(wkb: Array[Byte]): Option[(Double, Double, Double, Double)] =
+    envelopeFull(wkb).map(e => (e.xmin, e.ymin, e.xmax, e.ymax))
+
+  /** Full envelope incl. Z/M ranges when the geometry carries those
+    * dimensions (None when it does not). */
+  case class Envelope(xmin: Double, ymin: Double, xmax: Double, ymax: Double,
+      z: Option[(Double, Double)], m: Option[(Double, Double)])
+
+  def envelopeFull(wkb: Array[Byte]): Option[Envelope] = {
     if (wkb == null || wkb.length < 5) return None
     try {
       val acc = new Env
       walk(ByteBuffer.wrap(wkb), acc)
       if (acc.xmin > acc.xmax) None
-      else Some((acc.xmin, acc.ymin, acc.xmax, acc.ymax))
+      else Some(Envelope(acc.xmin, acc.ymin, acc.xmax, acc.ymax,
+        if (acc.zmin <= acc.zmax) Some((acc.zmin, acc.zmax)) else None,
+        if (acc.mmin <= acc.mmax) Some((acc.mmin, acc.mmax)) else None))
     } catch { case _: Exception => None }
   }
 
@@ -36,6 +46,10 @@ object Wkb {
     var ymin: Double = Double.PositiveInfinity
     var xmax: Double = Double.NegativeInfinity
     var ymax: Double = Double.NegativeInfinity
+    var zmin: Double = Double.PositiveInfinity
+    var zmax: Double = Double.NegativeInfinity
+    var mmin: Double = Double.PositiveInfinity
+    var mmax: Double = Double.NegativeInfinity
     def add(x: Double, y: Double): Unit =
       // NaN coordinates (empty POINT encoding) contribute nothing
       if (!x.isNaN && !y.isNaN) {
@@ -44,6 +58,14 @@ object Wkb {
         if (y < ymin) ymin = y
         if (y > ymax) ymax = y
       }
+    def addZ(z: Double): Unit = if (!z.isNaN) {
+      if (z < zmin) zmin = z
+      if (z > zmax) zmax = z
+    }
+    def addM(m: Double): Unit = if (!m.isNaN) {
+      if (m < mmin) mmin = m
+      if (m > mmax) mmax = m
+    }
   }
 
   /** Consume one full geometry from `buf`, accumulating coordinates. */
@@ -62,12 +84,11 @@ object Wkb {
     val hasZ = ewkbZ || isoDim == 1 || isoDim == 3
     val hasM = ewkbM || isoDim == 2 || isoDim == 3
     if (hasSrid) buf.getInt() // skip embedded SRID
-    val extraDims = (if (hasZ) 1 else 0) + (if (hasM) 1 else 0)
 
     def point(): Unit = {
       val x = buf.getDouble(); val y = buf.getDouble()
-      var i = 0
-      while (i < extraDims) { buf.getDouble(); i += 1 }
+      if (hasZ) acc.addZ(buf.getDouble())
+      if (hasM) acc.addM(buf.getDouble())
       acc.add(x, y)
     }
     def points(): Unit = {
@@ -104,6 +125,28 @@ object Wkb {
     bb.putDouble(x); bb.putDouble(y)
     bb.array()
   }
+
+  /** Appendix D bound with Z (24 bytes) or Z+M (32 bytes). An XYM bound
+    * pads the unknown Z slot with -infinity on the lower bound / +infinity
+    * on the upper (`upper` flag), so the 4-double form stays unambiguous —
+    * exactly the reference writer's padding
+    * (iceberg_data_file_stats.cpp:152-161 GeometryExtent.UNKNOWN_MIN/MAX). */
+  def encodeBoundZM(x: Double, y: Double,
+      z: Option[Double], m: Option[Double], upper: Boolean): Array[Byte] =
+    (z, m) match {
+      case (None, None) => encodeBound(x, y)
+      case (Some(zv), None) =>
+        val bb = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
+        bb.putDouble(x); bb.putDouble(y); bb.putDouble(zv)
+        bb.array()
+      case (zOpt, Some(mv)) =>
+        val bb = ByteBuffer.allocate(32).order(ByteOrder.LITTLE_ENDIAN)
+        bb.putDouble(x); bb.putDouble(y)
+        bb.putDouble(zOpt.getOrElse(
+          if (upper) Double.PositiveInfinity else Double.NegativeInfinity))
+        bb.putDouble(mv)
+        bb.array()
+    }
 
   /** Decode the (x, y) leading pair of an Appendix D bound blob; 16 = XY,
     * 24 = XYZ (or XYM written by engines that don't pad), 32 = XYZM. */

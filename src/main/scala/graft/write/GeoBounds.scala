@@ -27,18 +27,31 @@ object GeoBounds {
   private def geomFields(schema: IcebergSchema): Seq[IcebergTypes.NestedField] =
     schema.fields.filter(_.fieldType.isInstanceOf[IcebergTypes.GeometryT])
 
+  /** Per-row full envelope as a struct column (nullable z/m ranges). */
+  private case class RowEnv(xmin: Double, ymin: Double, xmax: Double, ymax: Double,
+      zmin: Option[Double], zmax: Option[Double],
+      mmin: Option[Double], mmax: Option[Double])
+
   def patch(spark: SparkSession, entries: Seq[ManifestEntry],
       schema: IcebergSchema): Seq[ManifestEntry] = {
     val gs = geomFields(schema)
     if (gs.isEmpty || entries.isEmpty) return entries
-    val bboxOf = udf((wkb: Array[Byte]) =>
-      Wkb.envelope(wkb).map(e => Array(e._1, e._2, e._3, e._4)).orNull)
+    val envOf = udf((wkb: Array[Byte]) =>
+      Wkb.envelopeFull(wkb).map(e => RowEnv(e.xmin, e.ymin, e.xmax, e.ymax,
+        e.z.map(_._1), e.z.map(_._2), e.m.map(_._1), e.m.map(_._2))).orNull)
     val paths = entries.map(_.dataFile.filePath)
     val aggs = gs.flatMap { f =>
-      val env = bboxOf(col(s"`${f.name}`"))
+      val env = envOf(col(s"`${f.name}`"))
       Seq(
-        min(env.getItem(0)).as(s"xmin_${f.id}"), min(env.getItem(1)).as(s"ymin_${f.id}"),
-        max(env.getItem(2)).as(s"xmax_${f.id}"), max(env.getItem(3)).as(s"ymax_${f.id}"))
+        min(env.getField("xmin")).as(s"xmin_${f.id}"), min(env.getField("ymin")).as(s"ymin_${f.id}"),
+        max(env.getField("xmax")).as(s"xmax_${f.id}"), max(env.getField("ymax")).as(s"ymax_${f.id}"),
+        min(env.getField("zmin")).as(s"zmin_${f.id}"), max(env.getField("zmax")).as(s"zmax_${f.id}"),
+        min(env.getField("mmin")).as(s"mmin_${f.id}"), max(env.getField("mmax")).as(s"mmax_${f.id}"),
+        // Z/M bounds are valid only when EVERY non-null geometry in the
+        // file carries the dimension: a mixed file has unknown Z for some
+        // rows, so the bound must be omitted (or padded, for XYM).
+        sum(when(env.isNotNull && env.getField("zmin").isNull, 1).otherwise(0)).as(s"zmiss_${f.id}"),
+        sum(when(env.isNotNull && env.getField("mmin").isNull, 1).otherwise(0)).as(s"mmiss_${f.id}"))
     }
     val rows = spark.read.parquet(paths: _*)
       .select(input_file_name().as("_gf") +: gs.map(f => col(s"`${f.name}`")): _*)
@@ -48,22 +61,35 @@ object GeoBounds {
     // Keyed by file NAME: input_file_name returns a URI form that may
     // differ from the recorded path in scheme/authority.
     def leaf(p: String): String = p.substring(p.lastIndexOf('/') + 1)
-    val byFile: Map[String, Map[Int, (Double, Double, Double, Double)]] =
+    case class Box(x1: Double, y1: Double, x2: Double, y2: Double,
+        z: Option[(Double, Double)], m: Option[(Double, Double)])
+    val byFile: Map[String, Map[Int, Box]] =
       rows.map { r =>
+        def d(c: String): Option[Double] =
+          Option(r.getAs[Any](c)).map(_.asInstanceOf[Number].doubleValue())
+        def l(c: String): Long =
+          Option(r.getAs[Any](c)).map(_.asInstanceOf[Number].longValue()).getOrElse(0L)
         val boxes = gs.flatMap { f =>
-          val vals = Seq(s"xmin_${f.id}", s"ymin_${f.id}", s"xmax_${f.id}", s"ymax_${f.id}")
-            .map(c => Option(r.getAs[Any](c)).map(_.asInstanceOf[Number].doubleValue()))
-          if (vals.forall(_.isDefined)) {
-            val Seq(x1, y1, x2, y2) = vals.map(_.get)
-            Some(f.id -> ((x1, y1, x2, y2)))
-          } else None
+          (d(s"xmin_${f.id}"), d(s"ymin_${f.id}"), d(s"xmax_${f.id}"), d(s"ymax_${f.id}")) match {
+            case (Some(x1), Some(y1), Some(x2), Some(y2)) =>
+              val z = if (l(s"zmiss_${f.id}") == 0)
+                for (a <- d(s"zmin_${f.id}"); b <- d(s"zmax_${f.id}")) yield (a, b)
+              else None
+              val m = if (l(s"mmiss_${f.id}") == 0)
+                for (a <- d(s"mmin_${f.id}"); b <- d(s"mmax_${f.id}")) yield (a, b)
+              else None
+              Some(f.id -> Box(x1, y1, x2, y2, z, m))
+            case _ => None
+          }
         }.toMap
         leaf(r.getAs[String]("_gf")) -> boxes
       }.toMap
     entries.map { e =>
       byFile.get(leaf(e.dataFile.filePath)).filter(_.nonEmpty).fold(e) { boxes =>
-        val lower = boxes.map { case (id, (x1, y1, _, _)) => id -> Wkb.encodeBound(x1, y1) }
-        val upper = boxes.map { case (id, (_, _, x2, y2)) => id -> Wkb.encodeBound(x2, y2) }
+        val lower = boxes.map { case (id, b) =>
+          id -> Wkb.encodeBoundZM(b.x1, b.y1, b.z.map(_._1), b.m.map(_._1), upper = false) }
+        val upper = boxes.map { case (id, b) =>
+          id -> Wkb.encodeBoundZM(b.x2, b.y2, b.z.map(_._2), b.m.map(_._2), upper = true) }
         e.copy(dataFile = e.dataFile.copy(
           lowerBounds = e.dataFile.lowerBounds ++ lower,
           upperBounds = e.dataFile.upperBounds ++ upper))

@@ -73,6 +73,65 @@ class GeometrySpec extends SparkSpec {
     assert(Wkb.decodeBound(Array.fill[Byte](8)(0)).isEmpty)
   }
 
+  test("Z/M bounds: XYZ files write 24-byte bounds, XYM pads Z with infinities, mixed files fall back to XY") {
+    def wkbPointZ(x: Double, y: Double, z: Double): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(29).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(1.toByte); bb.putInt(1001); bb.putDouble(x); bb.putDouble(y); bb.putDouble(z)
+      bb.array()
+    }
+    def wkbPointM(x: Double, y: Double, m: Double): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(29).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(1.toByte); bb.putInt(2001); bb.putDouble(x); bb.putDouble(y); bb.putDouble(m)
+      bb.array()
+    }
+    val geomField = IcebergTypes.NestedField(2, "geom", required = false,
+      IcebergTypes.GeometryT(None)).toSpark
+    val schema = StructType(Seq(StructField("id", IntegerType, nullable = false), geomField))
+    def oneFile(rows: Seq[Row]) =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+    val path = tmpDir("graft_geometry_zm")
+    IcebergTable.write(oneFile((0 until 5).map(i => Row(i, wkbPointZ(i, i, 10.0 + i)))), path)
+    IcebergTable.append(oneFile((10 until 15).map(i => Row(i, wkbPointM(i, i, 5.0 + i)))), path)
+    IcebergTable.append(oneFile(Seq(Row(20, wkbPoint(1, 1)), Row(21, wkbPointZ(2, 2, 7)))), path)
+
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = graft.core.TableMetadata.load(path, conf)
+    val gid = meta.currentSchema.fields.find(_.name == "geom").get.id
+    val p = IcebergTable.plan(spark, path)
+    val bySize = p.dataFiles.map(f => f.info.lowerBounds(gid).length -> f).toMap
+    // XYZ file: 24-byte bounds with the z range.
+    val z = bySize(24)
+    val zl = java.nio.ByteBuffer.wrap(z.info.lowerBounds(gid)).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    zl.getDouble(); zl.getDouble()
+    assert(zl.getDouble() == 10.0)
+    val zu = java.nio.ByteBuffer.wrap(z.info.upperBounds(gid)).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    zu.getDouble(); zu.getDouble()
+    assert(zu.getDouble() == 14.0)
+    // XYM file: 32-byte bounds with Z padded -inf/+inf, M range real.
+    val m = bySize(32)
+    val ml = java.nio.ByteBuffer.wrap(m.info.lowerBounds(gid)).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    ml.getDouble(); ml.getDouble()
+    assert(ml.getDouble() == Double.NegativeInfinity && ml.getDouble() == 15.0)
+    val mu = java.nio.ByteBuffer.wrap(m.info.upperBounds(gid)).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    mu.getDouble(); mu.getDouble()
+    assert(mu.getDouble() == Double.PositiveInfinity && mu.getDouble() == 19.0)
+    // Mixed XY+XYZ file: Z unknown for some rows -> plain 16-byte XY bound.
+    assert(bySize.contains(16))
+
+    // bbox pruning still reads the leading XY pair of every width.
+    val plan = IcebergTable.plan(spark, path, graft.read.ReadOptions(
+      filterSql = Some("st_intersects_bbox(geom, 9.5D, 9.5D, 16.0D, 16.0D)")))
+    assert(plan.dataFiles.size == 1 && plan.totalDataFiles == 3)
+
+    // Column stats render the axes: z on the XYZ file, m (z null) on XYM.
+    val stats = IcebergTable.columnStats(spark, path)
+      .filter(org.apache.spark.sql.functions.col("column_name") === "geom")
+      .collect().map(_.getAs[String]("upper_bound")).toSet
+    assert(stats.contains("""{"bbox_x":4.0,"bbox_y":4.0,"bbox_z":14.0,"bbox_m":null}"""), s"$stats")
+    assert(stats.contains("""{"bbox_x":14.0,"bbox_y":14.0,"bbox_z":null,"bbox_m":19.0}"""))
+  }
+
   test("seeded fuzz: bbox pruning is SOUND — no query box ever loses a matching row") {
     val rnd = new scala.util.Random(20260814L)
     val geomField = IcebergTypes.NestedField(2, "geom", required = false,
