@@ -333,6 +333,15 @@ object Pruning {
                 boundsMatch(p.op, p.value, None, None, mayContainNull, allNull)
             }
           case _ if p.variantPath.isDefined => true // path predicate on a non-variant column
+          case g: IcebergTypes.GeometryT if g.geography =>
+            // Geography bounds may wrap the antimeridian and its edges are
+            // geodesics — only nullability is decidable here.
+            p.op match {
+              case PredOp.IsNull => mayContainNull
+              case PredOp.IsNotNull => !allNull
+              case PredOp.BBoxIntersects(_, _, _, _) => !allNull
+              case _ => true
+            }
           case _: IcebergTypes.GeometryT =>
             // Bounds (when present) are Appendix D bbox blobs: lower =
             // (xmin, ymin, ...), upper = (xmax, ymax, ...). Only the bbox

@@ -22,10 +22,15 @@ import org.apache.spark.sql.functions._
  */
 object GeoBounds {
 
-  /** Top-level geometry fields of `schema` (nested geometry stays
-    * bound-less — conservative). */
+  /** Top-level PLANAR geometry fields of `schema`. Nested geometry stays
+    * bound-less, and so does GEOGRAPHY: its edges are geodesics and its
+    * bounds may wrap the antimeridian, so a planar vertex envelope is NOT
+    * a sound bound — geography prunes conservatively instead. */
   private def geomFields(schema: IcebergSchema): Seq[IcebergTypes.NestedField] =
-    schema.fields.filter(_.fieldType.isInstanceOf[IcebergTypes.GeometryT])
+    schema.fields.filter(_.fieldType match {
+      case g: IcebergTypes.GeometryT => !g.geography
+      case _ => false
+    })
 
   /** Per-row full envelope as a struct column (nullable z/m ranges). */
   private case class RowEnv(xmin: Double, ymin: Double, xmax: Double, ymax: Double,
