@@ -930,7 +930,8 @@ object SparkEntry {
         |  FROM documents),
         |sh AS (
         |  SELECT DISTINCT doc_id, s FROM (
-        |    SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |    SELECT doc_id, unnest(CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+        |      WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
         |      ELSE list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
         |    FROM toks)),
         |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 37 = 0),

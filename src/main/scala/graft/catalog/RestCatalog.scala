@@ -157,8 +157,13 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
   private lazy val rawConfig: Option[JsonNode] =
     try Some(request("GET", "/v1/config" + opts.warehouse.map(w => s"?warehouse=$w").getOrElse("")))
     catch {
-      case e: Exception =>
-        System.err.println(s"[graft-catalog] GET /v1/config failed (${e.getMessage}); assuming no prefix")
+      // Only "this server has no config endpoint" degrades to the bare,
+      // prefix-less routes. A transient failure (5xx, auth, network) must
+      // NOT be cached as no-prefix for the client's lifetime — a failed
+      // lazy initializer re-runs on the next access, so rethrowing keeps
+      // the config retryable.
+      case e: RestCatalogException if e.status == 404 || e.status == 501 =>
+        System.err.println(s"[graft-catalog] GET /v1/config -> ${e.status}; assuming no prefix")
         None
     }
 
@@ -348,29 +353,35 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
     * status falls back to GET rather than erroring (reference
     * catalog_api.cpp:125-190 VerifyResponse / VerifyTableExistence /
     * VerifySchemaExistence; test_minimal_head_requests.test). */
-  private def existenceCheck(path: String, headRoute: String): Boolean = {
-    if (supportedUrls.contains(headRoute)) {
-      statusOf("HEAD", path) match {
-        case st if st < 300 => return true
-        case 404 => return false
-        case _ => // odd status: fall through to GET, like the reference
-      }
+  private def headProbe(path: String, headRoute: String): Option[Boolean] =
+    if (!supportedUrls.contains(headRoute)) None
+    else statusOf("HEAD", path) match {
+      case st if st < 300 => Some(true)
+      case 404 => Some(false)
+      case _ => None // odd status: fall back to GET, like the reference
     }
-    try { request("GET", path); true }
-    catch { case e: RestCatalogException if e.status == 404 => false }
-  }
 
   private def statusOf(method: String, path: String): Int =
     try { requestAttempt(method, path, None, retryAuth = true); 200 }
     catch { case e: RestCatalogException => e.status }
 
   def namespaceExists(ns: Seq[String]): Boolean =
-    existenceCheck(s"$apiRoot/namespaces/${nsPath(ns)}",
-      "HEAD /v1/{prefix}/namespaces/{namespace}")
+    headProbe(s"$apiRoot/namespaces/${nsPath(ns)}",
+        "HEAD /v1/{prefix}/namespaces/{namespace}").getOrElse {
+      try { request("GET", s"$apiRoot/namespaces/${nsPath(ns)}"); true }
+      catch { case e: RestCatalogException if e.status == 404 => false }
+    }
 
   def tableExists(ns: Seq[String], name: String): Boolean =
-    existenceCheck(s"$apiRoot/namespaces/${nsPath(ns)}/tables/$name",
-      "HEAD /v1/{prefix}/namespaces/{namespace}/tables/{table}")
+    headProbe(s"$apiRoot/namespaces/${nsPath(ns)}/tables/$name",
+        "HEAD /v1/{prefix}/namespaces/{namespace}/tables/{table}").getOrElse {
+      // GET fallback routes through loadTable: the staleness cache is
+      // consulted AND warmed, and the fetched LoadTableResult (with the
+      // delegation header) isn't thrown away before the load that almost
+      // always follows an exists probe.
+      try { loadTable(ns, name); true }
+      catch { case e: RestCatalogException if e.status == 404 => false }
+    }
 
   def createTable(ns: Seq[String], name: String, schema: IcebergSchema,
       location: String, partitionSpec: Option[PartitionSpec] = None,

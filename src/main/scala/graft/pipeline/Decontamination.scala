@@ -21,12 +21,21 @@ import org.apache.spark.sql.functions._
 object Decontamination {
 
   /** Per-document contamination report: (id, n_shingles, n_matched,
-    * contamination in [0,1], contaminated at `threshold`). A document with
-    * no shingles (empty text) reports 0 contamination. */
+    * contamination in [0,1], contaminated at `threshold`). Documents with
+    * no words at all produce no shingles and are absent from the report
+    * (nothing to leak). */
   def contamination(corpus: DataFrame, textCol: String, idCol: String,
       evalSet: DataFrame, evalTextCol: String,
       n: Int = 8, threshold: Double = 0.5): DataFrame = {
-    val shingles = udf((t: String) => Dedup.ngramHashes(if (t == null) "" else t, n))
+    // Unlike the dedup shingler (where an empty doc still needs an identity
+    // for exact-duplicate grouping), a wordless document must contribute
+    // ZERO shingles — the sentinel hash of "" would otherwise mark every
+    // empty doc as contaminated whenever the eval set contains one.
+    val shingles = udf((t: String) => {
+      val text = if (t == null) "" else t
+      if (text.split("\\W+").forall(_.isEmpty)) Array.empty[Long]
+      else Dedup.ngramHashes(text, n)
+    })
     val evalShingles = evalSet
       .select(explode(shingles(col(evalTextCol))).as("_sh")).distinct()
     val docShingles = corpus
@@ -39,8 +48,7 @@ object Decontamination {
         count(lit(1)).cast("long").as("n_shingles"),
         sum(coalesce(col("_hit"), lit(0))).cast("long").as("n_matched"))
       .withColumn("contamination",
-        when(col("n_shingles") === 0, lit(0.0))
-          .otherwise(col("n_matched").cast("double") / col("n_shingles")))
+        col("n_matched").cast("double") / col("n_shingles"))
       .withColumn("contaminated", col("contamination") >= threshold)
   }
 }

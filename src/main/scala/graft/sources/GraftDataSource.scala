@@ -747,13 +747,15 @@ private[graft] object GraftScanStatistics
       case And(l, r) => split(l) ++ split(r)
       case other => Seq(other)
     }
-    def d(e: org.apache.spark.sql.catalyst.expressions.Expression): Option[Double] = e match {
+    // Non-finite constants would render as unparseable SQL ("InfinityD");
+    // skip injection — the residual Filter still gives correct rows.
+    def d(e: org.apache.spark.sql.catalyst.expressions.Expression): Option[Double] = (e match {
       case Literal(v: Double, _) => Some(v)
       case Literal(v: Float, _) => Some(v.toDouble)
       case Literal(v: Int, _) => Some(v.toDouble)
       case Literal(v: Long, _) => Some(v.toDouble)
       case _ => None
-    }
+    }).filter(v => !v.isNaN && !v.isInfinite)
     split(cond).flatMap {
       case u: ScalaUDF if u.udfName.contains("st_intersects_bbox") =>
         u.children match {

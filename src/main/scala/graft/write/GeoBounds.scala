@@ -45,8 +45,11 @@ object GeoBounds {
       Wkb.envelopeFull(wkb).map(e => RowEnv(e.xmin, e.ymin, e.xmax, e.ymax,
         e.z.map(_._1), e.z.map(_._2), e.m.map(_._1), e.m.map(_._2))).orNull)
     val paths = entries.map(_.dataFile.filePath)
+    // Envelope structs are PROJECTED once per row, then aggregated — the
+    // ten per-column aggregates reference the materialized struct, not ten
+    // fresh evaluations of the WKB-parsing UDF.
     val aggs = gs.flatMap { f =>
-      val env = envOf(col(s"`${f.name}`"))
+      val env = col(s"_env_${f.id}")
       Seq(
         min(env.getField("xmin")).as(s"xmin_${f.id}"), min(env.getField("ymin")).as(s"ymin_${f.id}"),
         max(env.getField("xmax")).as(s"xmax_${f.id}"), max(env.getField("ymax")).as(s"ymax_${f.id}"),
@@ -59,13 +62,16 @@ object GeoBounds {
         sum(when(env.isNotNull && env.getField("mmin").isNull, 1).otherwise(0)).as(s"mmiss_${f.id}"))
     }
     val rows = spark.read.parquet(paths: _*)
-      .select(input_file_name().as("_gf") +: gs.map(f => col(s"`${f.name}`")): _*)
+      .select(input_file_name().as("_gf") +:
+        gs.map(f => envOf(col(s"`${f.name}`")).as(s"_env_${f.id}")): _*)
       .groupBy("_gf")
       .agg(aggs.head, aggs.tail: _*)
       .collect()
-    // Keyed by file NAME: input_file_name returns a URI form that may
-    // differ from the recorded path in scheme/authority.
-    def leaf(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+    // Keyed by the scheme-normalized FULL path: input_file_name returns a
+    // URI form (file:///...) while manifests record plain paths, and a
+    // bare file NAME would collide across partition directories (Spark's
+    // dynamic-partition writer reuses part-file names per partition).
+    def leaf(p: String): String = p.replaceFirst("^[a-zA-Z0-9+.-]+:/+", "/")
     case class Box(x1: Double, y1: Double, x2: Double, y2: Double,
         z: Option[(Double, Double)], m: Option[(Double, Double)])
     val byFile: Map[String, Map[Int, Box]] =

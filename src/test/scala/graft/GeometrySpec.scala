@@ -73,6 +73,44 @@ class GeometrySpec extends SparkSpec {
     assert(Wkb.decodeBound(Array.fill[Byte](8)(0)).isEmpty)
   }
 
+  test("partitioned geometry: bbox keying survives identical part-file names across partition dirs") {
+    // One INSERT into two partitions: Spark's dynamic-partition writer
+    // reuses part-file NAMES across partition dirs, so bbox bookkeeping
+    // keyed by leaf name would assign one partition's bbox to the other
+    // and prune wrongly.
+    val geomField = IcebergTypes.NestedField(3, "geom", required = false,
+      IcebergTypes.GeometryT(None)).toSpark
+    val schema = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("cat", StringType, nullable = false), geomField))
+    val rows = (0 until 20).map { i =>
+      if (i % 2 == 0) Row(i, "west", wkbPoint(-50.0 - i, 0.0))
+      else Row(i, "east", wkbPoint(50.0 + i, 0.0))
+    }
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val path = tmpDir("graft_geometry_part")
+    IcebergTable.write(df, path, graft.write.TableWriteOptions(
+      partitionBy = Seq(("cat", graft.core.Transforms.Identity))))
+
+    val conf = spark.sessionState.newHadoopConf()
+    val meta = graft.core.TableMetadata.load(path, conf)
+    val gid = meta.currentSchema.fields.find(_.name == "geom").get.id
+    val p = IcebergTable.plan(spark, path)
+    assert(p.dataFiles.size == 2)
+    // Each file's bbox is on ITS side of the axis, not a shared copy.
+    val boxes = p.dataFiles.map(f => f.info.lowerBounds.get(gid).flatMap(Wkb.decodeBound)
+      .getOrElse(fail(s"missing bound on ${f.recordedPath}"))._1).sorted
+    assert(boxes.head < -50 && boxes.last > 50,
+      s"east and west files must carry distinct bboxes, got $boxes")
+    // A west-only box prunes the east file and returns the west rows.
+    val west = IcebergTable.plan(spark, path, graft.read.ReadOptions(
+      filterSql = Some("st_intersects_bbox(geom, -100.0D, -1.0D, -40.0D, 1.0D)")))
+    assert(west.dataFiles.size == 1, s"kept ${west.dataFiles.size} of 2")
+    assert(IcebergTable.load(spark, path, graft.read.ReadOptions(
+      filterSql = Some("st_intersects_bbox(geom, -100.0D, -1.0D, -40.0D, 1.0D)")))
+      .count() == 10)
+  }
+
   test("Z/M bounds: XYZ files write 24-byte bounds, XYM pads Z with infinities, mixed files fall back to XY") {
     def wkbPointZ(x: Double, y: Double, z: Double): Array[Byte] = {
       val bb = java.nio.ByteBuffer.allocate(29).order(java.nio.ByteOrder.LITTLE_ENDIAN)
