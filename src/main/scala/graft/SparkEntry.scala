@@ -555,6 +555,14 @@ object SparkEntry {
           count(lit(1)).cast("long").as("n_docs"),
           sum("n_chars").cast("long").as("n_chars"))),
 
+    // Deterministic domain-mix resampling: down-weight dominant languages
+    // by id-hash bucket — no RNG, no shuffle.
+    "text_resample" -> ((s, dir) =>
+      Sampling.resampleByRates(
+        pq(s, dir, "documents").select("doc_id", "lang"),
+        "lang", "doc_id", Map("en" -> 0.25, "zh" -> 0.5), defaultRate = 1.0)
+        .groupBy("lang").agg(count(lit(1)).cast("long").as("n_docs"))),
+
     // Sharded greedy sequence packing by token budget: per-shard cumulative
     // sums, never a global sort.
     "text_pack" -> ((s, dir) =>
@@ -959,6 +967,16 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS n_chars
         |FROM b GROUP BY 1""".stripMargin,
+
+    "text_resample" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    (doc_id % 999983 * 2654435761 % 999999937) % 10000 AS bucket
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM b
+        |WHERE bucket < CASE lang WHEN 'en' THEN 2500 WHEN 'zh' THEN 5000 ELSE 10000 END
+        |GROUP BY lang""".stripMargin,
 
     "text_pack" ->
       """WITH c AS (

@@ -37,6 +37,28 @@ object Sampling {
         .otherwise(lit("train")))
   }
 
+  /** Finer-grained hash bucket in [0, 10000) for sub-percent sampling
+    * rates; same exact-Long-math construction as [[hashBucket]]. */
+  def hashBucket10k(id: Column): Column =
+    pmod(pmod(id % 999983L * 2654435761L, lit(999999937L)), lit(10000L))
+
+  /** Deterministic domain-mix resampling: keep each row of domain `d` with
+    * probability `rates(d)` (missing domains keep `defaultRate`), decided
+    * by the id's hash bucket — reproducible on any engine, no RNG, and
+    * independent of the split buckets (different modulus chain). The
+    * standard down-weighting step when assembling a training mixture
+    * (e.g. cap a dominant language at 25%). A narrow projection + filter:
+    * no shuffle at any corpus size. */
+  def resampleByRates(df: DataFrame, domainCol: String, idCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
+      s"rates must be in [0,1]: $rates default=$defaultRate")
+    val cut = rates.foldLeft(lit((defaultRate * 10000).toInt)) { case (acc, (k, r)) =>
+      when(col(domainCol) === k, lit((r * 10000).toInt)).otherwise(acc)
+    }
+    df.filter(hashBucket10k(col(idCol)) < cut)
+  }
+
   /** Greedy sequence packing: within each of `shards` hash-shards, order
     * documents by id and cut bins of (cumulative token count - 1) /
     * `tokenBudget` — consecutive documents share a bin until the budget is
