@@ -147,6 +147,18 @@ class PipelineExtrasSpec extends SparkSpec {
     assert(byKind.values.sum == 5000)
     intercept[IllegalArgumentException](Sampling.deterministicSplit(docs, "doc_id", 60, 50))
 
+    // Domain-mix resampling: reproducible, per-domain rates approximately
+    // honored, rate 1.0 keeps everything, invalid rates refused.
+    val domains = docs.withColumn("dom",
+      org.apache.spark.sql.functions.when(col("doc_id") % 2 === 0, "big").otherwise("small"))
+    val mixed = Sampling.resampleByRates(domains, "dom", "doc_id", Map("big" -> 0.25))
+    assertSameResult(mixed, Sampling.resampleByRates(domains, "dom", "doc_id", Map("big" -> 0.25)))
+    val kept = mixed.groupBy("dom").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("small") == 2500, "default rate 1.0 keeps every row")
+    assert(kept("big") > 400 && kept("big") < 850, s"25% of 2500 expected, got ${kept("big")}")
+    intercept[IllegalArgumentException](
+      Sampling.resampleByRates(domains, "dom", "doc_id", Map("big" -> 1.5)))
+
     val packed = Sampling.packByTokenBudget(docs, "doc_id", "n_tokens",
       tokenBudget = 2048, shards = 8)
     // Reproducible; shard = id % 8; bins contiguous from 0 per shard;
