@@ -28,25 +28,24 @@ else
   QUERIES="$*"
 fi
 
-echo "{" > "$OUT".tmp
-first=1
+: > "$OUT".jsonl
 for q in $QUERIES; do
   line=$(SPARK_GRAFT_ONLY=$q java -cp "$CP" $OPENS -Xmx24g \
     -Dspark.ui.enabled=false graft.Bench 2>/dev/null | grep '"metric"')
+  if [ -n "$line" ]; then echo "$line" >> "$OUT".jsonl; else echo "{\"queries\":{\"$q\":-1}}" >> "$OUT".jsonl; fi
   sec=$(echo "$line" | sed -n "s/.*\"$q\":\([0-9.]*\).*/\1/p")
-  [ -z "$sec" ] && sec=-1
-  [ $first -eq 0 ] && echo "," >> "$OUT".tmp
-  printf '  "%s": %s' "$q" "$sec" >> "$OUT".tmp
-  first=0
-  echo "$q $sec" >&2
+  echo "$q ${sec:--1}" >&2
 done
-echo "" >> "$OUT".tmp
-echo "}" >> "$OUT".tmp
 python3 - "$OUT" <<'EOF'
 import json, sys
-qs = json.load(open(sys.argv[1] + ".tmp"))
+qs, stats = {}, {}
+for line in open(sys.argv[1] + ".jsonl"):
+    d = json.loads(line)
+    qs.update(d.get("queries", {}))
+    stats.update(d.get("stats", {}))
 total = sum(v for v in qs.values() if v > 0)
 json.dump({"metric": "total", "value": round(total, 3), "unit": "sec",
-           "queries": qs, "sf": "isolated-per-query"}, open(sys.argv[1], "w"))
+           "queries": qs, "stats": stats, "sf": "isolated-per-query"},
+          open(sys.argv[1], "w"))
 EOF
-rm -f "$OUT".tmp
+rm -f "$OUT".jsonl

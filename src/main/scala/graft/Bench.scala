@@ -66,21 +66,37 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench-warmup] $name: ${e.getMessage}") }
       cleanup()
     }
+    // Per-query JVM health alongside wall time: a uniform wall-clock drift
+    // with flat gcMs/peakMb is machine state; drift that tracks gcMs is
+    // memory pressure in THIS suite — makes round-over-round comparisons
+    // machine-attributable instead of cry-wolf (see BASELINE.md).
+    import java.lang.management.{ManagementFactory, MemoryType}
+    import scala.jdk.CollectionConverters._
+    def totalGcMs(): Long =
+      ManagementFactory.getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    val heapPools = ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => p.getType == MemoryType.HEAP && p.isValid)
     // A failed query records -1, never its time-to-crash — an
     // AnalysisException in 64ms must not read as a fast query.
     val results = names.map { name =>
+      heapPools.foreach(_.resetPeakUsage())
+      val gc0 = totalGcMs()
       val t0 = System.nanoTime()
       val sec =
         try { SparkEntry.queries(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0
         }
+      val gcDelta = totalGcMs() - gc0
+      val peakMb = heapPools.map(_.getPeakUsage.getUsed).sum / (1024L * 1024L)
       cleanup()
-      name -> sec
+      (name, sec, gcDelta, peakMb)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""":${v}%.3f""" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _, _) => "\"" + k + f"""":${v}%.3f""" }.mkString("{", ",", "}")
+    val st = results.map { case (k, _, gc, mb) =>
+      s""""$k":{"gcMs":$gc,"peakMb":$mb}""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"stats":$st,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

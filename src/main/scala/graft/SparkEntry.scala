@@ -953,13 +953,14 @@ object SparkEntry {
         |  (CASE WHEN n_shingles = 0 THEN 0.0 ELSE n_matched::DOUBLE / n_shingles END) >= 0.5 AS contaminated
         |FROM agg""".stripMargin,
 
-    // Same multiplicative-hash bucket arithmetic: exact Long math in both
-    // engines (DuckDB's wider intermediate types agree — id is first
-    // reduced mod 1e6 so the product never exceeds Int64).
+    // Same dual-modulus multiplicative-hash bucket arithmetic: exact Long
+    // math in both engines (id is first reduced mod ~1e6 primes so each
+    // product never exceeds Int64; the two-term sum < 2^31).
     "text_split" ->
       """WITH b AS (
         |  SELECT doc_id, n_chars,
-        |    (doc_id % 1000003 * 2654435761 % 1000000007) % 100 AS bucket
+        |    ((doc_id % 1000003 * 2654435761 % 1000000007)
+        |     + (doc_id % 1000033 * 2246822519 % 1000000007)) % 100 AS bucket
         |  FROM documents)
         |SELECT CASE WHEN bucket < 5 THEN 'val'
         |            WHEN bucket < 10 THEN 'test'
@@ -971,7 +972,8 @@ object SparkEntry {
     "text_resample" ->
       """WITH b AS (
         |  SELECT doc_id, lang,
-        |    (doc_id % 999983 * 2654435761 % 999999937) % 10000 AS bucket
+        |    ((doc_id % 999983 * 2654435761 % 999999937)
+        |     + (doc_id % 999979 * 2246822519 % 999999937)) % 10000 AS bucket
         |  FROM documents)
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
         |FROM b

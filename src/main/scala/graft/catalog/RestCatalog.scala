@@ -447,11 +447,67 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
   /** Commit a new snapshot (already written to storage) with
     * assert-ref-snapshot-id optimistic concurrency; on 409 the caller's
     * rebase function recomputes the snapshot against fresh metadata. */
+  /** The full initial-metadata update list for committing a STAGED create.
+    * Compliant servers (Polaris/Lakekeeper) do not persist staged state —
+    * they rebuild the table entirely from the commit's updates — so the
+    * assert-create commit must carry assign-uuid / upgrade-format-version /
+    * add-schema / set-current-schema / add-spec / set-default-spec /
+    * add-sort-order / set-default-sort-order / set-location /
+    * set-properties ahead of the snapshot updates (reference
+    * iceberg_table_set.cpp:294-313 TableAssignUUID..TableSetProperties). */
+  private[graft] def initialMetadataUpdates(meta: TableMetadata): Seq[ObjectNode] = {
+    val ups = Seq.newBuilder[ObjectNode]
+    def node(action: String)(f: ObjectNode => Unit): Unit = {
+      val u = F.objectNode(); u.put("action", action); f(u); ups += u
+    }
+    node("assign-uuid")(_.put("uuid", meta.tableUuid))
+    node("upgrade-format-version")(_.put("format-version", meta.formatVersion))
+    val schema = meta.currentSchema
+    node("add-schema") { u =>
+      u.set[JsonNode]("schema", schema.toJson); u.put("last-column-id", meta.lastColumnId)
+    }
+    node("set-current-schema")(_.put("schema-id", schema.schemaId))
+    val spec = meta.defaultSpec
+    node("add-spec") { u =>
+      val so = u.putObject("spec")
+      so.put("spec-id", spec.specId)
+      val fa = so.putArray("fields")
+      spec.fields.foreach { f =>
+        val fo = F.objectNode()
+        fo.put("name", f.name); fo.put("transform", f.transform.toString)
+        fo.put("source-id", f.sourceId); fo.put("field-id", f.fieldId)
+        fa.add(fo)
+      }
+    }
+    node("set-default-spec")(_.put("spec-id", spec.specId))
+    val order = meta.sortOrder(meta.defaultSortOrderId).getOrElse(SortOrder(0, Nil))
+    node("add-sort-order") { u =>
+      val oo = u.putObject("sort-order")
+      oo.put("order-id", order.orderId)
+      val fa = oo.putArray("fields")
+      order.fields.foreach { f =>
+        val fo = F.objectNode()
+        fo.put("transform", f.transform.toString); fo.put("source-id", f.sourceId)
+        fo.put("direction", if (f.ascending) "asc" else "desc")
+        fo.put("null-order", if (f.nullsFirst) "nulls-first" else "nulls-last")
+        fa.add(fo)
+      }
+    }
+    node("set-default-sort-order")(_.put("sort-order-id", order.orderId))
+    node("set-location")(_.put("location", meta.location))
+    if (meta.properties.nonEmpty) node("set-properties") { u =>
+      val p = u.putObject("updates"); meta.properties.foreach { case (k, v) => p.put(k, v) }
+    }
+    ups.result()
+  }
+
   /** Fill `requirements` + `updates` arrays for one table's snapshot commit
-    * (shared by the single-table and multi-table transaction bodies). */
+    * (shared by the single-table and multi-table transaction bodies).
+    * `preUpdates` (initial metadata for staged creates) precede add-snapshot;
+    * `extraUpdates` follow it. */
   private def fillCommitBody(o: ObjectNode, expectedRefSnapshot: Option[Long],
       snapshot: SnapshotInfo, extraUpdates: Seq[ObjectNode],
-      assertCreate: Boolean = false): Unit = {
+      assertCreate: Boolean = false, preUpdates: Seq[ObjectNode] = Nil): Unit = {
     val reqs = o.putArray("requirements")
     val r = F.objectNode()
     if (assertCreate) {
@@ -467,6 +523,7 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
     }
     reqs.add(r)
     val ups = o.putArray("updates")
+    preUpdates.foreach(ups.add)
     val add = F.objectNode()
     add.put("action", "add-snapshot")
     val snapNode = add.putObject("snapshot")
@@ -506,9 +563,9 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
 
   def commitSnapshot(ns: Seq[String], name: String, expectedRefSnapshot: Option[Long],
       snapshot: SnapshotInfo, extraUpdates: Seq[ObjectNode] = Nil,
-      assertCreate: Boolean = false): LoadedTable = {
+      assertCreate: Boolean = false, preUpdates: Seq[ObjectNode] = Nil): LoadedTable = {
     val o = F.objectNode()
-    fillCommitBody(o, expectedRefSnapshot, snapshot, extraUpdates, assertCreate)
+    fillCommitBody(o, expectedRefSnapshot, snapshot, extraUpdates, assertCreate, preUpdates)
     val node = request("POST", s"$apiRoot/namespaces/${nsPath(ns)}/tables/$name", Some(mapper.writeValueAsString(o)))
     invalidate(ns, name)
     parseLoadResult(node)
@@ -719,7 +776,8 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
       val meta = staged.metadata
       val (entries, _) = IcebergWrite.writeDataFiles(df, meta, conf)
       val (snapshot, _) = IcebergWrite.buildSnapshotFiles(meta, entries, Nil, "append", conf)
-      commitSnapshot(ns, name, None, snapshot, assertCreate = true)
+      commitSnapshot(ns, name, None, snapshot, assertCreate = true,
+        preUpdates = initialMetadataUpdates(meta))
     }
   }
 

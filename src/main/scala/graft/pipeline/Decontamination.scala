@@ -31,10 +31,14 @@ object Decontamination {
     // for exact-duplicate grouping), a wordless document must contribute
     // ZERO shingles — the sentinel hash of "" would otherwise mark every
     // empty doc as contaminated whenever the eval set contains one.
+    // Tokenize ONCE per document: the wordless-doc check and the shingle
+    // hashing share the same split (a second corpus-wide tokenization pass
+    // is real money at 100 TB).
     val shingles = udf((t: String) => {
       val text = if (t == null) "" else t
-      if (text.split("\\W+").forall(_.isEmpty)) Array.empty[Long]
-      else Dedup.ngramHashes(text, n)
+      val words = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+      if (words.isEmpty) Array.empty[Long]
+      else Dedup.ngramHashesFromWords(words, n)
     })
     val evalShingles = evalSet
       .select(explode(shingles(col(evalTextCol))).as("_sh")).distinct()

@@ -149,16 +149,30 @@ object Dedup {
     // made wall time bimodal. Both the size aggregation and the join
     // shuffle hash by (_b, _h), so the banding pass is shuffled once and
     // reused (ReusedExchange), not recomputed.
-    bandedBucketPairs(banded, maxBucket, Seq.empty)
-      .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
+    val (pairs, keep) = bandedBucketPairs(banded, maxBucket, Seq.empty)
+    materializeReleasing(pairs.select("id_a", "id_b").dropDuplicates("id_a", "id_b"), keep)
+  }
+
+  /** Persist + materialize `result`, then release every `upstream` cache —
+    * so a long-lived session never accumulates the large intermediate
+    * caches (banded rows, candidate signatures). Lineage is preserved (no
+    * checkpoint): a lost block of the result recomputes through the
+    * now-uncached upstream instead of failing the job. The returned frame
+    * IS persisted; callers that are done with it may `unpersist()` it —
+    * it is the only cache this module retains, sized by the (small)
+    * near-dup pair output, not the corpus. */
+  private def materializeReleasing(result: DataFrame, upstream: DataFrame*): DataFrame = {
+    val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    upstream.foreach(_.unpersist(false))
+    out
   }
 
   /** (id_a, id_b [, carried cols suffixed _a/_b]) for every intra-bucket
     * pair of `banded` (_id, _b, _h, carried...), buckets capped at
     * `maxBucket` members (skew guard). */
   private def bandedBucketPairs(banded: DataFrame, maxBucket: Int,
-      carry: Seq[String]): DataFrame = {
+      carry: Seq[String]): (DataFrame, DataFrame) = {
     // The skew cap rides a WINDOW count over the same (_b, _h) shuffle the
     // join needs — no separate size-aggregation branch, which would be a
     // third full evaluation of the banding pass (the hash UDFs are
@@ -178,9 +192,13 @@ object Dedup {
     def side(suffix: String) = keep.select(
       (Seq(col("_b"), col("_h"), col("_id").as(s"id$suffix")) ++
         carry.map(c => col(c).as(s"$c$suffix"))): _*)
-    side("_a").join(side("_b"), Seq("_b", "_h"))
+    val pairs = side("_a").join(side("_b"), Seq("_b", "_h"))
       .filter(col("id_a") < col("id_b"))
       .drop("_b", "_h")
+    // The caller materializes `pairs`, then unpersists the returned `keep`
+    // handle (via materializeReleasing) — the banded cache must not outlive
+    // the pair computation in a long-lived session.
+    (pairs, keep)
   }
 
   /** Candidate-pair count at/above which the re-score joins fall back from
@@ -204,10 +222,10 @@ object Dedup {
     val docs = df.select(col(idCol).cast("long").as("_id"), col(textCol).as("_text"))
 
     // Candidate pairs are tiny relative to the corpus and referenced by
-    // three downstream branches — materialize once so the full banding
-    // pipeline (the only corpus-wide pass) executes exactly once. The
-    // count also drives the broadcast/shuffle cutover below.
-    val candPairs = minhashCandidatePairs(df, textCol, idCol, shingleSize, maxBucket).persist()
+    // three downstream branches — minhashCandidatePairs returns them
+    // already persisted + materialized (and has released the banding
+    // cache). The cached count drives the broadcast/shuffle cutover below.
+    val candPairs = minhashCandidatePairs(df, textCol, idCol, shingleSize, maxBucket)
     val nCand = candPairs.count()
 
     // Phase 2 — score candidates only: recompute signatures for candidate
@@ -220,7 +238,7 @@ object Dedup {
       .select(col("_id"), sigUdf(col("_text")).as("_sig"))
       .persist()
 
-    candPairs
+    val scored = candPairs
       .join(gated(candSigs.select(col("_id").as("id_a"), col("_sig").as("_sa")), nCand), "id_a")
       .join(gated(candSigs.select(col("_id").as("id_b"), col("_sig").as("_sb")), nCand), "id_b")
       .withColumn("est_jaccard",
@@ -228,6 +246,7 @@ object Dedup {
           s" / cast($MinhashPerms as double)"))
       .filter(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
+    materializeReleasing(scored, candPairs, candSigs)
   }
 
   /** LSH candidates re-scored with EXACT n-gram Jaccard (deterministic —
@@ -246,7 +265,7 @@ object Dedup {
       threshold: Double = 0.9,
       shingleSize: Int = 3,
       maxBucket: Int = 1000): DataFrame = {
-    val cands = minhashCandidatePairs(df, textCol, idCol, shingleSize, maxBucket).persist()
+    val cands = minhashCandidatePairs(df, textCol, idCol, shingleSize, maxBucket)
     val nCand = cands.count()
     val texts = df.select(col(idCol).cast("long").as("_id"), col(textCol).as("_text"))
     val gramsUdf = udf((t: String) => ngramHashes(if (t == null) "" else t, shingleSize))
@@ -256,13 +275,14 @@ object Dedup {
     val candGrams = texts.join(gated(candIds, nCand), "_id")
       .select(col("_id"), gramsUdf(col("_text")).as("_g"))
       .persist()
-    cands
+    val scored = cands
       .join(gated(candGrams.select(col("_id").as("id_a"), col("_g").as("_ga")), nCand), "id_a")
       .join(gated(candGrams.select(col("_id").as("id_b"), col("_g").as("_gb")), nCand), "id_b")
       .withColumn("_i", size(array_intersect(col("_ga"), col("_gb"))).cast("double"))
       .withColumn("_u", size(col("_ga")) + size(col("_gb")) - col("_i"))
       .filter(when(col("_u") === 0, lit(1.0)).otherwise(col("_i") / col("_u")) >= threshold)
       .select("id_a", "id_b")
+    materializeReleasing(scored, cands, candGrams)
   }
 
   // ---------- SimHash ----------
@@ -297,11 +317,14 @@ object Dedup {
       .withColumn("_h", expr("shiftrightunsigned(_sh, _b * 16)").bitwiseAND(lit(0xFFFFL)))
     // Same self-join shape as minhash banding (see bandedBucketPairs);
     // the Hamming distance is a codegen'd bit_count(xor), no UDF.
-    bandedBucketPairs(banded, maxBucket, Seq("_sh"))
-      .withColumn("hamming", expr("cast(bit_count(_sh_a ^ _sh_b) as int)"))
-      .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
-      .dropDuplicates("id_a", "id_b")
+    val (pairs, keep) = bandedBucketPairs(banded, maxBucket, Seq("_sh"))
+    materializeReleasing(
+      pairs
+        .withColumn("hamming", expr("cast(bit_count(_sh_a ^ _sh_b) as int)"))
+        .filter(col("hamming") <= maxHamming)
+        .select("id_a", "id_b", "hamming")
+        .dropDuplicates("id_a", "id_b"),
+      keep)
   }
 
   /** Distinct word-shingle HASHES, sorted — set semantics identical to the
@@ -309,8 +332,13 @@ object Dedup {
     * exact-Jaccard re-score then intersects longs instead of allocating
     * and comparing one string per shingle, which dominated the re-score
     * cost on dup-dense corpora. */
-  def ngramHashes(s: String, n: Int): Array[Long] = {
-    val w = s.toLowerCase.split("\\W+").filter(_.nonEmpty)
+  def ngramHashes(s: String, n: Int): Array[Long] =
+    ngramHashesFromWords(s.toLowerCase.split("\\W+").filter(_.nonEmpty), n)
+
+  /** [[ngramHashes]] over an already-tokenized word array — for callers
+    * that need the token list for their own checks (e.g. the
+    * decontamination empty-document guard) without tokenizing twice. */
+  def ngramHashesFromWords(w: Array[String], n: Int): Array[Long] = {
     if (w.length < n) Array(fnv64(w.mkString(" ")))
     else {
       val wh = new Array[Long](w.length)

@@ -16,12 +16,18 @@ import org.apache.spark.sql.functions._
  */
 object Sampling {
 
-  /** Multiplicative-hash bucket in [0, 100) of a numeric id. Taking the id
-    * modulo 1,000,003 first keeps the product inside Long (1e6 * 2^31.3 <
-    * 2^63) so the arithmetic is exact and portable — the same expression
-    * evaluates identically in any SQL engine. */
+  /** Multiplicative-hash bucket in [0, 100) of a numeric id. Each term
+    * reduces the id by a ~1e6 prime first so the product stays inside Long
+    * (1e6 * 2^31.3 < 2^63) — the arithmetic is exact and portable, the
+    * same expression evaluates identically in any SQL engine. TWO coprime
+    * moduli are summed so ids can only co-move between buckets when their
+    * difference is a multiple of lcm(1000003, 1000033) ~ 1e12 — a single
+    * modulus would make every id pair at stride exactly 1,000,003 land in
+    * the same bucket, correlating synthetically re-keyed corpora whose
+    * stride structure hits that residue class. */
   def hashBucket(id: Column): Column =
-    pmod(pmod(id % 1000003L * 2654435761L, lit(1000000007L)), lit(100L))
+    pmod(pmod(id % 1000003L * 2654435761L, lit(1000000007L)) +
+         pmod(id % 1000033L * 2246822519L, lit(1000000007L)), lit(100L))
 
   /** Deterministic train/val/test split: `valPct`% of hash buckets go to
     * 'val', `testPct`% to 'test', the rest to 'train'. A narrow projection
@@ -38,9 +44,12 @@ object Sampling {
   }
 
   /** Finer-grained hash bucket in [0, 10000) for sub-percent sampling
-    * rates; same exact-Long-math construction as [[hashBucket]]. */
+    * rates; same exact-Long dual-modulus construction as [[hashBucket]],
+    * over a DISJOINT modulus/prime chain so resampling decisions are
+    * independent of split decisions. */
   def hashBucket10k(id: Column): Column =
-    pmod(pmod(id % 999983L * 2654435761L, lit(999999937L)), lit(10000L))
+    pmod(pmod(id % 999983L * 2654435761L, lit(999999937L)) +
+         pmod(id % 999979L * 2246822519L, lit(999999937L)), lit(10000L))
 
   /** Deterministic domain-mix resampling: keep each row of domain `d` with
     * probability `rates(d)` (missing domains keep `defaultRate`), decided

@@ -68,10 +68,24 @@ object GeoBounds {
       .agg(aggs.head, aggs.tail: _*)
       .collect()
     // Keyed by the scheme-normalized FULL path: input_file_name returns a
-    // URI form (file:///...) while manifests record plain paths, and a
-    // bare file NAME would collide across partition directories (Spark's
-    // dynamic-partition writer reuses part-file names per partition).
-    def leaf(p: String): String = p.replaceFirst("^[a-zA-Z0-9+.-]+:/+", "/")
+    // PERCENT-ENCODED URI form (file:///a%20b.parquet) while manifests
+    // record plain paths, and a bare file NAME would collide across
+    // partition directories (Spark's dynamic-partition writer reuses
+    // part-file names per partition). Decode via java.net.URI so paths with
+    // spaces/escapes still match (else those files would silently get no
+    // geometry bounds); keep the authority so s3a://bucket-a/k and
+    // s3a://bucket-b/k stay distinct. Un-parseable strings (a plain path
+    // containing a space is not a valid URI) fall back to scheme-stripping,
+    // which is exactly right for plain manifest paths.
+    def leaf(p: String): String =
+      try {
+        val u = new java.net.URI(p)
+        val auth = Option(u.getAuthority).getOrElse("")
+        if (u.getScheme == null) p
+        else (if (auth.nonEmpty) "/" + auth else "") + u.getPath
+      } catch {
+        case _: java.net.URISyntaxException => p.replaceFirst("^[a-zA-Z0-9+.-]+:/+", "/")
+      }
     case class Box(x1: Double, y1: Double, x2: Double, y2: Double,
         z: Option[(Double, Double)], m: Option[(Double, Double)])
     val byFile: Map[String, Map[Int, Box]] =

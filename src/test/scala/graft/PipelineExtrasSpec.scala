@@ -147,6 +147,14 @@ class PipelineExtrasSpec extends SparkSpec {
     assert(byKind.values.sum == 5000)
     intercept[IllegalArgumentException](Sampling.deterministicSplit(docs, "doc_id", 60, 50))
 
+    // Stride decorrelation: ids at stride exactly 1,000,003 (one of the
+    // reducing moduli) must NOT co-move between buckets — the dual-modulus
+    // mix makes co-movement require a multiple of lcm(1000003, 1000033).
+    val strided = (0L until 500L).map(i => Tuple1(7L + i * 1000003L)).toDF("doc_id")
+    val strideBuckets = strided.select(Sampling.hashBucket(col("doc_id")).as("b"))
+      .distinct().count()
+    assert(strideBuckets > 50, s"stride-1000003 ids hit only $strideBuckets distinct buckets")
+
     // Domain-mix resampling: reproducible, per-domain rates approximately
     // honored, rate 1.0 keeps everything, invalid rates refused.
     val domains = docs.withColumn("dom",

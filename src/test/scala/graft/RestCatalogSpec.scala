@@ -345,6 +345,16 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
       m == "POST" && p.endsWith("/tables/r") }
     assert(commits.size == 1, s"staged CTAS must commit once, saw: ${server.loggedRequests}")
     assert(t.metadata.currentSnapshotId.isDefined)
+    // The server is spec-compliant: it did NOT persist staged metadata, so
+    // everything below exists only because the commit carried the full
+    // initial-metadata update list (assign-uuid/add-schema/add-spec/...).
+    val reloaded = catalog.loadTable(Seq("stg"), "r").metadata
+    assert(reloaded.tableUuid.nonEmpty, "assign-uuid must reach the server")
+    assert(reloaded.formatVersion >= 2)
+    assert(reloaded.location == t.metadata.location)
+    assert(reloaded.currentSchema.fields.map(_.name) ==
+      t.metadata.currentSchema.fields.map(_.name),
+      "add-schema/set-current-schema must rebuild the schema server-side")
     assertSameResult(src, catalog.loadDF(spark, Seq("stg"), "r"))
 
     // The staged table is invisible between create and commit: stage a
@@ -358,7 +368,8 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     val conf = spark.sessionState.newHadoopConf()
     val (e1, _) = graft.write.IcebergWrite.writeDataFiles(src, staged.metadata, conf)
     val (s1, _) = graft.write.IcebergWrite.buildSnapshotFiles(staged.metadata, e1, Nil, "append", conf)
-    catalog.commitSnapshot(Seq("stg"), "ghost", None, s1, assertCreate = true)
+    catalog.commitSnapshot(Seq("stg"), "ghost", None, s1, assertCreate = true,
+      preUpdates = catalog.initialMetadataUpdates(staged.metadata))
     assert(catalog.tableExists(Seq("stg"), "ghost"))
     assertSameResult(src, catalog.loadDF(spark, Seq("stg"), "ghost"))
 

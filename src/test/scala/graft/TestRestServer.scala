@@ -151,6 +151,48 @@ class TestRestServer {
         case "remove-statistics" =>
           val sid = u.get("snapshot-id").asLong()
           m = m.copy(statistics = m.statistics.filterNot(_.snapshotId == sid))
+        // Initial-metadata actions (staged-create commits): a compliant
+        // server rebuilds the table entirely from these — staged state is
+        // NOT persisted server-side (REST spec; Polaris/Lakekeeper behave
+        // this way).
+        case "assign-uuid" => m = m.copy(tableUuid = u.get("uuid").asText())
+        case "upgrade-format-version" =>
+          m = m.copy(formatVersion = u.get("format-version").asInt())
+        case "add-schema" =>
+          val sch = IcebergTypes.parseSchema(u.get("schema"))
+          val lci = Option(u.get("last-column-id")).map(_.asInt())
+            .getOrElse(math.max(sch.lastColumnId, sch.maxFieldId))
+          m = m.copy(schemas = m.schemas :+ sch, lastColumnId = math.max(m.lastColumnId, lci))
+        case "set-current-schema" =>
+          val id = u.get("schema-id").asInt()
+          m = m.copy(currentSchemaId = if (id == -1) m.schemas.last.schemaId else id)
+        case "add-spec" =>
+          val sn = u.get("spec")
+          val sp = PartitionSpec(Option(sn.get("spec-id")).map(_.asInt()).getOrElse(0),
+            sn.get("fields").elements().asScala.map { f =>
+              PartitionField(f.get("source-id").asInt(), f.get("field-id").asInt(),
+                f.get("name").asText(), Transforms.parse(f.get("transform").asText()))
+            }.toSeq)
+          m = m.copy(specs = m.specs :+ sp,
+            lastPartitionId = math.max(m.lastPartitionId,
+              sp.fields.map(_.fieldId).maxOption.getOrElse(999)))
+        case "set-default-spec" =>
+          val id = u.get("spec-id").asInt()
+          m = m.copy(defaultSpecId = if (id == -1) m.specs.last.specId else id)
+        case "add-sort-order" =>
+          val on = u.get("sort-order")
+          val ord = SortOrder(on.get("order-id").asInt(),
+            Option(on.get("fields")).map(_.elements().asScala.map { f =>
+              SortField(f.get("source-id").asInt(),
+                Transforms.parse(f.get("transform").asText()),
+                f.get("direction").asText() == "asc",
+                f.get("null-order").asText() == "nulls-first")
+            }.toSeq).getOrElse(Nil))
+          m = m.copy(sortOrders = m.sortOrders :+ ord)
+        case "set-default-sort-order" =>
+          val id = u.get("sort-order-id").asInt()
+          m = m.copy(defaultSortOrderId = if (id == -1) m.sortOrders.last.orderId else id)
+        case "set-location" => m = m.copy(location = u.get("location").asText())
         case _ =>
       }
     })
@@ -324,7 +366,20 @@ class TestRestServer {
                 defaultSortOrderId = 0, sortOrders = Seq(SortOrder(0, Nil)),
                 properties = props, currentSnapshotId = None,
                 snapshots = Nil, snapshotLog = Nil, metadataLog = Nil, refs = Map.empty)
-              if (stage) n.staged.put(name, meta) else n.tables.put(name, meta)
+              // Spec-compliant staging: the server does NOT persist staged
+              // metadata — only the reservation. The assert-create commit
+              // must rebuild the table from its initial-metadata updates
+              // (assign-uuid/add-schema/...); storing a blank skeleton here
+              // makes a client that omits them fail visibly.
+              if (stage) n.staged.put(name, TableMetadata(
+                formatVersion = 1, tableUuid = "", location = "",
+                lastSequenceNumber = 0L, lastUpdatedMs = System.currentTimeMillis(),
+                lastColumnId = 0, currentSchemaId = -1, schemas = Nil,
+                defaultSpecId = -1, specs = Nil, lastPartitionId = 999,
+                defaultSortOrderId = -1, sortOrders = Nil, properties = Map.empty,
+                currentSnapshotId = None, snapshots = Nil, snapshotLog = Nil,
+                metadataLog = Nil, refs = Map.empty))
+              else n.tables.put(name, meta)
               respond(ex, 200, loadResult(meta))
           }
 
