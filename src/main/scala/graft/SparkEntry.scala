@@ -267,15 +267,32 @@ object SparkEntry {
         .distinct()
     }),
 
-    // ---- §2.1 metadata table functions (rows-only checks) ----
+    // ---- §2.1 metadata table functions ----
+    // Each projects the independently-derivable columns so the driver can
+    // VALUE-check them (vs a side dataset computed through a different code
+    // path, or pure SQL over the source data); the full-width tables stay
+    // value-pinned against reference expectations in
+    // MetadataTablesGoldenSpec.
     "meta_snapshots" -> ((s, dir) =>
       IcebergTable.snapshots(s, Fixtures.ordersTwoSnapshots(s, dir)._1)),
     "meta_manifest_entries" -> ((s, dir) =>
-      IcebergTable.manifestEntries(s, Fixtures.ordersByMonth(s, dir))),
+      // Key on partition-dir/leaf: Spark's writer reuses the same part-file
+      // NAME across partition directories, so the bare leaf is not unique.
+      IcebergTable.manifestEntries(s, Fixtures.ordersByMonth(s, dir))
+        .select(regexp_extract(col("file_path"), "([^/]+/[^/]+)$", 1).as("file_name"),
+          col("status"), col("content"), col("file_format"),
+          col("record_count"), col("file_size_in_bytes"),
+          col("data_sequence_number"))),
     "meta_column_stats" -> ((s, dir) =>
-      IcebergTable.columnStats(s, Fixtures.lineitemPlain(s, dir))),
+      IcebergTable.columnStats(s, Fixtures.lineitemPlain(s, dir))
+        .filter(col("content") === "DATA" && col("column_name").isin(MetaStatCols: _*))
+        .select(regexp_extract(col("file_path"), "([^/]+)$", 1).as("file_name"),
+          col("column_name"), col("lower_bound"), col("upper_bound"),
+          col("value_count"), col("null_value_count"))),
     "meta_partition_stats" -> ((s, dir) =>
-      IcebergTable.partitionStats(s, Fixtures.ordersByMonth(s, dir))),
+      IcebergTable.partitionStats(s, Fixtures.ordersByMonth(s, dir))
+        .select(col("manifest_content"), col("partition_field_name"),
+          col("contains_null"), col("lower_bound"), col("upper_bound"))),
 
     // ANALYZE: compute_table_stats writes a Puffin NDV statistics file; the
     // query surfaces the registered NDV for two small-cardinality columns,
@@ -623,7 +640,93 @@ object SparkEntry {
           regexp_extract(input_file_name(), "_gp_l_orderkey_bucket=(\\d+)", 1)
             .cast("int").as("bucket"))
         .distinct()
+    }),
+    // Snapshot list re-derived through Spark's OWN JSON reader over the
+    // metadata file — a second, independent parser; meta_snapshots
+    // (graft's jackson parse + snapshot assembly) must agree with it.
+    "snapshots_expected" -> ((s, dir) => {
+      val path = Fixtures.ordersTwoSnapshots(s, dir)._1
+      val vre = "v(\\d+)\\.metadata\\.json".r
+      val latest = new java.io.File(s"$path/metadata").listFiles.map(_.getName)
+        .collect { case n @ vre(v) => (v.toInt, n) }.maxBy(_._1)._2
+      s.read.option("multiLine", true).json(s"$path/metadata/$latest")
+        .select(explode(col("snapshots")).as("s"))
+        .select(col("s.`sequence-number`").cast("long").as("sequence_number"),
+          col("s.`snapshot-id`").cast("long").as("snapshot_id"),
+          timestamp_millis(col("s.`timestamp-ms`").cast("long")).as("timestamp_ms"),
+          col("s.`manifest-list`").as("manifest_list"),
+          col("s.summary.operation").as("operation"))
+    }),
+    // Per-file entry facts re-derived from the DATA and the FILESYSTEM
+    // (row counts from a fresh scan, byte sizes from an FS listing) — no
+    // manifest is read; meta_manifest_entries' Avro-decoded counts/sizes
+    // must agree.
+    "manifest_entries_expected" -> ((s, dir) => {
+      val path = Fixtures.ordersByMonth(s, dir)
+      val conf = s.sessionState.newHadoopConf()
+      val dataDir = new org.apache.hadoop.fs.Path(s"$path/data")
+      val fs = dataDir.getFileSystem(conf)
+      val sizes = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      val it = fs.listFiles(dataDir, true)
+      while (it.hasNext) {
+        val f = it.next()
+        // partition-dir/leaf key — bare part-file names repeat across
+        // partition directories
+        if (f.getPath.getName.endsWith(".parquet"))
+          sizes += s"${f.getPath.getParent.getName}/${f.getPath.getName}" -> f.getLen
+      }
+      import s.implicits._
+      val sizesDf = sizes.toSeq.toDF("file_name", "file_size_in_bytes")
+      // recursiveFileLookup: data files sit under data/<write-uuid>/...,
+      // a plain (non key=value) level partition discovery would choke on.
+      s.read.option("recursiveFileLookup", "true").parquet(s"$path/data")
+        .groupBy(regexp_extract(input_file_name(), "([^/]+/[^/]+)$", 1).as("file_name"))
+        .agg(count(lit(1)).as("record_count"))
+        .join(sizesDf, "file_name")
+        .select(col("file_name"), lit("ADDED").as("status"), lit("DATA").as("content"),
+          lit("parquet").as("file_format"), col("record_count"),
+          col("file_size_in_bytes"), lit(1L).as("data_sequence_number"))
+    }),
+    // Per-file column stats re-derived by AGGREGATING THE DATA (grouped by
+    // physical file) — independent of the footer-stat collection path that
+    // wrote the manifests; bounds render through the same Java
+    // number-toString semantics on both sides.
+    "column_stats_expected" -> ((s, dir) => {
+      val path = Fixtures.lineitemPlain(s, dir)
+      val d = s.read.option("recursiveFileLookup", "true").parquet(s"$path/data")
+        .withColumn("file_name", regexp_extract(input_file_name(), "([^/]+)$", 1))
+      // parquet-mr writes CONSERVATIVE zero bounds for floating columns
+      // (PARQUET-1222): a min of 0.0 is stored as -0.0 and a max of -0.0 as
+      // +0.0, so footer-derived manifest bounds render "-0.0"/"0.0" there;
+      // mirror that here.
+      val doubles = Set("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      def loR(c: String) =
+        if (doubles(c)) when(min(col(c)) === 0.0, lit("-0.0")).otherwise(min(col(c)).cast("string"))
+        else min(col(c)).cast("string")
+      def hiR(c: String) =
+        if (doubles(c)) when(max(col(c)) === 0.0, lit("0.0")).otherwise(max(col(c)).cast("string"))
+        else max(col(c)).cast("string")
+      val aggs = MetaStatCols.flatMap { c => Seq(
+        loR(c).as(s"lo_$c"), hiR(c).as(s"hi_$c"),
+        count(lit(1)).as(s"vc_$c"),
+        sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as(s"nc_$c"))
+      }
+      val wide = d.groupBy("file_name").agg(aggs.head, aggs.tail: _*)
+      MetaStatCols.map { c =>
+        wide.select(col("file_name"), lit(c).as("column_name"),
+          col(s"lo_$c").as("lower_bound"), col(s"hi_$c").as("upper_bound"),
+          col(s"vc_$c").as("value_count"), col(s"nc_$c").as("null_value_count"))
+      }.reduce(_.union(_))
     }))
+
+  /** Columns whose manifest bounds render identically to a Spark
+    * `cast(... as string)` (Java toString semantics for longs/ints/doubles,
+    * identity for short strings — no 16-byte truncation, no
+    * timestamp-format divergence): the value-oracle subset for
+    * meta_column_stats. */
+  private val MetaStatCols: Seq[String] = Seq(
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -635,6 +738,35 @@ object SparkEntry {
     "meta_partition_stats_file" ->
       """SELECT o_orderstatus, count(*)::BIGINT AS n_rows
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    // Two independent parsers of the same metadata JSON must agree (the
+    // side dataset is Spark's own JSON reader; the query is graft's parse).
+    "meta_snapshots" ->
+      """SELECT sequence_number, snapshot_id, timestamp_ms, manifest_list,
+        |       operation
+        |FROM read_parquet('__GRAFT_OUT__/snapshots_expected/*.parquet')""".stripMargin,
+
+    // Manifest-decoded per-file facts vs a fresh data scan + FS listing.
+    "meta_manifest_entries" ->
+      """SELECT file_name, status, content, file_format, record_count,
+        |       file_size_in_bytes, data_sequence_number
+        |FROM read_parquet('__GRAFT_OUT__/manifest_entries_expected/*.parquet')""".stripMargin,
+
+    // Footer-collected column bounds/counts vs re-aggregating the data.
+    "meta_column_stats" ->
+      """SELECT file_name, column_name, lower_bound, upper_bound,
+        |       value_count, null_value_count
+        |FROM read_parquet('__GRAFT_OUT__/column_stats_expected/*.parquet')""".stripMargin,
+
+    // Partition-summary bounds are months-since-epoch ints — directly
+    // recomputable from the source data in SQL.
+    "meta_partition_stats" ->
+      """SELECT 'DATA' AS manifest_content,
+        |  'o_orderdate_month' AS partition_field_name,
+        |  false AS contains_null,
+        |  CAST(min((year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1) AS VARCHAR) AS lower_bound,
+        |  CAST(max((year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1) AS VARCHAR) AS upper_bound
+        |FROM orders""".stripMargin,
 
     "ice_agg_pushdown" ->
       """SELECT count(*)::BIGINT AS n_rows, min(o_custkey) AS min_cust,
