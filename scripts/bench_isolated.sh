@@ -33,7 +33,7 @@ for q in $QUERIES; do
   line=$(SPARK_GRAFT_ONLY=$q java -cp "$CP" $OPENS -Xmx24g \
     -Dspark.ui.enabled=false graft.Bench 2>/dev/null | grep '"metric"')
   if [ -n "$line" ]; then echo "$line" >> "$OUT".jsonl; else echo "{\"queries\":{\"$q\":-1}}" >> "$OUT".jsonl; fi
-  sec=$(echo "$line" | sed -n "s/.*\"$q\":\([0-9.]*\).*/\1/p")
+  sec=$(echo "$line" | python3 -c "import json,sys;print(json.load(sys.stdin).get('queries',{}).get('$q',-1))" 2>/dev/null)
   echo "$q ${sec:--1}" >&2
 done
 python3 - "$OUT" <<'EOF'

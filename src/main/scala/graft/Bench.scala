@@ -17,7 +17,12 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // Scale-robust shuffle parallelism: at least 32 initial partitions so
+      // big joins (60M-row lineitem self-joins at sf10) hash into tables
+      // that fit memory instead of spilling — AQE coalescing merges the
+      // excess at small SF, so low-SF runs pay nothing (A/B: sf10 tq21
+      // 66.2s->37.5s, tq18 32.9s->18.9s; sf0.1 unchanged-to-better).
+      .config("spark.sql.shuffle.partitions", math.max(32, cpus.toInt))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.fieldId.read.enabled", "true")

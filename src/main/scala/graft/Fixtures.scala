@@ -245,6 +245,23 @@ object Fixtures {
       IcebergTable.delete(spark, dir, "o_orderstatus = 'F'")
     }
 
+  /** Orders (v2, unpartitioned) where a pure-equality SQL DELETE routed
+    * through the EQUALITY-delete writer (session-gated like the reference's
+    * `enable_equality_deletes`): the table must carry an equality-delete
+    * file, not positional deletes — the fixture build fails loudly if the
+    * routing regresses. */
+  def ordersEqDeleteWrite(spark: SparkSession, sfDir: String): String =
+    iceberg(spark, sfDir, "orders_eqdel_write") { dir =>
+      IcebergTable.write(parquet(spark, sfDir, "orders"), dir)
+      spark.conf.set(graft.write.Dml.EnableEqualityDeleteWrites, "true")
+      try IcebergTable.delete(spark, dir, "o_orderstatus = 'F'")
+      finally spark.conf.unset(graft.write.Dml.EnableEqualityDeleteWrites)
+      val eqEntries = IcebergTable.manifestEntries(spark, dir)
+        .filter(col("content") === "EQUALITY_DELETES").count()
+      require(eqEntries > 0,
+        "pure-equality DELETE did not write an equality-delete file")
+    }
+
   /** Customer table with an equality delete of every 10th key. */
   def customerEqDeleted(spark: SparkSession, sfDir: String): String =
     iceberg(spark, sfDir, "customer_eqdel") { dir =>
@@ -252,6 +269,17 @@ object Fixtures {
       IcebergTable.write(c, dir)
       IcebergTable.deleteEquality(spark, dir,
         c.filter(col("c_custkey") % 10 === 0).select("c_custkey"))
+    }
+
+  /** Orders with a VARIANT payload column written through the graft writer
+    * (v3 — variant is an Iceberg v3 type): JSON built from orderstatus +
+    * totalprice, parsed to Spark VariantType. */
+  def ordersVariantWritten(spark: SparkSession, sfDir: String): String =
+    iceberg(spark, sfDir, "orders_variant") { dir =>
+      val src = parquet(spark, sfDir, "orders")
+        .selectExpr("o_orderkey",
+          "parse_json(concat('{\"status\":\"', o_orderstatus, '\",\"total\":', o_totalprice, '}')) AS payload")
+      IcebergTable.write(src, dir, TableWriteOptions(formatVersion = 3))
     }
 
   /** Orders table after ALTER: add column w/ default, rename, drop. */
@@ -342,6 +370,31 @@ object Fixtures {
     val meta = graft.core.TableMetadata.load(path, spark.sessionState.newHadoopConf())
     (path, meta.snapshots.minBy(_.sequenceNumber).snapshotId)
   }
+
+  /** A `list<struct>` table taken through the reference's full nested
+    * evolution sequence (schema_evolve_struct_in_list test.sql): insert →
+    * widen age int→long → insert → add last_name → insert → rename
+    * first_name→given_name → insert → drop last_name. The final scan reads
+    * pre- and post-evolution files through field-id resolution. */
+  def nestedEvolved(spark: SparkSession, sfDir: String): String =
+    iceberg(spark, sfDir, "nested_evolved") { dir =>
+      import graft.write.Evolution
+      def row(sql: String) = spark.sql(s"SELECT $sql AS tags")
+      IcebergTable.write(row(
+        "array(named_struct('first_name','Alice','age',43)," +
+          "named_struct('first_name','Bob','age',35))"), dir)
+      Evolution.updateColumnType(spark, dir, "tags.element.age", "long")
+      IcebergTable.append(row(
+        "array(named_struct('first_name','Ancient Being','age',9223372036854775807L)," +
+          "named_struct('first_name','Bobby Droptables','age',2147483649L))"), dir)
+      Evolution.addColumn(spark, dir, "tags.element.last_name", "string")
+      IcebergTable.append(row(
+        "array(named_struct('first_name','Hello','age',9223372036854775807L,'last_name','World'))"), dir)
+      Evolution.renameColumn(spark, dir, "tags.element.first_name", "given_name")
+      IcebergTable.append(row(
+        "array(named_struct('given_name','Duck','age',5L,'last_name','DB'))"), dir)
+      Evolution.dropColumn(spark, dir, "tags.element.last_name")
+    }
 
   /** Embeddings with the LSH signature materialized as a stored column
     * (parquet) — the 100 TB shape: sign once at ingest, probe many times. */

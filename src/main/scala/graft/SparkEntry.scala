@@ -246,6 +246,21 @@ object SparkEntry {
     "ice_eq_delete" -> ((s, dir) =>
       IcebergTable.load(s, Fixtures.customerEqDeleted(s, dir))),
 
+    // WRITE path for equality deletes: the SQL DELETE routed through the
+    // equality-delete writer (not the direct deleteEquality API), read back.
+    "ice_eq_delete_write" -> ((s, dir) =>
+      IcebergTable.load(s, Fixtures.ordersEqDeleteWrite(s, dir))),
+
+    // VARIANT column written through the graft writer (v3) and read back:
+    // variant_get extracts typed fields; the predicate exercises the
+    // variant filter intake end-to-end on a graft-WRITTEN table.
+    "ice_variant" -> ((s, dir) =>
+      IcebergTable.load(s, Fixtures.ordersVariantWritten(s, dir),
+          ReadOptions(filterSql = Some("variant_get(payload, '$.total', 'double') > 450000.0D")))
+        .selectExpr("o_orderkey",
+          "variant_get(payload, '$.status', 'string') AS status",
+          "variant_get(payload, '$.total', 'double') AS total")),
+
     "ice_topk_scan_order" -> ((s, dir) =>
       IcebergTable.topK(s, Fixtures.ordersMultiFile(s, dir), "o_orderkey", 10, descending = true)
         .select("o_orderkey", "o_totalprice")),
@@ -320,6 +335,16 @@ object SparkEntry {
         .selectExpr("partition.o_orderstatus AS o_orderstatus",
           "data_record_count AS n_rows")
     }),
+
+    // Nested-collection schema evolution: one scan over pre- and
+    // post-evolution files of a list<struct> column whose element struct
+    // was widened, extended, renamed, and shrunk — reference expectations
+    // are fixed values (schema_evolve_struct_in_list.test:17-21), so the
+    // oracle is a VALUES literal.
+    "ice_nested_evolution" -> ((s, dir) =>
+      IcebergTable.load(s, Fixtures.nestedEvolved(s, dir))
+        .selectExpr("explode(tags) AS t")
+        .selectExpr("t.given_name AS given_name", "t.age AS age")),
 
     // Metadata-only aggregate pushdown (DSv2): COUNT(*)/COUNT/MIN/MAX
     // answered from manifest counts and bounds — no data file opened.
@@ -773,6 +798,15 @@ object SparkEntry {
         |       max(o_custkey) AS max_cust, count(o_orderkey)::BIGINT AS n_orders
         |FROM orders""".stripMargin,
 
+    // Fixed reference expectations (schema_evolve_struct_in_list.test).
+    "ice_nested_evolution" ->
+      """SELECT * FROM (VALUES
+        |  ('Alice', 43::BIGINT), ('Bob', 35::BIGINT),
+        |  ('Ancient Being', 9223372036854775807::BIGINT),
+        |  ('Bobby Droptables', 2147483649::BIGINT),
+        |  ('Hello', 9223372036854775807::BIGINT),
+        |  ('Duck', 5::BIGINT)) AS t(given_name, age)""".stripMargin,
+
     // NDV stats are HLL-exact at these cardinalities (3 statuses,
     // 5 priorities), so exact COUNT(DISTINCT) is a valid oracle.
     "meta_ndv_stats" ->
@@ -916,6 +950,12 @@ object SparkEntry {
     "ice_dv_delete" -> "SELECT * FROM orders WHERE o_orderstatus <> 'F'",
 
     "ice_eq_delete" -> "SELECT * FROM customer WHERE c_custkey % 10 <> 0",
+
+    "ice_eq_delete_write" -> "SELECT * FROM orders WHERE o_orderstatus <> 'F'",
+
+    "ice_variant" ->
+      """SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS total
+        |FROM orders WHERE o_totalprice > 450000.0""".stripMargin,
 
     "ice_topk_scan_order" ->
       """SELECT o_orderkey, o_totalprice FROM orders

@@ -29,22 +29,60 @@ object Evolution {
     meta.copy(schemas = meta.schemas :+ sch, currentSchemaId = newId, lastColumnId = newLastColumnId)
   }
 
+  /** Rewrite the struct addressed by a dotted path: struct segments by
+    * field name, `element` into a list, `key`/`value` into a map — the
+    * addressing the reference's nested ALTER statements use
+    * (`tags.element.age`, `preferences.value.first_name`;
+    * schema_evolve_struct_in_list.test, schema_evolve_struct_in_map.test).
+    * `op` receives the field list of the addressed struct and returns the
+    * replacement; every field id on the way down is preserved. */
+  private def rewriteStructAt(root: IcebergTypes.StructT, path: Seq[String])(
+      op: Seq[IcebergTypes.NestedField] => Seq[IcebergTypes.NestedField]): IcebergTypes.StructT = {
+    import IcebergTypes._
+    def go(t: IcebergType, p: Seq[String]): IcebergType = (t, p) match {
+      case (s: StructT, Nil) => StructT(op(s.fields))
+      case (s: StructT, seg +: rest) =>
+        val f = s.fields.find(_.name == seg).getOrElse(
+          throw new IllegalArgumentException(s"No field '$seg' on path"))
+        StructT(s.fields.map(x =>
+          if (x.id == f.id) x.copy(fieldType = go(x.fieldType, rest)) else x))
+      case (ListT(id, el, req), "element" +: rest) => ListT(id, go(el, rest), req)
+      case (MapT(kid, k, vid, v, req), "key" +: rest) => MapT(kid, go(k, rest), vid, v, req)
+      case (MapT(kid, k, vid, v, req), "value" +: rest) => MapT(kid, k, vid, go(v, rest), req)
+      case (other, seg +: _) =>
+        throw new IllegalArgumentException(
+          s"Cannot address '$seg' inside ${other.typeJsonString}")
+    }
+    go(root, path).asInstanceOf[StructT]
+  }
+
+  /** Split a dotted column reference into (parent struct path, leaf name). */
+  private def splitPath(name: String): (Seq[String], String) = {
+    val segs = name.split("\\.").toSeq
+    (segs.init, segs.last)
+  }
+
   /** ALTER TABLE ADD COLUMN (optionally with an initial-default visible on
-    * rows written before the column existed). */
+    * rows written before the column existed). A dotted `name` adds the
+    * field to a NESTED struct — including one inside a list element or map
+    * value (`tags.element.last_name`). */
   def addColumn(spark: SparkSession, path: String, name: String, typeString: String,
       initialDefaultJson: Option[String] = None, required: Boolean = false): TableMetadata = {
     val conf = spark.sessionState.newHadoopConf()
     val meta = TableMetadata.load(path, conf)
     val cur = meta.currentSchema
-    require(!cur.fields.exists(_.name == name), s"Column $name already exists")
     require(!required || initialDefaultJson.isDefined,
       "A required column added to a non-empty table needs an initial-default")
     val t = IcebergTypes.parsePrimitive(typeString)
     val id = meta.lastColumnId + 1
     val defNode = initialDefaultJson.map(new com.fasterxml.jackson.databind.ObjectMapper().readTree)
-    val f = IcebergTypes.NestedField(id, name, required, t,
-      initialDefaultJson = defNode, writeDefaultJson = defNode)
-    commit(withNewSchema(meta, cur.fields :+ f, id), conf)
+    val (parent, leaf) = splitPath(name)
+    val newStruct = rewriteStructAt(cur.struct, parent) { fs =>
+      require(!fs.exists(_.name == leaf), s"Column $name already exists")
+      fs :+ IcebergTypes.NestedField(id, leaf, required, t,
+        initialDefaultJson = defNode, writeDefaultJson = defNode)
+    }
+    commit(withNewSchema(meta, newStruct.fields, id), conf)
   }
 
   /** ALTER TABLE DROP COLUMN. Blocked when the column is referenced by the
@@ -54,13 +92,17 @@ object Evolution {
     val conf = spark.sessionState.newHadoopConf()
     val meta = TableMetadata.load(path, conf)
     val cur = meta.currentSchema
-    val f = cur.findField(name)
-      .getOrElse(throw new IllegalArgumentException(s"No column $name"))
-    require(!meta.specs.exists(_.fields.exists(_.sourceId == f.id)),
-      s"Cannot drop $name: referenced by a partition spec")
-    require(!meta.sortOrder(meta.defaultSortOrderId).exists(_.fields.exists(_.sourceId == f.id)),
-      s"Cannot drop $name: referenced by the table sort order")
-    commit(withNewSchema(meta, cur.fields.filterNot(_.id == f.id), meta.lastColumnId), conf)
+    val (parent, leaf) = splitPath(name)
+    val newStruct = rewriteStructAt(cur.struct, parent) { fs =>
+      val f = fs.find(_.name == leaf).orElse(fs.find(_.name.equalsIgnoreCase(leaf)))
+        .getOrElse(throw new IllegalArgumentException(s"No column $name"))
+      require(!meta.specs.exists(_.fields.exists(_.sourceId == f.id)),
+        s"Cannot drop $name: referenced by a partition spec")
+      require(!meta.sortOrder(meta.defaultSortOrderId).exists(_.fields.exists(_.sourceId == f.id)),
+        s"Cannot drop $name: referenced by the table sort order")
+      fs.filterNot(_.id == f.id)
+    }
+    commit(withNewSchema(meta, newStruct.fields, meta.lastColumnId), conf)
   }
 
   /** ALTER TABLE RENAME COLUMN — keeps the field id, so existing data files
@@ -69,10 +111,14 @@ object Evolution {
     val conf = spark.sessionState.newHadoopConf()
     val meta = TableMetadata.load(path, conf)
     val cur = meta.currentSchema
-    require(cur.fields.exists(_.name == from), s"No column $from")
-    require(!cur.fields.exists(_.name == to), s"Column $to already exists")
-    val fields = cur.fields.map(f => if (f.name == from) f.copy(name = to) else f)
-    commit(withNewSchema(meta, fields, meta.lastColumnId), conf)
+    val (parent, leaf) = splitPath(from)
+    require(!to.contains("."), s"Rename target must be a bare name, got $to")
+    val newStruct = rewriteStructAt(cur.struct, parent) { fs =>
+      require(fs.exists(_.name == leaf), s"No column $from")
+      require(!fs.exists(_.name == to), s"Column $to already exists")
+      fs.map(f => if (f.name == leaf) f.copy(name = to) else f)
+    }
+    commit(withNewSchema(meta, newStruct.fields, meta.lastColumnId), conf)
   }
 
   /** ALTER TABLE ALTER COLUMN ... COMMENT — sets/clears the Iceberg field
@@ -95,19 +141,22 @@ object Evolution {
     val conf = spark.sessionState.newHadoopConf()
     val meta = TableMetadata.load(path, conf)
     val cur = meta.currentSchema
-    val f = cur.findField(name)
-      .getOrElse(throw new IllegalArgumentException(s"No column $name"))
     val t = IcebergTypes.parsePrimitive(newType)
     import IcebergTypes._
-    val ok = (f.fieldType, t) match {
-      case (IntT, LongT) => true
-      case (FloatT, DoubleT) => true
-      case (DecimalT(p1, s1), DecimalT(p2, s2)) => s1 == s2 && p2 >= p1
-      case (a, b) => a == b
+    val (parent, leaf) = splitPath(name)
+    val newStruct = rewriteStructAt(cur.struct, parent) { fs =>
+      val f = fs.find(_.name == leaf).orElse(fs.find(_.name.equalsIgnoreCase(leaf)))
+        .getOrElse(throw new IllegalArgumentException(s"No column $name"))
+      val ok = (f.fieldType, t) match {
+        case (IntT, LongT) => true
+        case (FloatT, DoubleT) => true
+        case (DecimalT(p1, s1), DecimalT(p2, s2)) => s1 == s2 && p2 >= p1
+        case (a, b) => a == b
+      }
+      require(ok, s"Illegal type promotion ${f.fieldType.typeJsonString} -> ${t.typeJsonString}")
+      fs.map(x => if (x.id == f.id) x.copy(fieldType = t) else x)
     }
-    require(ok, s"Illegal type promotion ${f.fieldType.typeJsonString} -> ${t.typeJsonString}")
-    val fields = cur.fields.map(x => if (x.id == f.id) x.copy(fieldType = t) else x)
-    commit(withNewSchema(meta, fields, meta.lastColumnId), conf)
+    commit(withNewSchema(meta, newStruct.fields, meta.lastColumnId), conf)
   }
 
   /** SET NOT NULL / DROP NOT NULL. */

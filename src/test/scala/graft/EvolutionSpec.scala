@@ -314,4 +314,82 @@ class EvolutionSpec extends SparkSpec {
     assert(IcebergTable.load(spark, path).select("marker").collect().map(_.getString(0)).toSet
       == Set("keep-a", "keep-b-diff-id", "keep-c", "new-row"))
   }
+
+  test("nested-collection evolution: widen/add/rename/drop a struct field inside a LIST element " +
+      "(schema_evolve_struct_in_list.test:14-21)") {
+    import spark.implicits._
+    import graft.write.Evolution
+    val path = tmpDir("graft_evolve_struct_in_list")
+    def row(sql: String) = spark.sql(s"SELECT $sql AS tags")
+    IcebergTable.write(row(
+      "array(named_struct('first_name','Alice','age',43)," +
+        "named_struct('first_name','Bob','age',35))"), path)
+    Evolution.updateColumnType(spark, path, "tags.element.age", "long")
+    IcebergTable.append(row(
+      "array(named_struct('first_name','Ancient Being','age',9223372036854775807L)," +
+        "named_struct('first_name','Bobby Droptables','age',2147483649L))"), path)
+    Evolution.addColumn(spark, path, "tags.element.last_name", "string")
+    IcebergTable.append(row(
+      "array(named_struct('first_name','Hello','age',9223372036854775807L,'last_name','World'))"), path)
+    Evolution.renameColumn(spark, path, "tags.element.first_name", "given_name")
+    IcebergTable.append(row(
+      "array(named_struct('given_name','Duck','age',5L,'last_name','DB'))"), path)
+    Evolution.dropColumn(spark, path, "tags.element.last_name")
+
+    // One scan over pre- and post-evolution files: field-id resolution
+    // renames + widens inside the list element; the dropped field is gone.
+    val df = IcebergTable.load(spark, path)
+    val elemType = df.schema("tags").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(elemType.fieldNames.toSeq == Seq("given_name", "age"))
+    assert(elemType("age").dataType == org.apache.spark.sql.types.LongType)
+    val got = df.selectExpr("array_join(transform(tags, t -> concat(t.given_name, ':', t.age)), ',')")
+      .as[String].collect().sorted.toSeq
+    // Reference expectations, schema_evolve_struct_in_list.test:17-21.
+    assert(got == Seq(
+      "Alice:43,Bob:35",
+      "Ancient Being:9223372036854775807,Bobby Droptables:2147483649",
+      "Duck:5",
+      "Hello:9223372036854775807").sorted)
+  }
+
+  test("nested-collection evolution: widen/add/rename/drop a struct field inside a MAP value " +
+      "(schema_evolve_struct_in_map.test)") {
+    import spark.implicits._
+    import graft.write.Evolution
+    val path = tmpDir("graft_evolve_struct_in_map")
+    def row(sql: String) = spark.sql(s"SELECT $sql AS preferences")
+    IcebergTable.write(row(
+      "map('first',named_struct('first_name','Alice','age',43)," +
+        "'second',named_struct('first_name','Bob','age',35))"), path)
+    Evolution.updateColumnType(spark, path, "preferences.value.age", "long")
+    IcebergTable.append(row(
+      "map('third',named_struct('first_name','Ancient Being','age',9223372036854775807L)," +
+        "'fourth',named_struct('first_name','Bobby Droptables','age',2147483649L))"), path)
+    Evolution.addColumn(spark, path, "preferences.value.last_name", "string")
+    IcebergTable.append(row(
+      "map('fifth',named_struct('first_name','Hello','age',9223372036854775807L,'last_name','World'))"), path)
+    Evolution.renameColumn(spark, path, "preferences.value.first_name", "given_name")
+    IcebergTable.append(row(
+      "map('sixth',named_struct('given_name','Duck','age',5L,'last_name','DB'))"), path)
+    Evolution.dropColumn(spark, path, "preferences.value.last_name")
+
+    val df = IcebergTable.load(spark, path)
+    val valType = df.schema("preferences").dataType
+      .asInstanceOf[org.apache.spark.sql.types.MapType].valueType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(valType.fieldNames.toSeq == Seq("given_name", "age"))
+    assert(valType("age").dataType == org.apache.spark.sql.types.LongType)
+    val got = df.selectExpr(
+      "array_join(transform(map_entries(preferences), " +
+        "e -> concat(e.key, '=', e.value.given_name, ':', e.value.age)), ',')")
+      .as[String].collect().sorted.toSeq
+    // Reference expectations, schema_evolve_struct_in_map.test:16-20.
+    assert(got == Seq(
+      "first=Alice:43,second=Bob:35",
+      "third=Ancient Being:9223372036854775807,fourth=Bobby Droptables:2147483649",
+      "fifth=Hello:9223372036854775807",
+      "sixth=Duck:5").sorted)
+  }
 }

@@ -107,4 +107,55 @@ class RobustnessSpec extends SparkSpec {
     assert(f.metadata.getString("iceberg.crs") == "srid:3857")
     assert(f.metadata.getString("iceberg.type") == "geometry")
   }
+
+  test("two-writer commit race on the path-table publish: one winner per metadata " +
+      "version, losers retry onto the next, no snapshot lost (HadoopTableOperations semantics)") {
+    import spark.implicits._
+    val path = tmpDir("graft_commit_race")
+    IcebergTable.write(Seq((0, "init")).toDF("id", "v"), path)
+    def listVersions() = new java.io.File(s"$path/metadata").listFiles.map(_.getName)
+      .filter(_.matches("v\\d+\\.metadata\\.json"))
+      .map(_.drop(1).takeWhile(_.isDigit).toInt).sorted.toSeq
+    val beforeMax = listVersions().max
+    val perWriter = 4
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def writer(base: Int) = new Thread(() => {
+      try {
+        barrier.await() // release both writers into the race together
+        (1 to perWriter).foreach { i =>
+          IcebergTable.append(Seq((base + i, s"w$base-$i")).toDF("id", "v"), path)
+        }
+      } catch { case t: Throwable => errors.add(t) }
+    })
+    val t1 = writer(100); val t2 = writer(200)
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert(errors.isEmpty, s"writer failed: ${Option(errors.peek()).map(_.getMessage)}")
+
+    val total = 1 + 2 * perWriter
+    val meta = graft.core.TableMetadata.load(path, spark.sessionState.newHadoopConf())
+    // Every commit survived, with a LINEAR history: unique contiguous
+    // sequence numbers and a parent chain covering every snapshot (a lost
+    // publish would orphan a snapshot or fork the chain).
+    assert(meta.snapshots.size == total, "every commit must produce a surviving snapshot")
+    assert(meta.snapshots.map(_.sequenceNumber).sorted == (1L to total.toLong),
+      "sequence numbers must be unique and contiguous")
+    val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
+    var cur = meta.currentSnapshot
+    var chain = 0
+    while (cur.isDefined) { chain += 1; cur = cur.get.parentSnapshotId.flatMap(byId.get) }
+    assert(chain == total, s"parent chain covers $chain of $total snapshots")
+    // One winner per metadata version; losers republished at the NEXT free
+    // version — contiguous, no gaps, no overwrites: exactly one new version
+    // per racing commit on top of the initial write's versions.
+    val versions = listVersions()
+    assert(versions == (1 to versions.max),
+      s"metadata versions must be contiguous, got $versions")
+    assert(versions.max == beforeMax + 2 * perWriter,
+      s"expected ${beforeMax + 2 * perWriter} versions (one per commit), got ${versions.max}")
+    assert(IcebergTable.load(spark, path).count() == total.toLong)
+    // Caveat this pins: the createLink/rename publish is atomic per-version
+    // on local and HDFS-like filesystems; plain object stores without
+    // atomic create-if-absent need a catalog (RestCatalog) instead.
+  }
 }

@@ -89,6 +89,33 @@ class VariantPruningSpec extends SparkSpec {
     assert(got == 41, s"expected ages 70..110 = 41 rows, got $got")
   }
 
+  test("graft-WRITTEN variant table: unshredded files carry no shredded bounds, " +
+      "so scans stay conservative (no pruning) and exact") {
+    val path = tmpDir("graft_variant_written")
+    def mk(lo: Int, hi: Int) = spark.range(lo, hi + 1).toDF("id")
+      .withColumn("v", parse_json(concat(lit("{\"age\": "), col("id"), lit(", \"name\": \"p\"}"))))
+      .coalesce(1)
+    // Through the normal writer (v3 — variant is a v3 type): Spark writes
+    // variant UNSHREDDED (metadata/value binaries), so per the spec there
+    // are no shredded-field bounds to record — exactly the reference's
+    // behavior for unshredded files.
+    IcebergTable.write(mk(20, 60), path, graft.write.TableWriteOptions(formatVersion = 3))
+    IcebergTable.append(mk(70, 110), path)
+    assert(IcebergTable.plan(spark, path).dataFiles.size == 2)
+    val vid = TableMetadata.load(path, hconf).currentSchema.fields.find(_.name == "v").get.id
+    IcebergTable.plan(spark, path).dataFiles.foreach { f =>
+      assert(!f.info.lowerBounds.contains(vid), "unshredded variant must not fake bounds")
+    }
+    // Probe-count: the variant_get filter cannot prune (conservative — both
+    // files planned), and the row result is still exact.
+    val planned = IcebergTable.plan(spark, path,
+      ReadOptions(filterSql = Some("variant_get(v, '$.age', 'int') > 60"))).dataFiles.size
+    assert(planned == 2, s"unshredded variant files must plan conservatively, planned $planned")
+    val got = IcebergTable.load(spark, path,
+      ReadOptions(filterSql = Some("variant_get(v, '$.age', 'int') > 60"))).count()
+    assert(got == 41, s"expected ages 70..110 = 41 rows, got $got")
+  }
+
   test("fuzz: random variant_get predicates never lose rows against true bounds") {
     val path = buildBoundedTable()
     val full = IcebergTable.load(spark, path).cache()
