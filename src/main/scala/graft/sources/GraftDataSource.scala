@@ -33,7 +33,6 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  * see [[graft.streaming.Streams.changesBetween]]).
  */
 class GraftDataSource extends TableProvider with DataSourceRegister
-    with org.apache.spark.sql.sources.StreamSourceProvider
     with org.apache.spark.sql.sources.StreamSinkProvider {
   override def shortName(): String = "graft"
   override def supportsExternalMetadata(): Boolean = false
@@ -44,31 +43,10 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     p
   }
 
-  // ---- Structured Streaming micro-batch source (SURVEY §2.9) ----
-  // `spark.readStream.format("graft").load(path)`: each micro-batch reads
-  // the data files that became live since the last processed snapshot
-  // (offset = snapshot id + snapshot-log ordinal).
-
-  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
-      providerName: String, parameters: Map[String, String]): (String, StructType) = {
-    val inferred = schema.getOrElse {
-      val conf = ctx.sparkSession.sessionState.newHadoopConf()
-      TableMetadata.load(parameters("path"), conf).currentSchema.toSpark
-    }
-    (shortName(), inferred)
-  }
-
-  override def createSource(ctx: SQLContext, metadataPath: String,
-      schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
-    val path = parameters("path")
-    val conf = ctx.sparkSession.sessionState.newHadoopConf()
-    val s = schema.getOrElse(TableMetadata.load(path, conf).currentSchema.toSpark)
-    val maxFiles = parameters.collectFirst {
-      case (k, v) if k.equalsIgnoreCase("maxFilesPerTrigger") => v.trim.toInt
-    }
-    new GraftMicroBatchSource(ctx.sparkSession, path, s, maxFiles)
-  }
+  // ---- Structured Streaming micro-batch SOURCE: DSv2 route ----
+  // `spark.readStream.format("graft").load(path)` resolves through
+  // TableProvider -> GraftTable (MICRO_BATCH_READ capability) ->
+  // GraftScan.toMicroBatchStream — the public connector streaming contract.
 
   // ---- Structured Streaming micro-batch sink (SURVEY §2.9) ----
   // `df.writeStream.format("graft").option("path", table).start()`: each
@@ -206,7 +184,8 @@ private[graft] class GraftTable(path: String, tableSchema: StructType,
     else None
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.MICRO_BATCH_READ)
 
   /** INSERT INTO / INSERT OVERWRITE / DataFrame append — bridged to the
     * engine's write path via the V1 write fallback (the write itself is a
@@ -239,7 +218,9 @@ private[graft] class GraftTable(path: String, tableSchema: StructType,
       asOfTimestampMs = o.asOfTimestampMs.orElse(baseOpts.asOfTimestampMs),
       metadataVersion = o.metadataVersion.orElse(baseOpts.metadataVersion),
       versionNameFormat = o.versionNameFormat.orElse(baseOpts.versionNameFormat))
-    new GraftScanBuilder(path, tableSchema, merged, preloaded)
+    val streamMaxFiles =
+      Option(options.get("maxFilesPerTrigger")).map(_.trim.toInt)
+    new GraftScanBuilder(path, tableSchema, merged, preloaded, streamMaxFiles)
   }
 
   /** SQL `DELETE FROM` — delegates to the engine's merge-on-read delete
@@ -262,7 +243,8 @@ private[graft] class GraftTable(path: String, tableSchema: StructType,
 }
 
 private[sources] class GraftScanBuilder(path: String, tableSchema: StructType, opts: ReadOptions,
-    preloaded: Option[TableMetadata] = None)
+    preloaded: Option[TableMetadata] = None,
+    streamMaxFiles: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var accepted: Array[Filter] = Array.empty
@@ -380,7 +362,8 @@ private[sources] class GraftScanBuilder(path: String, tableSchema: StructType, o
   } catch { case scala.util.control.NonFatal(_) => None }
 
   override def build(): Scan =
-    aggScan.getOrElse(new GraftScan(path, required, accepted, opts, preloaded))
+    aggScan.getOrElse(new GraftScan(path, required, accepted, opts, preloaded,
+      streamMaxFiles = streamMaxFiles))
 }
 
 /** One-row driver-side scan carrying a metadata-answered aggregate. */
@@ -398,7 +381,9 @@ private[sources] class GraftScan(path: String, required: StructType,
     /** Predicates Catalyst cannot push as `Filter`s (geometry bbox UDF) —
       * injected by [[GraftScanStatistics]] from the residual Filter node so
       * file-level pruning still sees them on the SQL route. */
-    private[sources] val extraFilterSql: Option[String] = None)
+    private[sources] val extraFilterSql: Option[String] = None,
+    /** `maxFilesPerTrigger` for the micro-batch stream route. */
+    streamMaxFiles: Option[Int] = None)
     extends V1Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   private val filterSql: Option[String] = {
     val parts = pushed.flatMap(FilterSql.convert) ++ extraFilterSql
@@ -478,6 +463,12 @@ private[sources] class GraftScan(path: String, required: StructType,
 
   override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
     new GraftRelation(context, required, effOpts, this).asInstanceOf[T]
+
+  /** DSv2 micro-batch stream (public connector streaming contract —
+    * offsets, admission control, AvailableNow). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(path, required, streamMaxFiles)
 }
 
 private[sources] object GraftScan {
@@ -800,9 +791,10 @@ private[graft] object GraftScanStatistics
 }
 
 /** Micro-batch offset: the snapshot id plus its ordinal in the snapshot
-  * log (ordinal gives cheap monotonic comparison; id gives exact replay). */
+  * log (ordinal gives cheap monotonic comparison; id gives exact replay).
+  * Extends the PUBLIC connector streaming Offset. */
 private[graft] case class GraftStreamOffset(snapshotId: Long, ordinal: Long)
-    extends org.apache.spark.sql.execution.streaming.Offset {
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
   override def json(): String = s"""{"snapshotId":$snapshotId,"ordinal":$ordinal}"""
 }
 
@@ -818,44 +810,121 @@ private[graft] object GraftStreamOffset {
   }
 }
 
-/** V1 streaming `Source` over an Iceberg table: `getOffset` polls the
-  * current snapshot; `getBatch(a, b)` returns rows from data files live at
-  * `b` but not at `a` (Streams.appendsBetween), re-planned through the
-  * normal scan assembly (field-id projection, defaults, deletes). The same
-  * shape as the reference's incremental hooks — snapshots ARE the offsets
-  * (SURVEY §2.9). */
-private[graft] class GraftMicroBatchSource(spark: SparkSession, path: String,
-    sourceSchema: StructType,
-    maxFilesPerTrigger: Option[Int] = None)
-    extends org.apache.spark.sql.execution.streaming.Source {
+/** DSv2 micro-batch stream over an Iceberg table — snapshots ARE the
+  * offsets (SURVEY §2.9). Admission control (`maxFilesPerTrigger`, a
+  * metadata-only capped cursor) and `Trigger.AvailableNow` ride the PUBLIC
+  * connector streaming contract (`SupportsAdmissionControl` /
+  * `SupportsTriggerAvailableNow`) — no internal `execution.streaming`
+  * Source API, which Spark is free to break.
+  *
+  * Each batch materializes the incremental DataFrame (the normal scan
+  * assembly: field-id projection, initial-defaults, delete application) via
+  * an eager localCheckpoint, then serves the checkpointed — hence NARROW —
+  * partitions through PartitionReaders. The assembly plan may contain
+  * joins (delete anti-joins) whose shuffle stages must run as a
+  * driver-coordinated job, which cannot happen inside foreign reader
+  * tasks. Batches are incremental, so the materialization cost scales with
+  * the new data, not the table; on executor loss the query replays the
+  * batch from its checkpointed offset range (the DSv2 replay contract). */
+private[graft] class GraftMicroBatchStream(path: String, required: StructType,
+    maxFilesPerTrigger: Option[Int])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => V2Offset, ReadLimit, ReadMaxFiles}
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+  import org.apache.spark.sql.catalyst.InternalRow
 
-  override def schema: StructType = sourceSchema
+  private def spark = SparkSession.active
+  /** Nothing-consumed-yet sentinel (a table has no ordinal -1). */
+  private val StartOfStream = GraftStreamOffset(-1L, -1L)
+  /** Fixed at query start under Trigger.AvailableNow: the stream drains up
+    * to this offset (possibly over several rate-limited batches), no
+    * further, even if the table keeps committing. */
+  @volatile private var availableNowTarget: Option[GraftStreamOffset] = None
+  /** The current batch's materialized rows, set by planInputPartitions and
+    * consumed by createReaderFactory (the engine calls them in sequence). */
+  @volatile private var batchRdd: org.apache.spark.rdd.RDD[InternalRow] = _
 
-  // Rate-limiting position: the newest offset this source has handed out or
-  // replayed. After a restart it starts empty; the first (possibly empty)
-  // replayed batch re-establishes it from the engine's checkpointed range.
-  @volatile private var lastSeen: Option[GraftStreamOffset] = None
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
 
-  override def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] =
-    (maxFilesPerTrigger match {
-      case Some(cap) => graft.streaming.Streams.cappedCursor(
-        spark, path, lastSeen.map(_.snapshotId), cap)
-      case None => graft.streaming.Streams.latestCursor(spark, path)
-    }).map { case (id, ord) => GraftStreamOffset(id, ord) }
+  override def initialOffset(): V2Offset = StartOfStream
+  override def deserializeOffset(json: String): V2Offset = GraftStreamOffset.fromJson(json)
 
-  override def getBatch(start: Option[org.apache.spark.sql.execution.streaming.Offset],
-      end: org.apache.spark.sql.execution.streaming.Offset): org.apache.spark.sql.DataFrame = {
-    val endOff = GraftStreamOffset.of(end)
-    val startOff = start.map(GraftStreamOffset.of(_))
-    lastSeen = Some((lastSeen.toSeq ++ startOff.toSeq :+ endOff).maxBy(_.ordinal))
-    val df = graft.streaming.Streams.appendsBetween(spark, path,
-      startOff.map(_.snapshotId), endOff.snapshotId)
-    org.apache.spark.sql.GraftStreamShim.asStreamingDF(df)
+  override def latestOffset(): V2Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is used — this stream implements SupportsAdmissionControl")
+
+  override def latestOffset(start: V2Offset, limit: ReadLimit): V2Offset = {
+    val startOff = GraftStreamOffset.of(start)
+    val after = if (startOff == StartOfStream) None else Some(startOff.snapshotId)
+    val next = limit match {
+      case m: ReadMaxFiles => graft.streaming.Streams.cappedCursor(spark, path, after, m.maxFiles())
+      case _ => graft.streaming.Streams.latestCursor(spark, path)
+    }
+    val raw = next.map { case (id, ord) => GraftStreamOffset(id, ord) }.getOrElse(startOff)
+    // AvailableNow: clamp to the target fixed at query start.
+    availableNowTarget.filter(_.ordinal < raw.ordinal).getOrElse(raw)
   }
 
-  override def commit(end: org.apache.spark.sql.execution.streaming.Offset): Unit = ()
+  override def reportLatestOffset(): V2Offset =
+    graft.streaming.Streams.latestCursor(spark, path)
+      .map { case (id, ord) => GraftStreamOffset(id, ord) }.orNull
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = graft.streaming.Streams.latestCursor(spark, path)
+      .map { case (id, ord) => GraftStreamOffset(id, ord) }
+      .orElse(Some(StartOfStream))
+
+  override def planInputPartitions(start: V2Offset, end: V2Offset): Array[InputPartition] = {
+    val s = GraftStreamOffset.of(start)
+    val e = GraftStreamOffset.of(end)
+    if (e == StartOfStream || e.ordinal <= s.ordinal)
+      return Array.empty
+    val df = graft.streaming.Streams.appendsBetween(spark, path,
+      if (s == StartOfStream) None else Some(s.snapshotId), e.snapshotId)
+    val projected =
+      if (required.fieldNames.isEmpty) df
+      else df.select(required.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+    val checkpointed = projected.localCheckpoint(true)
+    val rdd = checkpointed.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.toRdd
+    batchRdd = rdd
+    rdd.partitions.map(p => GraftStreamPartition(p): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftStreamReaderFactory(batchRdd)
+
+  override def commit(end: V2Offset): Unit = ()
   override def stop(): Unit = ()
-  override def toString: String = s"GraftMicroBatchSource[$path]"
+  override def toString: String = s"GraftMicroBatchStream[$path]"
+}
+
+/** One checkpointed partition of the current micro-batch. */
+private[sources] case class GraftStreamPartition(split: org.apache.spark.Partition)
+    extends org.apache.spark.sql.connector.read.InputPartition
+
+/** Serves the eagerly-checkpointed batch RDD's partitions: blocks were
+  * materialized by the driver-coordinated localCheckpoint job, so the
+  * iterator here is a narrow block read (local or remote-fetched), never a
+  * recomputation through shuffle stages. */
+private[sources] class GraftStreamReaderFactory(
+    rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow])
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  override def createReader(partition: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+    val it = rdd.iterator(partition.asInstanceOf[GraftStreamPartition].split,
+      org.apache.spark.TaskContext.get())
+    new org.apache.spark.sql.connector.read.PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+      private var current: org.apache.spark.sql.catalyst.InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { current = it.next(); true } else false
+      override def get(): org.apache.spark.sql.catalyst.InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
 }
 
 /** V1 streaming `Sink` into an Iceberg table: each micro-batch commits one

@@ -531,14 +531,61 @@ object Dml {
       actions: MergeActions): TableMetadata =
     merge(spark, PathOps(path), source, onCond, actions)
 
+  /** Target-only deterministic conjuncts of a MERGE ON condition (every
+    * attribute qualified with the target alias, no subqueries), rendered
+    * with the alias stripped — the file-pruning filter for the target
+    * scan. None when no conjunct qualifies. */
+  private[graft] def targetOnlyConjuncts(spark: SparkSession, onCond: String,
+      alias: String): Option[String] = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    val parsed = try spark.sessionState.sqlParser.parseExpression(onCond)
+      catch { case _: Exception => return None }
+    def conjuncts(e: ce.Expression): Seq[ce.Expression] = e match {
+      case ce.And(a, b) => conjuncts(a) ++ conjuncts(b)
+      case other => Seq(other)
+    }
+    def targetOnly(e: ce.Expression): Boolean = {
+      var sawAttr = false
+      var ok = true
+      e.foreach {
+        case a: UnresolvedAttribute =>
+          sawAttr = true
+          if (!(a.nameParts.length == 2 && a.nameParts.head.equalsIgnoreCase(alias))) ok = false
+        case _: ce.SubqueryExpression => ok = false
+        case _ =>
+      }
+      ok && sawAttr && e.deterministic
+    }
+    val kept = conjuncts(parsed).filter(targetOnly).map { e =>
+      e.transform {
+        case a: UnresolvedAttribute if a.nameParts.length == 2 &&
+            a.nameParts.head.equalsIgnoreCase(alias) =>
+          UnresolvedAttribute(a.nameParts.tail)
+      }.sql
+    }
+    if (kept.isEmpty) None else Some(kept.map(p => s"($p)").mkString(" AND "))
+  }
+
   def merge(spark: SparkSession, ops: TableOps, source: DataFrame, onCond: String,
       actions: MergeActions): TableMetadata = {
     val conf = spark.sessionState.newHadoopConf()
     val meta = ops.load(conf)
     val schema = meta.currentSchema
     val v3 = meta.formatVersion >= 3
+    // Target-only literal conjuncts of ON prune the target scan at
+    // PLANNING time: a MERGE keyed into k partitions plans O(k) files, not
+    // the table (the DML analog of the read-side partition pruning). Sound
+    // because any matched target row must satisfy every target-only
+    // conjunct — files that cannot contain one hold only untouched rows,
+    // which merge-on-read leaves in place. DISABLED when NOT MATCHED BY
+    // SOURCE clauses exist: those operate precisely on the rows the filter
+    // would hide.
+    val targetFilter: Option[String] =
+      if (actions.notMatchedBySourceClauses.nonEmpty) None
+      else targetOnlyConjuncts(spark, onCond, "t")
     val target = IcebergRead.loadWithMetadata(spark, meta, conf,
-      ReadOptions(keepFileMeta = true, withRowLineage = v3))
+      ReadOptions(keepFileMeta = true, withRowLineage = v3, filterSql = targetFilter))
 
     val t = target.alias("t")
     val s = source.alias("s")

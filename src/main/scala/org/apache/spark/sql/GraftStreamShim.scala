@@ -4,25 +4,13 @@ import org.apache.spark.sql.classic.{Dataset => CDataset, SparkSession => CSpark
 import org.apache.spark.sql.execution.LogicalRDD
 
 /**
- * Minimal `private[sql]` bridge for graft's V1 streaming source: micro-batch
- * `Source.getBatch` must return a DataFrame whose logical plan is flagged
- * `isStreaming = true` (MicroBatchExecution asserts it), and the only way to
- * stamp that flag onto an arbitrary batch plan is the internal
- * [[LogicalRDD]] constructor — the same pattern file/Kafka/Delta sources
- * use. This is the entire internal surface graft touches.
+ * Minimal `private[sql]` bridge for graft's V1 streaming SINK and the SQL
+ * DML rewrites — the entire internal surface graft touches. (The streaming
+ * SOURCE rides the public DSv2 MicroBatchStream contract and needs no
+ * shim.)
  */
 object GraftStreamShim {
-  /** Re-wrap a batch DataFrame's physical RDD as a streaming-flagged plan.
-    * Planning stays lazy: `toRdd` builds the RDD DAG, execution happens when
-    * the micro-batch sink runs it. */
-  def asStreamingDF(df: DataFrame): DataFrame = {
-    val cdf = df.asInstanceOf[CDataset[Row]]
-    val session = cdf.sparkSession.asInstanceOf[CSparkSession]
-    val qe = cdf.queryExecution
-    CDataset.ofRows(session, LogicalRDD(qe.analyzed.output, qe.toRdd, isStreaming = true)(session))
-  }
-
-  /** The inverse, for the V1 streaming sink: `Sink.addBatch` receives a
+  /** For the V1 streaming sink: `Sink.addBatch` receives a
     * DataFrame whose plan is flagged streaming (batch writers refuse it).
     * Re-wrap its physical RDD as a batch plan so the normal distributed
     * write path (`df.write.parquet`) can execute it — rows flow straight

@@ -35,6 +35,56 @@ class DmlSpec extends SparkSpec {
     assert(meta.snapshots.size == 2)
   }
 
+  test("MERGE target-scan pruning: target-only ON conjuncts touch only their partitions; " +
+      "NOT MATCHED BY SOURCE disables the pruning") {
+    import spark.implicits._
+    import graft.write.Dml
+    import graft.core.Transforms
+    val path = tmpDir("graft_merge_prune")
+    val rows = (0 until 40).map(i => (i, i % 4, s"v$i")).toDF("id", "part", "v")
+    IcebergTable.write(rows, path, graft.write.TableWriteOptions(
+      partitionBy = Seq(("part", Transforms.Identity))))
+
+    // Conjunct extraction: partition literal extracts; join conjuncts,
+    // source-qualified and unqualified refs do not.
+    assert(Dml.targetOnlyConjuncts(spark, "t.id = s.id AND t.part = 2", "t")
+      .exists(f => f.contains("part") && f.contains("2")))
+    assert(Dml.targetOnlyConjuncts(spark, "t.id = s.id", "t").isEmpty)
+    assert(Dml.targetOnlyConjuncts(spark, "t.id = s.id AND part = 2", "t").isEmpty,
+      "unqualified refs are ambiguous and must not extract")
+
+    // Merge keyed into partition 2 only: update one row, insert one row.
+    val source = Seq((2, 2, "UPD"), (999, 2, "NEW")).toDF("id", "part", "v")
+    IcebergTable.merge(spark, path, source,
+      "t.id = s.id AND t.part = s.part AND t.part = 2",
+      Dml.MergeActions(matchedUpdate = Some(Map("v" -> "s.v")), insertAll = true))
+    val out = IcebergTable.load(spark, path)
+    assert(out.count() == 41)
+    assert(out.filter(col("id") === 2).select("v").collect().head.getString(0) == "UPD")
+    assert(out.filter(col("id") === 999).count() == 1)
+    // The merge's DELETE files live only in the touched partition — the
+    // pruned target plan never saw the other partitions' files.
+    val delEntries = IcebergTable.plan(spark, path).deleteFiles
+    assert(delEntries.nonEmpty && delEntries.forall(_.info.partitionValues == Seq(2)),
+      s"merge deletes must stay in part=2, got ${delEntries.map(_.info.partitionValues).mkString(",")}")
+
+    // NOT MATCHED BY SOURCE must see the rows the filter would hide: with
+    // an nms DELETE, every unmatched row across ALL partitions goes, so the
+    // ON literal cannot prune (41 rows -> matched row kept updated, rest
+    // deleted).
+    val path2 = tmpDir("graft_merge_prune_nms")
+    IcebergTable.write(rows, path2, graft.write.TableWriteOptions(
+      partitionBy = Seq(("part", Transforms.Identity))))
+    IcebergTable.merge(spark, path2, Seq((2, 2, "UPD")).toDF("id", "part", "v"),
+      "t.id = s.id AND t.part = s.part AND t.part = 2",
+      Dml.MergeActions(
+        matchedUpdate = Some(Map("v" -> "s.v")),
+        notMatchedBySourceClauses = Seq(Dml.MatchedClause(None, None))))
+    val out2 = IcebergTable.load(spark, path2).collect()
+    assert(out2.length == 1 && out2.head.getAs[String]("v") == "UPD",
+      s"nms DELETE must remove every unmatched row table-wide, left ${out2.length}")
+  }
+
   test("MERGE INTO: matched update + not-matched insert; multi-match errors") {
     val src = spark.read.parquet(s"$sfDir/region.parquet")
     val path = tmpDir("graft_dml_merge")

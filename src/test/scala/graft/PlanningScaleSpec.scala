@@ -318,6 +318,20 @@ class PlanningScaleSpec extends SparkSpec {
       assert(pOne.deleteFiles.size == 1 &&
         pOne.deleteFiles.head.info.content == FileContent.EqualityDeletes,
         s"path-bounds should drop both positional deletes, kept ${pOne.deleteFiles.map(_.info.filePath)}")
+
+      // MERGE planning analog (the DML side of the same probe): the target
+      // filter Dml.merge derives from a partition-keyed ON condition plans
+      // exactly the touched partition — one data + one delete manifest
+      // read, O(touched partitions) surviving deletes, over the same
+      // 10k-file/1000-delete fixture.
+      val mergeFilter = graft.write.Dml.targetOnlyConjuncts(spark,
+        "t.part = s.part AND t.id = s.id AND t.part = 137", "t")
+      assert(mergeFilter.isDefined, "partition-literal ON conjunct must extract")
+      val (pMerge, rMerge) = probe(ReadOptions(filterSql = mergeFilter))
+      assert(rMerge == 2, s"MERGE planning should read 2 manifests, read $rMerge")
+      assert(pMerge.dataFiles.size == PerManifest)
+      assert(pMerge.deleteFiles.size == 3,
+        s"MERGE planning kept ${pMerge.deleteFiles.size} deletes, expected 3")
     }
   }
 }

@@ -89,6 +89,34 @@ class StreamingSourceSpec extends SparkSpec {
         dstMeta.snapshots.map(_.summary.get("added-records")).mkString(","))
   }
 
+  test("Trigger.AvailableNow + maxFilesPerTrigger: backlog drains in bounded batches " +
+      "to the query-start offset, then the query terminates (DSv2 admission-control contract)") {
+    import spark.implicits._
+    val dir = tmpDir("graft_stream_availnow")
+    def batch(tag: Int) = (1 to 10).map(i => (tag * 100 + i, s"v$tag")).toDF("id", "v").repartition(2)
+    IcebergTable.write(batch(0), dir)
+    (1 to 4).foreach(t => IcebergTable.append(batch(t), dir))
+
+    val tmp = tmpDir("graft_stream_availnow_run")
+    val dst = s"$tmp/dst"
+    graft.write.IcebergWrite.createTable(spark, dst,
+      spark.read.format("graft").load(dir).schema)
+    // AvailableNow: the source fixes its target at query start, drains the
+    // 10-file backlog over cap-bounded batches, and the query STOPS on its
+    // own — no manual stop, the public SupportsTriggerAvailableNow path.
+    val q = spark.readStream.format("graft")
+      .option("maxFilesPerTrigger", "4").load(dir)
+      .writeStream.format("graft")
+      .option("path", dst).option("checkpointLocation", s"$tmp/chk")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "AvailableNow query must self-terminate")
+    assert(IcebergTable.load(spark, dst).count() == 50)
+    val dstMeta = graft.core.TableMetadata.load(dst, spark.sessionState.newHadoopConf())
+    val appends = dstMeta.snapshots.filter(_.summary.get("added-records").exists(_ != "0"))
+    assert(appends.size == 3,
+      s"cap 4 over 10 files should drain in 3 bounded batches, made ${appends.size}")
+  }
+
   test("offset json roundtrip") {
     val o = graft.sources.GraftStreamOffset(123456789L, 7L)
     assert(graft.sources.GraftStreamOffset.fromJson(o.json()) == o)
