@@ -24,7 +24,7 @@ SKIP = {
     "ice_schema_evolution", "stream_incremental", "stream_microbatch",
     "sql_time_travel",
     # quadratic verification oracles for sub-quadratic graft operators
-    "dedup_minhash", "dedup_simhash", "dedup_embedding",
+    "dedup_minhash", "dedup_simhash", "dedup_embedding", "dedup_clusters",
 }
 
 def main():

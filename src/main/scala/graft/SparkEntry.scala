@@ -378,6 +378,19 @@ object SparkEntry {
       Dedup.minhashNearDuplicatesExact(all, "text", "doc_id", threshold = 0.9)
     }),
 
+    // Cluster resolution over the near-dup pair set: connected components
+    // (pointer-jumping min-label propagation) assign every doc its
+    // cluster's minimum id — one canonical doc per near-dup FAMILY, not
+    // per pair.
+    "dedup_clusters" -> ((s, dir) => {
+      val d = pq(s, dir, "documents").select("doc_id", "text")
+      val mutated = d.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" appended-tail-token")).as("text"))
+      val all = d.union(mutated)
+      val pairs = Dedup.minhashNearDuplicatesExact(all, "text", "doc_id", threshold = 0.9)
+      Dedup.resolveClusters(all, "doc_id", pairs)
+    }),
+
     "dedup_simhash" -> ((s, dir) => {
       val d = pq(s, dir, "documents").select("doc_id", "text")
       val mutated = d.select((col("doc_id") + 1000000).as("doc_id"),
@@ -1262,6 +1275,45 @@ object SparkEntry {
         |JOIN cnt ca ON ca.doc_id = ia
         |JOIN cnt cb ON cb.doc_id = ib
         |WHERE k * 1.0 / (ca.n + cb.n - k) >= 0.9""".stripMargin,
+
+    // Same quadratic exact pair set as dedup_minhash, then connected
+    // components via a recursive reachability closure — per-doc cluster
+    // assignment must match the pointer-jumping propagation exactly.
+    "dedup_clusters" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' appended-tail-token' FROM documents),
+        |toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN text IS NULL THEN [] ELSE list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') END AS w
+        |  FROM docs),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |      ELSE list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS s
+        |    FROM toks)),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS k
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT ia AS id_a, ib AS id_b FROM inter
+        |  JOIN cnt ca ON ca.doc_id = ia
+        |  JOIN cnt cb ON cb.doc_id = ib
+        |  WHERE k * 1.0 / (ca.n + cb.n - k) >= 0.9),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst),
+        |lab AS (SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id)
+        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+        |  CAST(coalesce(l.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+        |FROM docs d LEFT JOIN lab l ON l.id = d.doc_id""".stripMargin,
 
     // Exact cosine >= 0.99 pair set over the duplicated corpus; the Spark
     // banding has deterministic recall on the planted identical copies.

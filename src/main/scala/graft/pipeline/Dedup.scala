@@ -327,6 +327,61 @@ object Dedup {
       keep)
   }
 
+  /** Resolve near-duplicate PAIRS into connected-component clusters and
+    * assign every document its cluster id (the component's minimum doc id;
+    * the canonical representative is the doc whose id equals its
+    * cluster_id) — the step after pair generation in a dedup pipeline:
+    * near-dup families are transitive (A~B, B~C), so keeping one doc per
+    * PAIR over-deletes while one per COMPONENT is the standard policy.
+    *
+    * Algorithm: min-label propagation with POINTER JUMPING — each round
+    * (a) takes the min over neighbors' labels and (b) replaces each label
+    * by its label's label, so label chains halve every round and a
+    * component of diameter d converges in O(log d) rounds, not O(d).
+    * Each round is two pair-sized hash joins + one aggregation; documents
+    * in no pair never enter the loop and come back as their own singleton
+    * cluster via the final left join. Returns (doc_id, cluster_id). */
+  def resolveClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
+      maxRounds: Int = 20): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val ids = docs.select(col(idCol).cast("long").as("id")).distinct()
+    val edges = pairs
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .union(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+      .distinct()
+      .persist(lvl)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(lvl)
+    labels.count()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("_nl")), "dst")
+        .groupBy(col("src").as("id")).agg(min("_nl").as("_nmin"))
+      val hopped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("_nmin"), col("label"))).as("label"))
+      // Pointer jumping: label <- label(label); halves chain length.
+      val rep = hopped.select(col("id").as("label"), col("label").as("_ll"))
+      val next = hopped.join(rep, Seq("label"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("_ll"), col("label"))).as("label"))
+        .persist(lvl)
+      changed = next.join(labels.select(col("id"), col("label").as("_old")), "id")
+        .filter(col("label") =!= col("_old")).count()
+      labels.unpersist(false)
+      labels = next
+      round += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"cluster resolution did not converge in $maxRounds rounds (component diameter > 2^$maxRounds)")
+    val out = ids.join(labels, Seq("id"), "left")
+      .select(col("id").as("doc_id"), coalesce(col("label"), col("id")).as("cluster_id"))
+    materializeReleasing(out, edges, labels)
+  }
+
   /** Distinct word-shingle HASHES, sorted — set semantics identical to the
     * string shingles (64-bit collisions are ~1e-13 per document) but the
     * exact-Jaccard re-score then intersects longs instead of allocating

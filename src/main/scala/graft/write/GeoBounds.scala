@@ -20,6 +20,15 @@ import org.apache.spark.sql.functions._
  * (reference: src/storage/statistics/iceberg_data_file_stats.cpp:146-168
  * writes the same blobs from its execution-time geometry stats.)
  */
+/** Per-row full envelope struct for [[GeoBounds]]. Z/M are boxed doubles
+  * (null = absent axis), and the class is TOP-LEVEL: both an Option field
+  * and an object-nested class (binary name with `$`) make Janino reject
+  * the generated serializer, silently running every geometry write's
+  * envelope projection interpreted. */
+private[write] case class RowEnv(xmin: Double, ymin: Double, xmax: Double, ymax: Double,
+    zmin: java.lang.Double, zmax: java.lang.Double,
+    mmin: java.lang.Double, mmax: java.lang.Double)
+
 object GeoBounds {
 
   /** Top-level PLANAR geometry fields of `schema`. Nested geometry stays
@@ -32,18 +41,14 @@ object GeoBounds {
       case _ => false
     })
 
-  /** Per-row full envelope as a struct column (nullable z/m ranges). */
-  private case class RowEnv(xmin: Double, ymin: Double, xmax: Double, ymax: Double,
-      zmin: Option[Double], zmax: Option[Double],
-      mmin: Option[Double], mmax: Option[Double])
-
   def patch(spark: SparkSession, entries: Seq[ManifestEntry],
       schema: IcebergSchema): Seq[ManifestEntry] = {
     val gs = geomFields(schema)
     if (gs.isEmpty || entries.isEmpty) return entries
     val envOf = udf((wkb: Array[Byte]) =>
       Wkb.envelopeFull(wkb).map(e => RowEnv(e.xmin, e.ymin, e.xmax, e.ymax,
-        e.z.map(_._1), e.z.map(_._2), e.m.map(_._1), e.m.map(_._2))).orNull)
+        e.z.map(z => Double.box(z._1)).orNull, e.z.map(z => Double.box(z._2)).orNull,
+        e.m.map(m => Double.box(m._1)).orNull, e.m.map(m => Double.box(m._2)).orNull)).orNull)
     val paths = entries.map(_.dataFile.filePath)
     // Envelope structs are PROJECTED once per row, then aggregated — the
     // ten per-column aggregates reference the materialized struct, not ten

@@ -147,6 +147,23 @@ class PipelineExtrasSpec extends SparkSpec {
     assert(byKind.values.sum == 5000)
     intercept[IllegalArgumentException](Sampling.deterministicSplit(docs, "doc_id", 60, 50))
 
+    // Near-dup cluster resolution: components from pairs, singletons kept,
+    // a 30-link chain converges via pointer jumping (plain propagation
+    // would need 29 rounds; the default cap is 20).
+    {
+      import graft.pipeline.Dedup
+      val docsC = ((1L to 31L) ++ Seq(100L, 101L, 200L)).map(Tuple1(_)).toDF("doc_id")
+      val chain = (1L until 31L).map(i => (i, i + 1)) :+ (100L, 101L)
+      val pairsC = chain.toDF("id_a", "id_b")
+      val clustered = Dedup.resolveClusters(docsC, "doc_id", pairsC)
+      val m = clustered.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert((1L to 31L).forall(m(_) == 1L), "30-link chain must collapse to min id 1")
+      assert(m(100L) == 100L && m(101L) == 100L)
+      assert(m(200L) == 200L, "doc in no pair is its own singleton cluster")
+      assert(m.size == 34)
+      clustered.unpersist()
+    }
+
     // Stride decorrelation: ids at stride exactly 1,000,003 (one of the
     // reducing moduli) must NOT co-move between buckets — the dual-modulus
     // mix makes co-movement require a multiple of lcm(1000003, 1000033).
