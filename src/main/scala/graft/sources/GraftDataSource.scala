@@ -418,8 +418,12 @@ private[sources] class GraftScan(path: String, required: StructType,
     * planning sees real table sizes instead of falling back to conservative
     * defaults — at scale this is what lets a filtered dimension broadcast
     * and prevents a fact table from ever being elected as a build side.
-    * Row count is omitted under merge-on-read deletes (counts would
-    * overestimate) — size still bounds the broadcast decision safely.
+    * Under merge-on-read deletes the row count is ESTIMATED as data rows
+    * minus delete-entry rows (positional counts / DV cardinalities /
+    * equality key rows), floored at 0 — the same data-minus-deletes
+    * estimate the reference advertises to its optimizer
+    * (iceberg_cardinality_estimates.test expects ~60,175 for 60,175 live
+    * rows).
     *
     * Column-level statistics (consumed by Spark CBO when
     * `spark.sql.cbo.enabled` is set): null counts and min/max aggregated
@@ -433,12 +437,12 @@ private[sources] class GraftScan(path: String, required: StructType,
     val bytes = p.dataFiles.map(_.info.fileSizeInBytes).sum
     val rows = p.dataFiles.map(_.info.recordCount).sum
     val hasDeletes = p.deleteFiles.nonEmpty
+    val estRows = math.max(0L, rows - p.deleteFiles.map(_.info.recordCount).sum)
     val colStats = GraftScan.buildColumnStats(p, required,
       if (hasDeletes) None else Some(rows))
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
-      override def numRows(): java.util.OptionalLong =
-        if (hasDeletes) java.util.OptionalLong.empty() else java.util.OptionalLong.of(rows)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(estRows)
       override def columnStats(): java.util.Map[
           org.apache.spark.sql.connector.expressions.NamedReference,
           org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats

@@ -208,4 +208,15 @@ class GoldenFixturesSpec extends SparkSpec {
       .option("version_name_format", "v%s%s.metadata.json").load(path)
     assert(viaOpt.count() == 51793L)
   }
+
+  test("big_query_error: BigQuery-written metadata (epoch-numbered version file) reads " +
+      "value-exact (big_query_read.test:3-7)") {
+    val df = IcebergTable.load(spark, s"$P/big_query_error")
+    val rows = df.collect().map(r =>
+      (r.getLong(0), r.getString(1), String.valueOf(r.get(2)))).sortBy(_._1).toSeq
+    assert(rows == Seq(
+      (1L, "Alice", "2024-01-01T10:00"),
+      (2L, "Bob", "2024-02-01T11:30")),
+      s"got $rows")
+  }
 }

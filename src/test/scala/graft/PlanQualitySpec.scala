@@ -81,6 +81,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(substStats.sizeInBytes > 0)
   }
 
+  test("cardinality estimate under MoR deletes: data rows minus delete rows " +
+      "(iceberg_cardinality_estimates.test parity)") {
+    import spark.implicits._
+    val path = tmpDir("graft_stats_deletes")
+    IcebergTable.write((0 until 100).map(i => (i.toLong, s"r$i")).toDF("id", "v"), path)
+    IcebergTable.delete(spark, path, "id < 40") // 40 positional-delete rows
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val stats = spark.read.format("graft").load(path).queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(60)),
+        s"estimate should be 100 data - 40 delete rows = 60, got ${stats.rowCount}")
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+  }
+
   test("plan-time broadcast fires from reported stats alone (no AQE, no threshold bump)") {
     // A small dimension read through the DSv2 path must broadcast at PLAN
     // time purely because its reported size is under the threshold —

@@ -108,6 +108,37 @@ class RobustnessSpec extends SparkSpec {
     assert(f.metadata.getString("iceberg.type") == "geometry")
   }
 
+  test("map-typed column: bounds-less map stats scan AND filter with map access " +
+      "stay exact (missing_map_bounds.test:17-28)") {
+    val df = IcebergTable.load(spark, s"$P/map_stats/default.db/map_stats")
+    assert(df.count() == 2)
+    // The reference's filtered read: timestamp range + map-key access —
+    // maps carry no usable bounds, pruning must stay conservative, rows
+    // exact.
+    val got = df.filter(
+      col("timestamp") >= lit("2026-01-01").cast("timestamp") &&
+      col("timestamp") < lit("2026-01-02").cast("timestamp") &&
+      col("metadata").getItem("key") === "value1")
+    assert(got.count() == 1, "timestamp range + map['key'] filter must keep exactly one row")
+  }
+
+  test("empty INSERT: an append of zero rows commits a snapshot that changes nothing " +
+      "(test_read_empty_insert.test shape)") {
+    import spark.implicits._
+    val path = tmpDir("graft_empty_insert")
+    IcebergTable.write(Seq((1, "a"), (2, "b")).toDF("id", "v"), path)
+    val before = graft.core.TableMetadata.load(path, spark.sessionState.newHadoopConf())
+    IcebergTable.append(Seq.empty[(Int, String)].toDF("id", "v"), path)
+    val after = graft.core.TableMetadata.load(path, spark.sessionState.newHadoopConf())
+    assert(after.snapshots.size == before.snapshots.size + 1,
+      "the empty append is still a committed snapshot (engines do this; readers must cope)")
+    assert(IcebergTable.load(spark, path).count() == 2)
+    // and the incremental/stream read of the empty snapshot yields no rows
+    val appended = graft.streaming.Streams.appendsBetween(spark, path,
+      before.currentSnapshotId, after.currentSnapshotId.get)
+    assert(appended.count() == 0)
+  }
+
   test("two-writer commit race on the path-table publish: one winner per metadata " +
       "version, losers retry onto the next, no snapshot lost (HadoopTableOperations semantics)") {
     import spark.implicits._
