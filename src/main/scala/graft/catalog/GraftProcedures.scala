@@ -54,7 +54,19 @@ private[catalog] class RewriteDataFilesProcedure(catalog: GraftSparkCatalog)
   override def call(input: InternalRow): JIterator[Scan] = {
     require(!input.isNullAt(0), "rewrite_data_files: 'table' must not be NULL")
     val table = input.getUTF8String(0).toString
-    val target = if (input.isNullAt(1)) None else Some(input.getLong(1))
+    // Bind-time validation parity with the reference
+    // (rewrite_data_files_validation.test): empty identifier components and
+    // sub-100-byte target sizes are rejected with the same wording. (The
+    // reference demands exactly 3 parts for its catalog addressing; graft
+    // addresses ns.table or a direct /path, so only emptiness is checked.)
+    if (!table.contains("/"))
+      require(!table.split("\\.", -1).exists(_.isEmpty),
+        s"table identifier '$table' has an empty component")
+    val target = if (input.isNullAt(1)) None else {
+      val t = input.getLong(1)
+      require(t >= 100L, s"'target_file_size_bytes' must be >= 100 bytes, got $t")
+      Some(t)
+    }
     val minInput = if (input.isNullAt(2)) 5L else input.getLong(2)
     val rewriteAll = !input.isNullAt(3) && input.getBoolean(3)
     val strategy = if (input.isNullAt(4)) "binpack" else input.getUTF8String(4).toString

@@ -75,15 +75,33 @@ object Multimodal {
       } finally if (in != null) in.close()
     } catch { case _: Exception => None }
 
+  /** REAL audio header decode for WAV/AIFF/AU via javax.sound.sampled (in
+    * the JDK, no extra jars): AudioFileFormat reads the header only.
+    * Returns (sampleRate, channels); None when the payload is not a
+    * parseable audio file (synthetic fixtures with a WAV magic but no fmt
+    * chunk fall back to the stub rate). */
+  def decodeAudioMeta(payload: Array[Byte]): Option[(Int, Int)] =
+    try {
+      val fmt = javax.sound.sampled.AudioSystem
+        .getAudioFileFormat(new java.io.ByteArrayInputStream(payload)).getFormat
+      Some((fmt.getSampleRate.toInt, fmt.getChannels))
+    } catch { case _: Exception => None }
+
   /** Attach a typed metadata struct next to `binCol`. byte_length is
     * computed natively (`length` on binary = octet count, codegen'd); only
-    * the sniff + stub dims go through typed UDFs. */
+    * the sniff + decode kernels go through typed UDFs. Image dims and
+    * audio sample rates decode for REAL (javax.imageio / javax.sound);
+    * undecodable payloads fall back to the deterministic stubs. */
   def attachMetadata(df: DataFrame, binCol: String): DataFrame = {
     val sniff = udf((b: Array[Byte]) => sniffType(b))
     val dims = udf((b: Array[Byte], t: String) =>
       if (t != null && t.startsWith("image/"))
         decodeImageDims(b).getOrElse(fakeDecodeDims(b)) // real decode; stub fallback
       else (0, 0))
+    val rate = udf((b: Array[Byte], t: String) =>
+      if (t != null && t.startsWith("audio/"))
+        decodeAudioMeta(b).map(_._1).getOrElse(16000) // real decode; stub fallback
+      else 0)
     df.withColumn("_mt", sniff(col(binCol)))
       .withColumn("_dims", dims(col(binCol), col("_mt")))
       .withColumn("media_meta", struct(
@@ -91,7 +109,7 @@ object Multimodal {
         length(col(binCol)).cast("long").as("byte_length"),
         col("_dims._1").as("width"),
         col("_dims._2").as("height"),
-        when(col("_mt").startsWith("audio/"), lit(16000)).otherwise(lit(0)).as("sample_rate"),
+        rate(col(binCol), col("_mt")).as("sample_rate"),
         when(col("_mt").startsWith("video/"), lit(32)).otherwise(lit(0)).as("n_frames")))
       .drop("_mt", "_dims")
   }

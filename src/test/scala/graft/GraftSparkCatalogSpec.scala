@@ -649,6 +649,22 @@ class GraftSparkCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     assertSameResult(IcebergTable.load(spark, path), src)
   }
 
+  test("CALL rewrite_data_files bind-time validation: empty identifier components and " +
+      "sub-100-byte target sizes are refused (rewrite_data_files_validation.test)") {
+    val wh = tmpDir("graft_proc_val_wh")
+    spark.conf.set("spark.sql.catalog.valcat", classOf[graft.catalog.GraftSparkCatalog].getName)
+    spark.conf.set("spark.sql.catalog.valcat.warehouse", wh)
+    def err(sql: String): String =
+      intercept[Exception](spark.sql(sql).collect()).getMessage
+    assert(err("CALL valcat.system.rewrite_data_files(table => '.b')")
+      .contains("has an empty component"))
+    assert(err("CALL valcat.system.rewrite_data_files(table => 'a..c')")
+      .contains("has an empty component"))
+    for (bad <- Seq("0", "-1", "99"))
+      assert(err(s"CALL valcat.system.rewrite_data_files(table => 'a.b', target_file_size_bytes => $bad)")
+        .contains("'target_file_size_bytes' must be >= 100 bytes"), s"size $bad must be refused")
+  }
+
   test("CALL rewrite_data_files honors min_input_files (reference default 5) and table-property target size") {
     val wh = tmpDir("graft_proc_min_wh")
     spark.conf.set("spark.sql.catalog.mincat", classOf[graft.catalog.GraftSparkCatalog].getName)

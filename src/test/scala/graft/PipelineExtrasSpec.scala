@@ -258,6 +258,27 @@ class PipelineExtrasSpec extends SparkSpec {
     // A synthetic payload (magic header, garbage body) falls back to the stub.
     val fake = Array[Byte](0x89.toByte, 'P', 'N', 'G') ++ "not an image".getBytes
     assert(graft.pipeline.Multimodal.decodeImageDims(fake).isEmpty)
+
+    // Real WAV header decode via javax.sound: build a minimal PCM WAV at
+    // 22050 Hz mono and read its true rate; a fake WAV (magic only) falls
+    // back to the 16000 stub.
+    val fmt = new javax.sound.sampled.AudioFormat(22050f, 16, 1, true, false)
+    val pcm = new Array[Byte](44100) // 1 second of silence
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, pcm.length / fmt.getFrameSize)
+    val wavOut = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, wavOut)
+    val realWav = wavOut.toByteArray
+    assert(graft.pipeline.Multimodal.sniffType(realWav) == "audio/wav")
+    assert(graft.pipeline.Multimodal.decodeAudioMeta(realWav).contains((22050, 1)))
+    val fakeWav = "RIFFxxxxWAVE".getBytes ++ "no fmt chunk".getBytes
+    assert(graft.pipeline.Multimodal.decodeAudioMeta(fakeWav).isEmpty)
+    val audioDf = Seq((1L, realWav), (2L, fakeWav)).toDF("id", "payload")
+    val rates = graft.pipeline.Multimodal.attachMetadata(audioDf, "payload")
+      .select("id", "media_meta.sample_rate").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rates == Map(1L -> 22050, 2L -> 16000))
   }
 
   test("incremental read survives a column rename (field-id projection, not by-name)") {
