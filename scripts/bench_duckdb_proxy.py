@@ -25,6 +25,10 @@ SKIP = {
     "sql_time_travel",
     # quadratic verification oracles for sub-quadratic graft operators
     "dedup_minhash", "dedup_simhash", "dedup_embedding", "dedup_clusters",
+    # oracles that read the verify run's own __GRAFT_OUT__ dumps or fixed
+    # VALUES literals — verification plumbing, not a comparable workload
+    "meta_snapshots", "meta_manifest_entries", "meta_column_stats",
+    "ice_nested_evolution",
 }
 
 def main():

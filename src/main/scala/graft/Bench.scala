@@ -23,6 +23,12 @@ object Bench {
       // excess at small SF, so low-SF runs pay nothing (A/B: sf10 tq21
       // 66.2s->37.5s, tq18 32.9s->18.9s; sf0.1 unchanged-to-better).
       .config("spark.sql.shuffle.partitions", math.max(32, cpus.toInt))
+      // ...and let AQE START each shuffle at 256 partitions before
+      // coalescing to its advisory size: the static floor alone re-bottlenecks
+      // at sf30 (tq2 52.6s with 32 fixed -> 19.1s), while small SF gets
+      // slightly FASTER (sf0.1 tq2 1.70s->0.87s) because AQE picks the
+      // size instead of inheriting the floor.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.fieldId.read.enabled", "true")

@@ -35,7 +35,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class GraftDataSource extends TableProvider with DataSourceRegister
     with org.apache.spark.sql.sources.StreamSinkProvider {
   override def shortName(): String = "graft"
-  override def supportsExternalMetadata(): Boolean = false
+  /** A user-specified schema is honored (projected by name onto the
+    * table's field-id plan) — required for `readStream.schema(...)`, which
+    * the pre-DSv2 streaming source accepted. */
+  override def supportsExternalMetadata(): Boolean = true
 
   private def pathOf(m: java.util.Map[String, String]): String = {
     val p = m.get("path")
@@ -218,8 +221,10 @@ private[graft] class GraftTable(path: String, tableSchema: StructType,
       asOfTimestampMs = o.asOfTimestampMs.orElse(baseOpts.asOfTimestampMs),
       metadataVersion = o.metadataVersion.orElse(baseOpts.metadataVersion),
       versionNameFormat = o.versionNameFormat.orElse(baseOpts.versionNameFormat))
-    val streamMaxFiles =
-      Option(options.get("maxFilesPerTrigger")).map(_.trim.toInt)
+    // Kept as the raw string: parsed (and validated) only on the STREAM
+    // route — a malformed value must not break batch reads that happen to
+    // carry a copied streaming option.
+    val streamMaxFiles = Option(options.get("maxFilesPerTrigger"))
     new GraftScanBuilder(path, tableSchema, merged, preloaded, streamMaxFiles)
   }
 
@@ -244,7 +249,7 @@ private[graft] class GraftTable(path: String, tableSchema: StructType,
 
 private[sources] class GraftScanBuilder(path: String, tableSchema: StructType, opts: ReadOptions,
     preloaded: Option[TableMetadata] = None,
-    streamMaxFiles: Option[Int] = None)
+    streamMaxFiles: Option[String] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var accepted: Array[Filter] = Array.empty
@@ -382,8 +387,8 @@ private[sources] class GraftScan(path: String, required: StructType,
       * injected by [[GraftScanStatistics]] from the residual Filter node so
       * file-level pruning still sees them on the SQL route. */
     private[sources] val extraFilterSql: Option[String] = None,
-    /** `maxFilesPerTrigger` for the micro-batch stream route. */
-    streamMaxFiles: Option[Int] = None)
+    /** `maxFilesPerTrigger` (raw) for the micro-batch stream route. */
+    streamMaxFiles: Option[String] = None)
     extends V1Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   private val filterSql: Option[String] = {
     val parts = pushed.flatMap(FilterSql.convert) ++ extraFilterSql
@@ -392,7 +397,7 @@ private[sources] class GraftScan(path: String, required: StructType,
 
   private[sources] def withExtraFilter(sql: String): GraftScan =
     new GraftScan(path, required, pushed, opts, preloaded,
-      Some(extraFilterSql.fold(sql)(e => s"($e) AND ($sql)")))
+      Some(extraFilterSql.fold(sql)(e => s"($e) AND ($sql)")), streamMaxFiles)
   private val needLineage = required.fieldNames.exists(GraftTable.LineageColumns.contains)
   private val effOpts =
     opts.copy(filterSql = filterSql, withRowLineage = opts.withRowLineage || needLineage)
@@ -469,10 +474,20 @@ private[sources] class GraftScan(path: String, required: StructType,
     new GraftRelation(context, required, effOpts, this).asInstanceOf[T]
 
   /** DSv2 micro-batch stream (public connector streaming contract —
-    * offsets, admission control, AvailableNow). */
+    * offsets, admission control, AvailableNow). The maxFilesPerTrigger
+    * value is validated HERE, on the stream route only. */
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(path, required, streamMaxFiles)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    val maxFiles = streamMaxFiles.map { s =>
+      val n = try s.trim.toInt catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"Invalid maxFilesPerTrigger: '$s'")
+      }
+      require(n > 0, s"maxFilesPerTrigger must be positive, got $n")
+      n
+    }
+    new GraftMicroBatchStream(path, required, maxFiles)
+  }
 }
 
 private[sources] object GraftScan {
@@ -881,7 +896,15 @@ private[graft] class GraftMicroBatchStream(path: String, required: StructType,
       .map { case (id, ord) => GraftStreamOffset(id, ord) }
       .orElse(Some(StartOfStream))
 
+  /** Release a consumed batch's checkpointed blocks — executor storage
+    * must not accumulate dead batches while the query runs. */
+  private def releaseBatch(): Unit = {
+    val old = batchRdd
+    if (old != null) { batchRdd = null; old.unpersist(false) }
+  }
+
   override def planInputPartitions(start: V2Offset, end: V2Offset): Array[InputPartition] = {
+    releaseBatch() // previous batch was committed (or abandoned on restart)
     val s = GraftStreamOffset.of(start)
     val e = GraftStreamOffset.of(end)
     if (e == StartOfStream || e.ordinal <= s.ordinal)
@@ -901,8 +924,8 @@ private[graft] class GraftMicroBatchStream(path: String, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftStreamReaderFactory(batchRdd)
 
-  override def commit(end: V2Offset): Unit = ()
-  override def stop(): Unit = ()
+  override def commit(end: V2Offset): Unit = releaseBatch()
+  override def stop(): Unit = releaseBatch()
   override def toString: String = s"GraftMicroBatchStream[$path]"
 }
 

@@ -553,9 +553,17 @@ object Dml {
           sawAttr = true
           if (!(a.nameParts.length == 2 && a.nameParts.head.equalsIgnoreCase(alias))) ok = false
         case _: ce.SubqueryExpression => ok = false
+        // On an UNRESOLVED tree `deterministic` is meaningless (an
+        // UnresolvedFunction like rand() reports deterministic=true), and a
+        // nondeterministic conjunct evaluated once below the join and again
+        // AT the join would draw twice — filtering out rows that would
+        // match. Reject every function call; literal comparisons, IN, IS
+        // NULL, and casts (which parse to Cast, not a function) still
+        // extract, and those are the pruning-valuable shapes.
+        case _: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction => ok = false
         case _ =>
       }
-      ok && sawAttr && e.deterministic
+      ok && sawAttr
     }
     val kept = conjuncts(parsed).filter(targetOnly).map { e =>
       e.transform {

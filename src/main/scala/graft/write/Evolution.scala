@@ -62,6 +62,13 @@ object Evolution {
     (segs.init, segs.last)
   }
 
+  /** Leaf resolution used by EVERY column op: exact-case match wins, then
+    * case-insensitive (Spark's default resolution) — consistently, so
+    * widen/rename/drop/add all see the same column for the same name. */
+  private def findIn(fs: Seq[IcebergTypes.NestedField],
+      leaf: String): Option[IcebergTypes.NestedField] =
+    fs.find(_.name == leaf).orElse(fs.find(_.name.equalsIgnoreCase(leaf)))
+
   /** ALTER TABLE ADD COLUMN (optionally with an initial-default visible on
     * rows written before the column existed). A dotted `name` adds the
     * field to a NESTED struct — including one inside a list element or map
@@ -78,7 +85,7 @@ object Evolution {
     val defNode = initialDefaultJson.map(new com.fasterxml.jackson.databind.ObjectMapper().readTree)
     val (parent, leaf) = splitPath(name)
     val newStruct = rewriteStructAt(cur.struct, parent) { fs =>
-      require(!fs.exists(_.name == leaf), s"Column $name already exists")
+      require(findIn(fs, leaf).isEmpty, s"Column $name already exists")
       fs :+ IcebergTypes.NestedField(id, leaf, required, t,
         initialDefaultJson = defNode, writeDefaultJson = defNode)
     }
@@ -94,7 +101,7 @@ object Evolution {
     val cur = meta.currentSchema
     val (parent, leaf) = splitPath(name)
     val newStruct = rewriteStructAt(cur.struct, parent) { fs =>
-      val f = fs.find(_.name == leaf).orElse(fs.find(_.name.equalsIgnoreCase(leaf)))
+      val f = findIn(fs, leaf)
         .getOrElse(throw new IllegalArgumentException(s"No column $name"))
       require(!meta.specs.exists(_.fields.exists(_.sourceId == f.id)),
         s"Cannot drop $name: referenced by a partition spec")
@@ -114,9 +121,11 @@ object Evolution {
     val (parent, leaf) = splitPath(from)
     require(!to.contains("."), s"Rename target must be a bare name, got $to")
     val newStruct = rewriteStructAt(cur.struct, parent) { fs =>
-      require(fs.exists(_.name == leaf), s"No column $from")
-      require(!fs.exists(_.name == to), s"Column $to already exists")
-      fs.map(f => if (f.name == leaf) f.copy(name = to) else f)
+      val f = findIn(fs, leaf)
+        .getOrElse(throw new IllegalArgumentException(s"No column $from"))
+      // forall: renaming a column to a different CASE of itself is legal.
+      require(findIn(fs, to).forall(_.id == f.id), s"Column $to already exists")
+      fs.map(x => if (x.id == f.id) x.copy(name = to) else x)
     }
     commit(withNewSchema(meta, newStruct.fields, meta.lastColumnId), conf)
   }
@@ -145,7 +154,7 @@ object Evolution {
     import IcebergTypes._
     val (parent, leaf) = splitPath(name)
     val newStruct = rewriteStructAt(cur.struct, parent) { fs =>
-      val f = fs.find(_.name == leaf).orElse(fs.find(_.name.equalsIgnoreCase(leaf)))
+      val f = findIn(fs, leaf)
         .getOrElse(throw new IllegalArgumentException(s"No column $name"))
       val ok = (f.fieldType, t) match {
         case (IntT, LongT) => true
