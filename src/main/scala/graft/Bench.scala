@@ -15,49 +15,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val builder = SparkSession.builder()
-      .master(s"local[$cpus]")
-      // Scale-robust shuffle parallelism: at least 32 initial partitions so
-      // big joins (60M-row lineitem self-joins at sf10) hash into tables
-      // that fit memory instead of spilling — AQE coalescing merges the
-      // excess at small SF, so low-SF runs pay nothing (A/B: sf10 tq21
-      // 66.2s->37.5s, tq18 32.9s->18.9s; sf0.1 unchanged-to-better).
-      .config("spark.sql.shuffle.partitions", math.max(32, cpus.toInt))
-      // ...and let AQE START each shuffle at 256 partitions before
-      // coalescing to its advisory size: the static floor alone re-bottlenecks
-      // at sf30 (tq2 52.6s with 32 fixed -> 19.1s), while small SF gets
-      // slightly FASTER (sf0.1 tq2 1.70s->0.87s) because AQE picks the
-      // size instead of inheriting the floor.
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.parquet.fieldId.read.enabled", "true")
-      .config("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
-      .config("spark.sql.parquet.fieldId.write.enabled", "true")
-      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      // Engine-tuned execution defaults (documented in BASELINE.md):
-      // hash joins over sort-merge (the reference is a vectorized hash-join
-      // engine; SMJ pays two sorts per join), and scan splits small enough
-      // to parallelize single-file tables at low core counts.
-      .config("spark.sql.join.preferSortMergeJoin", "false")
-      // Split broadcast decision between plan time and runtime: a modest
-      // STATIC threshold (16m) so stats-free size estimates can never pick
-      // the fact side of a join to broadcast (observed on q3: a 6M-row
-      // lineitem build side, 2.6x slower than the right plan), and a larger
-      // ADAPTIVE threshold (64m) so AQE still converts to broadcast from
-      // ACCURATE runtime sizes once the small side has materialized.
-      .config("spark.sql.autoBroadcastJoinThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_BROADCAST", "16m"))
-      .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_BROADCAST_AQE", "64m"))
-      .config("spark.sql.files.maxPartitionBytes", "32m")
-      .config("spark.sql.extensions", classOf[graft.catalog.GraftSparkExtensions].getName)
-    // Experiment passthrough: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" for A/B
-    // runs (e.g. CBO on/off) without editing the tuned defaults above.
-    val spark = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
-      .flatMap(_.split(";")).map(_.split("=", 2))
-      .foldLeft(builder) { case (b, Array(k, v)) => b.config(k, v); case (b, _) => b }
-      .getOrCreate()
+    // Session tuning lives in BenchSession (shared with Explain so plan
+    // audits always describe the benchmarked configuration).
+    val spark = BenchSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // Optional comma-separated query filter for local iteration.

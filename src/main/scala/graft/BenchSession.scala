@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * The one benchmark/inspection session configuration, shared by [[Bench]]
+ * and [[Explain]] so the plan inspected is always the plan benchmarked
+ * (the two had drifted: Explain was missing the shuffle floor, the AQE
+ * initial-partition setting, the static/adaptive broadcast split and the
+ * engine extensions — its audits described a different engine).
+ *
+ * Rationale for each tuned value lives with the setting; BASELINE.md
+ * carries the A/B evidence.
+ */
+object BenchSession {
+  def builder(cpus: String): SparkSession.Builder = {
+    val b = SparkSession.builder()
+      .master(s"local[$cpus]")
+      // Scale-robust shuffle parallelism: at least 32 initial partitions so
+      // big joins (60M-row lineitem self-joins at sf10) hash into tables
+      // that fit memory instead of spilling — AQE coalescing merges the
+      // excess at small SF, so low-SF runs pay nothing (A/B: sf10 tq21
+      // 66.2s->37.5s, tq18 32.9s->18.9s; sf0.1 unchanged-to-better).
+      .config("spark.sql.shuffle.partitions", math.max(32, cpus.toInt))
+      // ...and let AQE START each shuffle at 256 partitions before
+      // coalescing to its advisory size: the static floor alone re-bottlenecks
+      // at sf30 (tq2 52.6s with 32 fixed -> 19.1s), while small SF gets
+      // slightly FASTER (sf0.1 tq2 1.70s->0.87s) because AQE picks the
+      // size instead of inheriting the floor.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.parquet.fieldId.read.enabled", "true")
+      .config("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+      .config("spark.sql.parquet.fieldId.write.enabled", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // Engine-tuned execution defaults (documented in BASELINE.md):
+      // hash joins over sort-merge (the reference is a vectorized hash-join
+      // engine; SMJ pays two sorts per join), and scan splits small enough
+      // to parallelize single-file tables at low core counts.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      // Split broadcast decision between plan time and runtime: a modest
+      // STATIC threshold (16m) so stats-free size estimates can never pick
+      // the fact side of a join to broadcast (observed on q3: a 6M-row
+      // lineitem build side, 2.6x slower than the right plan), and a larger
+      // ADAPTIVE threshold (64m) so AQE still converts to broadcast from
+      // ACCURATE runtime sizes once the small side has materialized.
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BROADCAST", "16m"))
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BROADCAST_AQE", "64m"))
+      .config("spark.sql.files.maxPartitionBytes", "32m")
+      // Sideways information passing (the reference engine pushes build-side
+      // join filters into probe-side scans unconditionally; Trino calls this
+      // dynamic filtering). Spark ships it as runtime bloom-filter injection
+      // but the defaults disable it everywhere that matters here:
+      //   - applicationSideScanSizeThreshold defaults to 10GB, so a 2.3 GB
+      //     sf10 lineitem scan never qualifies. 64MB admits any scan whose
+      //     shuffle could dominate, while still skipping sf0.1-class inputs
+      //     where the probe overhead outweighs the saved shuffle.
+      //   - creationSideThreshold defaults to 10MB of ESTIMATED size; without
+      //     CBO the estimate never shrinks through a Filter, so a selective
+      //     date-filtered mid-table scan (sf10 orders: 286MB file, ~70-128MB
+      //     after the column-pruning Project's width ratio) "looks" like its
+      //     full table and is rejected. The threshold must ALSO stay below
+      //     the fact table's pruned estimate (sf10 lineitem: ~150-250MB):
+      //     a fact-side bloom costs a second full fact scan and its key
+      //     domain saturates expectedNumItems into a no-op filter. Measured
+      //     when 4GB admitted lineitem as a creation side: tq10 +39%, tq12
+      //     +59%, q_semi_join +27% — all lineitem-builds-bloom-to-prune-
+      //     orders shapes where the filter passed >25% of rows. 128MB is
+      //     the measured separator at sf10 (explain-verified: orders-side
+      //     blooms in tq4/tq10 survive, lineitem-side blooms in
+      //     q_semi/tq12 drop out). Erring LOW only loses a bloom (no
+      //     regression); erring HIGH re-admits the fact-scan creation pass,
+      //     so the value sits at the bottom of the separating band.
+      //   - expectedNumItems=1M saturates on fact-side key domains (7.3M
+      //     F-status orderkeys at sf10 -> useless filter); 4M with the
+      //     default 64M-bit cap keeps fpp in the low percent at that scale.
+      // Measured (isolated sf10): tq4 14.2s -> 4.6s; full-suite A/B in
+      // BASELINE.md.
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      .config("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "64MB")
+      .config("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "128MB")
+      //   - numBits must scale WITH expectedNumItems (Spark keeps it at the
+      //     8M-bit default regardless): 4M items at 8M bits is 2 bits/item,
+      //     a ~60% fpp — the filter costs its creation pass and removes
+      //     nothing. 8 bits/item restores the ~2% design point; the bloom
+      //     broadcast is 4MB.
+      .config("spark.sql.optimizer.runtime.bloomFilter.expectedNumItems", "4000000")
+      .config("spark.sql.optimizer.runtime.bloomFilter.numBits", "33554432")
+      .config("spark.sql.extensions", classOf[graft.catalog.GraftSparkExtensions].getName)
+    // Experiment passthrough: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" for A/B
+    // runs (e.g. CBO on/off) without editing the tuned defaults above.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(";")).map(_.split("=", 2))
+      .foldLeft(b) { case (acc, Array(k, v)) => acc.config(k, v); case (acc, _) => acc }
+  }
+}

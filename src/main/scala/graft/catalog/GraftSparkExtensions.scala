@@ -31,8 +31,13 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
  * loudly rather than mis-executing.
  */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(_ => GraftDmlRewrite)
+    // Join-placement repair for EXISTS/NOT-EXISTS over big relations — a
+    // planner strategy because semi/anti joins only materialize after the
+    // last injectable optimizer batch (see PullUpSemiAntiJoins scaladoc).
+    ext.injectPlannerStrategy(_ => graft.plans.PullUpSemiAntiJoins)
+  }
 }
 
 private[graft] object GraftDmlRewrite extends Rule[LogicalPlan] {

@@ -18,6 +18,15 @@ object SparkTestBase {
       .config("spark.sql.caseSensitive", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", classOf[graft.catalog.GraftSparkExtensions].getName)
+      // The suite shares ONE session across ~30 suites / ~280 tests. The
+      // app-status store retains up to 1000 SQL execution infos by default,
+      // each holding a full plan-description string — accumulated, that
+      // OOM'd an 8g suite JVM inside explainString. Tests never read the
+      // status store; keep it tiny and bound any single plan string.
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.sql.maxPlanStringLength", (8 * 1024 * 1024).toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
