@@ -37,6 +37,10 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     // planner strategy because semi/anti joins only materialize after the
     // last injectable optimizer batch (see PullUpSemiAntiJoins scaladoc).
     ext.injectPlannerStrategy(_ => graft.plans.PullUpSemiAntiJoins)
+    // Build-side reduction for shuffle-sized semi/anti joins (distinct
+    // keys / min-max rewrite); composes with the placement rule through
+    // planLater recursion (see DistinctifySemiAntiBuilds scaladoc).
+    ext.injectPlannerStrategy(_ => graft.plans.DistinctifySemiAntiBuilds)
   }
 }
 
