@@ -131,6 +131,65 @@ object SparkEntry {
         .select("p_partkey", "p_brand")
     }),
 
+    // The two graft planner rewrites (plans/SemiJoinPlacement,
+    // plans/SemiJoinDistinctify) are gated on NON-broadcastable build sides
+    // and so are inert at sf0.01 under normal thresholds — these entries run
+    // in a CLONED session (own SQLConf, shared context) with a 16 KB
+    // threshold (below lineitem's COLUMN-PRUNED estimate, ~90 KB at sf0.01)
+    // so lineitem is shuffle-sized, supplier/nation broadcast, and
+    // BOTH rules fire (verified by SemiJoinPlacementSpec/DistinctifySpec at
+    // the plan level); DuckDB then hash-verifies the rewritten semantics.
+    "q_rewrite_semi_neq" -> ((s, dir) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "16384")
+      s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "16384")
+      Seq("lineitem", "supplier", "nation").foreach(t =>
+        pq(s2, dir, t).createOrReplaceTempView(s"rw_$t"))
+      // tq21 core: EXISTS with the <> correlation -> min/max build rewrite,
+      // pulled above the broadcast supplier x nation dimension join.
+      s2.sql("""
+        SELECT s_name, CAST(count(*) AS BIGINT) AS waiting
+        FROM rw_lineitem l1, rw_supplier, rw_nation
+        WHERE s_suppkey = l1.l_suppkey AND s_nationkey = n_nationkey
+          AND n_name = 'NATION_3'
+          AND EXISTS (SELECT 1 FROM rw_lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+        GROUP BY s_name""")
+    }),
+
+    "q_rewrite_anti_distinct" -> ((s, dir) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "16384")
+      s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "16384")
+      Seq("customer", "events").foreach(t =>
+        pq(s2, dir, t).createOrReplaceTempView(s"rwa_$t"))
+      // Bare NOT-EXISTS build -> distinct-key aggregate under the anti join
+      // (customers with no events: non-empty at every driver SF).
+      s2.sql("""
+        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n
+        FROM rwa_customer
+        WHERE NOT EXISTS (SELECT 1 FROM rwa_events WHERE user_id = c_custkey)
+        GROUP BY c_mktsegment""")
+    }),
+
+    "q_rewrite_anti_neq" -> ((s, dir) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "16384")
+      s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "16384")
+      Seq("orders", "lineitem").foreach(t =>
+        pq(s2, dir, t).createOrReplaceTempView(s"rwn_$t"))
+      // NOT EXISTS with the <> correlation: the min/max build rewrite on
+      // the ANTI side (orders whose every lineitem has suppkey = custkey).
+      s2.sql("""
+        SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
+        FROM rwn_orders
+        WHERE NOT EXISTS (SELECT 1 FROM rwn_lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_suppkey <> o_custkey)
+        GROUP BY o_orderstatus""")
+    }),
+
     "q_case_projection" -> ((s, dir) =>
       pq(s, dir, "orders")
         .withColumn("price_band",
@@ -884,6 +943,30 @@ object SparkEntry {
     "q_anti_join" ->
       """SELECT p_partkey, p_brand FROM part
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""".stripMargin,
+
+    "q_rewrite_semi_neq" ->
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS waiting
+        |FROM lineitem l1, supplier, nation
+        |WHERE s_suppkey = l1.l_suppkey AND s_nationkey = n_nationkey
+        |  AND n_name = 'NATION_3'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_name""".stripMargin,
+
+    "q_rewrite_anti_distinct" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_rewrite_anti_neq" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
+        |FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_orderkey = o_orderkey
+        |                    AND l_suppkey <> o_custkey)
+        |GROUP BY o_orderstatus""".stripMargin,
 
     "q_case_projection" ->
       """SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
