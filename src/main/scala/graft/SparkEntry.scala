@@ -190,6 +190,40 @@ object SparkEntry {
         GROUP BY o_orderstatus""")
     }),
 
+    "q_rewrite_semi_range" -> ((s, dir) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "16384")
+      s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "16384")
+      Seq("orders", "lineitem").foreach(t =>
+        pq(s2, dir, t).createOrReplaceTempView(s"rwr_$t"))
+      // tq4 core: EXISTS with a range correlation -> per-key max(l_shipdate)
+      // build reduction (DistinctifySemiAntiBuilds shape 3).
+      s2.sql("""
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM rwr_orders
+        WHERE EXISTS (SELECT 1 FROM rwr_lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority""")
+    }),
+
+    "q_rewrite_anti_neq_range" -> ((s, dir) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "16384")
+      s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "16384")
+      Seq("orders", "lineitem").foreach(t =>
+        pq(s2, dir, t).createOrReplaceTempView(s"rwq_$t"))
+      // tq21 NOT-EXISTS core: <> plus range correlation -> the
+      // top_two_distinct_extreme build reduction (shape 4).
+      s2.sql("""
+        SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
+        FROM rwq_orders
+        WHERE NOT EXISTS (SELECT 1 FROM rwq_lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_suppkey <> o_custkey
+                            AND l_shipdate > o_orderdate)
+        GROUP BY o_orderstatus""")
+    }),
+
     "q_case_projection" -> ((s, dir) =>
       pq(s, dir, "orders")
         .withColumn("price_band",
@@ -966,6 +1000,28 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem
         |                  WHERE l_orderkey = o_orderkey
         |                    AND l_suppkey <> o_custkey)
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    "q_rewrite_semi_range" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    // DuckDB 1.0.0 mis-decorrelates an EXISTS whose correlation carries TWO
+    // non-equality predicates (minimal repro: a one-row correlated
+    // `l.ok=o.ok AND l.sk<>o.ck AND l.sd>o.dt` EXISTS returns empty), so
+    // the oracle states the same anti-join as NOT IN over an explicit join,
+    // which it computes correctly (l_orderkey/o_orderkey are non-null).
+    "q_rewrite_anti_neq_range" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n
+        |FROM orders
+        |WHERE o_orderkey NOT IN (
+        |  SELECT l_orderkey FROM lineitem, orders o2
+        |  WHERE l_orderkey = o2.o_orderkey
+        |    AND l_suppkey <> o2.o_custkey
+        |    AND l_shipdate > o2.o_orderdate)
         |GROUP BY o_orderstatus""".stripMargin,
 
     "q_case_projection" ->

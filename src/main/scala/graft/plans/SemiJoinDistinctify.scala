@@ -2,11 +2,13 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{
   Alias, And, Attribute, AttributeReference, EqualNullSafe, EqualTo,
-  Expression, IsNotNull, Not, Or
+  Expression, GetStructField, GreaterThan, GreaterThanOrEqual, If,
+  IsNotNull, LessThan, LessThanOrEqual, Not, Or
 }
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   AggregateExpression, Complete, Max, Min
 }
+import org.apache.spark.sql.catalyst.expressions.UnsafeRow
 import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.{
   Aggregate, Filter, Join, LeafNode, LogicalPlan, Project
@@ -29,7 +31,7 @@ import org.apache.spark.sql.internal.SQLConf
  * and the shrunken build frequently becomes broadcast-sized at runtime (AQE
  * then removes the probe-side shuffle entirely).
  *
- * Two condition shapes are handled; anything else is left untouched:
+ * Four condition shapes are handled; anything else is left untouched:
  *
  *  1. PURE EQUALITY — every conjunct is `l.x = r.y` (or `<=>`):
  *       Join(semi/anti, l, r, keys)  ==>  Join(semi/anti, l, Agg(keys)(r), keys)
@@ -61,6 +63,26 @@ import org.apache.spark.sql.internal.SQLConf
  *     is false", and the rewritten condition's truth value equals the
  *     original existence answer row-for-row (NULL folding to no-match on
  *     both sides).
+ *
+ *  3. EQUALITY + ONE RANGE `r.d OP l.c` (the q4 EXISTS correlation
+ *     `l_shipdate > o_orderdate`):
+ *       r  ==>  Agg(keys)(m = max(d))        [min when OP keeps smaller d]
+ *       cond ==> keys-equal AND m OP l.c
+ *     Some build row's d satisfies the comparison iff the group extreme
+ *     does; Min/Max skip NULL d and an all-NULL group's NULL extreme
+ *     compares to NULL = no-match, matching EXISTS exactly.
+ *
+ *  4. EQUALITY + `l.a <> r.b` + `r.d OP l.c` (the q21 NOT-EXISTS
+ *     correlation `l3.l_suppkey <> l1.l_suppkey AND l3.l_shipdate >
+ *     l1.l_shipdate`):
+ *       r  ==>  Agg(keys)(t2 = top_two_distinct_extreme(b, d))
+ *       cond ==> keys-equal AND isnotnull(l.a)
+ *                AND (if (l.a = t2.s1) t2.d2 else t2.d1) OP l.c
+ *     With f(x) = ext{d : b <> x}, existence per matched group is
+ *     `f(l.a) OP l.c`; [[TopTwoDistinctExtreme]]'s scaladoc carries the
+ *     proof that (s1, d1, d2) computes f exactly, ties included. A <> or
+ *     range conjunct whose build attr is itself a join key needs no
+ *     aggregate at all: it is constant per group and passes through.
  *
  * Gates: the build side must not be broadcastable (a broadcast build costs
  * no shuffle, and the hash table dedups for free), must not already be an
@@ -104,44 +126,134 @@ object DistinctifySemiAntiBuilds extends SparkStrategy {
     case other => Seq(other)
   }
 
-  /** Projects and IsNotNull-only Filters above a leaf — i.e. no data
-    * predicate has reduced the build below its full-table key profile. */
+  /** Projects, IsNotNull-only Filters and row-preserving deserialization
+    * above a leaf — i.e. no data predicate has reduced the build below its
+    * full-table key profile. Injected runtime bloom filters
+    * (`might_contain` over a join key) are also admitted: a key-aligned
+    * bloom removes WHOLE key groups (every row of a key survives or none
+    * does, modulo false positives that keep extra groups), so the per-key
+    * duplication ratio the rewrite's payoff rests on is unchanged — unlike
+    * a data predicate, which thins groups to near 1:1 (the measured q_semi
+    * +19% loss). Semantics are unaffected either way: the Aggregate is
+    * stacked over the same filtered child the join would scan. */
   private def bareBuild(p: LogicalPlan): Boolean = p match {
     case Project(_, child) => bareBuild(child)
     case Filter(cond, child) =>
-      splitConjuncts(cond).forall(_.isInstanceOf[IsNotNull]) && bareBuild(child)
+      splitConjuncts(cond).forall(c =>
+        c.isInstanceOf[IsNotNull] ||
+          c.isInstanceOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]) &&
+        bareBuild(child)
+    case s: org.apache.spark.sql.catalyst.plans.logical.SerializeFromObject =>
+      bareBuild(s.child)
     case _: LeafNode => true
     case _ => false
   }
 
+  /** One `build.d OP probe.d` range conjunct, orientation-normalized:
+    * `descending` = the existence answer needs the build-side MAX (OP keeps
+    * larger build values matching); `rebuild` re-emits the original
+    * comparison with an aggregate of `rd` substituted for `rd`. */
+  private case class RangeConj(
+      orig: Expression, ld: Attribute, rd: Attribute,
+      descending: Boolean, rebuild: Expression => Expression)
+
   /** Decompose the join condition into key equalities (left-attr, right-attr)
-    * plus at most one `l.a <> r.b`. Returns None when any conjunct falls
-    * outside those shapes (expressions, r-only predicates that survived
-    * pushdown, multiple inequalities, ...). */
+    * plus at most one `l.a <> r.b` and at most one range comparison
+    * `r.d OP l.c`. Returns None when any conjunct falls outside those
+    * shapes (expressions, r-only predicates that survived pushdown,
+    * multiple inequalities of a kind, ...). */
   private def classify(cond: Expression, leftOut: Seq[Attribute], rightOut: Seq[Attribute])
-      : Option[(Seq[(Expression, Attribute)], Option[(Attribute, Attribute)])] = {
+      : Option[(Seq[(Expression, Attribute, Attribute)], Option[(Expression, Attribute, Attribute)],
+          Option[RangeConj])] = {
     val leftIds = leftOut.map(_.exprId).toSet
     val rightIds = rightOut.map(_.exprId).toSet
     def side(a: Attribute): Int =
       if (leftIds.contains(a.exprId)) 0 else if (rightIds.contains(a.exprId)) 1 else -1
-    var equis = Vector.empty[(Expression, Attribute)] // (original conjunct, r key attr)
-    var neq: Option[(Attribute, Attribute)] = None    // (l.a, r.b)
+    var equis = Vector.empty[(Expression, Attribute, Attribute)] // (orig, l key, r key)
+    var neq: Option[(Expression, Attribute, Attribute)] = None // (orig, l.a, r.b)
+    var range: Option[RangeConj] = None
     splitConjuncts(cond).foreach {
       case eq @ EqualTo(a: AttributeReference, b: AttributeReference)
-          if side(a) == 0 && side(b) == 1 => equis :+= (eq, b)
+          if side(a) == 0 && side(b) == 1 => equis :+= (eq, a, b)
       case eq @ EqualTo(a: AttributeReference, b: AttributeReference)
-          if side(a) == 1 && side(b) == 0 => equis :+= (eq, a)
+          if side(a) == 1 && side(b) == 0 => equis :+= (eq, b, a)
       case eq @ EqualNullSafe(a: AttributeReference, b: AttributeReference)
-          if side(a) == 0 && side(b) == 1 => equis :+= (eq, b)
+          if side(a) == 0 && side(b) == 1 => equis :+= (eq, a, b)
       case eq @ EqualNullSafe(a: AttributeReference, b: AttributeReference)
-          if side(a) == 1 && side(b) == 0 => equis :+= (eq, a)
-      case Not(EqualTo(a: AttributeReference, b: AttributeReference))
-          if side(a) == 0 && side(b) == 1 && neq.isEmpty => neq = Some((a, b))
-      case Not(EqualTo(a: AttributeReference, b: AttributeReference))
-          if side(a) == 1 && side(b) == 0 && neq.isEmpty => neq = Some((b, a))
+          if side(a) == 1 && side(b) == 0 => equis :+= (eq, b, a)
+      case ne @ Not(EqualTo(a: AttributeReference, b: AttributeReference))
+          if side(a) == 0 && side(b) == 1 && neq.isEmpty => neq = Some((ne, a, b))
+      case ne @ Not(EqualTo(a: AttributeReference, b: AttributeReference))
+          if side(a) == 1 && side(b) == 0 && neq.isEmpty => neq = Some((ne, b, a))
+      // Range conjuncts, both operand orders. The existence answer over a
+      // key group needs max(rd) when larger rd values match (rd > c,
+      // rd >= c), min(rd) otherwise.
+      case r @ GreaterThan(a: AttributeReference, b: AttributeReference)
+          if side(a) == 1 && side(b) == 0 && range.isEmpty =>
+        range = Some(RangeConj(r, b, a, descending = true, m => GreaterThan(m, b)))
+      case r @ GreaterThanOrEqual(a: AttributeReference, b: AttributeReference)
+          if side(a) == 1 && side(b) == 0 && range.isEmpty =>
+        range = Some(RangeConj(r, b, a, descending = true, m => GreaterThanOrEqual(m, b)))
+      case r @ LessThan(a: AttributeReference, b: AttributeReference)
+          if side(a) == 1 && side(b) == 0 && range.isEmpty =>
+        range = Some(RangeConj(r, b, a, descending = false, m => LessThan(m, b)))
+      case r @ LessThanOrEqual(a: AttributeReference, b: AttributeReference)
+          if side(a) == 1 && side(b) == 0 && range.isEmpty =>
+        range = Some(RangeConj(r, b, a, descending = false, m => LessThanOrEqual(m, b)))
+      case r @ GreaterThan(a: AttributeReference, b: AttributeReference)
+          if side(a) == 0 && side(b) == 1 && range.isEmpty =>
+        range = Some(RangeConj(r, a, b, descending = false, m => GreaterThan(a, m)))
+      case r @ GreaterThanOrEqual(a: AttributeReference, b: AttributeReference)
+          if side(a) == 0 && side(b) == 1 && range.isEmpty =>
+        range = Some(RangeConj(r, a, b, descending = false, m => GreaterThanOrEqual(a, m)))
+      case r @ LessThan(a: AttributeReference, b: AttributeReference)
+          if side(a) == 0 && side(b) == 1 && range.isEmpty =>
+        range = Some(RangeConj(r, a, b, descending = true, m => LessThan(a, m)))
+      case r @ LessThanOrEqual(a: AttributeReference, b: AttributeReference)
+          if side(a) == 0 && side(b) == 1 && range.isEmpty =>
+        range = Some(RangeConj(r, a, b, descending = true, m => LessThanOrEqual(a, m)))
       case _ => return None
     }
-    if (equis.isEmpty) None else Some((equis, neq))
+    if (equis.isEmpty) None else Some((equis, neq, range))
+  }
+
+  /** Probe-side runtime bloom filters re-aimed (via the equi pairs) at the
+    * build. A build row whose key misses the probe's bloom can never change
+    * an existence answer — its group equi-matches no probe row — so the
+    * SAME bloom prunes the build BEFORE the aggregate. This is sideways
+    * information passing the optimizer cannot do itself: InjectRuntimeFilter
+    * ran before this strategy created the aggregate, and it had already
+    * rejected the raw fact build as an application side. Soundness of the
+    * substitution: a non-null probe key value at this join necessarily
+    * flowed through the probe-side Filter that carries the bloom (attribute
+    * ids are unique and values pass through unchanged), so every key the
+    * join could match is bloom-positive; NULL probe keys never equi-match.
+    * The physical subquery driving both filters deduplicates via
+    * ReuseSubquery/AQE subquery reuse. */
+  private def cloneProbeBlooms(
+      left: LogicalPlan, right: LogicalPlan,
+      equis: Seq[(Expression, Attribute, Attribute)]): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    val byLeftId = equis.map(e => e._2.exprId -> e._3).toMap
+    def blooms(p: LogicalPlan): Seq[BloomFilterMightContain] =
+      p.collect { case Filter(c, _) => splitConjuncts(c) }.flatten
+        .collect { case m: BloomFilterMightContain => m }
+    val existing = blooms(right).map(_.canonicalized).toSet
+    val cloned = blooms(left).flatMap { m =>
+      m.valueExpression.references.toSeq match {
+        case Seq(a) if byLeftId.contains(a.exprId) &&
+            byLeftId(a.exprId).dataType == a.dataType =>
+          val sub = m.valueExpression.transform {
+            case ar: AttributeReference if ar.exprId == a.exprId => byLeftId(a.exprId)
+          }
+          Some(m.withNewChildren(Seq(m.bloomFilterExpression, sub))
+            .asInstanceOf[BloomFilterMightContain])
+        case _ => None
+      }
+    }.filterNot(m => existing.contains(m.canonicalized))
+      .groupBy(_.canonicalized).map(_._2.head).toSeq
+    if (cloned.isEmpty) right
+    else Filter(cloned.map(_.asInstanceOf[Expression]).reduce(And), right)
   }
 
   def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
@@ -149,34 +261,87 @@ object DistinctifySemiAntiBuilds extends SparkStrategy {
         if enabled && !broadcastable(right) && bareBuild(right) &&
           !right.exists(p => p.isInstanceOf[Aggregate] || p.isInstanceOf[LogicalQueryStage]) =>
       classify(cond, left.output, right.output) match {
-        case Some((equis, None)) =>
-          // Pure equality: build side needs only its distinct key tuples.
-          val keys = equis.map(_._2).distinct
-          // No reduction possible when the keys ARE the whole build row
-          // minus nothing to drop AND unique; without stats assume fact
-          // tables repeat keys — the partial agg is map-side and cheap.
-          val agg = Aggregate(keys, keys, right)
-          Seq(planLater(j.copy(right = agg)))
-        case Some((equis, Some((la, rb)))) =>
-          val keys = equis.map(_._2).distinct
-          if (keys.contains(rb)) {
-            // b is itself a key: per group b is constant, dedup suffices
-            // and the original condition rebinds against the agg output.
-            val agg = Aggregate(keys, keys, right)
-            Seq(planLater(j.copy(right = agg)))
-          } else {
-            val loAlias = Alias(
-              AggregateExpression(Min(rb), Complete, isDistinct = false), "graft_lo")()
-            val hiAlias = Alias(
-              AggregateExpression(Max(rb), Complete, isDistinct = false), "graft_hi")()
-            val agg = Aggregate(keys, keys ++ Seq(loAlias, hiAlias), right)
-            val residual = And(
-              IsNotNull(la),
-              Or(
-                Not(EqualTo(loAlias.toAttribute, la)),
-                Not(EqualTo(hiAlias.toAttribute, la))))
-            val newCond = (equis.map(_._1) :+ residual).reduce(And)
-            Seq(planLater(j.copy(right = agg, condition = Some(newCond))))
+        case Some((equis, neqOpt, rangeOpt)) =>
+          val keys = equis.map(_._3).distinct
+          val prunedRight = cloneProbeBlooms(left, right, equis)
+          val keyIds = keys.map(_.exprId).toSet
+          // A <>/range conjunct whose BUILD attr is itself a join key is
+          // constant per group: grouping keeps it, the original conjunct
+          // rebinds as-is, and no aggregate of it is needed.
+          val keyConjs =
+            neqOpt.filter(n => keyIds.contains(n._3.exprId)).map(_._1).toSeq ++
+            rangeOpt.filter(r => keyIds.contains(r.rd.exprId)).map(_.orig).toSeq
+          val neq = neqOpt.filterNot(n => keyIds.contains(n._3.exprId))
+          val range = rangeOpt.filterNot(r => keyIds.contains(r.rd.exprId))
+          val passthrough = equis.map(_._1) ++ keyConjs
+          (neq, range) match {
+            case (None, None) =>
+              // Pure equality (possibly plus key-constant extras): the
+              // build side needs only its distinct key tuples. Without
+              // stats assume fact tables repeat keys — the partial agg is
+              // map-side and cheap.
+              val agg = Aggregate(keys, keys, prunedRight)
+              Seq(planLater(j.copy(right = agg)))
+            case (Some((_, la, rb)), None) =>
+              val loAlias = Alias(
+                AggregateExpression(Min(rb), Complete, isDistinct = false), "graft_lo")()
+              val hiAlias = Alias(
+                AggregateExpression(Max(rb), Complete, isDistinct = false), "graft_hi")()
+              val agg = Aggregate(keys, keys ++ Seq(loAlias, hiAlias), prunedRight)
+              val residual = And(
+                IsNotNull(la),
+                Or(
+                  Not(EqualTo(loAlias.toAttribute, la)),
+                  Not(EqualTo(hiAlias.toAttribute, la))))
+              val newCond = (passthrough :+ residual).reduce(And)
+              Seq(planLater(j.copy(right = agg, condition = Some(newCond))))
+            case (None, Some(rc)) =>
+              // Range-only correlation (the reference's q4 EXISTS shape,
+              // `l_orderkey = o_orderkey AND l_shipdate > o_orderdate`):
+              // some build d matches iff the group extreme does. Min/Max
+              // skip NULL d, and an all-NULL group yields a NULL extreme
+              // whose comparison is NULL = no-match — exactly the
+              // original answer, for semi and anti alike.
+              val fn = if (rc.descending) Max(rc.rd) else Min(rc.rd)
+              val mAlias = Alias(
+                AggregateExpression(fn, Complete, isDistinct = false), "graft_m")()
+              val agg = Aggregate(keys, keys :+ mAlias, prunedRight)
+              val newCond = (passthrough :+ rc.rebuild(mAlias.toAttribute)).reduce(And)
+              Seq(planLater(j.copy(right = agg, condition = Some(newCond))))
+            case (Some((_, la, rb)), Some(rc))
+                if UnsafeRow.isMutable(rb.dataType) && UnsafeRow.isMutable(rc.rd.dataType) =>
+              // <> plus range (the q21 NOT-EXISTS correlation): with
+              // f(x) = ext{d : s <> x}, existence reduces to
+              // `f(la) OP ld`. TopTwoDistinctExtreme yields (s1, d1, d2)
+              // with f(x) = if (x = s1) d2 else d1 — see its scaladoc for
+              // the exactness argument (ties included). NULL folding:
+              //   - la NULL: `s <> la` never matches; the IsNotNull guard
+              //     forces no-match (without it, `la = s1` would be NULL,
+              //     If would take d1, and d1 OP ld could claim a match).
+              //   - group rows with NULL s or d are skipped by the
+              //     aggregate, as the condition can never select them; a
+              //     group of only such rows has d1 NULL, so the
+              //     comparison is NULL = no-match, like the original.
+              //   - d2 NULL (s1 the only distinct s): probe la = s1
+              //     compares against NULL = no-match; the original has
+              //     only s1 rows to offer, which `s <> la` rejects.
+              // Gated to fixed-length buffer types so the declarative
+              // aggregate stays inside codegen'd HashAggregate (var-length
+              // buffers would demote it to sort-based aggregation).
+              val t2Alias = Alias(
+                AggregateExpression(
+                  TopTwoDistinctExtreme(rb, rc.rd, rc.descending),
+                  Complete, isDistinct = false), "graft_t2")()
+              val t2 = t2Alias.toAttribute
+              val eff = If(
+                EqualTo(GetStructField(t2, 0, Some("s1")), la),
+                GetStructField(t2, 2, Some("d2")),
+                GetStructField(t2, 1, Some("d1")))
+              val agg = Aggregate(keys, keys :+ t2Alias, prunedRight)
+              val newCond =
+                (passthrough ++ Seq(IsNotNull(la), rc.rebuild(eff))).reduce(And)
+              Seq(planLater(j.copy(right = agg, condition = Some(newCond))))
+            case _ => Nil
           }
         case None => Nil
       }

@@ -133,6 +133,234 @@ class SemiJoinDistinctifySpec extends SparkSpec {
     } finally resetConf()
   }
 
+  // ---- Range-correlation shapes (q4 / q21) ------------------------------
+  // Probe rows (k, a, d) and build rows (bk, bb, bd) with NULLs in every
+  // position, max-ties across distinct and identical bb values,
+  // single-supplier groups, all-NULL groups, and heavy duplication.
+  private val probe3: Seq[(Option[Long], Option[Long], Option[Long])] = Seq(
+    (Some(1L), Some(10L), Some(5L)),  // key 1: single supplier {10: d=7}
+    (Some(1L), Some(11L), Some(5L)),
+    (Some(1L), Some(11L), Some(8L)),
+    (Some(2L), Some(10L), Some(6L)),  // key 2: two suppliers tie at max d
+    (Some(2L), Some(20L), Some(6L)),
+    (Some(2L), Some(99L), Some(7L)),
+    (Some(3L), Some(7L), Some(1L)),   // key 3: all-NULL bd
+    (Some(4L), Some(4L), Some(4L)),   // key 4: absent from build
+    (Some(5L), Some(50L), Some(3L)),  // key 5: heavy dup, one supplier 50
+    (Some(5L), Some(51L), Some(3L)),
+    (Some(5L), Some(50L), Some(9L)),
+    (Some(6L), Some(1L), Some(5L)),   // key 6: same-supplier tie at max
+    (Some(1L), None, Some(7L)),       // NULL a
+    (Some(1L), Some(10L), None),      // NULL d
+    (None, Some(5L), Some(5L))        // NULL key
+  )
+  private val build3: Seq[(Option[Long], Option[Long], Option[Long])] =
+    Seq.tabulate(400)(i => (Some(5L), Some(50L), Some(4L))) ++ Seq(
+      (Some(1L), Some(10L), Some(7L)),
+      (Some(1L), Some(10L), Some(2L)),
+      (Some(2L), Some(10L), Some(6L)), (Some(2L), Some(20L), Some(6L)),
+      (Some(2L), Some(30L), Some(1L)),
+      (Some(3L), Some(1L), None), (Some(3L), None, Some(9L)),
+      (Some(5L), Some(50L), Some(8L)), (Some(5L), Some(60L), Some(5L)),
+      (Some(6L), Some(1L), Some(5L)), (Some(6L), Some(1L), Some(5L)),
+      (None, Some(1L), Some(9L))
+    )
+
+  private def frames3(threshold: String): (DataFrame, DataFrame) = {
+    Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    ).foreach(spark.conf.set(_, threshold))
+    // Multiple build partitions so partial buffers exercise the MERGE path
+    // (parallelize, not repartition — a Repartition node would fail the
+    // bare-build gate, which admits only Projects/IsNotNull above a leaf).
+    (probe3.toDF("k", "a", "d"),
+      spark.sparkContext.parallelize(build3, 7).toDF("bk", "bb", "bd"))
+  }
+
+  /** Plain-Scala three-valued EXISTS over build3: `bk = k [AND bb <> a]
+    * AND (bd OP d)` with OP applied as `op(bd, d)`. */
+  private def existsTruth3(
+      rows: Seq[(Option[Long], Option[Long], Option[Long])],
+      k: Option[Long], a: Option[Long], d: Option[Long],
+      neq: Boolean, op: (Long, Long) => Boolean): Boolean =
+    rows.exists { case (bk, bb, bd) =>
+      k.isDefined && bk.isDefined && k.get == bk.get &&
+        (!neq || (a.isDefined && bb.isDefined && a.get != bb.get)) &&
+        (d.isDefined && bd.isDefined && op(bd.get, d.get))
+    }
+
+  private def canon3(rows: Seq[(Option[Long], Option[Long], Option[Long])]): Seq[String] =
+    rows.map(_.toString).sorted
+
+  private def checkShape3(
+      rows: Seq[(Option[Long], Option[Long], Option[Long])],
+      p: DataFrame, b: DataFrame,
+      cond: org.apache.spark.sql.Column, neq: Boolean,
+      op: (Long, Long) => Boolean, label: String): Unit = {
+    for (joinType <- Seq("left_semi", "left_anti")) {
+      val df = p.join(b, cond, joinType)
+      assert(buildHasAggregate(df), s"$label/$joinType: build not aggregated")
+      val got = canon3(df.as[(Option[Long], Option[Long], Option[Long])].collect().toSeq)
+      val want = canon3(rows.filter { case (k, a, d) =>
+        existsTruth3(build3, k, a, d, neq, op) == (joinType == "left_semi")
+      })
+      assert(got == want, s"$label/$joinType mismatch:\n got $got\nwant $want")
+    }
+  }
+
+  test("equality + range (q4 shape): extreme rewrite, both orientations, null semantics exact") {
+    try {
+      val (p, b) = frames3(threshold = "1")
+      checkShape3(probe3, p, b, p("k") === b("bk") && b("bd") > p("d"),
+        neq = false, _ > _, "bd>d")
+      checkShape3(probe3, p, b, p("k") === b("bk") && b("bd") <= p("d"),
+        neq = false, _ <= _, "bd<=d")
+      // Flipped operand order classifies through the mirrored branch.
+      checkShape3(probe3, p, b, p("k") === b("bk") && p("d") >= b("bd"),
+        neq = false, _ <= _, "d>=bd")
+    } finally resetConf()
+  }
+
+  test("equality + <> + range (q21 shape): top-two-distinct rewrite, null semantics exact") {
+    try {
+      val (p, b) = frames3(threshold = "1")
+      checkShape3(probe3, p, b,
+        p("k") === b("bk") && p("a") =!= b("bb") && b("bd") > p("d"),
+        neq = true, _ > _, "bb<>a,bd>d")
+      checkShape3(probe3, p, b,
+        p("k") === b("bk") && p("a") =!= b("bb") && b("bd") < p("d"),
+        neq = true, _ < _, "bb<>a,bd<d")
+    } finally resetConf()
+  }
+
+  test("q21 SQL NOT EXISTS route rewrites and matches ground truth") {
+    try {
+      val (p, b) = frames3(threshold = "1")
+      p.createOrReplaceTempView("dsb3_probe")
+      b.createOrReplaceTempView("dsb3_build")
+      val df = spark.sql(
+        """SELECT k, a, d FROM dsb3_probe
+          |WHERE NOT EXISTS (SELECT 1 FROM dsb3_build
+          |                  WHERE bk = k AND bb <> a AND bd > d)""".stripMargin)
+      assert(buildHasAggregate(df))
+      val got = canon3(df.as[(Option[Long], Option[Long], Option[Long])].collect().toSeq)
+      val want = canon3(probe3.filterNot { case (k, a, d) =>
+        existsTruth3(build3, k, a, d, neq = true, _ > _)
+      })
+      assert(got == want, s"got $got\nwant $want")
+    } finally resetConf()
+  }
+
+  test("range rewrites: seeded fuzz across all four operators vs plain-Scala truth") {
+    val rnd = new scala.util.Random(20260815L)
+    def cell(n: Int): Option[Long] =
+      if (rnd.nextInt(8) == 0) None else Some(rnd.nextInt(n).toLong)
+    val fp = Seq.fill(60)((cell(8), cell(4), cell(8)))
+    val fb = Seq.fill(300)((cell(8), cell(4), cell(8)))
+    try {
+      Seq(
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold"
+      ).foreach(spark.conf.set(_, "1"))
+      val p = fp.toDF("k", "a", "d")
+      val b = spark.sparkContext.parallelize(fb, 5).toDF("bk", "bb", "bd")
+      val ops: Seq[(String, org.apache.spark.sql.Column, (Long, Long) => Boolean)] = Seq(
+        (">", b("bd") > p("d"), _ > _),
+        (">=", b("bd") >= p("d"), _ >= _),
+        ("<", b("bd") < p("d"), _ < _),
+        ("<=", b("bd") <= p("d"), _ <= _))
+      for ((opName, opCol, opFn) <- ops; neq <- Seq(false, true);
+           joinType <- Seq("left_semi", "left_anti")) {
+        val cond =
+          if (neq) p("k") === b("bk") && p("a") =!= b("bb") && opCol
+          else p("k") === b("bk") && opCol
+        val df = p.join(b, cond, joinType)
+        assert(buildHasAggregate(df), s"fuzz $opName neq=$neq $joinType: no aggregate")
+        val got = canon3(df.as[(Option[Long], Option[Long], Option[Long])].collect().toSeq)
+        val want = canon3(fp.filter { case (k, a, d) =>
+          fb.exists { case (bk, bb, bd) =>
+            k.isDefined && bk.isDefined && k.get == bk.get &&
+              (!neq || (a.isDefined && bb.isDefined && a.get != bb.get)) &&
+              (d.isDefined && bd.isDefined && opFn(bd.get, d.get))
+          } == (joinType == "left_semi")
+        })
+        assert(got == want, s"fuzz $opName neq=$neq $joinType mismatch:\n got $got\nwant $want")
+      }
+    } finally resetConf()
+  }
+
+  test("range on a key attr passes through as a constant-per-group conjunct") {
+    try {
+      val (p, b) = frames3(threshold = "1")
+      // bk is both the equi key and the range operand: dedup suffices and
+      // the original conjunct rebinds against the kept key column.
+      val df = p.join(b, p("k") === b("bk") && b("bk") > p("a"), "left_semi")
+      assert(buildHasAggregate(df))
+      val got = canon3(df.as[(Option[Long], Option[Long], Option[Long])].collect().toSeq)
+      val want = canon3(probe3.filter { case (k, a, _) =>
+        build3.exists { case (bk, _, _) =>
+          k.isDefined && bk.isDefined && k.get == bk.get &&
+            a.isDefined && bk.get > a.get
+        }
+      })
+      assert(got == want, s"got $got\nwant $want")
+    } finally resetConf()
+  }
+
+  test("probe-side runtime bloom is cloned onto the rewritten build") {
+    // Mirrors tq21 at sf10: the probe fact gains a might_contain filter from
+    // a selective dim join (InjectRuntimeFilter), the semi/anti build is the
+    // same fact scanned bare — Spark rejected it as an application side, so
+    // only the strategy's clone can key-prune it before the aggregate.
+    val bloomConfs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "1")
+    try {
+      bloomConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // Probe fact: keys 0..99, three rows each; dim keeps keys % 5 == 0.
+      // Written as parquet: InjectRuntimeFilter sizes the application side
+      // from file scans and declines in-memory relations.
+      val probeRows = (0 until 300).map(i => (i % 100L, (i % 7).toLong, (i % 11).toLong))
+      val dimRows = (0 until 100).map(i => (i.toLong, i % 5))
+      val buildRows = (0 until 4000).map(i => ((i % 200).toLong, (i % 3).toLong, (i % 13).toLong))
+      val dir = tmpDir("bloomclone")
+      probeRows.toDF("k", "a", "c").write.parquet(s"$dir/probe")
+      dimRows.toDF("dk", "flag").write.parquet(s"$dir/dim")
+      buildRows.toDF("bk", "bb", "bd").write.parquet(s"$dir/build")
+      spark.read.parquet(s"$dir/probe").createOrReplaceTempView("bc_probe")
+      spark.read.parquet(s"$dir/dim").createOrReplaceTempView("bc_dim")
+      spark.read.parquet(s"$dir/build").createOrReplaceTempView("bc_build")
+      val df = spark.sql(
+        """SELECT k, a, c FROM bc_probe JOIN bc_dim ON k = dk AND flag = 0
+          |WHERE NOT EXISTS (SELECT 1 FROM bc_build
+          |                  WHERE bk = k AND bb <> a AND bd > c)""".stripMargin)
+      val plan = finalPlan(df)
+      val joins = collectAll(plan) {
+        case j: BaseJoinExec if j.joinType == LeftAnti => j
+      }
+      assert(joins.size == 1, s"expected one anti join:\n$plan")
+      val buildFilters = collectAll(joins.head.children(1)) {
+        case f: org.apache.spark.sql.execution.FilterExec => f
+      }
+      assert(buildFilters.exists(_.condition.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain])),
+        s"no cloned might_contain on the build side:\n$plan")
+      assert(collectAll(joins.head.children(1)) {
+        case a: BaseAggregateExec => a }.nonEmpty, "build not aggregated")
+      val got = df.as[(Long, Long, Long)].collect().toSeq.sorted
+      val want = probeRows
+        .filter { case (k, _, _) => k % 5 == 0 }
+        .filterNot { case (k, a, c) =>
+          buildRows.exists { case (bk, bb, bd) => bk == k && bb != a && bd > c } }
+        .sorted
+      assert(got == want, s"got $got\nwant $want")
+    } finally (bloomConfs.keys).foreach(spark.conf.unset)
+  }
+
   test("gates: broadcastable build, aggregated build, kill switch") {
     // Broadcast-sized build: no rewrite (the hash table dedups for free).
     try {
