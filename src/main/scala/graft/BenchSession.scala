@@ -14,6 +14,24 @@ import org.apache.spark.sql.SparkSession
  */
 object BenchSession {
   def builder(cpus: String): SparkSession.Builder = {
+    // The bloom creation-side threshold must scale with the data or the
+    // filters silently die: it compares ESTIMATED scan sizes, which grow
+    // linearly with SF, so the 128MB separator tuned at sf10 rejects the
+    // SAME orders-side bloom at sf30 (estimate ~3x) — measured tq4 26.5s at
+    // 128MB vs 8.8s at 384MB, tq10 20.6 vs 13.6, with the fact-side blooms
+    // still rejected (tq12 flat; the fact estimate scales by the same 3x).
+    // Scale by the benchmarked fact table's file size relative to the sf10
+    // tuning point (1.84GB); floor at 1x so sf0.1/sf1 keep the tuned value.
+    // The bloom's SIZE deliberately does NOT scale: at sf30 a 3x key domain
+    // at fixed 32M bits is ~2.7 bits/item (fpp in the tens of percent), yet
+    // the interleaved A/B had the 4MB cache-resident filter BEATING the
+    // fpp-exact 12.5MB one — tq4 8.9/8.9s vs 13.2/14.0s, tq10 13.6/14.8s
+    // vs 17.6/18.4s — because 180M per-row probes of a filter that misses
+    // cache cost more than the extra false positives they remove.
+    val lineitemBytes = sys.env.get("SPARK_GRAFT_SF_DIR")
+      .map(d => new java.io.File(s"$d/lineitem.parquet"))
+      .filter(_.isFile).map(_.length).getOrElse(0L)
+    val bloomScale = math.max(1.0, lineitemBytes / 1.84e9)
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
       // Scale-robust shuffle parallelism: at least 32 initial partitions so
@@ -81,7 +99,8 @@ object BenchSession {
       // BASELINE.md.
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "64MB")
-      .config("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "128MB")
+      .config("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        s"${(134217728L * bloomScale).toLong}b")
       //   - numBits must scale WITH expectedNumItems (Spark keeps it at the
       //     8M-bit default regardless): 4M items at 8M bits is 2 bits/item,
       //     a ~60% fpp — the filter costs its creation pass and removes
