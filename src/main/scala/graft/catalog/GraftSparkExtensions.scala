@@ -41,6 +41,11 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     // keys / min-max rewrite); composes with the placement rule through
     // planLater recursion (see DistinctifySemiAntiBuilds scaladoc).
     ext.injectPlannerStrategy(_ => graft.plans.DistinctifySemiAntiBuilds)
+    // Runtime blooms for join-shaped creation sides, which Spark's own
+    // InjectRuntimeFilter size-estimates to death (see InjectChainBlooms
+    // scaladoc). An optimizer rule so AQE's subquery pre-planning sees the
+    // injected ScalarSubquery. Inert under stock thresholds.
+    ext.injectOptimizerRule(_ => graft.plans.InjectChainBlooms)
   }
 }
 
