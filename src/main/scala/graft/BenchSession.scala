@@ -48,6 +48,10 @@ object BenchSession {
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Defensive cap: plan strings are debug output; a lineage regression
+      // must truncate text, not exhaust the driver heap (r10's
+      // resolveClusters loop built ~0.7 GB plan strings before its fix).
+      .config("spark.sql.maxPlanStringLength", (8 * 1024 * 1024).toString)
       .config("spark.sql.parquet.fieldId.read.enabled", "true")
       .config("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
       .config("spark.sql.parquet.fieldId.write.enabled", "true")

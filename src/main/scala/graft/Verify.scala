@@ -12,6 +12,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Defensive cap: any future plan-lineage regression (the r10
+      // resolveClusters loop built ~0.7 GB plan strings) truncates instead
+      // of exhausting driver heap on a debug string.
+      .config("spark.sql.maxPlanStringLength", (8 * 1024 * 1024).toString)
       .config("spark.sql.extensions", classOf[graft.catalog.GraftSparkExtensions].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

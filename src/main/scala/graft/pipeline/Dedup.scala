@@ -350,10 +350,18 @@ object Dedup {
       .union(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
       .distinct()
       .persist(lvl)
+    // Each round's label frame is EAGERLY LOCAL-CHECKPOINTED, not persisted:
+    // persist caches the data but the lineage still embeds ~4 copies of the
+    // previous round's plan (next = hopped ⋈ rep(hopped), hopped = labels ⋈
+    // f(labels)), so the logical plan QUADRUPLES per round — at sf0.001 the
+    // pre-fix loop built 45→145→379→677 MB plan strings and at corpus scale
+    // it OOMs the driver before any data cost matters. Checkpointing
+    // truncates each round's plan at the cached blocks (a one-node
+    // LogicalRDD), making every round's plan constant-size.
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .persist(lvl)
-    labels.count()
+      .localCheckpoint(true)
+    maxClusterLoopPlanNodes = planNodes(labels)
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
@@ -365,12 +373,13 @@ object Dedup {
           least(col("label"), coalesce(col("_nmin"), col("label"))).as("label"))
       // Pointer jumping: label <- label(label); halves chain length.
       val rep = hopped.select(col("id").as("label"), col("label").as("_ll"))
-      val next = hopped.join(rep, Seq("label"), "left")
+      val nextPlan = hopped.join(rep, Seq("label"), "left")
         .select(col("id"), least(col("label"), coalesce(col("_ll"), col("label"))).as("label"))
-        .persist(lvl)
+      maxClusterLoopPlanNodes = math.max(maxClusterLoopPlanNodes, planNodes(nextPlan))
+      val next = nextPlan.localCheckpoint(true)
       changed = next.join(labels.select(col("id"), col("label").as("_old")), "id")
         .filter(col("label") =!= col("_old")).count()
-      labels.unpersist(false)
+      releaseCheckpoint(labels)
       labels = next
       round += 1
     }
@@ -379,8 +388,34 @@ object Dedup {
         s"cluster resolution did not converge in $maxRounds rounds (component diameter > 2^$maxRounds)")
     val out = ids.join(labels, Seq("id"), "left")
       .select(col("id").as("doc_id"), coalesce(col("label"), col("id")).as("cluster_id"))
-    materializeReleasing(out, edges, labels)
+    val res = materializeReleasing(out, edges)
+    releaseCheckpoint(labels)
+    res
   }
+
+  /** Largest analyzed-plan node count seen inside the last
+    * [[resolveClusters]] loop — the lineage-growth guard's probe. With the
+    * checkpoint fix the count is flat across rounds (a few dozen nodes);
+    * the pre-fix persist loop grew it ~4× per round. */
+  @volatile private[graft] var maxClusterLoopPlanNodes: Int = 0
+
+  private def planNodes(df: DataFrame): Int = {
+    var n = 0
+    df.queryExecution.analyzed.foreach(_ => n += 1)
+    n
+  }
+
+  /** Release the cached blocks behind a local-checkpointed DataFrame.
+    * Dataset.unpersist only clears CacheManager entries from persist(), so
+    * a checkpointed loop iteration's blocks would otherwise linger until
+    * the driver GC notices the dropped RDD reference — explicit release
+    * keeps the loop's footprint at one labels copy instead of one per
+    * round. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.unpersist(false)
+      case _ => ()
+    }
 
   /** Distinct word-shingle HASHES, sorted — set semantics identical to the
     * string shingles (64-bit collisions are ~1e-13 per document) but the

@@ -161,6 +161,14 @@ class PipelineExtrasSpec extends SparkSpec {
       assert(m(100L) == 100L && m(101L) == 100L)
       assert(m(200L) == 200L, "doc in no pair is its own singleton cluster")
       assert(m.size == 34)
+      // Lineage guard: the 30-link chain needs several propagation rounds;
+      // with the per-round localCheckpoint the loop's analyzed plan stays a
+      // constant few dozen nodes. The r10 persist-based loop quadrupled it
+      // per round (677 MB plan STRINGS at sf0.001) — catch any regression
+      // here, where it costs milliseconds.
+      assert(Dedup.maxClusterLoopPlanNodes > 0, "plan-size probe did not run")
+      assert(Dedup.maxClusterLoopPlanNodes < 100,
+        s"cluster loop plan grew to ${Dedup.maxClusterLoopPlanNodes} nodes — lineage is not being truncated")
       clustered.unpersist()
     }
 
