@@ -235,9 +235,27 @@ object DistinctifySemiAntiBuilds extends SparkStrategy {
       equis: Seq[(Expression, Attribute, Attribute)]): LogicalPlan = {
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     val byLeftId = equis.map(e => e._2.exprId -> e._3).toMap
-    def blooms(p: LogicalPlan): Seq[BloomFilterMightContain] =
-      p.collect { case Filter(c, _) => splitConjuncts(c) }.flatten
-        .collect { case m: BloomFilterMightContain => m }
+    // Collect blooms ONLY along a value-preserving path from the probe root:
+    // the soundness argument above needs every non-null probe key value to
+    // have flowed through the Filter that carries the bloom. Project/Filter
+    // pass values through; a Join's output values all come from one of its
+    // children (preserved sides verbatim, outer sides null-padded — and NULL
+    // keys never equi-match), so recursing into join children is safe. A
+    // blanket subtree collect was NOT: Union and Expand reuse their FIRST
+    // child's exprIds for output, so a bloom inside one Union branch matches
+    // the join-key exprId while rows from the other branches bypassed it —
+    // the cloned bloom would prune build key groups those rows legitimately
+    // match (missing rows on LeftSemi, spurious ones on LeftAnti). Stop at
+    // Union/Expand/anything else that can emit exprId-aliased values.
+    def blooms(p: LogicalPlan): Seq[BloomFilterMightContain] = p match {
+      case Filter(c, child) =>
+        splitConjuncts(c).collect { case m: BloomFilterMightContain => m } ++ blooms(child)
+      case Project(_, child) => blooms(child)
+      case j: Join => j.children.flatMap(blooms)
+      case s: org.apache.spark.sql.catalyst.plans.logical.SerializeFromObject =>
+        blooms(s.child)
+      case _ => Nil
+    }
     val existing = blooms(right).map(_.canonicalized).toSet
     val cloned = blooms(left).flatMap { m =>
       m.valueExpression.references.toSeq match {

@@ -361,6 +361,76 @@ class SemiJoinDistinctifySpec extends SparkSpec {
     } finally (bloomConfs.keys).foreach(spark.conf.unset)
   }
 
+  test("bloom behind a Union branch is NOT cloned (other branches bypassed it)") {
+    // Union reuses its FIRST child's exprIds for output, so a bloom injected
+    // into one branch textually matches the semi-join key — but rows from
+    // the other branch never flowed through it. Cloning it onto the build
+    // would prune key groups those rows legitimately match (rows missing
+    // from LeftSemi). The collection walk must stop at the Union.
+    // PushDownLeftSemiAntiJoin is excluded so the Union actually SURVIVES
+    // below the semi join (Catalyst otherwise duplicates the semi per
+    // branch, where the per-branch clone is sound) — the fix must hold for
+    // whatever plan shape reaches the planner.
+    val bloomConfs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB",
+      "spark.sql.optimizer.excludedRules" ->
+        "org.apache.spark.sql.catalyst.optimizer.PushDownLeftSemiAntiJoin",
+      "spark.sql.autoBroadcastJoinThreshold" -> "1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "1")
+    try {
+      bloomConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val probeRows = (0 until 300).map(i => (i % 100L, (i % 7).toLong))
+      val dimRows = (0 until 100).map(i => (i.toLong, i % 5))
+      val extraRows = Seq((101L, 1L), (102L, 2L), (103L, 3L)) // keys only in branch 2
+      val buildRows = (0 until 4000).map(i => ((i % 200).toLong, (i % 3).toLong))
+      val dir = tmpDir("bloomunion")
+      probeRows.toDF("k", "a").write.parquet(s"$dir/probe")
+      dimRows.toDF("dk", "flag").write.parquet(s"$dir/dim")
+      extraRows.toDF("k", "a").write.parquet(s"$dir/extra")
+      buildRows.toDF("bk", "bb").write.parquet(s"$dir/build")
+      // Explicit DataFrame semi join (not an EXISTS in a WHERE — predicate
+      // pushdown would duplicate the subquery filter per branch long before
+      // the subquery rewrite, dissolving the shape under test).
+      val probeT = spark.read.parquet(s"$dir/probe")
+      val dimT = spark.read.parquet(s"$dir/dim")
+      val extraT = spark.read.parquet(s"$dir/extra")
+      val buildT = spark.read.parquet(s"$dir/build")
+      val branch1 = probeT.join(dimT,
+        probeT("k") === dimT("dk") && dimT("flag") === 0).select(probeT("k"), probeT("a"))
+      val u = branch1.union(extraT)
+      val df = u.join(buildT, u("k") === buildT("bk"), "left_semi")
+      val plan = finalPlan(df)
+      val joins = collectAll(plan) {
+        case j: BaseJoinExec if j.joinType == LeftSemi => j
+      }
+      assert(joins.size == 1, s"expected one semi join:\n$plan")
+      // The rewrite itself (aggregate build) should still fire — only the
+      // bloom clone must not.
+      assert(collectAll(joins.head.children(1)) {
+        case a: BaseAggregateExec => a }.nonEmpty, "build not aggregated")
+      // Scenario guard: the bloom must actually exist inside the Union's
+      // first branch, or this test asserts nothing.
+      assert(collectAll(joins.head.children(0)) {
+        case f: org.apache.spark.sql.execution.FilterExec
+            if f.condition.exists(
+              _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]) => f
+      }.nonEmpty, s"no injected bloom in the probe branch — test shape degraded:\n$plan")
+      val buildFilters = collectAll(joins.head.children(1)) {
+        case f: org.apache.spark.sql.execution.FilterExec => f
+      }
+      assert(!buildFilters.exists(_.condition.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain])),
+        s"bloom from a Union branch was cloned onto the build:\n$plan")
+      val got = df.as[(Long, Long)].collect().toSeq.sorted
+      val want = (probeRows.filter(_._1 % 5 == 0) ++ extraRows)
+        .filter { case (k, _) => buildRows.exists(_._1 == k) }.sorted
+      assert(got == want, s"got $got\nwant $want")
+      assert(extraRows.forall(got.contains), "Union branch-2 rows were pruned")
+    } finally (bloomConfs.keys).foreach(spark.conf.unset)
+  }
+
   test("gates: broadcastable build, aggregated build, kill switch") {
     // Broadcast-sized build: no rewrite (the hash table dedups for free).
     try {
