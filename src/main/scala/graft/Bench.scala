@@ -17,7 +17,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Session tuning lives in BenchSession (shared with Explain so plan
     // audits always describe the benchmarked configuration).
-    val spark = BenchSession.builder(cpus).getOrCreate()
+    val spark = BenchSession.session(cpus)
     spark.sparkContext.setLogLevel("WARN")
 
     // Optional comma-separated query filter for local iteration.
@@ -67,7 +67,19 @@ object Bench {
     val st = results.map { case (k, _, gc, mb) =>
       s""""$k":{"gcMs":$gc,"peakMb":$mb}""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"stats":$st,"sf":"$sfDir"}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"stats":$st,"sf":"$sfDir"}"""
+    println(json)
+    // Also land the JSON in a file: the r10 round artifact shipped with the
+    // stdout tail truncated BEFORE the timings dict, making round-over-round
+    // comparison impossible. A file write cannot be cut off by whatever
+    // captures (or floods) stdout.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "bench_last.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(outFile),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -13,25 +13,25 @@ import org.apache.spark.sql.SparkSession
  * carries the A/B evidence.
  */
 object BenchSession {
+
+  /** The fully-tuned session: [[builder]]'s configuration plus the one
+    * registration a Builder cannot carry — [[graft.plans.InjectLateBlooms]]
+    * in `experimental.extraOptimizations`, the only optimizer position
+    * after `RewriteSubquery` (where EXISTS/IN become semi/anti joins) and
+    * after Spark's own `InjectRuntimeFilter` (whose absolute
+    * creation-threshold gives up as scan estimates grow with data; the late
+    * rule's carrier-leaf-vs-fact-leaf RELATIVE gate does not). r10 scaled
+    * the threshold from the benchmarked file's size via SPARK_GRAFT_SF_DIR
+    * — an env-var hack; the late rule replaces it with engine logic. */
+  def session(cpus: String): SparkSession = {
+    val s = builder(cpus).getOrCreate()
+    if (!s.experimental.extraOptimizations.contains(graft.plans.InjectLateBlooms))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.InjectLateBlooms
+    s
+  }
+
   def builder(cpus: String): SparkSession.Builder = {
-    // The bloom creation-side threshold must scale with the data or the
-    // filters silently die: it compares ESTIMATED scan sizes, which grow
-    // linearly with SF, so the 128MB separator tuned at sf10 rejects the
-    // SAME orders-side bloom at sf30 (estimate ~3x) — measured tq4 26.5s at
-    // 128MB vs 8.8s at 384MB, tq10 20.6 vs 13.6, with the fact-side blooms
-    // still rejected (tq12 flat; the fact estimate scales by the same 3x).
-    // Scale by the benchmarked fact table's file size relative to the sf10
-    // tuning point (1.84GB); floor at 1x so sf0.1/sf1 keep the tuned value.
-    // The bloom's SIZE deliberately does NOT scale: at sf30 a 3x key domain
-    // at fixed 32M bits is ~2.7 bits/item (fpp in the tens of percent), yet
-    // the interleaved A/B had the 4MB cache-resident filter BEATING the
-    // fpp-exact 12.5MB one — tq4 8.9/8.9s vs 13.2/14.0s, tq10 13.6/14.8s
-    // vs 17.6/18.4s — because 180M per-row probes of a filter that misses
-    // cache cost more than the extra false positives they remove.
-    val lineitemBytes = sys.env.get("SPARK_GRAFT_SF_DIR")
-      .map(d => new java.io.File(s"$d/lineitem.parquet"))
-      .filter(_.isFile).map(_.length).getOrElse(0L)
-    val bloomScale = math.max(1.0, lineitemBytes / 1.84e9)
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
       // Scale-robust shuffle parallelism: at least 32 initial partitions so
@@ -103,8 +103,17 @@ object BenchSession {
       // BASELINE.md.
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "64MB")
-      .config("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
-        s"${(134217728L * bloomScale).toLong}b")
+      //   - creationSideThreshold stays the PLAIN sf10-tuned constant. Its
+      //     absolute-estimate gate inevitably rejects the same creation
+      //     sides at larger SF (estimates scale, the constant doesn't —
+      //     measured tq4 26.5s vs 8.8s at sf30); that regime is now covered
+      //     by graft's InjectLateBlooms, whose carrier-leaf ≤ fact-leaf/2
+      //     RELATIVE gate is scale-invariant (see session()). The bloom's
+      //     SIZE also does not scale: the interleaved sf30 A/B had the 4MB
+      //     cache-resident filter (fpp ~30%) BEATING the fpp-exact 12.5MB
+      //     one by 40-50% — 180M per-row probes that miss cache cost more
+      //     than the false positives they admit.
+      .config("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "128MB")
       //   - numBits must scale WITH expectedNumItems (Spark keeps it at the
       //     8M-bit default regardless): 4M items at 8M bits is 2 bits/item,
       //     a ~60% fpp — the filter costs its creation pass and removes

@@ -12,7 +12,7 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = BenchSession.builder(cpus).getOrCreate()
+    val spark = BenchSession.session(cpus)
     spark.sparkContext.setLogLevel("WARN")
     val names = sys.env.getOrElse("SPARK_GRAFT_ONLY", "q3_shipping").split(",").toSeq
     names.foreach { name =>

@@ -16,6 +16,17 @@ import org.apache.spark.sql.functions._
  */
 object Sampling {
 
+  /** Version of the deterministic hash-split/resample functions. Bump this
+    * whenever [[hashBucket]]/[[hashBucket10k]] change formula: bucket
+    * assignment is a CONTRACT with incremental pipelines (a doc that was
+    * 'train' under one version landing in 'test' under the next is
+    * cross-version leakage). History:
+    *   1 — single-modulus multiplicative hash (rounds ≤ 9).
+    *   2 — dual-modulus sum (round 10): every id's bucket changed; corpora
+    *       split incrementally under v1 must be fully re-split, not
+    *       extended, under v2. */
+  val SplitFunctionVersion: Int = 2
+
   /** Multiplicative-hash bucket in [0, 100) of a numeric id. Each term
     * reduces the id by a ~1e6 prime first so the product stays inside Long
     * (1e6 * 2^31.3 < 2^63) — the arithmetic is exact and portable, the

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   AggregateExpression, BloomFilterAggregate, Complete
 }
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.{
   Aggregate, Filter, Join, LeafNode, LogicalPlan, Project
 }
@@ -15,59 +15,54 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
 
 /**
- * Runtime bloom injection for JOIN-SHAPED creation sides — the case Spark's
- * own `InjectRuntimeFilter` can never fire on.
+ * Runtime bloom injection beyond Spark's own `InjectRuntimeFilter` — the
+ * engine's sideways-information-passing layer (the reference pushes
+ * build-side join filters into probe scans unconditionally; Trino calls
+ * this dynamic filtering).
  *
- * The reference engine pushes build-side join filters into probe scans
- * unconditionally (Trino: dynamic filtering); Spark's rule gates the
- * creation side on `plan.stats.sizeInBytes < creationSideThreshold`, and
- * the stats-only size visitor MULTIPLIES child sizes at every join — so a
- * star-join chain like q5's `customer ⋈ nation ⋈ region(ASIA)` is estimated
- * at petabytes and rejected, even though its OUTPUT is a fifth of customer.
- * The result at sf30: a 180M-row lineitem scan shuffles 4-6GB into a join
- * whose other side was already reduced 80-95% by dimension filters
- * (q3/q5/tq13 were the standing >5x outliers; plans audited "clean" because
- * every operator was individually right — the missing piece was sideways
- * information passing across the join).
+ * Spark's rule has two structural blind spots this pair of rules covers:
  *
- * This rule fires on an Inner equi-join where:
- *   - one side (the FACT) is a bare scan — Projects and IsNotNull-only /
- *     bloom Filters over a leaf — that is non-broadcastable and at least
- *     `applicationSideScanSizeThreshold` big, with no `might_contain`
- *     already keyed on the join key;
- *   - the other side (the CHAIN) contains a Join (a filter-over-scan
- *     creation side is Spark's own territory), is non-broadcastable (a
- *     broadcast chain means no fact shuffle to save), and contains at
- *     least one Filter with a literal predicate beyond IsNotNull — the
- *     selectivity evidence Spark's rule also requires;
- *   - the chain's join-key attribute is traceable to a LEAF RELATION whose
- *     own size is at most 8x `creationSideThreshold`. The leaf that CARRIES
- *     the key bounds the bloom's distinct-item count (joins only ever
- *     remove its keys), so this replaces the useless multiplied-subtree
- *     estimate with a sound one. The 8x headroom admits mid-table carriers
- *     (orders: the q3/q5 lineitem blooms) while still rejecting fact-keyed
- *     creations (lineitem-carried keys) — the shape a measured sf10 A/B
- *     put at +27..59% cost (BASELINE.md round-10 bloom table).
+ *  1. JOIN-SHAPED creation sides ([[InjectChainBlooms]]): the creation gate
+ *     is `stats.sizeInBytes < creationSideThreshold`, and the stats-only
+ *     size visitor MULTIPLIES child sizes at every join — a star chain like
+ *     q5's `customer ⋈ nation ⋈ region(ASIA)` is estimated at petabytes and
+ *     rejected even though its OUTPUT is a fifth of customer. The result at
+ *     sf30: a 180M-row lineitem scan shuffles 4-6GB into a join whose other
+ *     side was already reduced 80-95% by dimension filters.
+ *  2. ABSOLUTE-threshold creation gating ([[InjectLateBlooms]]): scan
+ *     estimates grow linearly with data while `creationSideThreshold` is a
+ *     constant, so the same orders-side bloom that Spark injects at sf10
+ *     (tq4 14.3→4.7s, tq10 10.3→5.5s) is silently rejected at sf30 — r10
+ *     papered over this by scaling the conf from the benchmarked file size,
+ *     an env-var hack a real deployment does not have. The engine-side
+ *     replacement is a RELATIVE gate: the creation key's carrier LEAF must
+ *     be ≤ fact-leaf / `spark.graft.bloomCarrierFactor` (default 2). The
+ *     leaf that CARRIES the key bounds the bloom's distinct-item count
+ *     (joins only ever remove its keys), and leaf-to-leaf ratios are
+ *     SF-invariant — orders:lineitem is ~1:6 at every scale, which admits
+ *     every measured win while rejecting the fact-keyed creations a
+ *     measured sf10 A/B put at +27..59% cost (BASELINE.md round-10 table).
  *
- * It then wraps the fact side in
+ * Injection wraps the fact side in
  *   `Filter(might_contain(scalar-subquery(bloom_agg(xxhash64(chainKey))
  *     over chain), xxhash64(factKey)), fact)`.
- * An OPTIMIZER rule, not a planner strategy: AQE pre-plans the subqueries
- * it finds in the optimized logical plan (`PlanAdaptiveSubqueries` fails on
- * unknown subquery ids), so the ScalarSubquery must exist before planning —
- * a strategy-time injection silently knocked the whole query off the AQE
- * path. The subquery's chain plan is the join's chain side VERBATIM, so
- * under AQE its shuffle stages canonicalize identically to the main plan's
- * and the stage cache executes them once — the marginal cost is the bloom
- * aggregate over the chain's (already reduced) output. Measured same-epoch
- * at sf10 (isolated): q3 15.6->8.6s, q5 15.4->9.0s, tq2 -17%, others flat.
+ * The subquery's plan is the creation side VERBATIM, so under AQE its
+ * shuffle stages canonicalize identically to the main plan's and the stage
+ * cache executes them once — the marginal cost is the bloom aggregate over
+ * the creation side's (already reduced) output.
  *
- * Inert outside tuned sessions: with Spark's default
+ * Both rules are inert outside tuned sessions: with Spark's default
  * `applicationSideScanSizeThreshold` (10GB) nothing qualifies, so Verify /
- * driver correctness runs plan exactly as stock Spark. Kill switch:
- * `spark.graft.chainBlooms=false`.
+ * driver correctness runs plan exactly as stock Spark. Kill switch for
+ * both: `spark.graft.chainBlooms=false`.
  */
-object InjectChainBlooms extends Rule[LogicalPlan] {
+private[plans] abstract class BloomInjectionRule extends Rule[LogicalPlan] {
+
+  /** Late instance: runs post-`RewriteSubquery`/post-`InjectRuntimeFilter`
+    * (registered via `experimental.extraOptimizations`, the one optimizer
+    * position after both), so it sees semi/anti joins and every bloom
+    * Spark's own rule injected — it only ever ADDS a bloom Spark declined. */
+  protected def late: Boolean
 
   private def enabled: Boolean = {
     val c = SQLConf.get
@@ -97,16 +92,22 @@ object InjectChainBlooms extends Rule[LogicalPlan] {
   private def boilerplate(c: Expression): Boolean =
     c.isInstanceOf[IsNotNull] || c.isInstanceOf[BloomFilterMightContain]
 
-  /** Bare fact scan: Projects and boilerplate-only Filters over one leaf. */
-  private def bareScan(p: LogicalPlan): Boolean = p match {
-    case Project(_, child) => bareScan(child)
-    case Filter(cond, child) => splitConjuncts(cond).forall(boilerplate) && bareScan(child)
+  /** Fact shape: Projects and Filters over ONE leaf. The operator-batch
+    * instance admits boilerplate-only Filters (a data-filtered fact is
+    * left to Spark's own rule at that stage); the late instance admits data
+    * filters too — a filtered fact that is still scan-threshold big
+    * benefits identically, and Spark's rule applies blooms to filtered
+    * scans as well. */
+  private def factShape(p: LogicalPlan): Boolean = p match {
+    case Project(_, child) => factShape(child)
+    case Filter(cond, child) =>
+      (late || splitConjuncts(cond).forall(boilerplate)) && factShape(child)
     case _: LeafNode => true
     case _ => false
   }
 
-  /** A literal-bearing data predicate somewhere in the chain — the same
-    * selectivity evidence Spark's own injection requires. */
+  /** A literal-bearing data predicate somewhere in the creation side — the
+    * same selectivity evidence Spark's own injection requires. */
   private def hasSelectiveFilter(p: LogicalPlan): Boolean =
     p.exists {
       case Filter(cond, _) => splitConjuncts(cond).exists(c =>
@@ -125,8 +126,8 @@ object InjectChainBlooms extends Rule[LogicalPlan] {
       .flatten.toSet
 
   /** Count of graft-injected blooms already in the subtree. The injected
-    * subquery copies the chain VERBATIM (that identity is what lets AQE
-    * reuse its stages), so every nested injection doubles the plan-tree
+    * subquery copies the creation side VERBATIM (that identity is what lets
+    * AQE reuse its stages), so every nested injection doubles the plan-tree
     * walk; unbounded, a deep join chain goes exponential. Two levels cover
     * the star shapes (q5: customer-chain bloom nested inside the
     * orders-chain bloom); deeper nesting is refused. */
@@ -140,14 +141,36 @@ object InjectChainBlooms extends Rule[LogicalPlan] {
         case _ => false
       }
 
-  /** (factKey, chainKey) for the first usable equi pair. */
-  private def pick(
+  /** Smallest creation subtree that still carries the key AND selectivity
+    * evidence — late instance only. A bloom over the whole chain side is a
+    * SUBSET of one over the key's filtered carrier (joins only remove
+    * keys, so either is sound), but it cannot start until every chain
+    * stage finishes; a bloom over the filter-over-scan carrier needs only
+    * that scan (the shape Spark's own rule builds, and the measured-fast
+    * one: sf30 tq10 15.5 s whole-chain vs 13.1 s carrier-only). Descend
+    * through joins toward the carrier while the kept child still has a
+    * selective filter. */
+  @annotation.tailrec
+  private def minimalCreation(p: LogicalPlan, ck: AttributeReference): LogicalPlan =
+    p match {
+      case j: Join =>
+        j.children.find(c => c.outputSet.contains(ck) && hasSelectiveFilter(c)) match {
+          case Some(c) => minimalCreation(c, ck)
+          case None => p
+        }
+      case _ => p
+    }
+
+  /** Every usable (factKey, chainKey) equi pair — iterated, not
+    * first-only: a fact key that already carries a bloom must not abandon
+    * the injection when a second pair on a different key qualifies. */
+  private def equiPairs(
       cond: Expression, left: LogicalPlan, right: LogicalPlan,
-      factLeft: Boolean): Option[(AttributeReference, AttributeReference)] = {
+      factLeft: Boolean): Seq[(AttributeReference, AttributeReference)] = {
     val (fact, chain) = if (factLeft) (left, right) else (right, left)
     val factIds = fact.outputSet
     val chainIds = chain.outputSet
-    splitConjuncts(cond).collectFirst {
+    splitConjuncts(cond).collect {
       case EqualTo(a: AttributeReference, b: AttributeReference)
           if factIds.contains(a) && chainIds.contains(b) => (a, b)
       case EqualTo(a: AttributeReference, b: AttributeReference)
@@ -155,46 +178,94 @@ object InjectChainBlooms extends Rule[LogicalPlan] {
     }
   }
 
+  /** Orientation soundness. The bloom keeps fact rows whose key is in the
+    * creation side's key set (plus false positives); removed rows
+    * equi-match NO creation-side row, so:
+    *   - Inner: removed rows produce no output — either side may be fact.
+    *   - LeftSemi: a probe row with no build match emits nothing (fact =
+    *     probe ok); a build row matching no probe key flips no existence
+    *     answer (fact = build ok).
+    *   - LeftAnti: pruning the BUILD by probe keys removes only rows that
+    *     matched nothing (ok); pruning the PROBE would delete exactly the
+    *     non-matching rows anti-join must KEEP — forbidden. */
+  private def orientationOk(jt: JoinType, factLeft: Boolean): Boolean = jt match {
+    case Inner => true
+    case LeftSemi => late
+    case LeftAnti => late && !factLeft
+    case _ => false
+  }
+
   def apply(plan: LogicalPlan): LogicalPlan = if (!enabled) plan else {
     val appThreshold = bytesConf(
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
       10L * 1024 * 1024 * 1024)
-    val creationThreshold = bytesConf(
-      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
-      10L * 1024 * 1024)
+    val carrierFactor = SQLConf.get
+      .getConfString("spark.graft.bloomCarrierFactor", "2").toLong
     val items = SQLConf.get.getConfString(
       "spark.sql.optimizer.runtime.bloomFilter.expectedNumItems", "1000000").toLong
     val bits = SQLConf.get.getConfString(
       "spark.sql.optimizer.runtime.bloomFilter.numBits", "8388608").toLong
 
     plan.transformUp {
-      case j @ Join(left, right, Inner, Some(cond), _) =>
+      case j @ Join(left, right, jt @ (Inner | LeftSemi | LeftAnti), Some(cond), _) =>
         def qualifies(factLeft: Boolean): Option[Join] = {
+          if (!orientationOk(jt, factLeft)) return None
           val (fact, chain) = if (factLeft) (left, right) else (right, left)
-          if (!bareScan(fact) || broadcastable(fact) ||
+          if (!factShape(fact) || broadcastable(fact) ||
               fact.stats.sizeInBytes < BigInt(appThreshold) ||
-              broadcastable(chain) || !chain.exists(_.isInstanceOf[Join]) ||
+              broadcastable(chain) ||
+              (!late && !chain.exists(_.isInstanceOf[Join])) ||
               !hasSelectiveFilter(chain) || graftBloomCount(chain) >= 2) None
-          else pick(cond, left, right, factLeft).flatMap { case (fk, ck) =>
-            if (existingBloomKeys(fact).contains(fk.exprId.id)) None
-            else carrierLeaf(chain, ck) match {
-              case Some(leaf) if leaf.stats.sizeInBytes <= BigInt(8L * creationThreshold) =>
-                val bloomAgg = Alias(
-                  AggregateExpression(
-                    new BloomFilterAggregate(new XxHash64(Seq(ck)),
-                      Literal(items), Literal(bits)),
-                    Complete, isDistinct = false), "graft_chain_bloom")()
-                val sub = Aggregate(Nil, Seq(bloomAgg), Project(Seq(ck), chain))
-                val might = BloomFilterMightContain(
-                  ScalarSubquery(sub), new XxHash64(Seq(fk)))
-                val newFact = Filter(might, fact)
-                Some(if (factLeft) j.copy(left = newFact)
-                     else j.copy(right = newFact))
-              case _ => None
-            }
+          else {
+            val bloomed = existingBloomKeys(fact)
+            val factLeafSize = fact.collectFirst { case l: LeafNode => l }
+              .map(_.stats.sizeInBytes).getOrElse(BigInt(0))
+            equiPairs(cond, left, right, factLeft).collectFirst(Function.unlift {
+              case (fk, ck) =>
+                if (bloomed.contains(fk.exprId.id)) None
+                else carrierLeaf(chain, ck) match {
+                  case Some(leaf)
+                      if leaf.stats.sizeInBytes * carrierFactor <= factLeafSize =>
+                    val creation = if (late) minimalCreation(chain, ck) else chain
+                    val bloomAgg = Alias(
+                      AggregateExpression(
+                        new BloomFilterAggregate(new XxHash64(Seq(ck)),
+                          Literal(items), Literal(bits)),
+                        Complete, isDistinct = false), "graft_chain_bloom")()
+                    val sub = Aggregate(Nil, Seq(bloomAgg), Project(Seq(ck), creation))
+                    val might = BloomFilterMightContain(
+                      ScalarSubquery(sub), new XxHash64(Seq(fk)))
+                    val newFact = Filter(might, fact)
+                    Some(if (factLeft) j.copy(left = newFact)
+                         else j.copy(right = newFact))
+                  case _ => None
+                }
+            })
           }
         }
         (qualifies(factLeft = true) orElse qualifies(factLeft = false)).getOrElse(j)
     }
   }
+}
+
+/** Operator-batch instance (registered via `injectOptimizerRule`): Inner
+  * joins whose creation side CONTAINS a join — the shape Spark's own rule
+  * structurally cannot accept (multiplied size estimate). Scan-shaped
+  * creation sides are deliberately left to Spark's rule at this stage.
+  * Measured same-epoch at sf10 (isolated, interleaved ×2): q3 15.3/14.6 →
+  * 10.0/9.0 s, q5 16.5/19.1 → 10.8/11.3 s. */
+object InjectChainBlooms extends BloomInjectionRule {
+  override protected val late = false
+}
+
+/** Late instance (registered via `experimental.extraOptimizations`, which
+  * runs after `RewriteSubquery` and `InjectRuntimeFilter`): sees semi/anti
+  * joins (EXISTS/IN shapes only become joins in the final rewrite batch,
+  * after every extension-injectable position) and every bloom Spark already
+  * injected. It fires only where Spark's rule declined — in practice the
+  * big-SF regime where the absolute `creationSideThreshold` rejects the
+  * same creation side it accepted at sf10 — restoring tq4/tq10-class wins
+  * without any benchmark-harness threshold scaling. */
+object InjectLateBlooms extends BloomInjectionRule {
+  override protected val late = true
 }

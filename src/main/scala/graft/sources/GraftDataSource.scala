@@ -442,12 +442,23 @@ private[sources] class GraftScan(path: String, required: StructType,
     val bytes = p.dataFiles.map(_.info.fileSizeInBytes).sum
     val rows = p.dataFiles.map(_.info.recordCount).sum
     val hasDeletes = p.deleteFiles.nonEmpty
+    // Positional/DV delete recordCount ≈ deleted rows, so data-minus-deletes
+    // is a sound estimate. An EQUALITY delete's recordCount counts PREDICATE
+    // rows — one predicate row can delete arbitrarily many data rows — so
+    // the subtraction bounds nothing in either direction (it overestimates
+    // live rows when predicates fan out, and overlapping deletes can floor a
+    // large table at 0, handing CBO a zero row count). With equality deletes
+    // in the scan, decline the estimate instead of mis-stating it.
+    val hasEqDeletes = p.deleteFiles.exists(
+      _.info.content == graft.manifest.FileContent.EqualityDeletes)
     val estRows = math.max(0L, rows - p.deleteFiles.map(_.info.recordCount).sum)
     val colStats = GraftScan.buildColumnStats(p, required,
       if (hasDeletes) None else Some(rows))
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
-      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(estRows)
+      override def numRows(): java.util.OptionalLong =
+        if (hasEqDeletes) java.util.OptionalLong.empty()
+        else java.util.OptionalLong.of(estRows)
       override def columnStats(): java.util.Map[
           org.apache.spark.sql.connector.expressions.NamedReference,
           org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats

@@ -100,13 +100,26 @@ object Evolution {
     val meta = TableMetadata.load(path, conf)
     val cur = meta.currentSchema
     val (parent, leaf) = splitPath(name)
+    // Every field id in the dropped SUBTREE must be guarded, not just the
+    // dropped field's own id: dropping a struct whose child is a spec/sort
+    // source would otherwise leave the spec referencing a dangling sourceId.
+    def subtreeIds(t: IcebergType): Set[Int] = t match {
+      case s: IcebergTypes.StructT =>
+        s.fields.flatMap(f => subtreeIds(f.fieldType) + f.id).toSet
+      case l: IcebergTypes.ListT => subtreeIds(l.element) + l.elementId
+      case m: IcebergTypes.MapT =>
+        subtreeIds(m.key) ++ subtreeIds(m.value) + m.keyId + m.valueId
+      case _ => Set.empty
+    }
     val newStruct = rewriteStructAt(cur.struct, parent) { fs =>
       val f = findIn(fs, leaf)
         .getOrElse(throw new IllegalArgumentException(s"No column $name"))
-      require(!meta.specs.exists(_.fields.exists(_.sourceId == f.id)),
-        s"Cannot drop $name: referenced by a partition spec")
-      require(!meta.sortOrder(meta.defaultSortOrderId).exists(_.fields.exists(_.sourceId == f.id)),
-        s"Cannot drop $name: referenced by the table sort order")
+      val dropped = subtreeIds(f.fieldType) + f.id
+      require(!meta.specs.exists(_.fields.exists(pf => dropped.contains(pf.sourceId))),
+        s"Cannot drop $name: it or a nested field is referenced by a partition spec")
+      require(!meta.sortOrder(meta.defaultSortOrderId)
+          .exists(_.fields.exists(sf => dropped.contains(sf.sourceId))),
+        s"Cannot drop $name: it or a nested field is referenced by the table sort order")
       fs.filterNot(_.id == f.id)
     }
     commit(withNewSchema(meta, newStruct.fields, meta.lastColumnId), conf)
