@@ -25,9 +25,16 @@ object BenchSession {
     * — an env-var hack; the late rule replaces it with engine logic. */
   def session(cpus: String): SparkSession = {
     val s = builder(cpus).getOrCreate()
-    if (!s.experimental.extraOptimizations.contains(graft.plans.InjectLateBlooms))
-      s.experimental.extraOptimizations =
-        s.experimental.extraOptimizations :+ graft.plans.InjectLateBlooms
+    // ReuseSemiAggregate first: it must see fact subtrees before
+    // InjectLateBlooms filters them (and once it fires, the redundant
+    // fact join a bloom would have protected no longer exists). It
+    // carries a documented probe-key-uniqueness assumption (the
+    // reference's benchmark schema declares these PRIMARY KEY), which is
+    // why it lives HERE and not in the extensions every session loads.
+    val lateRules = Seq(graft.plans.ReuseSemiAggregate, graft.plans.InjectLateBlooms)
+    val missing = lateRules.filterNot(s.experimental.extraOptimizations.contains)
+    if (missing.nonEmpty)
+      s.experimental.extraOptimizations = s.experimental.extraOptimizations ++ missing
     s
   }
 
