@@ -69,6 +69,33 @@ object Fixtures {
       IcebergTable.write(parquet(spark, sfDir, table), dir)
     }
 
+  /** Table key/numeric columns the [[dm]] refresh rounds hit. */
+  private val dmCols: Map[String, (String, String)] = Map(
+    "orders" -> ("o_orderkey", "o_totalprice"),
+    "lineitem" -> ("l_orderkey", "l_quantity"),
+    "customer" -> ("c_custkey", "c_acctbal"),
+    "supplier" -> ("s_suppkey", "s_acctbal"),
+    "part" -> ("p_partkey", "p_retailprice"),
+    "nation" -> ("n_nationkey", "n_regionkey"))
+
+  /** [[plain]] plus `rounds` rounds of merge-on-read data modification —
+    * the analogue of the reference's `dm=5` TPC-H benchmark variant
+    * (`benchmark/tpch/sf=1/dm=5/q*.benchmark`), which times queries over
+    * tables that accumulated refresh DML. Each round DELETEs a ~0.1% key
+    * slice (positional deletes / DVs on the read path) and identity-UPDATEs
+    * another ~0.1% slice (delete + rewritten-file snapshot), so a query
+    * must apply `rounds` generations of delete files against every scan. */
+  def dm(spark: SparkSession, sfDir: String, table: String, rounds: Int): String =
+    iceberg(spark, sfDir, s"${table}_dm$rounds") { dir =>
+      IcebergTable.write(parquet(spark, sfDir, table), dir)
+      val (key, num) = dmCols.getOrElse(table,
+        throw new IllegalArgumentException(s"no dm columns for $table"))
+      (1 to rounds).foreach { i =>
+        graft.write.Dml.delete(spark, dir, s"$key % 1000 = $i")
+        graft.write.Dml.update(spark, dir, s"$key % 997 = ${i + 100}", Map(num -> num))
+      }
+    }
+
   private val analyzed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** [[plain]] + a committed NDV statistics file (ANALYZE). Idempotent:

@@ -250,9 +250,16 @@ object TpchExtra {
     // SPARK_GRAFT_EXTRA_CONF="spark.sql.cbo.enabled=true") sees the scans'
     // column statistics (NDV/null/min-max). Default path unchanged.
     val dsv2 = sys.env.contains("SPARK_GRAFT_TQ_DSV2")
+    // Modified-data bench variant (reference dm=5): route the Iceberg
+    // tables through fixtures that accumulated N refresh rounds of
+    // merge-on-read DML, so every scan pays the delete-apply path.
+    val dmRounds = sys.env.get("SPARK_GRAFT_TQ_DM")
+      .orElse(sys.props.get("spark.graft.tq.dm")).map(_.toInt).getOrElse(0)
     tableNames.foreach { t =>
       val df =
-        if (routed(t) && dsv2)
+        if (routed(t) && dmRounds > 0)
+          IcebergTable.load(s, Fixtures.dm(s, dir, t, dmRounds))
+        else if (routed(t) && dsv2)
           s.read.format("graft").load(Fixtures.plainAnalyzed(s, dir, t))
         else if (routed(t)) IcebergTable.load(s, Fixtures.plain(s, dir, t))
         else s.read.parquet(s"$dir/$t.parquet")

@@ -102,7 +102,18 @@ object PullUpSemiAntiJoins extends SparkStrategy {
     SQLConf.get.getConfString("spark.graft.pullUpSemiAntiJoins", "true").toBoolean
 
   def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case j @ Join(left, right, Inner, _, _) if enabled =>
+    // The stage guard is a FULL-subtree check, not just the stickiness in
+    // broadcastable(): during an AQE replan the logical tree embeds
+    // materialized LogicalQueryStages, and restructuring around them can
+    // hand LogicalQueryStageStrategy a broadcast stage on the LEFT of a
+    // semi/anti join — that strategy picks the build side purely by which
+    // side IS the broadcast stage, and BuildLeft is illegal for semi/anti
+    // ("HashJoin should not take LeftAnti ... building left side", hit on
+    // the dm fixtures' delete-apply anti joins). The initial plan — where
+    // every measured win comes from — has no stages; replans keep the
+    // placement the initial plan chose.
+    case j @ Join(left, right, Inner, _, _)
+        if enabled && !j.exists(_.isInstanceOf[LogicalQueryStage]) =>
       val (lInner, lProj) = peelProject(left)
       val (rInner, rProj) = peelProject(right)
       val (lBase, lChain) = peel(lInner)
