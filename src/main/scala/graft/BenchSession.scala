@@ -53,6 +53,19 @@ object BenchSession {
       // slightly FASTER (sf0.1 tq2 1.70s->0.87s) because AQE picks the
       // size instead of inheriting the floor.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+      // ...and let AQE coalesce INSIDE cached plans too. Spark pins the
+      // output partitioning of anything persist()ed (default false here),
+      // so the pipeline operators' cached intermediates (banded rows,
+      // candidate sets, cluster-loop labels) materialized at the full
+      // 256-start granularity — the source of the r10 dedup "drift": an
+      // interleaved r9-vs-r10 A/B this round showed identical dedup code
+      // +75-110% purely from this conf pair (sf1: simhash 2.8→4.8 s,
+      // minhash 11.7→15.8 s at init=256). With coalescing allowed in
+      // cached plans: simhash 3.5 s, minhash 13.6 s, dedup_clusters
+      // 36.6→26.7 s, join shapes untouched (they cache nothing).
+      // parallelismFirst stays at its default true — false over-coalesces
+      // the UDF-heavy band pass to one partition (minhash 27 s).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // Defensive cap: plan strings are debug output; a lineage regression
