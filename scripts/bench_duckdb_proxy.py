@@ -34,6 +34,7 @@ SKIP = {
 def main():
     sf, oracle_path = sys.argv[1], sys.argv[2]
     out = sys.argv[3] if len(sys.argv) > 3 else None
+    only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
     con = duckdb.connect()
     con.execute("SET threads=4")
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
@@ -42,7 +43,7 @@ def main():
     oracle = json.load(open(oracle_path))
     results = {}
     for name in sorted(oracle):
-        if name in SKIP:
+        if name in SKIP or (only is not None and name not in only):
             continue
         sql = oracle[name]
         try:

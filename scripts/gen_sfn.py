@@ -19,6 +19,7 @@ OFF = 100_000_000
 
 con = duckdb.connect()
 con.execute("SET threads=8")
+con.execute("SET max_expression_depth TO 20000")
 os.makedirs(OUT, exist_ok=True)
 
 for t in ["region", "nation"]:
