@@ -7,17 +7,25 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // Defensive cap: any future plan-lineage regression (the r10
-      // resolveClusters loop built ~0.7 GB plan strings) truncates instead
-      // of exhausting driver heap on a debug string.
-      .config("spark.sql.maxPlanStringLength", (8 * 1024 * 1024).toString)
-      .config("spark.sql.extensions", classOf[graft.catalog.GraftSparkExtensions].getName)
-      .getOrCreate()
+    // SPARK_GRAFT_TUNED=1 verifies the exact engine Bench measures — the
+    // fully-tuned BenchSession (late optimizer rules ReuseSemiAggregate +
+    // InjectLateBlooms, bloom confs, shuffle floors) — against the same
+    // DuckDB oracle. Without it, correctness would only ever cover the
+    // stock session while the bench artifacts describe a different plan.
+    val tuned = sys.env.get("SPARK_GRAFT_TUNED").contains("1")
+    val spark =
+      if (tuned) BenchSession.session(cpus)
+      else SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        // Defensive cap: any future plan-lineage regression (the r10
+        // resolveClusters loop built ~0.7 GB plan strings) truncates instead
+        // of exhausting driver heap on a debug string.
+        .config("spark.sql.maxPlanStringLength", (8 * 1024 * 1024).toString)
+        .config("spark.sql.extensions", classOf[graft.catalog.GraftSparkExtensions].getName)
+        .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Optional comma-separated query filter for local iteration (same

@@ -1,11 +1,14 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{
-  Alias, Attribute, AttributeReference, EqualTo, Expression, IsNotNull,
+  Alias, Attribute, AttributeReference, Cast, EqualTo, Expression, IsNotNull,
   NamedExpression
 }
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
-  AggregateExpression, Min, Sum
+  AggregateExpression, Sum
+}
+import org.apache.spark.sql.types.{
+  ByteType, DataType, DecimalType, IntegerType, LongType, ShortType
 }
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.{
@@ -40,21 +43,29 @@ import org.apache.spark.sql.internal.SQLConf
  *     aggregate (sound unconditionally: the build's group-by key is
  *     unique by construction, so inner ≡ semi plus the carried columns);
  *   - the outer join to the fact is dropped, and each outer `sum(x)`
- *     becomes `min(s)` over the carried subquery sum (min, not sum, so
- *     the result TYPE matches — sum widens decimals);
+ *     becomes `cast(sum(s) AS <original type>)` over the carried
+ *     subquery sum (the cast undoes Spark's sum-of-decimal widening);
  *   - everything else (grouping, HAVING, ORDER BY/LIMIT above) is
  *     untouched.
  *
- * SOUNDNESS ASSUMPTION: the probe-side join key must be UNIQUE on the
- * probe side (one orders row per o_orderkey). With a duplicate, the
- * original sums the fact rows once per duplicate while the rewrite
- * yields the per-key sum once per duplicate row — same groups, smaller
- * value. Spark has no primary-key constraints to prove this, but the
- * reference engine's benchmark schema declares these keys as PRIMARY KEY
- * and its optimizer exploits them; this rule is the information-parity
- * equivalent, which is why it is (1) registered only in the tuned
- * session ([[graft.BenchSession.session]]), never in driver/correctness
- * sessions, and (2) killable via `spark.graft.aggregateReuse=false`.
+ * SOUNDNESS (no uniqueness assumption). The outer grouping pins the
+ * probe key, so a group with `n` probe rows sharing key `k` originally
+ * joins each of them to ALL fact rows with key `k`: its `sum(x)` is
+ * `n * S_k` where `S_k` is the per-key fact sum. After the rewrite the
+ * same group has exactly `n` rows (the build's group-by key is unique,
+ * so the inner join matches each probe row once), each carrying `S_k`,
+ * and `sum(carried)` is again `n * S_k` — exact for ANY probe-key
+ * multiplicity, nulls included (`S_k` is null iff every `x` under `k`
+ * is null, exactly when the original group sum is null). An earlier
+ * revision used `min(carried)`, exact only for unique probe keys; `sum`
+ * removes that assumption at the price of a result-type cast, which is
+ * why the rewrite is restricted to EXACT numeric sums (integral /
+ * decimal — the cast back is value-preserving and both sides null out
+ * on overflow under LEGACY eval; float/double sums are refused so the
+ * rewrite can never change FP association). The rule remains
+ * perf-targeted (registered in [[graft.BenchSession.session]], verified
+ * against the DuckDB oracle via `SPARK_GRAFT_TUNED=1` Verify runs) and
+ * killable via `spark.graft.aggregateReuse=false`.
  *
  * Measured at sf10 (shared JVM, alternating): original 25.2/24.7 s,
  * rewritten 14.9/15.2 s, identical rows — a 40% cut on the suite's
@@ -70,6 +81,14 @@ object ReuseSemiAggregate extends Rule[LogicalPlan] {
 
   private def enabled: Boolean =
     SQLConf.get.getConfString("spark.graft.aggregateReuse", "true").toBoolean
+
+  /** Integral or decimal: sums are exact and the widening cast back is
+    * value-preserving, so the rewrite can never perturb a result the way
+    * reassociated float/double addition could. */
+  private def exactNumeric(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | _: DecimalType => true
+    case _ => false
+  }
 
   /** Projects and key-IsNotNull Filters over exactly one leaf; returns the
     * leaf. The key-nullability filter does not change any non-null key
@@ -187,11 +206,12 @@ object ReuseSemiAggregate extends Rule[LogicalPlan] {
     val fkOrd = ordinalIn(factLeaf, fk).getOrElse(return None)
 
     // 3. Outer aggregates: every AggregateExpression must be a plain
-    // sum(fact column); nothing else may reference the fact side.
+    // sum(fact column) of an EXACT numeric type (see soundness note);
+    // nothing else may reference the fact side.
     val sums = aggExprs.flatMap(_.collect { case ae: AggregateExpression => ae })
     val sumCols = sums.map {
       case AggregateExpression(Sum(x: AttributeReference, _), _, false, None, _)
-          if fact.outputSet.contains(x) => x
+          if fact.outputSet.contains(x) && exactNumeric(x.dataType) => x
       case _ => return None
     }
     val nonAggRefs = aggExprs.flatMap(e =>
@@ -225,13 +245,18 @@ object ReuseSemiAggregate extends Rule[LogicalPlan] {
           Project((kept ++ sumAttrs).distinct, newProbe)
         case None => newProbe
       }
-      // sum(x) over the (unique-key) group's single row -> min(s): exact
-      // under the uniqueness assumption, and min preserves the carried
-      // sum's type where re-summing would widen decimals.
+      // sum(x) -> cast(sum(s), original type): each probe row in the
+      // group carries the per-key fact sum once, so re-summing yields the
+      // original n-duplicates-times-S_k total exactly (scaladoc proof);
+      // the cast undoes sum's decimal widening so the aggregate output
+      // attribute keeps its analyzed type for every parent operator.
       val newAggExprs = aggExprs.map(_.transform {
-        case AggregateExpression(Sum(x: AttributeReference, _), mode, false, None, _)
+        case ae @ AggregateExpression(s @ Sum(x: AttributeReference, _), mode, false, None, _)
             if fact.outputSet.contains(x) =>
-          AggregateExpression(Min(substAttr(x)), mode, isDistinct = false)
+          val resummed =
+            AggregateExpression(s.copy(child = substAttr(x)), mode, isDistinct = false)
+          if (resummed.dataType == ae.dataType) resummed
+          else Cast(resummed, ae.dataType)
       }.asInstanceOf[NamedExpression])
       Aggregate(groups, newAggExprs, newChild)
     }

@@ -98,6 +98,41 @@ class AggregateReuseSpec extends SparkSpec {
     }
   }
 
+  test("duplicate probe keys: rewrite still fires and stays exact") {
+    // The r11 revision (sum -> min(carried)) was exact only for unique
+    // probe keys; the sum(carried)+cast form must reproduce the
+    // n-duplicates-times-per-key-sum total of the original plan.
+    val dir = tmpDir("aggreusedup")
+    // Every probe key appears 1-3 times (k % 3 + 1 copies).
+    val orders = (0L until 500L).flatMap(k =>
+      (0 to (k % 3).toInt).map(_ => (k, k % 37, k % 11)))
+    val lineitem = (0 until 6000).map { i =>
+      ((i % 500).toLong, (i % 13 + 1).toLong)
+    }
+    orders.toDF("o_k", "o_c", "o_p").write.parquet(s"$dir/ord")
+    lineitem.toDF("l_k", "l_q").write.parquet(s"$dir/li")
+    spark.read.parquet(s"$dir/ord").createOrReplaceTempView("ard_ord")
+    spark.read.parquet(s"$dir/li").createOrReplaceTempView("ard_li")
+    val q =
+      """SELECT o_k, o_p, CAST(sum(l_q) AS BIGINT) AS tq
+        |FROM ard_ord, ard_li
+        |WHERE o_k IN (SELECT l_k FROM ard_li GROUP BY l_k HAVING sum(l_q) > 80)
+        |  AND o_k = l_k
+        |GROUP BY o_k, o_p""".stripMargin
+    val byK = lineitem.groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).sum }
+    val want = orders.filter(o => byK.get(o._1).exists(_ > 80))
+      .groupBy(o => (o._1, o._3))
+      .map { case ((k, p), rs) => (k, p, rs.size * byK(k)) }.toSeq.sorted
+    val plain = spark.sql(q).as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(plain == want, "unrewritten plan disagrees with ground truth")
+    val (scans, got) = withRule {
+      val df = spark.sql(q)
+      (countScansOf(finalPlan(df), "/li"), df.as[(Long, Long, Long)].collect().toSeq.sorted)
+    }
+    assert(scans == 1, s"expected one fact scan with duplicate probe keys, got $scans")
+    assert(got == want, "rewrite is not exact under duplicate probe keys")
+  }
+
   test("gates: filtered fact, missing key in GROUP BY, non-sum agg stay stock") {
     val dir = tmpDir("aggreusegate")
     fixtures(dir)
