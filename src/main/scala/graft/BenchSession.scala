@@ -37,7 +37,11 @@ object BenchSession {
     // InjectLateBlooms (test/tooling pre-registration), a missing-only
     // append would place ReuseSemiAggregate AFTER it, violating the
     // required ordering above.
-    val lateRules = Seq(graft.plans.ReuseSemiAggregate, graft.plans.InjectLateBlooms)
+    // PushAggThroughOuterJoin between them: independent shape, but the
+    // pre-aggregate it creates must exist before InjectLateBlooms sizes
+    // carrier subtrees.
+    val lateRules = Seq(graft.plans.ReuseSemiAggregate,
+      graft.plans.PushAggThroughOuterJoin, graft.plans.InjectLateBlooms)
     s.experimental.extraOptimizations =
       s.experimental.extraOptimizations.filterNot(lateRules.contains) ++ lateRules
     s

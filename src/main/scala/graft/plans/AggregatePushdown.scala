@@ -124,6 +124,16 @@ object PushAggThroughOuterJoin extends Rule[LogicalPlan] {
         if (join.left.outputSet.contains(a)) (a, b) else (b, a)
       case _ => return None
     }
+    // Idempotence: the rule's own output (or an equivalent pre-grouped
+    // input) has the right side already aggregated by the join key —
+    // re-firing in the fixed-point batch would nest one aggregate per
+    // iteration (and drop the count fallback on the way).
+    join.right match {
+      case Aggregate(Seq(g: AttributeReference), _, _, _) if g.exprId == rk.exprId =>
+        return None
+      case _ => ()
+    }
+
     val (rightOnly, leftOnly) = rest.partition(_.references.subsetOf(join.right.outputSet))
     if (!leftOnly.forall(_.references.subsetOf(join.left.outputSet))) return None
     if (rest.exists(!_.deterministic)) return None
