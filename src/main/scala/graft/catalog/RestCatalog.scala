@@ -45,7 +45,13 @@ case class CatalogOptions(
       * advertises it. "vended-credentials" by default like the reference
       * (`access_delegation_mode` ATTACH option, iceberg_attach.hpp:35
       * default VENDED_CREDENTIALS); None disables the header. */
-    accessDelegationMode: Option[String] = Some("vended-credentials"))
+    accessDelegationMode: Option[String] = Some("vended-credentials"),
+    /** Offload scan planning to the catalog (POST .../plan) when it
+      * advertises the endpoint — the reference's default, disabled by its
+      * `iceberg_use_server_side_scan_planning` setting
+      * (iceberg_scan_plan_provider.cpp:50-62). false = always plan
+      * client-side. */
+    serverSidePlanning: Boolean = true)
 
 class RestCatalogException(val status: Int, msg: String) extends RuntimeException(s"HTTP $status: $msg")
 
@@ -653,79 +659,232 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
 
   /** Read a catalog table as a DataFrame (scan machinery shared with
     * path-based reads). */
+  /** Route advertised for server-side scan planning (spec names). */
+  private val PlanEndpoint = "POST /v1/{prefix}/namespaces/{namespace}/tables/{table}/plan"
+
+  /** Load a catalog table as a DataFrame. Planning side selection mirrors
+    * the reference's `IcebergScanPlanProvider::Create`
+    * (src/planning/scan_plan/iceberg_scan_plan_provider.cpp:40-80):
+    * server-side when the catalog advertises the plan endpoint and the
+    * table's `scan-planning-mode` config doesn't force `client`, falling
+    * back to client planning when the server answers 406 (planning not
+    * supported for this table). Reads that feed writes or project row
+    * lineage ALWAYS plan client-side — the reference's optimizer forces
+    * the same (src/planning/iceberg_optimizer.cpp:27-75): a DML needs
+    * file/position metadata and sequence numbers the plan response does
+    * not carry. */
   def loadDF(spark: SparkSession, ns: Seq[String], name: String,
       readOpts: ReadOptions = ReadOptions()): DataFrame = {
     val t = loadTable(ns, name)
     val conf = applyVendedCredentials(spark.sessionState.newHadoopConf(), t.config)
     RestCatalog.lastScanConf = Some(conf)
+    val mode = t.config.getOrElse("scan-planning-mode", "").toLowerCase
+    val requiresLocal = readOpts.keepFileMeta || readOpts.withRowLineage ||
+      readOpts.lookup != graft.core.SnapshotLookup.Latest
+    val serverEligible = opts.serverSidePlanning && !requiresLocal &&
+      mode != "client" && supportedUrls.contains(PlanEndpoint)
+    if (serverEligible) {
+      planTableScan(spark, ns, name, t, conf, readOpts) match {
+        case Some(df) => return df
+        case None => // 406: table not plannable server-side — client path.
+      }
+    }
     IcebergRead.loadWithMetadata(spark, t.metadata, conf, readOpts)
   }
 
-  /** Server-side scan planning: POST /plan and build the DataFrame from the
-    * returned file-scan tasks — metadata stays on the catalog server
-    * (reference iceberg_server_scan_plan_provider.cpp:9-78,
-    * api/iceberg_scan_planning.cpp; the reference forces client-side
-    * planning under writes — callers doing DML should use loadDF). */
+  /** Server-side scan planning, explicit entry point: POST /plan and build
+    * the DataFrame from the returned file-scan tasks — manifest IO stays on
+    * the catalog server. Throws when the server declines (406). */
   def loadDFServerPlanned(spark: SparkSession, ns: Seq[String], name: String,
       readOpts: ReadOptions = ReadOptions()): DataFrame = {
     val t = loadTable(ns, name)
     val conf = applyVendedCredentials(spark.sessionState.newHadoopConf(), t.config)
-    val o = F.objectNode()
-    t.metadata.currentSnapshotId.foreach(id => o.put("snapshot-id", id))
-    val node = request("POST", s"$apiRoot/namespaces/${nsPath(ns)}/tables/$name/plan",
-      Some(mapper.writeValueAsString(o)))
-    require(Option(node.get("plan-status")).map(_.asText()).contains("completed"),
-      s"scan planning not completed: $node")
+    planTableScan(spark, ns, name, t, conf, readOpts).getOrElse(
+      throw new UnsupportedOperationException(
+        s"catalog declined server-side scan planning for ${nsPath(ns)}.$name"))
+  }
+
+  /** The planTableScan protocol (reference api/iceberg_scan_planning.cpp):
+    * POST /plan; a `completed` result carries scan tasks inline, a
+    * `submitted` result carries a plan-id to poll (GET /plan/{id},
+    * exponential backoff 100 ms → 1 s); `failed`/`cancelled` raise.
+    * `plan-tasks` shard identifiers are fetched via POST /tasks (each may
+    * return further shards; duplicates are an error, like the reference's
+    * PlanTasksContainer). On any error after a plan-id was issued, the plan
+    * is cancelled best-effort (DELETE /plan/{id}). Returns None on 406 —
+    * the server does not support planning for this table.
+    *
+    * Task mapping mirrors the reference's MakeManifests: data files enter
+    * the scan at sequence 0, delete files at sequence 1, so positional and
+    * equality deletes (strictly-older rule) apply to every data file the
+    * server associated them with; partition values parse through the JSON
+    * single-value rules so partition-scoped equality-delete grouping and
+    * identity-partition constants behave exactly as in client planning. */
+  private def planTableScan(spark: SparkSession, ns: Seq[String], name: String,
+      t: LoadedTable, conf: org.apache.hadoop.conf.Configuration,
+      readOpts: ReadOptions): Option[DataFrame] = {
     val meta = t.metadata
-    val snap = meta.currentSnapshot
-    def parseTaskFile(n: JsonNode, content: Int): graft.read.PlannedFile = {
-      val path = n.get("file-path").asText()
-      graft.read.PlannedFile(
-        graft.manifest.DataFileInfo(
-          content = Option(n.get("content")).map(_.asInt()).getOrElse(content),
-          filePath = path,
-          fileFormat = Option(n.get("file-format")).map(_.asText().toLowerCase).getOrElse("parquet"),
-          partitionValues = Nil,
-          recordCount = Option(n.get("record-count")).map(_.asLong()).getOrElse(0L),
-          fileSizeInBytes = Option(n.get("file-size-in-bytes")).map(_.asLong()).getOrElse(0L),
-          columnSizes = Map.empty, valueCounts = Map.empty,
-          nullValueCounts = Map.empty, nanValueCounts = Map.empty,
-          lowerBounds = Map.empty, upperBounds = Map.empty,
-          splitOffsets = Nil,
-          equalityIds = Option(n.get("equality-ids")).map { a =>
-            val it = a.elements(); val b = Seq.newBuilder[Int]
-            while (it.hasNext) b += it.next().asInt(); b.result()
-          }.getOrElse(Nil),
-          sortOrderId = None,
-          referencedDataFile = Option(n.get("referenced-data-file")).map(_.asText()),
-          contentOffset = Option(n.get("content-offset")).map(_.asLong()),
-          contentSizeInBytes = Option(n.get("content-size-in-bytes")).map(_.asLong())),
-        TableMetadata.resolvePath(meta.location, path, null),
-        Option(n.get("spec-id")).map(_.asInt()).getOrElse(0),
-        Option(n.get("sequence-number")).map(_.asLong()).getOrElse(0L),
-        graft.manifest.EntryStatus.Added,
-        None)
-    }
-    val dataFiles = Seq.newBuilder[graft.read.PlannedFile]
-    val deleteFiles = Seq.newBuilder[graft.read.PlannedFile]
-    Option(node.get("file-scan-tasks")).foreach { tasks =>
-      val it = tasks.elements()
-      while (it.hasNext) {
-        val task = it.next()
-        dataFiles += parseTaskFile(task.get("data-file"), 0)
-        Option(task.get("delete-files")).foreach { dels =>
-          val dit = dels.elements()
-          while (dit.hasNext) deleteFiles += parseTaskFile(dit.next(), 1)
+    val planBase = s"$apiRoot/namespaces/${nsPath(ns)}/tables/$name/plan"
+    val req = F.objectNode()
+    meta.currentSnapshotId.foreach(id => req.put("snapshot-id", id))
+    req.put("case-sensitive", true)
+    var node: JsonNode =
+      try request("POST", planBase, Some(mapper.writeValueAsString(req)),
+        Map("Idempotency-Key" -> java.util.UUID.randomUUID().toString))
+      catch {
+        case e: RestCatalogException if e.status == 406 => return None
+      }
+    var planId: Option[String] =
+      Option(node.get("plan-id")).filterNot(_.isNull).map(_.asText())
+    try {
+      var delayMs = 100L
+      var status = Option(node.get("status")).orElse(Option(node.get("plan-status")))
+        .map(_.asText()).getOrElse("completed")
+      while (status == "submitted") {
+        val id = planId.getOrElse(
+          throw new IllegalStateException("submitted scan plan carries no plan-id"))
+        Thread.sleep(delayMs)
+        delayMs = math.min(delayMs * 2, 1000L)
+        node = request("GET", s"$planBase/${pathSegment(id)}")
+        Option(node.get("plan-id")).filterNot(_.isNull).foreach(n => planId = Some(n.asText()))
+        status = Option(node.get("status")).orElse(Option(node.get("plan-status")))
+          .map(_.asText()).getOrElse("completed")
+      }
+      status match {
+        case "completed" => ()
+        case "failed" => throw new IllegalStateException(
+          s"server-side scan planning failed: $node")
+        case "cancelled" => throw new IllegalStateException(
+          "server-side scan planning was cancelled by the server")
+        case other => throw new IllegalStateException(
+          s"unknown scan-planning status '$other'")
+      }
+
+      val dataFiles = Seq.newBuilder[graft.read.PlannedFile]
+      val deleteFiles = Seq.newBuilder[graft.read.PlannedFile]
+      val seenPlanTasks = scala.collection.mutable.LinkedHashSet.empty[String]
+      val pendingPlanTasks = scala.collection.mutable.Queue.empty[String]
+
+      def parsePartition(n: JsonNode, specId: Int): Seq[Any] = {
+        val fields = meta.spec(specId).fields
+        val arr = Option(n).filterNot(_.isNull).toSeq.flatMap { a =>
+          val it = a.elements(); val b = Seq.newBuilder[JsonNode]
+          while (it.hasNext) b += it.next(); b.result()
+        }
+        fields.zipWithIndex.map { case (pf, i) =>
+          val src = meta.currentSchema.idToField.get(pf.sourceId).map(_.fieldType)
+          (arr.lift(i), src) match {
+            case (Some(v), Some(st)) =>
+              IcebergRead.jsonSingleValue(v, pf.transform.resultType(st)).orNull
+            case _ => null
+          }
         }
       }
+      def parseTaskFile(n: JsonNode, content: Int, seq: Long): graft.read.PlannedFile = {
+        val path = n.get("file-path").asText()
+        val specId = Option(n.get("spec-id")).map(_.asInt()).getOrElse(meta.defaultSpecId)
+        graft.read.PlannedFile(
+          graft.manifest.DataFileInfo(
+            // Spec ContentFile carries the string enum; tolerate the
+            // numeric manifest form too.
+            content = Option(n.get("content")).filterNot(_.isNull).map {
+              case c if c.isTextual => c.asText() match {
+                case "position-deletes" => 1
+                case "equality-deletes" => 2
+                case _ => 0
+              }
+              case c => c.asInt()
+            }.getOrElse(content),
+            filePath = path,
+            fileFormat = Option(n.get("file-format")).map(_.asText().toLowerCase).getOrElse("parquet"),
+            partitionValues = parsePartition(n.get("partition"), specId),
+            recordCount = Option(n.get("record-count")).map(_.asLong()).getOrElse(0L),
+            fileSizeInBytes = Option(n.get("file-size-in-bytes")).map(_.asLong()).getOrElse(0L),
+            columnSizes = Map.empty, valueCounts = Map.empty,
+            nullValueCounts = Map.empty, nanValueCounts = Map.empty,
+            lowerBounds = Map.empty, upperBounds = Map.empty,
+            splitOffsets = Nil,
+            equalityIds = Option(n.get("equality-ids")).map { a =>
+              val it = a.elements(); val b = Seq.newBuilder[Int]
+              while (it.hasNext) b += it.next().asInt(); b.result()
+            }.getOrElse(Nil),
+            sortOrderId = None,
+            referencedDataFile = Option(n.get("referenced-data-file")).map(_.asText()),
+            contentOffset = Option(n.get("content-offset")).filterNot(_.isNull).map(_.asLong()),
+            contentSizeInBytes = Option(n.get("content-size-in-bytes")).filterNot(_.isNull).map(_.asLong())),
+          TableMetadata.resolvePath(meta.location, path, null),
+          specId,
+          seq,
+          graft.manifest.EntryStatus.Existing,
+          None)
+      }
+      // One ScanTasks payload: top-level `delete-files` referenced by index
+      // from each task's `delete-file-references` (spec shape), plus the
+      // nested per-task `delete-files` legacy shape; `plan-tasks` enqueue
+      // further fetches.
+      def appendTasks(o: JsonNode): Unit = {
+        val localDeletes = Option(o.get("delete-files")).filterNot(_.isNull).map { dels =>
+          val it = dels.elements(); val b = Seq.newBuilder[graft.read.PlannedFile]
+          while (it.hasNext) b += parseTaskFile(it.next(), 1, seq = 1L)
+          b.result()
+        }.getOrElse(Nil)
+        deleteFiles ++= localDeletes
+        Option(o.get("file-scan-tasks")).filterNot(_.isNull).foreach { tasks =>
+          val it = tasks.elements()
+          while (it.hasNext) {
+            val task = it.next()
+            dataFiles += parseTaskFile(task.get("data-file"), 0, seq = 0L)
+            Option(task.get("delete-file-references")).filterNot(_.isNull).foreach { refs =>
+              val rit = refs.elements()
+              while (rit.hasNext) {
+                val idx = rit.next().asInt()
+                require(idx >= 0 && idx < localDeletes.size,
+                  s"delete-file reference $idx out of range (${localDeletes.size} delete files)")
+              }
+            }
+            Option(task.get("delete-files")).filterNot(_.isNull).foreach { dels =>
+              val dit = dels.elements()
+              while (dit.hasNext) deleteFiles += parseTaskFile(dit.next(), 1, seq = 1L)
+            }
+          }
+        }
+        Option(o.get("plan-tasks")).filterNot(_.isNull).foreach { pts =>
+          val it = pts.elements()
+          while (it.hasNext) {
+            val id = it.next().asText()
+            require(seenPlanTasks.add(id), s"duplicate plan-task identifier '$id'")
+            pendingPlanTasks += id
+          }
+        }
+      }
+      appendTasks(node)
+      while (pendingPlanTasks.nonEmpty) {
+        val taskId = pendingPlanTasks.dequeue()
+        val body = F.objectNode(); body.put("plan-task", taskId)
+        val resp = request("POST",
+          s"$apiRoot/namespaces/${nsPath(ns)}/tables/$name/tasks",
+          Some(mapper.writeValueAsString(body)),
+          Map("Idempotency-Key" -> java.util.UUID.randomUUID().toString))
+        appendTasks(resp)
+      }
+
+      val data = dataFiles.result()
+      val dels = deleteFiles.result().distinctBy(_.recordedPath)
+      val plan = graft.read.ScanPlan(meta, meta.currentSnapshot, meta.currentSchema,
+        data, dels, data.size, dels.size, 0, 0)
+      var df = IcebergRead.assemble(spark, plan, conf, readOpts.copy(filterSql = None))
+      readOpts.filterSql.foreach(f => df = df.where(org.apache.spark.sql.functions.expr(f)))
+      Some(df)
+    } catch {
+      case e: Throwable =>
+        // Best-effort cancel; never mask the planning failure.
+        planId.foreach { id =>
+          try request("DELETE", s"$planBase/${pathSegment(id)}",
+            headers = Map("Idempotency-Key" -> java.util.UUID.randomUUID().toString))
+          catch { case _: Exception => () }
+        }
+        throw e
     }
-    val data = dataFiles.result()
-    val dels = deleteFiles.result().distinctBy(_.recordedPath)
-    val plan = graft.read.ScanPlan(meta, snap, meta.currentSchema, data, dels,
-      data.size, dels.size, 0, 0)
-    var df = IcebergRead.assemble(spark, plan, conf, readOpts.copy(filterSql = None))
-    readOpts.filterSql.foreach(f => df = df.where(org.apache.spark.sql.functions.expr(f)))
-    df
   }
 
   /** Append a DataFrame to a catalog table: write data files + manifests to

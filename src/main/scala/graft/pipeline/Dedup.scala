@@ -388,9 +388,16 @@ object Dedup {
         s"cluster resolution did not converge in $maxRounds rounds (component diameter > 2^$maxRounds)")
     val out = ids.join(labels, Seq("id"), "left")
       .select(col("id").as("doc_id"), coalesce(col("label"), col("id")).as("cluster_id"))
-    val res = materializeReleasing(out, edges)
-    releaseCheckpoint(labels)
-    res
+    // The FINAL labels checkpoint is NOT explicitly released: the result's
+    // (truncated) lineage bottoms out in it, so a lost result block must
+    // be able to recompute through those blocks — releasing them here
+    // would turn an executor loss into a job failure, breaking the
+    // materializeReleasing recompute contract. The frame is small (two
+    // long columns, one row per clustered id) and Spark's ContextCleaner
+    // unpersists it once the returned frame drops the last reference;
+    // only the per-round INTERMEDIATE checkpoints (unreferenced by any
+    // lineage) are released eagerly in the loop above.
+    materializeReleasing(out, edges)
   }
 
   /** Largest analyzed-plan node count seen inside the last

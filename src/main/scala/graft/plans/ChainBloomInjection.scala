@@ -215,7 +215,13 @@ private[plans] abstract class BloomInjectionRule extends Rule[LogicalPlan] {
               fact.stats.sizeInBytes < BigInt(appThreshold) ||
               broadcastable(chain) ||
               (!late && !chain.exists(_.isInstanceOf[Join])) ||
-              !hasSelectiveFilter(chain) || graftBloomCount(chain) >= 2) None
+              !hasSelectiveFilter(chain) || graftBloomCount(chain) >= 2 ||
+              // The creation subquery copies the chain VERBATIM; a
+              // nondeterministic expression anywhere in it (rand, sample,
+              // nondeterministic UDF) would compute a DIFFERENT key set
+              // than the join's actual chain side and prune matching rows.
+              // Spark's InjectRuntimeFilter gates on the same condition.
+              chain.exists(_.expressions.exists(!_.deterministic))) None
           else {
             val bloomed = existingBloomKeys(fact)
             val factLeafSize = fact.collectFirst { case l: LeafNode => l }

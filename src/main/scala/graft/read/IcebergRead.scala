@@ -235,14 +235,23 @@ object IcebergRead {
     * single-value serialization). Defensive: unparseable defaults -> None
     * (conservative null) rather than failing the whole scan. */
   private def defaultValue(f: IcebergTypes.NestedField): Option[Any] =
-    f.initialDefaultJson.flatMap { n =>
+    f.initialDefaultJson.flatMap(jsonSingleValue(_, f.fieldType))
+
+  /** JSON single-value serialization → internal value (same raw
+    * representation the Avro manifest parser yields), shared by schema
+    * initial-defaults and REST scan-planning partition values
+    * (reference CopyValueMap/ParsePrimitiveValue,
+    * catalog/rest/api/iceberg_scan_planning.cpp:138-210). */
+  private[graft] def jsonSingleValue(
+      n: com.fasterxml.jackson.databind.JsonNode, t: graft.core.IcebergType): Option[Any] = {
       import IcebergTypes._
       def hexBytes(s: String): Array[Byte] = {
         val h = s.stripPrefix("0x").stripPrefix("0X")
         h.sliding(2, 2).map(Integer.parseInt(_, 16).toByte).toArray
       }
-      scala.util.Try[Any] {
-        f.fieldType match {
+      if (n == null || n.isNull) None
+      else scala.util.Try[Any] {
+        t match {
           case BooleanT => n.asBoolean()
           case IntT => n.asInt()
           case LongT => n.asLong()
@@ -263,7 +272,7 @@ object IcebergRead {
           case _ => n.asText()
         }
       }.toOption
-    }
+  }
 
   /** Does this data file physically contain the column? Uses manifest stats
     * keys as the per-file schema signal (value_counts carry every written

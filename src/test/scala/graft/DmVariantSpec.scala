@@ -24,10 +24,12 @@ class DmVariantSpec extends SparkSpec {
       confs.foreach { case (k, v) => spark.conf.set(k, v) }
       sys.props("spark.graft.tq.dm") = rounds.toString
       // Oracle views: parquet minus the dm-deleted key slices (the
-      // identity updates change no values).
-      val keys = Map("customer" -> "c_custkey", "orders" -> "o_orderkey",
-        "lineitem" -> "l_orderkey")
-      Seq("customer", "orders", "lineitem").foreach { t =>
+      // identity updates change no values). dm routing refreshes ONLY
+      // orders+lineitem, like the reference's dm=5 batches — customer
+      // reads the unmodified table.
+      val keys = Map("orders" -> "o_orderkey", "lineitem" -> "l_orderkey")
+      spark.read.parquet(s"$sfDir/customer.parquet").createOrReplaceTempView("dmo_customer")
+      Seq("orders", "lineitem").foreach { t =>
         spark.read.parquet(s"$sfDir/$t.parquet")
           .filter(s"NOT (${keys(t)} % 1000 BETWEEN 1 AND $rounds)")
           .createOrReplaceTempView(s"dmo_$t")

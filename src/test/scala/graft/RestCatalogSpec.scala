@@ -140,6 +140,119 @@ class RestCatalogSpec extends SparkSpec with BeforeAndAfterAll {
     assertSameResult(src.filter("n_regionkey = 2"), filtered)
   }
 
+  test("async scan planning: submitted -> poll -> completed, same rows") {
+    val src = spark.read.parquet(s"$sfDir/nation.parquet")
+    val loc = tmpDir("graft_rest_plan_async")
+    catalog.createNamespace(Seq("plan_async"))
+    catalog.createTable(Seq("plan_async"), "nation", IcebergTypes.fromSpark(src.schema), loc)
+    catalog.appendDF(src, Seq("plan_async"), "nation")
+    server.planMode = "async"
+    server.clearLog()
+    try {
+      assertSameResult(src, catalog.loadDFServerPlanned(spark, Seq("plan_async"), "nation"))
+      val polls = server.loggedRequests.filter { case (m, p) =>
+        m == "GET" && p.contains("/plan/")
+      }
+      // First poll re-answers `submitted`, the second carries the result.
+      assert(polls.size >= 2, s"expected >=2 status polls, saw $polls")
+    } finally server.planMode = "sync"
+  }
+
+  test("sharded scan planning: plan-tasks fetched via POST /tasks, same rows") {
+    val src = spark.read.parquet(s"$sfDir/nation.parquet")
+    val loc = tmpDir("graft_rest_plan_shard")
+    catalog.createNamespace(Seq("plan_shard"))
+    catalog.createTable(Seq("plan_shard"), "nation", IcebergTypes.fromSpark(src.schema), loc)
+    // Two appends -> at least two data files -> at least two shards.
+    catalog.appendDF(src.filter("n_nationkey < 10"), Seq("plan_shard"), "nation")
+    catalog.appendDF(src.filter("n_nationkey >= 10"), Seq("plan_shard"), "nation")
+    server.planMode = "shard"
+    server.clearLog()
+    try {
+      assertSameResult(src, catalog.loadDFServerPlanned(spark, Seq("plan_shard"), "nation"))
+      val fetches = server.loggedRequests.filter { case (m, p) =>
+        m == "POST" && p.endsWith("/tasks")
+      }
+      assert(fetches.size >= 2, s"expected >=2 plan-task fetches, saw $fetches")
+    } finally server.planMode = "sync"
+  }
+
+  test("server-planned scan applies merge-on-read deletes like client planning") {
+    val src = spark.read.parquet(s"$sfDir/orders.parquet")
+    val loc = tmpDir("graft_rest_plan_mor")
+    catalog.createNamespace(Seq("plan_mor"))
+    catalog.createTable(Seq("plan_mor"), "orders", IcebergTypes.fromSpark(src.schema), loc)
+    catalog.appendDF(src, Seq("plan_mor"), "orders")
+    graft.write.Dml.delete(spark, catalog.tableOps(Seq("plan_mor"), "orders"),
+      "o_orderstatus = 'F'")
+    val expected = src.filter("o_orderstatus <> 'F'")
+    val clientPlanned = catalog.loadDF(spark, Seq("plan_mor"), "orders")
+    val serverPlanned = catalog.loadDFServerPlanned(spark, Seq("plan_mor"), "orders")
+    assertSameResult(expected, clientPlanned)
+    assertSameResult(clientPlanned, serverPlanned)
+  }
+
+  test("failed plan raises and cancels; 406 falls back to client planning") {
+    val src = spark.read.parquet(s"$sfDir/nation.parquet")
+    val loc = tmpDir("graft_rest_plan_fail")
+    catalog.createNamespace(Seq("plan_fail"))
+    catalog.createTable(Seq("plan_fail"), "nation", IcebergTypes.fromSpark(src.schema), loc)
+    catalog.appendDF(src, Seq("plan_fail"), "nation")
+    server.planMode = "fail"
+    try {
+      val before = server.cancelledPlans.size()
+      intercept[IllegalStateException](
+        catalog.loadDFServerPlanned(spark, Seq("plan_fail"), "nation"))
+      assert(server.cancelledPlans.size() > before,
+        "failed plan was not cancelled via DELETE /plan/{id}")
+      server.planMode = "406"
+      // Explicit server planning refuses...
+      intercept[UnsupportedOperationException](
+        catalog.loadDFServerPlanned(spark, Seq("plan_fail"), "nation"))
+    } finally server.planMode = "sync"
+  }
+
+  test("loadDF auto-routes through server planning only when advertised and safe") {
+    val planEndpoint = "POST /v1/{prefix}/namespaces/{namespace}/tables/{table}/plan"
+    val src = spark.read.parquet(s"$sfDir/nation.parquet")
+    val srv = new TestRestServer
+    srv.start()
+    try {
+      srv.advertisedEndpoints = Some((RestCatalog.defaultEndpoints + planEndpoint).toSeq)
+      val cat = new RestCatalog(srv.uri,
+        CatalogOptions(clientId = Some("id"), clientSecret = Some("secret")))
+      val loc = tmpDir("graft_rest_plan_auto")
+      cat.createNamespace(Seq("auto"))
+      cat.createTable(Seq("auto"), "nation", IcebergTypes.fromSpark(src.schema), loc)
+      cat.appendDF(src, Seq("auto"), "nation")
+      def planPosts = srv.loggedRequests.count { case (m, p) =>
+        m == "POST" && p.endsWith("/plan")
+      }
+      // Advertised + sync -> loadDF plans server-side.
+      srv.clearLog()
+      assertSameResult(src, cat.loadDF(spark, Seq("auto"), "nation"))
+      assert(planPosts == 1, "loadDF did not use the advertised plan endpoint")
+      // 406 -> silent client fallback, still correct rows.
+      srv.planMode = "406"
+      srv.clearLog()
+      assertSameResult(src, cat.loadDF(spark, Seq("auto"), "nation"))
+      assert(planPosts == 1, "406 fallback should have attempted the plan endpoint once")
+      srv.planMode = "sync"
+      // Table config scan-planning-mode=client wins over advertisement.
+      srv.vendedConfig = Map("scan-planning-mode" -> "client")
+      srv.clearLog()
+      assertSameResult(src, cat.loadDF(spark, Seq("auto"), "nation"))
+      assert(planPosts == 0, "scan-planning-mode=client must force client planning")
+      srv.vendedConfig = Map.empty
+      // Reads that keep file metadata (DML input) always plan client-side
+      // (reference iceberg_optimizer.cpp:27-75).
+      srv.clearLog()
+      cat.loadDF(spark, Seq("auto"), "nation",
+        graft.read.ReadOptions(keepFileMeta = true)).collect()
+      assert(planPosts == 0, "keepFileMeta read must not plan server-side")
+    } finally srv.stop()
+  }
+
   test("iceberg_load_table_response parses a LoadTableResult JSON into rows") {
     val src = spark.read.parquet(s"$sfDir/region.parquet")
     val t = catalog.loadTable(Seq("etl"), "region")

@@ -80,6 +80,18 @@ class TestRestServer {
     * with integer-offset `next-page-token`s — exercises client pagination. */
   @volatile var listPageSize: Option[Int] = None
 
+  /** Scan-planning behavior: "sync" answers POST /plan with a completed
+    * result inline; "async" answers `submitted` + plan-id and serves the
+    * completed result on GET /plan/{id} (second poll); "shard" answers
+    * completed but ships every file-scan-task through `plan-tasks`
+    * fetched via POST /tasks; "406" declines planning for the table. */
+  @volatile var planMode: String = "sync"
+  private val pendingPlans = new TrieMap[String, ObjectNode]()
+  private val pendingPlanPolls = new TrieMap[String, Int]()
+  private val pendingShards = new TrieMap[String, ObjectNode]()
+  /** Plan ids the client cancelled via DELETE /plan/{id}. */
+  val cancelledPlans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
   /** Slice a sorted listing into (page, nextPageToken) per listPageSize. */
   private def page[T](all: Seq[T], query: String): (Seq[T], Option[String]) =
     listPageSize match {
@@ -199,6 +211,95 @@ class TestRestServer {
     m
   }
 
+  /** JSON single-value serialization of a raw manifest partition value
+    * (what the REST spec's PrimitiveTypeValue carries in plan results). */
+  private def jsonSingle(raw: Any, t: IcebergType): JsonNode = {
+    import IcebergTypes._
+    if (raw == null) F.nullNode()
+    else t match {
+      case DateT => F.textNode(
+        java.time.LocalDate.ofEpochDay(raw.asInstanceOf[Number].longValue()).toString)
+      case TimestampT | TimestampTzT =>
+        val micros = raw.asInstanceOf[Number].longValue()
+        F.textNode(java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L), (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC).toString)
+      case IntT => F.numberNode(raw.asInstanceOf[Number].intValue())
+      case LongT => F.numberNode(raw.asInstanceOf[Number].longValue())
+      case BooleanT => F.booleanNode(raw.asInstanceOf[Boolean])
+      case FloatT | DoubleT => F.numberNode(raw.asInstanceOf[Number].doubleValue())
+      case DecimalT(_, s) => F.textNode(raw match {
+        case b: Array[Byte] => new java.math.BigDecimal(new java.math.BigInteger(b), s).toPlainString
+        case d: java.math.BigDecimal => d.toPlainString
+        case o => String.valueOf(o)
+      })
+      case _ => raw match {
+        case b: Array[Byte] => F.textNode(b.map("%02x".format(_)).mkString)
+        case o => F.textNode(String.valueOf(o))
+      }
+    }
+  }
+
+  /** The spec-shaped CompletedPlanningResult for a table's current
+    * snapshot: `file-scan-tasks` referencing a TOP-LEVEL `delete-files`
+    * list by index, ContentFile `content` as the spec's string enum,
+    * partition values in JSON single-value form. */
+  private def buildCompletedPlan(meta: TableMetadata): ObjectNode = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val o = F.objectNode()
+    o.put("status", "completed")
+    val deleteArr = o.putArray("delete-files")
+    val tasks = o.putArray("file-scan-tasks")
+    meta.currentSnapshot.foreach { snap =>
+      val manifests = graft.manifest.ManifestIO.readManifestList(
+        TableMetadata.resolvePath(meta.location, snap.manifestList, conf), conf)
+      def fileNode(e: graft.manifest.ManifestEntry, m: graft.manifest.ManifestFile): ObjectNode = {
+        val f = F.objectNode()
+        f.put("file-path", e.dataFile.filePath)
+        f.put("file-format", e.dataFile.fileFormat)
+        f.put("content", e.dataFile.content match {
+          case 1 => "position-deletes"
+          case 2 => "equality-deletes"
+          case _ => "data"
+        })
+        f.put("record-count", e.dataFile.recordCount)
+        f.put("file-size-in-bytes", e.dataFile.fileSizeInBytes)
+        f.put("spec-id", m.partitionSpecId)
+        val spec = meta.spec(m.partitionSpecId)
+        val schema = meta.currentSchema
+        val part = f.putArray("partition")
+        spec.fields.zipWithIndex.foreach { case (pf, i) =>
+          val raw = e.dataFile.partitionValues.lift(i).orNull
+          val srcType = schema.idToField.get(pf.sourceId).map(_.fieldType)
+          part.add(srcType.map(st => jsonSingle(raw, pf.transform.resultType(st)))
+            .getOrElse(F.nullNode()))
+        }
+        e.dataFile.referencedDataFile.foreach(r => f.put("referenced-data-file", r))
+        e.dataFile.contentOffset.foreach(v => f.put("content-offset", v))
+        e.dataFile.contentSizeInBytes.foreach(v => f.put("content-size-in-bytes", v))
+        if (e.dataFile.equalityIds.nonEmpty) {
+          val a = f.putArray("equality-ids"); e.dataFile.equalityIds.foreach(a.add)
+        }
+        f
+      }
+      val entries = manifests.flatMap { m =>
+        graft.manifest.ManifestIO.readManifest(
+          TableMetadata.resolvePath(meta.location, m.path, conf), conf, m)
+          .filter(_.isLive).map(e => (m, e))
+      }
+      val (delEntries, dataEntries) = entries.partition(_._1.content == 1)
+      delEntries.foreach { case (dm, de) => deleteArr.add(fileNode(de, dm)) }
+      dataEntries.foreach { case (m, e) =>
+        val task = F.objectNode()
+        task.set[JsonNode]("data-file", fileNode(e, m))
+        val refs = task.putArray("delete-file-references")
+        delEntries.indices.foreach(refs.add)
+        tasks.add(task)
+      }
+    }
+    o
+  }
+
   private val handler = new HttpHandler {
     override def handle(ex: HttpExchange): Unit = try route(ex) catch {
       case e: Exception => respond(ex, 500, s"""{"error":"${e.getMessage}"}""")
@@ -233,6 +334,8 @@ class TestRestServer {
       val TablesRe = "/v1/namespaces/([^/]+)/tables".r
       val TableRe = "/v1/namespaces/([^/]+)/tables/([^/]+)".r
       val PlanRe = "/v1/namespaces/([^/]+)/tables/([^/]+)/plan".r
+      val PlanIdRe = "/v1/namespaces/([^/]+)/tables/([^/]+)/plan/([^/]+)".r
+      val TasksRe = "/v1/namespaces/([^/]+)/tables/([^/]+)/tasks".r
       val NsPropsRe = "/v1/namespaces/([^/]+)/properties".r
       val RegisterRe = "/v1/namespaces/([^/]+)/(register)".r
       val NsRe = "/v1/namespaces/([^/]+)".r
@@ -241,46 +344,70 @@ class TestRestServer {
         case ("POST", PlanRe(ns, t)) => // server-side scan planning
           namespaces.get(ns).flatMap(_.tables.get(t)) match {
             case None => respond(ex, 404, """{"error":"no such table"}""")
+            case Some(_) if planMode == "406" =>
+              respond(ex, 406, """{"error":"scan planning not supported"}""")
             case Some(meta) =>
-              val conf = new org.apache.hadoop.conf.Configuration()
-              val o = F.objectNode()
-              o.put("plan-status", "completed")
-              val tasks = o.putArray("file-scan-tasks")
-              meta.currentSnapshot.foreach { snap =>
-                val manifests = graft.manifest.ManifestIO.readManifestList(
-                  TableMetadata.resolvePath(meta.location, snap.manifestList, conf), conf)
-                def fileNode(e: graft.manifest.ManifestEntry, m: graft.manifest.ManifestFile): ObjectNode = {
-                  val f = F.objectNode()
-                  f.put("file-path", e.dataFile.filePath)
-                  f.put("file-format", e.dataFile.fileFormat)
-                  f.put("content", e.dataFile.content)
-                  f.put("record-count", e.dataFile.recordCount)
-                  f.put("file-size-in-bytes", e.dataFile.fileSizeInBytes)
-                  f.put("spec-id", m.partitionSpecId)
-                  f.put("sequence-number", e.sequenceNumber.getOrElse(0L))
-                  e.dataFile.referencedDataFile.foreach(r => f.put("referenced-data-file", r))
-                  e.dataFile.contentOffset.foreach(v => f.put("content-offset", v))
-                  e.dataFile.contentSizeInBytes.foreach(v => f.put("content-size-in-bytes", v))
-                  if (e.dataFile.equalityIds.nonEmpty) {
-                    val a = f.putArray("equality-ids"); e.dataFile.equalityIds.foreach(a.add)
+              val completed = buildCompletedPlan(meta)
+              planMode match {
+                case "async" | "fail" =>
+                  val id = "plan-" + java.util.UUID.randomUUID().toString.take(8)
+                  val result = if (planMode == "fail") {
+                    val failed = F.objectNode(); failed.put("status", "failed"); failed
+                  } else completed
+                  pendingPlans.put(id, result)
+                  pendingPlanPolls.put(id, 1) // first poll answers submitted again
+                  val o = F.objectNode()
+                  o.put("status", "submitted"); o.put("plan-id", id)
+                  respond(ex, 200, mapper.writeValueAsString(o))
+                case "shard" =>
+                  val tasks = completed.get("file-scan-tasks")
+                  val o = F.objectNode()
+                  o.put("status", "completed")
+                  o.set[JsonNode]("delete-files", completed.get("delete-files"))
+                  val pt = o.putArray("plan-tasks")
+                  val it = tasks.elements()
+                  var i = 0
+                  while (it.hasNext) {
+                    val shardId = s"shard-$i"
+                    val shard = F.objectNode()
+                    // Shards must be self-contained: reference delete files
+                    // by index into the SHARD's own delete-files list.
+                    shard.set[JsonNode]("delete-files", completed.get("delete-files"))
+                    shard.putArray("file-scan-tasks").add(it.next())
+                    pendingShards.put(shardId, shard)
+                    pt.add(shardId)
+                    i += 1
                   }
-                  f
-                }
-                val entries = manifests.flatMap { m =>
-                  graft.manifest.ManifestIO.readManifest(
-                    TableMetadata.resolvePath(meta.location, m.path, conf), conf, m)
-                    .filter(_.isLive).map(e => (m, e))
-                }
-                val (delEntries, dataEntries) = entries.partition(_._1.content == 1)
-                dataEntries.foreach { case (m, e) =>
-                  val task = F.objectNode()
-                  task.set[JsonNode]("data-file", fileNode(e, m))
-                  val dels = task.putArray("delete-files")
-                  delEntries.foreach { case (dm, de) => dels.add(fileNode(de, dm)) }
-                  tasks.add(task)
-                }
+                  o.putArray("file-scan-tasks")
+                  respond(ex, 200, mapper.writeValueAsString(o))
+                case _ =>
+                  respond(ex, 200, mapper.writeValueAsString(completed))
               }
-              respond(ex, 200, mapper.writeValueAsString(o))
+          }
+
+        case ("GET", PlanIdRe(ns, t, id)) =>
+          pendingPlans.get(id) match {
+            case None => respond(ex, 404, """{"error":"no such plan"}""")
+            case Some(completed) =>
+              val polls = pendingPlanPolls.getOrElse(id, 0)
+              if (polls > 0) {
+                pendingPlanPolls.put(id, polls - 1)
+                val o = F.objectNode()
+                o.put("status", "submitted"); o.put("plan-id", id)
+                respond(ex, 200, mapper.writeValueAsString(o))
+              } else respond(ex, 200, mapper.writeValueAsString(completed))
+          }
+
+        case ("DELETE", PlanIdRe(ns, t, id)) =>
+          cancelledPlans.add(id)
+          pendingPlans.remove(id)
+          respond(ex, 204)
+
+        case ("POST", TasksRe(ns, t)) =>
+          val taskId = Option(body.get("plan-task")).map(_.asText()).getOrElse("")
+          pendingShards.get(taskId) match {
+            case None => respond(ex, 404, s"""{"error":"no such plan task '$taskId'"}""")
+            case Some(shard) => respond(ex, 200, mapper.writeValueAsString(shard))
           }
         case ("GET", "/v1/config") =>
           val o = F.objectNode()
