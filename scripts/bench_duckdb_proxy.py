@@ -8,13 +8,34 @@ The real reference (DuckDB-Iceberg) cannot run offline, so this floor has
 NO Iceberg metadata planning and no simulated object-store latency; see
 BASELINE.md for how the numbers are interpreted.
 
-Usage: bench_duckdb_proxy.py <sf_dir> <oracle_sql.json> [out.json]
+Usage: bench_duckdb_proxy.py <sf_dir> <oracle_sql.json> [out.json] [only] [--fs-delay-ms=N]
 Only queries whose oracle SQL is the natural equivalent workload are timed
 (relational/TPC-H/text/events shapes); SELECT-* passthroughs and
 quadratic oracle checks (written to VERIFY hash-based ops, not to compute
 them efficiently) are excluded.
+
+--fs-delay-ms=N charges a fixed N ms per *.parquet open and per pread/read
+call (an LD_PRELOAD shim compiled from fs_delay_shim.c; the script re-execs
+itself with it loaded) + disables DuckDB's external file cache — the proxy
+half of the reference benchmark's `debug_fs_delay_mean_ms=3` +
+`enable_external_file_cache=false` regime (graft's half:
+graft.sources.DelaySimFileSystem via SPARK_GRAFT_FS_DELAY_MS).
 """
-import duckdb, json, sys, time
+import duckdb, json, os, subprocess, sys, time
+
+
+def reexec_with_shim(delay_ms):
+    """Compile the pread-delay shim (once) and re-exec under LD_PRELOAD."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    src = os.path.join(here, "fs_delay_shim.c")
+    so = "/tmp/graft_fs_delay_shim.so"
+    if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+        subprocess.check_call(
+            ["gcc", "-shared", "-fPIC", "-O2", "-o", so, src, "-ldl"])
+    env = dict(os.environ)
+    env["LD_PRELOAD"] = so
+    env["GRAFT_FS_DELAY_MS"] = str(delay_ms)
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
 
 SKIP = {
     # SELECT-* passthrough oracles: graft materializes an Iceberg scan,
@@ -32,11 +53,21 @@ SKIP = {
 }
 
 def main():
-    sf, oracle_path = sys.argv[1], sys.argv[2]
-    out = sys.argv[3] if len(sys.argv) > 3 else None
-    only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+    args = [a for a in sys.argv[1:] if not a.startswith("--fs-delay-ms=")]
+    delay_ms = next((int(a.split("=", 1)[1]) for a in sys.argv[1:]
+                     if a.startswith("--fs-delay-ms=")), 0)
+    sf, oracle_path = args[0], args[1]
+    out = args[2] if len(args) > 2 else None
+    only = set(args[3].split(",")) if len(args) > 3 else None
+    if delay_ms > 0 and os.environ.get("GRAFT_FS_DELAY_MS") != str(delay_ms):
+        reexec_with_shim(delay_ms)
     con = duckdb.connect()
     con.execute("SET threads=4")
+    if delay_ms > 0:
+        try:
+            con.execute("SET enable_external_file_cache=false")
+        except Exception:
+            pass  # older duckdb: no external file cache to disable
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")

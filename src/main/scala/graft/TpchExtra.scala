@@ -255,6 +255,21 @@ object TpchExtra {
     // merge-on-read DML, so every scan pays the delete-apply path.
     val dmRounds = sys.env.get("SPARK_GRAFT_TQ_DM")
       .orElse(sys.props.get("spark.graft.tq.dm")).map(_.toInt).getOrElse(0)
+    // Simulated object-store latency (the reference benchmark's
+    // `debug_fs_delay_mean_ms=3` + external-file-cache-off regime): route
+    // every table path through graftdelay:// so each metadata/manifest/
+    // data request pays a fixed per-request sleep — see
+    // [[graft.sources.DelaySimFileSystem]]. The DuckDB proxy applies the
+    // same charge via fsspec (bench_duckdb_proxy.py --fs-delay-ms).
+    val fsDelayMs = sys.env.get("SPARK_GRAFT_FS_DELAY_MS").map(_.toLong).getOrElse(0L)
+    def delayed(path: String): String =
+      if (fsDelayMs <= 0) path
+      else {
+        val hc = s.sparkContext.hadoopConfiguration
+        hc.set("fs.graftdelay.impl", classOf[graft.sources.DelaySimFileSystem].getName)
+        hc.setLong("fs.graftdelay.mean.ms", fsDelayMs)
+        "graftdelay://" + new java.io.File(path).getAbsolutePath
+      }
     tableNames.foreach { t =>
       val df =
         // dm routing covers orders+lineitem ONLY, like the reference's
@@ -262,11 +277,11 @@ object TpchExtra {
         // a 0.1% keyslice DELETE on 25-row nation would remove 20% of
         // the table and change join selectivities, not measure MoR).
         if (routed(t) && dmRounds > 0 && (t == "orders" || t == "lineitem"))
-          IcebergTable.load(s, Fixtures.dm(s, dir, t, dmRounds))
+          IcebergTable.load(s, delayed(Fixtures.dm(s, dir, t, dmRounds)))
         else if (routed(t) && dsv2)
-          s.read.format("graft").load(Fixtures.plainAnalyzed(s, dir, t))
-        else if (routed(t)) IcebergTable.load(s, Fixtures.plain(s, dir, t))
-        else s.read.parquet(s"$dir/$t.parquet")
+          s.read.format("graft").load(delayed(Fixtures.plainAnalyzed(s, dir, t)))
+        else if (routed(t)) IcebergTable.load(s, delayed(Fixtures.plain(s, dir, t)))
+        else s.read.parquet(delayed(s"$dir/$t.parquet"))
       df.createOrReplaceTempView(s"${name}_$t")
     }
     // Table names never collide with column names / aliases (l_*, o_*,

@@ -306,7 +306,22 @@ object Dedup {
   }
 
   /** SimHash near-dup candidates: 4 bands of 16 bits; pairs whose full
-    * hashes are within `maxHamming`. Bucketed exactly like MinHash-LSH. */
+    * hashes are within `maxHamming` (exact for `maxHamming <= 3`: three
+    * errors over four bands leave one band clean, so every qualifying pair
+    * shares at least one band bucket).
+    *
+    * Skew handling is a second banding LEVEL, not a drop: a band bucket
+    * larger than `maxBucket` (boilerplate-heavy corpora concentrate
+    * signatures) is re-bucketed by four 12-bit sub-bands of the OTHER 48
+    * bits. A qualifying pair whose clean band landed in an over-cap bucket
+    * has all its <=3 errors inside those 48 bits, so (pigeonhole again)
+    * one sub-band is clean and the pair survives — an earlier revision
+    * dropped over-cap buckets outright, which silently lost ~3% of true
+    * pairs on the sf1 corpus while staying green at small SF. Degenerate
+    * sub-buckets (thousands of near-identical signatures) are genuine
+    * near-dup cliques whose EXACT answer is itself quadratic in the clique
+    * — no cap can avoid that output; the sub-band join merely pays it
+    * where it is real. */
   def simhashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     // asNondeterministic: see minhashNearDuplicates — prevents projection
@@ -315,16 +330,36 @@ object Dedup {
     val withH = df.select(col(idCol).cast("long").as("_id"), shUdf(col(textCol)).as("_sh"))
     val banded = withH.withColumn("_b", explode(array((0 until 4).map(lit): _*)))
       .withColumn("_h", expr("shiftrightunsigned(_sh, _b * 16)").bitwiseAND(lit(0xFFFFL)))
-    // Same self-join shape as minhash banding (see bandedBucketPairs);
-    // the Hamming distance is a codegen'd bit_count(xor), no UDF.
-    val (pairs, keep) = bandedBucketPairs(banded, maxBucket, Seq("_sh"))
+    // One window count over the same (_b,_h) shuffle the join needs splits
+    // small from over-cap buckets; the banding pass is persisted so the
+    // hash UDF runs once (see bandedBucketPairs for the same pattern).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("_b", "_h")
+    val counted = banded.withColumn("_n", count(lit(1)).over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def pairsOf(src: DataFrame, keys: Seq[String]): DataFrame = {
+      def side(suffix: String) = src.select(
+        (keys.map(col) :+ col("_id").as(s"id$suffix")) :+ col("_sh").as(s"_sh$suffix"): _*)
+      side("_a").join(side("_b"), keys)
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b", "_sh_a", "_sh_b")
+    }
+    val small = pairsOf(counted.filter(col("_n") <= maxBucket), Seq("_b", "_h"))
+    // Second level: the other 48 bits (band _b removed) in 4 x 12-bit
+    // sub-bands. Codegen'd shift arithmetic, no UDF.
+    val big = counted.filter(col("_n") > maxBucket)
+      .withColumn("_rest", expr(
+        "shiftleft(shiftrightunsigned(_sh, (_b + 1) * 16), _b * 16)")
+        .bitwiseOR(expr("_sh & (shiftleft(cast(1 as bigint), _b * 16) - 1)")))
+      .withColumn("_sb", explode(array((0 until 4).map(lit): _*)))
+      .withColumn("_h2", expr("shiftrightunsigned(_rest, _sb * 12)").bitwiseAND(lit(0xFFFL)))
+    val refined = pairsOf(big, Seq("_b", "_h", "_sb", "_h2"))
     materializeReleasing(
-      pairs
+      small.union(refined)
         .withColumn("hamming", expr("cast(bit_count(_sh_a ^ _sh_b) as int)"))
         .filter(col("hamming") <= maxHamming)
         .select("id_a", "id_b", "hamming")
         .dropDuplicates("id_a", "id_b"),
-      keep)
+      counted)
   }
 
   /** Resolve near-duplicate PAIRS into connected-component clusters and
