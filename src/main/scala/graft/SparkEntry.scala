@@ -240,12 +240,17 @@ object SparkEntry {
         .intersect(o.filter(year(col("o_orderdate")) === 1997).select("o_custkey"))
     }),
 
+    // adj_total sums as DECIMAL on both sides: a double sum over ~45k
+    // values per group is association-ordered, and at sf1 magnitudes
+    // (~1e10) the two engines' partial-agg orders land on different
+    // cents after round(...,2) — decimal arithmetic is order-exact.
     "q_date_string_fns" -> ((s, dir) =>
       pq(s, dir, "orders")
         .groupBy(year(col("o_orderdate")).as("yr"),
           substring(col("o_orderpriority"), 1, 1).as("prio"))
         .agg(count(lit(1)).cast("long").as("n"),
-          round(sum(col("o_totalprice") * (lit(1.0) + lit(0.05))), 2).as("adj_total"))),
+          round(sum(col("o_totalprice").cast("decimal(18,2)") * expr("CAST(1.05 AS DECIMAL(4,2))")), 2)
+            .cast("decimal(28,2)").as("adj_total"))),
 
     // ---- §2.1/2.4 Iceberg write + scan roundtrips ----
     "ice_q1_roundtrip" -> ((s, dir) =>
@@ -1040,7 +1045,7 @@ object SparkEntry {
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
         |  substring(o_orderpriority, 1, 1) AS prio,
         |  CAST(count(*) AS BIGINT) AS n,
-        |  round(sum(o_totalprice * (1.0 + 0.05)), 2) AS adj_total
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.05 AS DECIMAL(4,2))), 2) AS DECIMAL(28,2)) AS adj_total
         |FROM orders GROUP BY 1, 2""".stripMargin,
 
     "ice_month_prune" ->

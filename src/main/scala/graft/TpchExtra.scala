@@ -97,10 +97,11 @@ object TpchExtra {
     // q9 shape: LIKE-filtered profit by nation x year (supplycost term
     // substituted with retailprice — no partsupp table in the testdata).
     "tq9_profit" ->
-      """SELECT nat, o_year, round(sum(amount), 2) AS sum_profit
+      """SELECT nat, o_year, CAST(round(sum(amount), 2) AS DECIMAL(28,2)) AS sum_profit
         |FROM (
         |  SELECT n_name AS nat, CAST(year(o_orderdate) AS INT) AS o_year,
-        |         l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.1 AS amount
+        |         CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+        |           - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(10,2)) * CAST(0.1 AS DECIMAL(3,1)) AS amount
         |  FROM part, supplier, lineitem, orders, nation
         |  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey AND o_orderkey = l_orderkey
         |    AND s_nationkey = n_nationkey AND p_name LIKE '%red%'
@@ -160,11 +161,12 @@ object TpchExtra {
     // q15 shape: CTE revenue view + scalar MAX subquery over it.
     "tq15_top_supplier" ->
       """WITH revenue AS (
-        |  SELECT l_suppkey AS supplier_no, sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+        |  SELECT l_suppkey AS supplier_no,
+        |         sum(CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total_revenue
         |  FROM lineitem
         |  WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
         |  GROUP BY l_suppkey)
-        |SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+        |SELECT s_suppkey, s_name, CAST(round(total_revenue, 2) AS DECIMAL(28,2)) AS total_revenue
         |FROM supplier, revenue
         |WHERE s_suppkey = supplier_no
         |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)""".stripMargin,
