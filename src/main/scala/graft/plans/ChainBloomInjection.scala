@@ -115,9 +115,30 @@ private[plans] abstract class BloomInjectionRule extends Rule[LogicalPlan] {
       case _ => false
     }
 
-  /** The leaf relation whose output carries the attribute. */
+  /** The leaf relation whose output carries the attribute, following
+    * attribute RENAMES down aliasing Projects: the DSv2 substitution
+    * ([[graft.sources.GraftScanStatistics]]) grafts the assembled read
+    * under a `Project(inner AS outer)` layer, so the outer key's exprId
+    * does not exist below it — without the rename hop no bloom ever fired
+    * on a substituted scan (caught as the dsv2-route tq4 regression). */
+  @annotation.tailrec
   private def carrierLeaf(p: LogicalPlan, a: AttributeReference): Option[LeafNode] =
-    p.collectFirst { case l: LeafNode if l.outputSet.contains(a) => l }
+    p match {
+      case l: LeafNode => if (l.outputSet.contains(a)) Some(l) else None
+      case Project(list, child) =>
+        val below = list.collectFirst {
+          case al: Alias if al.exprId == a.exprId => al.child
+          case ar: AttributeReference if ar.exprId == a.exprId => ar
+        }
+        below match {
+          case Some(ar: AttributeReference) => carrierLeaf(child, ar)
+          case _ => None
+        }
+      case _ => p.children.find(_.outputSet.contains(a)) match {
+        case Some(c) => carrierLeaf(c, a)
+        case None => None
+      }
+    }
 
   private def existingBloomKeys(p: LogicalPlan): Set[Long] =
     p.collect { case Filter(cond, _) => splitConjuncts(cond) }.flatten
@@ -206,11 +227,16 @@ private[plans] abstract class BloomInjectionRule extends Rule[LogicalPlan] {
     val bits = SQLConf.get.getConfString(
       "spark.sql.optimizer.runtime.bloomFilter.numBits", "8388608").toLong
 
+    val dbg = sys.env.contains("GRAFT_BLOOM_DEBUG")
     plan.transformUp {
       case j @ Join(left, right, jt @ (Inner | LeftSemi | LeftAnti), Some(cond), _) =>
         def qualifies(factLeft: Boolean): Option[Join] = {
           if (!orientationOk(jt, factLeft)) return None
           val (fact, chain) = if (factLeft) (left, right) else (right, left)
+          if (dbg) System.err.println(s"[bloomdbg] factLeft=$factLeft factShape=${factShape(fact)} " +
+            s"bcastFact=${broadcastable(fact)} factStats=${fact.stats.sizeInBytes} app=$appThreshold " +
+            s"bcastChain=${broadcastable(chain)} sel=${hasSelectiveFilter(chain)} cnt=${graftBloomCount(chain)} " +
+            s"det=${!chain.exists(_.expressions.exists(!_.deterministic))}")
           if (!factShape(fact) || broadcastable(fact) ||
               fact.stats.sizeInBytes < BigInt(appThreshold) ||
               broadcastable(chain) ||
@@ -226,12 +252,24 @@ private[plans] abstract class BloomInjectionRule extends Rule[LogicalPlan] {
             val bloomed = existingBloomKeys(fact)
             val factLeafSize = fact.collectFirst { case l: LeafNode => l }
               .map(_.stats.sizeInBytes).getOrElse(BigInt(0))
+            // The relative gate is meaningless while either leaf still
+            // reports the "unknown size" sentinel (a DSv2 V1ScanWrapper
+            // before GraftScanStatistics substitutes it reports
+            // defaultSizeInBytes = 2^63-1): carrier*factor <= 2^63 passes
+            // for ANY carrier, which injected a fact-keyed bloom the gate
+            // exists to refuse (tq12 dsv2 route, +~80%). Refuse now; the
+            // fixed-point batch re-runs this rule after substitution with
+            // real sizes and injects only what then qualifies.
+            val unknown = BigInt(SQLConf.get.defaultSizeInBytes)
+            if (dbg) System.err.println(s"[bloomdbg]   pairs=${equiPairs(cond, left, right, factLeft)} factLeaf=$factLeafSize")
             equiPairs(cond, left, right, factLeft).collectFirst(Function.unlift {
               case (fk, ck) =>
+                if (dbg) System.err.println(s"[bloomdbg]   fk=$fk ck=$ck bloomed=${bloomed.contains(fk.exprId.id)} leaf=${carrierLeaf(chain, ck).map(_.stats.sizeInBytes)}")
                 if (bloomed.contains(fk.exprId.id)) None
                 else carrierLeaf(chain, ck) match {
                   case Some(leaf)
-                      if leaf.stats.sizeInBytes * carrierFactor <= factLeafSize =>
+                      if factLeafSize < unknown && leaf.stats.sizeInBytes < unknown &&
+                        leaf.stats.sizeInBytes * carrierFactor <= factLeafSize =>
                     val creation = if (late) minimalCreation(chain, ck) else chain
                     val bloomAgg = Alias(
                       AggregateExpression(

@@ -790,8 +790,20 @@ private[graft] object GraftScanStatistics
   }
 
   /** Inline the assembled read plan in place of the scan relation, output
-    * re-aliased onto the relation's attribute ids. Bails (None) on any
-    * shape mismatch — the stats-wrapper path is always a correct fallback. */
+    * carried on the relation's attribute ids. Bails (None) on any shape
+    * mismatch — the stats-wrapper path is always a correct fallback.
+    *
+    * When names, types, and nullability line up (the normal case — the
+    * assembled read projects the relation's own columns), the inner plan's
+    * exprIds are RENUMBERED onto the relation's rather than bridged with an
+    * aliasing Project: the alias layer hid attribute lineage from every
+    * downstream rule keyed on exprIds — graft's own late rules
+    * (ReuseSemiAggregate's leaf-ordinal matching, the bloom rules'
+    * carrier-leaf gate) silently stopped firing on DSv2-routed plans, the
+    * round-12 dsv2-sentinel regression. Renumbering is a pure id
+    * substitution (fresh assembled ids can't collide with analyzer ids),
+    * so the substituted subtree is byte-identical in shape to the direct
+    * API's plan. */
   private def substitute(r: DataSourceV2ScanRelation, g: GraftScan): Option[LogicalPlan] = {
     if (sys.env.contains("SPARK_GRAFT_DISABLE_PLAN_SUBST")) return None
     try {
@@ -800,10 +812,30 @@ private[graft] object GraftScanStatistics
       if (inner.output.size != r.output.size) return None
       val zipped = r.output.zip(inner.output)
       if (zipped.exists { case (o, i) => o.dataType != i.dataType }) return None
-      val aliases: Seq[NamedExpression] = zipped.map { case (o, i) =>
-        Alias(i, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+      val renumberable = zipped.forall { case (o, i) =>
+        o.name == i.name && (o.nullable || !i.nullable)
       }
-      Some(Project(aliases, inner))
+      if (renumberable) {
+        val idMap = zipped.map { case (o, i) => i.exprId -> o.exprId }.toMap
+        Some(inner.transformUpWithSubqueries {
+          case p => p.transformExpressions {
+            // Both the DEFINITIONS (leaf outputs are AttributeReferences;
+            // computed columns like _row_id are Aliases) and every
+            // reference — missing the Alias case left computed output
+            // columns on inner ids while their references renumbered.
+            case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+                if idMap.contains(a.exprId) => a.withExprId(idMap(a.exprId))
+            case al: Alias if idMap.contains(al.exprId) =>
+              Alias(al.child, al.name)(idMap(al.exprId), al.qualifier,
+                al.explicitMetadata, al.nonInheritableMetadataKeys)
+          }
+        })
+      } else {
+        val aliases: Seq[NamedExpression] = zipped.map { case (o, i) =>
+          Alias(i, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+        }
+        Some(Project(aliases, inner))
+      }
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
