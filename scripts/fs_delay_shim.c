@@ -21,6 +21,10 @@
 
 #define MAX_FD 65536
 static char tracked[MAX_FD];
+/* next expected offset per fd: a pread starting there is a free sequential
+ * continuation of the previous ranged GET; any jump charges one request
+ * (same model as graft's DelaySimFileSystem). */
+static long long next_off[MAX_FD];
 static int delay_ms = -1;
 
 static void dsleep(void) {
@@ -42,6 +46,7 @@ static int is_parquet(const char *path) {
 static void note_fd(int fd, const char *path) {
     if (fd >= 0 && fd < MAX_FD) {
         tracked[fd] = (char)is_parquet(path);
+        next_off[fd] = 0;
         if (tracked[fd]) dsleep(); /* the open itself is a request */
     }
 }
@@ -75,23 +80,23 @@ int open64(const char *path, int flags, ...) {
 ssize_t pread(int fd, void *buf, size_t count, off_t offset) {
     static ssize_t (*real)(int, void *, size_t, off_t) = NULL;
     if (!real) real = (ssize_t (*)(int, void *, size_t, off_t))dlsym(RTLD_NEXT, "pread");
-    if (fd >= 0 && fd < MAX_FD && tracked[fd]) dsleep();
-    return real(fd, buf, count, offset);
+    if (fd >= 0 && fd < MAX_FD && tracked[fd] && (long long)offset != next_off[fd]) dsleep();
+    ssize_t r = real(fd, buf, count, offset);
+    if (fd >= 0 && fd < MAX_FD && r > 0) next_off[fd] = (long long)offset + r;
+    return r;
 }
 
 ssize_t pread64(int fd, void *buf, size_t count, off_t offset) {
     static ssize_t (*real)(int, void *, size_t, off_t) = NULL;
     if (!real) real = (ssize_t (*)(int, void *, size_t, off_t))dlsym(RTLD_NEXT, "pread64");
-    if (fd >= 0 && fd < MAX_FD && tracked[fd]) dsleep();
-    return real(fd, buf, count, offset);
+    if (fd >= 0 && fd < MAX_FD && tracked[fd] && (long long)offset != next_off[fd]) dsleep();
+    ssize_t r = real(fd, buf, count, offset);
+    if (fd >= 0 && fd < MAX_FD && r > 0) next_off[fd] = (long long)offset + r;
+    return r;
 }
 
-ssize_t read(int fd, void *buf, size_t count) {
-    static ssize_t (*real)(int, void *, size_t) = NULL;
-    if (!real) real = (ssize_t (*)(int, void *, size_t))dlsym(RTLD_NEXT, "read");
-    if (fd >= 0 && fd < MAX_FD && tracked[fd]) dsleep();
-    return real(fd, buf, count);
-}
+/* sequential read(): always a continuation of the stream opened/positioned
+ * by open/pread — the open itself already charged its request. */
 
 int close(int fd) {
     static int (*real)(int) = NULL;
