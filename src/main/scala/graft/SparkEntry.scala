@@ -651,6 +651,48 @@ object SparkEntry {
           round(element_at(col("feature"), 1).cast("double"), 4).as("f0"))
     }),
 
+    // REAL decode round trip: realPayload emits genuinely decodable
+    // PNG/JPEG/WAV bytes; attachMetadata decodes them through the JDK's
+    // codecs; the oracle checks the closed forms the generator used —
+    // a broken (or stubbed) decode cannot match.
+    "mm_decode_meta" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents").select("doc_id")
+        .withColumn("payload", graft.pipeline.Multimodal.realPayload(col("doc_id")))
+      graft.pipeline.Multimodal.attachMetadata(docs, "payload")
+        .select(col("doc_id"),
+          col("media_meta.media_type").as("media_type"),
+          col("media_meta.width").as("width"),
+          col("media_meta.height").as("height"),
+          col("media_meta.sample_rate").as("sample_rate"),
+          col("media_meta.n_frames").as("n_frames"))
+    }),
+
+    // REAL transcode: decode → bilinear scale to fit 24px → re-encode PNG,
+    // then decode the TRANSCODED bytes again for the answer. JPEG fixtures
+    // are all inside the edge (pass through untouched, stay image/jpeg);
+    // oversize PNGs come back as resized PNGs.
+    "mm_resize_roundtrip" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") % 4 < 2)
+        .withColumn("payload", graft.pipeline.Multimodal.realPayload(col("doc_id")))
+      val resized = graft.pipeline.Multimodal.resizeImages(docs, "payload", maxEdge = 24)
+      graft.pipeline.Multimodal.attachMetadata(resized, "payload")
+        .select(col("doc_id"),
+          col("media_meta.media_type").as("media_type"),
+          col("media_meta.width").as("width"),
+          col("media_meta.height").as("height"))
+    }),
+
+    // REAL pixel decode: per-image mean R/G/B over every pixel. PNG is
+    // lossless, so the means equal the generator's fill color exactly.
+    "mm_pixel_stats" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") % 4 === 0)
+        .withColumn("payload", graft.pipeline.Multimodal.realPayload(col("doc_id")))
+      graft.pipeline.Multimodal.pixelStats(docs, "payload")
+        .select(col("doc_id"), col("mean_r"), col("mean_g"), col("mean_b"))
+    }),
+
     "dedup_embedding" -> ((s, dir) => {
       val e = pq(s, dir, "embeddings").select("vec_id", "embedding")
       // exact copies under shifted ids guarantee cosine-1.0 near-dup pairs
@@ -1227,6 +1269,47 @@ object SparkEntry {
         |  CAST(sum(octet_length(encode(text)) +
         |    CASE doc_id % 4 WHEN 0 THEN 4 WHEN 1 THEN 3 WHEN 2 THEN 4 ELSE 8 END) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // Closed forms from Multimodal.realPayload's scaladoc: the Spark side
+    // must round-trip through REAL PNG/JPEG/WAV bytes (JDK encode → JDK
+    // decode) to reproduce them. Integer division throughout (//).
+    "mm_decode_meta" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+        |       WHEN 2 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type,
+        |  CAST(CASE doc_id % 4 WHEN 0 THEN 16 + doc_id % 13
+        |       WHEN 1 THEN 12 + doc_id % 9 ELSE 0 END AS INT) AS width,
+        |  CAST(CASE doc_id % 4 WHEN 0 THEN 16 + (doc_id // 13) % 11
+        |       WHEN 1 THEN 12 + (doc_id // 9) % 7 ELSE 0 END AS INT) AS height,
+        |  CAST(CASE doc_id % 4 WHEN 2 THEN 8000 + (doc_id % 5) * 4000 ELSE 0 END AS INT) AS sample_rate,
+        |  CAST(CASE doc_id % 4 WHEN 2 THEN 64 + doc_id % 64 WHEN 3 THEN 32 ELSE 0 END AS INT) AS n_frames
+        |FROM documents""".stripMargin,
+
+    // Resize arithmetic on the generator dims: fit inside 24px with integer
+    // floor scaling; inside-the-edge images pass through (JPEGs always are).
+    "mm_resize_roundtrip" ->
+      """WITH src AS (
+        |  SELECT doc_id, doc_id % 4 AS m,
+        |    CASE doc_id % 4 WHEN 0 THEN 16 + doc_id % 13 ELSE 12 + doc_id % 9 END AS w,
+        |    CASE doc_id % 4 WHEN 0 THEN 16 + (doc_id // 13) % 11 ELSE 12 + (doc_id // 9) % 7 END AS h
+        |  FROM documents WHERE doc_id % 4 < 2)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(w, h) <= 24
+        |       THEN (CASE m WHEN 0 THEN 'image/png' ELSE 'image/jpeg' END)
+        |       ELSE 'image/png' END AS media_type,
+        |  CAST(CASE WHEN greatest(w, h) <= 24 THEN w
+        |       ELSE greatest(1, (w * 24) // greatest(w, h)) END AS INT) AS width,
+        |  CAST(CASE WHEN greatest(w, h) <= 24 THEN h
+        |       ELSE greatest(1, (h * 24) // greatest(w, h)) END AS INT) AS height
+        |FROM src""".stripMargin,
+
+    // PNG is lossless: per-image mean R/G/B equals the solid fill color.
+    "mm_pixel_stats" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 256 AS INT) AS mean_r,
+        |  CAST((doc_id * 7) % 256 AS INT) AS mean_g,
+        |  CAST((doc_id * 13) % 256 AS INT) AS mean_b
+        |FROM documents WHERE doc_id % 4 = 0""".stripMargin,
 
     // Mirrors chunkDocuments: starts = 0, 48, ... <= n_words-1 (inclusive
     // series on both engines), 1-based 64-token slices, space re-join.

@@ -9,10 +9,14 @@ import org.apache.spark.sql.types._
  * payload columns + typed metadata, content sniffing, and executor-side
  * batch "decode" / resize / frame-sample plumbing.
  *
- * The actual media codecs are NOT available in this environment, so the
- * decode kernels are STUBBED with deterministic fakes (clearly marked) —
- * the Spark-side contract (schemas, mapPartitions batching, partitioning,
- * column shapes) is real and tested. Swapping `fakeDecode*` for a JNI/
+ * Image (PNG/JPEG) and audio (WAV) paths decode for REAL through the
+ * JDK's own codecs (javax.imageio, javax.sound.sampled — no external
+ * jars): header metadata, full pixel decode, and a decode→scale→re-encode
+ * resize, exercised end-to-end by [[realPayload]] fixtures and oracled in
+ * DuckDB via closed-form round-trip checks. Only the VIDEO path stays a
+ * deterministic STUB (the JDK ships no MP4 demuxer; clearly marked) — its
+ * Spark-side contract (schemas, mapPartitions batching, partitioning,
+ * column shapes) is real and tested, and swapping the stub for a JNI/
  * library decode keeps every plan shape identical.
  *
  * Scale design: decode runs per-partition on executors via `mapPartitions`
@@ -77,41 +81,45 @@ object Multimodal {
 
   /** REAL audio header decode for WAV/AIFF/AU via javax.sound.sampled (in
     * the JDK, no extra jars): AudioFileFormat reads the header only.
-    * Returns (sampleRate, channels); None when the payload is not a
-    * parseable audio file (synthetic fixtures with a WAV magic but no fmt
-    * chunk fall back to the stub rate). */
-  def decodeAudioMeta(payload: Array[Byte]): Option[(Int, Int)] =
+    * Returns (sampleRate, channels, frameLength); None when the payload is
+    * not a parseable audio file (synthetic fixtures with a WAV magic but no
+    * fmt chunk fall back to the stub rate). */
+  def decodeAudioMeta(payload: Array[Byte]): Option[(Int, Int, Int)] =
     try {
-      val fmt = javax.sound.sampled.AudioSystem
-        .getAudioFileFormat(new java.io.ByteArrayInputStream(payload)).getFormat
-      Some((fmt.getSampleRate.toInt, fmt.getChannels))
+      val aff = javax.sound.sampled.AudioSystem
+        .getAudioFileFormat(new java.io.ByteArrayInputStream(payload))
+      val fmt = aff.getFormat
+      Some((fmt.getSampleRate.toInt, fmt.getChannels, aff.getFrameLength))
     } catch { case _: Exception => None }
 
   /** Attach a typed metadata struct next to `binCol`. byte_length is
     * computed natively (`length` on binary = octet count, codegen'd); only
     * the sniff + decode kernels go through typed UDFs. Image dims and
-    * audio sample rates decode for REAL (javax.imageio / javax.sound);
-    * undecodable payloads fall back to the deterministic stubs. */
+    * audio sample rate / frame count decode for REAL (javax.imageio /
+    * javax.sound); undecodable payloads fall back to the deterministic
+    * stubs (video n_frames stays a stub: the JDK has no MP4 demuxer). */
   def attachMetadata(df: DataFrame, binCol: String): DataFrame = {
     val sniff = udf((b: Array[Byte]) => sniffType(b))
     val dims = udf((b: Array[Byte], t: String) =>
       if (t != null && t.startsWith("image/"))
         decodeImageDims(b).getOrElse(fakeDecodeDims(b)) // real decode; stub fallback
       else (0, 0))
-    val rate = udf((b: Array[Byte], t: String) =>
+    val audio = udf((b: Array[Byte], t: String) =>
       if (t != null && t.startsWith("audio/"))
-        decodeAudioMeta(b).map(_._1).getOrElse(16000) // real decode; stub fallback
-      else 0)
+        decodeAudioMeta(b).map(m => (m._1, m._3)).getOrElse((16000, 0)) // real decode; stub fallback
+      else (0, 0))
     df.withColumn("_mt", sniff(col(binCol)))
       .withColumn("_dims", dims(col(binCol), col("_mt")))
+      .withColumn("_audio", audio(col(binCol), col("_mt")))
       .withColumn("media_meta", struct(
         col("_mt").as("media_type"),
         length(col(binCol)).cast("long").as("byte_length"),
         col("_dims._1").as("width"),
         col("_dims._2").as("height"),
-        rate(col(binCol), col("_mt")).as("sample_rate"),
-        when(col("_mt").startsWith("video/"), lit(32)).otherwise(lit(0)).as("n_frames")))
-      .drop("_mt", "_dims")
+        col("_audio._1").as("sample_rate"),
+        when(col("_mt").startsWith("video/"), lit(32))
+          .otherwise(col("_audio._2")).as("n_frames")))
+      .drop("_mt", "_dims", "_audio")
   }
 
   /** Feature-extraction schema: fixed-width float vector per payload. */
@@ -165,6 +173,152 @@ object Multimodal {
       .withColumn("frame", explode(col("_frames")))
       .select(col("*"), col("frame._1").as("frame_index"), col("frame._2").as("frame_hash"))
       .drop("_frames", "frame")
+  }
+
+  // ------------------------------------------------------------------
+  // REAL media kernels (JDK-only: javax.imageio + javax.sound.sampled;
+  // no external codec jars). These replace the r11 "decode kernels
+  // stubbed" state: fixtures below emit genuinely decodable PNG/JPEG/WAV
+  // payloads, so attachMetadata/resizeImages/pixelStats exercise the real
+  // decode path end-to-end, and the DuckDB oracle checks the full
+  // encode→decode round trip via closed-form expected values.
+  // ------------------------------------------------------------------
+
+  /** Encode a solid-color RGB image as PNG (lossless — pixels round-trip
+    * exactly). Headless-safe: BufferedImage + ImageIO need no display. */
+  def encodePng(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Encode a solid-color RGB image as JPEG (dims exact; pixels lossy —
+    * pixel-level oracles use PNG only). */
+  def encodeJpeg(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  /** Hand-assemble a canonical PCM16 mono WAV (44-byte RIFF/fmt/data
+    * header + samples) — byte-deterministic, parseable by
+    * javax.sound.sampled. Sample i is a small deterministic sawtooth. */
+  def encodeWav(sampleRate: Int, nSamples: Int): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1) // PCM
+    bb.putShort(1) // mono
+    bb.putInt(sampleRate)
+    bb.putInt(sampleRate * 2) // byte rate
+    bb.putShort(2) // block align
+    bb.putShort(16) // bits/sample
+    bb.put("data".getBytes); bb.putInt(dataLen)
+    var i = 0
+    while (i < nSamples) { bb.putShort(((i % 64) * 512 - 16384).toShort); i += 1 }
+    bb.array()
+  }
+
+  /** Deterministic REAL payloads keyed by id — the decodable counterpart
+    * of [[syntheticPayload]]. Closed forms (mirrored by the DuckDB
+    * oracles; all arithmetic is integer):
+    *   id % 4 == 0 → PNG,  w = 16 + id%13, h = 16 + (id/13)%11,
+    *                 color r = id%256, g = (id*7)%256, b = (id*13)%256
+    *   id % 4 == 1 → JPEG, w = 12 + id%9,  h = 12 + (id/9)%7
+    *   id % 4 == 2 → WAV,  rate = 8000 + (id%5)*4000, frames = 64 + id%64
+    *   id % 4 == 3 → fake MP4 (ftyp magic only — the JDK has no MP4
+    *                 muxer; the video path stays a documented stub). */
+  def realPayload(idCol: Column): Column = {
+    val mk = udf((id: Long) => (id % 4) match {
+      case 0 =>
+        val rgb = (((id % 256) << 16) | (((id * 7) % 256) << 8) | ((id * 13) % 256)).toInt
+        encodePng((16 + id % 13).toInt, (16 + (id / 13) % 11).toInt, rgb)
+      case 1 =>
+        val rgb = (((id % 256) << 16) | (((id * 7) % 256) << 8) | ((id * 13) % 256)).toInt
+        encodeJpeg((12 + id % 9).toInt, (12 + (id / 9) % 7).toInt, rgb)
+      case 2 => encodeWav((8000 + (id % 5) * 4000).toInt, (64 + id % 64).toInt)
+      case _ => Array[Byte](0, 0, 0, 8) ++ "ftyp".getBytes ++ BigInt(id).toByteArray
+    })
+    mk(idCol)
+  }
+
+  /** REAL image resize: decode → scale to fit `maxEdge` (integer floor
+    * arithmetic: nw = max(1, w*maxEdge/max(w,h)), same for nh; images
+    * already inside the edge pass through untouched) → re-encode as PNG
+    * (lossless, so a follow-up decode sees the exact resized dims).
+    * Non-image payloads pass through unchanged. Runs via mapPartitions so
+    * a real codec context is created once per partition, not per row. */
+  def resizeImages(df: DataFrame, binCol: String, maxEdge: Int): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(df.schema)
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](idx)
+        val t = sniffType(payload)
+        val resized =
+          if (t != "image/png" && t != "image/jpeg") payload
+          else try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            if (img == null || math.max(img.getWidth, img.getHeight) <= maxEdge) payload
+            else {
+              val m = math.max(img.getWidth, img.getHeight)
+              val nw = math.max(1, img.getWidth * maxEdge / m)
+              val nh = math.max(1, img.getHeight * maxEdge / m)
+              val dst = new java.awt.image.BufferedImage(nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = dst.createGraphics()
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, nw, nh, null)
+              g.dispose()
+              val out = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(dst, "png", out)
+              out.toByteArray
+            }
+          } catch { case _: Exception => payload }
+        Row.fromSeq(r.toSeq.updated(idx, resized))
+      }
+    }(enc)
+  }
+
+  /** REAL pixel decode: per-image mean R/G/B (integer mean over all
+    * pixels). PNG is lossless, so for the solid-color fixtures the means
+    * equal the fill color exactly — the oracle checks that closed form.
+    * Non-decodable payloads yield nulls. */
+  def pixelStats(df: DataFrame, binCol: String): DataFrame = {
+    val stats = udf((b: Array[Byte]) => {
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+        if (img == null) None
+        else {
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = img.getWidth.toLong * img.getHeight
+          Some(((sr / n).toInt, (sg / n).toInt, (sb / n).toInt))
+        }
+      } catch { case _: Exception => None }
+    })
+    df.withColumn("_px", stats(col(binCol)))
+      .withColumn("mean_r", col("_px._1"))
+      .withColumn("mean_g", col("_px._2"))
+      .withColumn("mean_b", col("_px._3"))
+      .drop("_px")
   }
 
   /** Build a deterministic synthetic payload column from a text column —

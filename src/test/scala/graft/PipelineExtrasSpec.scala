@@ -279,7 +279,7 @@ class PipelineExtrasSpec extends SparkSpec {
       javax.sound.sampled.AudioFileFormat.Type.WAVE, wavOut)
     val realWav = wavOut.toByteArray
     assert(graft.pipeline.Multimodal.sniffType(realWav) == "audio/wav")
-    assert(graft.pipeline.Multimodal.decodeAudioMeta(realWav).contains((22050, 1)))
+    assert(graft.pipeline.Multimodal.decodeAudioMeta(realWav).contains((22050, 1, 22050)))
     val fakeWav = "RIFFxxxxWAVE".getBytes ++ "no fmt chunk".getBytes
     assert(graft.pipeline.Multimodal.decodeAudioMeta(fakeWav).isEmpty)
     val audioDf = Seq((1L, realWav), (2L, fakeWav)).toDF("id", "payload")
@@ -287,6 +287,66 @@ class PipelineExtrasSpec extends SparkSpec {
       .select("id", "media_meta.sample_rate").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(rates == Map(1L -> 22050, 2L -> 16000))
+  }
+
+  test("multimodal: real encode→decode round trips (PNG pixels, WAV frames, resize transcode)") {
+    import graft.pipeline.Multimodal
+    // PNG is lossless: dims and every pixel round-trip exactly.
+    val png = Multimodal.encodePng(21, 17, 0x51A2F3)
+    assert(Multimodal.sniffType(png) == "image/png")
+    assert(Multimodal.decodeImageDims(png).contains((21, 17)))
+    // JPEG: dims exact (pixels lossy by design).
+    val jpg = Multimodal.encodeJpeg(14, 13, 0x804020)
+    assert(Multimodal.sniffType(jpg) == "image/jpeg")
+    assert(Multimodal.decodeImageDims(jpg).contains((14, 13)))
+    // Hand-assembled WAV parses with exact rate/channels/frames.
+    val wav = Multimodal.encodeWav(12000, 77)
+    assert(Multimodal.sniffType(wav) == "audio/wav")
+    assert(Multimodal.decodeAudioMeta(wav).contains((12000, 1, 77)))
+
+    import spark.implicits._
+    // realPayload fixtures hit the REAL decode path (closed-form dims, not
+    // the fnv stub) for every image row, and real rates/frames for audio.
+    val ids = (0L until 40L).toDF("doc_id")
+      .withColumn("payload", Multimodal.realPayload(org.apache.spark.sql.functions.col("doc_id")))
+    val meta = Multimodal.attachMetadata(ids, "payload")
+      .select("doc_id", "media_meta.media_type", "media_meta.width",
+        "media_meta.height", "media_meta.sample_rate", "media_meta.n_frames")
+      .collect()
+    meta.foreach { r =>
+      val id = r.getLong(0)
+      (id % 4) match {
+        case 0 =>
+          assert(r.getString(1) == "image/png")
+          assert(r.getInt(2) == 16 + id % 13 && r.getInt(3) == 16 + (id / 13) % 11)
+        case 1 =>
+          assert(r.getString(1) == "image/jpeg")
+          assert(r.getInt(2) == 12 + id % 9 && r.getInt(3) == 12 + (id / 9) % 7)
+        case 2 =>
+          assert(r.getString(1) == "audio/wav")
+          assert(r.getInt(4) == 8000 + (id % 5) * 4000 && r.getInt(5) == 64 + id % 64)
+        case _ =>
+          assert(r.getString(1) == "video/mp4" && r.getInt(5) == 32)
+      }
+    }
+
+    // Pixel decode: solid-color PNG means equal the fill exactly.
+    val px = Multimodal.pixelStats(
+      Seq((1L, Multimodal.encodePng(9, 7, 0x3C8051))).toDF("id", "payload"), "payload")
+      .select("mean_r", "mean_g", "mean_b").collect()(0)
+    assert((px.getInt(0), px.getInt(1), px.getInt(2)) == (0x3C, 0x80, 0x51))
+
+    // Resize: a 40x30 PNG scaled to fit 24 → 24x18, re-encoded losslessly
+    // (the transcoded bytes re-decode to the new dims AND the same color);
+    // an already-small JPEG passes through byte-identical.
+    val big = Seq((1L, Multimodal.encodePng(40, 30, 0x102030)), (2L, jpg)).toDF("id", "payload")
+    val resized = Multimodal.resizeImages(big, "payload", maxEdge = 24)
+    val out = resized.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(Multimodal.decodeImageDims(out(1L)).contains((24, 18)))
+    val rpx = Multimodal.pixelStats(
+      Seq((1L, out(1L))).toDF("id", "payload"), "payload").collect()(0)
+    assert((rpx.getInt(2), rpx.getInt(3), rpx.getInt(4)) == (0x10, 0x20, 0x30))
+    assert(java.util.Arrays.equals(out(2L), jpg))
   }
 
   test("incremental read survives a column rename (field-id projection, not by-name)") {
