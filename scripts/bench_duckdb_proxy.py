@@ -43,6 +43,7 @@ SKIP = {
     "ice_time_travel", "ice_sorted_write", "ice_delete_mor", "ice_update_mor",
     "ice_merge_into", "ice_rewrite_compact", "ice_dv_delete", "ice_eq_delete",
     "ice_schema_evolution", "stream_incremental", "stream_microbatch",
+    "stream_dedup",
     "sql_time_travel",
     # quadratic verification oracles for sub-quadratic graft operators
     "dedup_minhash", "dedup_simhash", "dedup_embedding", "dedup_clusters",

@@ -40,12 +40,25 @@ object BenchSession {
     // PushAggThroughOuterJoin between them: independent shape, but the
     // pre-aggregate it creates must exist before InjectLateBlooms sizes
     // carrier subtrees.
-    val lateRules = Seq(graft.plans.ReuseSemiAggregate,
-      graft.plans.PushAggThroughOuterJoin, graft.plans.InjectLateBlooms)
-    s.experimental.extraOptimizations =
-      s.experimental.extraOptimizations.filterNot(lateRules.contains) ++ lateRules
+    registerLateRules(s)
     s
   }
+
+  /** The tuned session's late optimizer rules, in required order. Public
+    * and applied through one code path so the differential parity suite
+    * (TunedParitySpec) provably exercises the same list the bench runs —
+    * a rule added here is automatically under both the random-shape
+    * parity net and the SPARK_GRAFT_TUNED Verify oracle. */
+  val lateRules: Seq[org.apache.spark.sql.catalyst.rules.Rule[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
+    Seq(graft.plans.ReuseSemiAggregate,
+      graft.plans.PushAggThroughOuterJoin, graft.plans.InjectLateBlooms)
+
+  /** Idempotently (re-)register [[lateRules]] on a session, preserving
+    * their relative order even when some subset was already present. */
+  def registerLateRules(s: SparkSession): Unit =
+    s.experimental.extraOptimizations =
+      s.experimental.extraOptimizations.filterNot(lateRules.contains) ++ lateRules
 
   def builder(cpus: String): SparkSession.Builder = {
     val b = SparkSession.builder()

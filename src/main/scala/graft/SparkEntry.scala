@@ -612,6 +612,32 @@ object SparkEntry {
       IcebergTable.load(s, dst)
     }),
 
+    "stream_dedup" -> ((s, dir) => {
+      // Stateful streaming deduplication — the training-ingest pattern: a
+      // stream that re-delivers rows (source retries, at-least-once
+      // upstreams) deduped on a key as it lands. The two-snapshot fixture
+      // appends the full orders table twice, so every key arrives twice
+      // (possibly across micro-batches); dropDuplicates holds the seen-key
+      // set in the state store, which persists across batches. The
+      // duplicate copies are byte-identical, so which copy survives is
+      // immaterial and the result is deterministic: orders, once.
+      // At 100 TB the unbounded seen-set is the hazard — production
+      // ingest bounds it with dropDuplicatesWithinWatermark (keys expire
+      // after the lateness horizon); the fixture has no event-time skew to
+      // exercise that, so this pins the exact-state path.
+      val (src, _) = Fixtures.ordersTwoSnapshots(s, dir)
+      val out = java.nio.file.Files
+        .createTempDirectory(s"graft_stream_dedup_${streamSinkSeq.incrementAndGet()}_")
+      val q = s.readStream.format("graft").load(src)
+        .dropDuplicates("o_orderkey")
+        .writeStream.format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+      q.awaitTermination()
+      s.read.parquet(s"$out/data")
+    }),
+
     "q_events_hourly" -> ((s, dir) => {
       graft.read.IcebergRead.ensureConfs(s)
       graft.streaming.Streams.windowedEventCounts(pq(s, dir, "events"), "ts")
@@ -1249,6 +1275,8 @@ object SparkEntry {
 
     "stream_to_table" ->
       "SELECT * FROM orders UNION ALL SELECT * FROM orders",
+
+    "stream_dedup" -> "SELECT * FROM orders",
 
     "q_events_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
