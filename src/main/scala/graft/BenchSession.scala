@@ -52,7 +52,8 @@ object BenchSession {
   val lateRules: Seq[org.apache.spark.sql.catalyst.rules.Rule[
     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
     Seq(graft.plans.ReuseSemiAggregate,
-      graft.plans.PushAggThroughOuterJoin, graft.plans.InjectLateBlooms)
+      graft.plans.PushAggThroughOuterJoin, graft.plans.PushAggThroughInnerJoin,
+      graft.plans.InjectLateBlooms)
 
   /** Idempotently (re-)register [[lateRules]] on a session, preserving
     * their relative order even when some subset was already present. */

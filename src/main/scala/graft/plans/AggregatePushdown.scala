@@ -7,14 +7,15 @@ import org.apache.spark.sql.catalyst.expressions.{
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   AggregateExpression, Complete, Count, Max, Min, Sum
 }
-import org.apache.spark.sql.catalyst.plans.LeftOuter
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{
-  Aggregate, Filter, Join, LogicalPlan, Project
+  Aggregate, Filter, Join, LeafNode, LogicalPlan, Project
 }
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{
-  ByteType, DataType, DecimalType, IntegerType, LongType, ShortType
+  ByteType, DataType, DecimalType, DoubleType, FloatType, IntegerType,
+  LongType, ShortType
 }
 
 /**
@@ -203,6 +204,263 @@ object PushAggThroughOuterJoin extends Rule[LogicalPlan] {
           case Count(Seq(x)) =>
             val fallback = Literal(if (x.references.isEmpty) 1L else 0L)
             AggregateExpression(Sum(Coalesce(Seq(c, fallback))), ae.mode, isDistinct = false)
+          case s: Sum =>
+            val resummed = AggregateExpression(s.copy(child = c), ae.mode, isDistinct = false)
+            if (resummed.dataType == ae.dataType) resummed else Cast(resummed, ae.dataType)
+          case _: Min => AggregateExpression(Min(c), ae.mode, isDistinct = false)
+          case _: Max => AggregateExpression(Max(c), ae.mode, isDistinct = false)
+        }
+    }.asInstanceOf[NamedExpression])
+    Some(Aggregate(groups, newAggExprs, newChild))
+  }
+}
+
+/**
+ * Eager aggregation below an INNER join (Yan & Larson, VLDB 1995 —
+ * generalizing [[PushAggThroughOuterJoin]] to the q3/q10 star shapes the
+ * reference executes as scan→hash-join→hash-agg pipelines,
+ * `benchmark/tpch/sf=1`):
+ *
+ * {{{
+ *   SELECT l_orderkey, o_orderdate, sum(l_extendedprice * (1 - l_discount))
+ *   FROM customer JOIN orders ON ... JOIN lineitem ON l_orderkey = o_orderkey
+ *   GROUP BY l_orderkey, o_orderdate
+ * }}}
+ *
+ * Spark shuffles every surviving fact row into the join only for the
+ * aggregate above to collapse them. When every aggregate function reads
+ * only the FACT side and every grouping expression is either a bare
+ * fact-side attribute or reads only the other side, the fact side can be
+ * pre-aggregated below the join, keyed on its join keys plus its grouping
+ * attributes: map-side partial combine shrinks the shuffle to one row per
+ * key group, and the join probes pre-collapsed rows.
+ *
+ * SOUNDNESS. Fix an output group G. Under the rewrite each dim row d in G
+ * joins exactly one pre-aggregate row per matching key k (inner join, the
+ * pre-aggregate is keyed on ALL fact attributes the query can observe), in
+ * place of the m_k raw fact rows the original join produced. Per function:
+ *
+ *   - `count(*)`: original contributes Σ_d m_{k(d)}; rewritten, d carries
+ *     `cnt_k = m_k` and the outer `sum(cnt)` restores the same total.
+ *     `count(fact.x)` identically with the per-key non-null count.
+ *   - `sum(fact.x)`: per-key sum S_k carried; the outer sum re-adds one
+ *     S_k per dim duplicate of k — the same multiset total. S_k is null
+ *     iff every matched x was null, exactly when those rows contributed
+ *     nothing originally.
+ *   - `min/max(fact.x)`: min over per-key mins = min over the raw
+ *     multiset (inner join: no null-extension to consider).
+ *
+ * Fact rows with NULL join keys collapse into the pre-aggregate's null
+ * group, which the equality join never matches — exactly the rows the
+ * original join never matched. Fact-only join conjuncts move below the
+ * pre-aggregate (inner join: filter placement is free); dim-only
+ * conjuncts stay in the join; any cross-side non-equality refuses.
+ *
+ * FLOATING-POINT sums (q3/q5/q10 revenue is DOUBLE) are admitted here,
+ * unlike the outer-join rule — declared loudly: the rewrite regroups a
+ * float addition, which can move low-order bits. Spark's OWN partial
+ * aggregation already sums floats in arbitrary per-partition order (any
+ * shuffle repartition reassociates the same addition), so this rule
+ * changes WHERE that nondeterminism happens, not whether it exists; a
+ * query that needs bit-stable float sums is wrong before this rule
+ * touches it (the fixture oracles project through round(_, 2), and the
+ * exact-revenue queries compute in DECIMAL, which the rewrite re-adds
+ * losslessly). Kill switch for the class: `spark.graft.eagerInnerAgg.floatSums`.
+ *
+ * BENEFIT GATE (scale-invariant, mirrors InjectLateBlooms' relative
+ * carrier gate): fire only when the fact side's largest leaf is at least
+ * `spark.graft.eagerAggLeafFactor` (default 2) times the dim side's
+ * largest leaf. Pre-aggregating the SMALL side of a join (tq12's shape:
+ * orders aggregated against a filtered lineitem probe) adds a hash-agg
+ * pass over rows whose shuffle was never the dominant cost — and with a
+ * unique key it reduces nothing; the relative gate refuses exactly those.
+ * Registered in [[graft.BenchSession.lateRules]] (oracled by the
+ * SPARK_GRAFT_TUNED Verify mode and the TunedParitySpec random-shape
+ * net); killable via `spark.graft.eagerInnerAgg=false`.
+ */
+object PushAggThroughInnerJoin extends Rule[LogicalPlan] {
+
+  private val dbg = sys.env.contains("GRAFT_EAGER_DEBUG")
+  private def refuse(why: => String): None.type = {
+    if (dbg) System.err.println(s"[eagerdbg] refuse: $why")
+    None
+  }
+
+  private def enabled: Boolean =
+    SQLConf.get.getConfString("spark.graft.eagerInnerAgg", "true").toBoolean
+
+  private def floatSumsAllowed: Boolean =
+    SQLConf.get.getConfString("spark.graft.eagerInnerAgg.floatSums", "true").toBoolean
+
+  private def leafFactor: Long =
+    SQLConf.get.getConfString("spark.graft.eagerAggLeafFactor", "2").toLong
+
+  private def summable(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | _: DecimalType => true
+    case FloatType | DoubleType => floatSumsAllowed
+    case _ => false
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => splitConjuncts(a) ++ splitConjuncts(b)
+    case other => Seq(other)
+  }
+
+  private def maxLeafSize(p: LogicalPlan): Option[BigInt] = {
+    val sizes = p.collect { case l: LeafNode => l.stats.sizeInBytes }
+    val unknown = BigInt(SQLConf.get.defaultSizeInBytes)
+    // Unknown-size sentinels (un-substituted DSv2 wrappers) make the
+    // relative gate meaningless — report None and let the caller refuse;
+    // the fixed-point batch re-runs after substitution with real sizes.
+    if (sizes.isEmpty || sizes.exists(_ >= unknown)) None else Some(sizes.max)
+  }
+
+  def apply(plan: LogicalPlan): LogicalPlan = if (!enabled) plan else {
+    plan.transformUp {
+      case agg @ Aggregate(groups, aggExprs, child, _) =>
+        rewrite(groups, aggExprs, child).getOrElse(agg)
+    }
+  }
+
+  private def rewrite(groups: Seq[Expression], aggExprs: Seq[NamedExpression],
+      child: LogicalPlan): Option[LogicalPlan] = {
+    val (proj, join) = child match {
+      case p @ Project(l, j: Join) if l.forall(_.isInstanceOf[AttributeReference]) =>
+        (Some(p), j)
+      case j: Join => (None, j)
+      case _ => return refuse("child not [Project over] Join")
+    }
+    if (join.joinType != Inner) return refuse(s"joinType ${join.joinType}")
+    val conjuncts = join.condition.map(splitConjuncts).getOrElse(return refuse("no condition"))
+    if (conjuncts.exists(!_.deterministic)) return refuse("nondeterministic conjunct")
+
+    // Cross-side equality conjuncts become the key pairs; every other
+    // conjunct must be single-sided.
+    val sides = Seq(join.left, join.right)
+    def sideOf(a: AttributeReference): Option[Int] =
+      sides.indexWhere(_.outputSet.contains(a)) match { case -1 => None; case i => Some(i) }
+    val (equis, rest) = conjuncts.partition {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        (for (sa <- sideOf(a); sb <- sideOf(b)) yield sa != sb).getOrElse(false)
+      case _ => false
+    }
+    if (equis.isEmpty) return refuse("no cross-side equality")
+
+    // The fact side is the one every aggregate function reads.
+    val aggFns = aggExprs.flatMap(_.collect { case ae: AggregateExpression => ae })
+    if (aggFns.isEmpty) return refuse("no aggregate functions")
+    val aggRefs = aggFns.flatMap(_.references)
+    val factIdx =
+      if (aggRefs.isEmpty) return refuse("pure count(*)") // no side to prefer
+      else if (aggRefs.forall(join.left.outputSet.contains)) 0
+      else if (aggRefs.forall(join.right.outputSet.contains)) 1
+      else return refuse("aggregates read both sides")
+    val (fact, dim) = (sides(factIdx), sides(1 - factIdx))
+
+    // Relative benefit gate (see scaladoc).
+    (maxLeafSize(fact), maxLeafSize(dim)) match {
+      case (Some(f), Some(d)) => if (f < d * leafFactor) return refuse(s"leaf gate $f < $d*$leafFactor")
+      case other => return refuse(s"leaf sizes unknown $other")
+    }
+
+    val factKeys = equis.map { case EqualTo(a: AttributeReference, b: AttributeReference) =>
+      if (sideOf(a).contains(factIdx)) a else b
+    }
+    val (factOnly, dimOnly) = rest.partition(_.references.subsetOf(fact.outputSet))
+    if (!dimOnly.forall(_.references.subsetOf(dim.outputSet))) return refuse("cross-side non-equi conjunct")
+
+    // Grouping: bare fact attributes join the pre-aggregate keys;
+    // anything else must read only the dim side.
+    val factGroupAttrs = scala.collection.mutable.LinkedHashMap.empty[Long, AttributeReference]
+    groups.foreach {
+      case a: AttributeReference if fact.outputSet.contains(a) =>
+        factGroupAttrs.getOrElseUpdate(a.exprId.id, a)
+      case g if g.references.subsetOf(dim.outputSet) => ()
+      case g => return refuse(s"grouping expr not pushable: $g")
+    }
+    val preKeys = (factKeys ++ factGroupAttrs.values).foldLeft(
+      scala.collection.mutable.LinkedHashMap.empty[Long, AttributeReference]) {
+      (m, a) => m.getOrElseUpdate(a.exprId.id, a); m
+    }.values.toSeq
+
+    // Idempotence: the rule's own output has the fact side pre-aggregated
+    // on exactly these keys; re-firing would nest one aggregate per
+    // fixed-point iteration.
+    fact match {
+      case Aggregate(gs, _, _, _)
+          if gs.forall(_.isInstanceOf[AttributeReference]) &&
+            gs.map(_.asInstanceOf[AttributeReference].exprId.id).toSet ==
+              preKeys.map(_.exprId.id).toSet => return None
+      case _ => ()
+    }
+
+    // Non-aggregate output may reference the fact side only through the
+    // carried grouping attributes.
+    val marker = AttributeReference("_graft_marker", LongType)()
+    val nonAggRefs = aggExprs.flatMap(e =>
+      e.transform { case _: AggregateExpression => marker }.references)
+      .filterNot(_.exprId == marker.exprId)
+    val carriedOk = dim.outputSet ++ preKeys
+    if (nonAggRefs.exists(r => !carriedOk.exists(_.exprId == r.exprId)))
+      return refuse("non-agg output reads uncarried fact column: " +
+        nonAggRefs.filter(r => !carriedOk.exists(_.exprId == r.exprId)).mkString(","))
+
+    // One carried partial per distinct supported aggregate.
+    val partials = scala.collection.mutable.LinkedHashMap.empty[Expression, Alias]
+    def partialFor(ae: AggregateExpression): Option[Alias] = {
+      val supported = ae match {
+        case AggregateExpression(fn, _, false, None, _) => fn match {
+          case Count(xs) =>
+            xs.forall(x => x.references.isEmpty || x.references.subsetOf(fact.outputSet))
+          case Sum(x, _) =>
+            x.references.nonEmpty && x.references.subsetOf(fact.outputSet) &&
+              summable(x.dataType)
+          case Min(x) => x.references.nonEmpty && x.references.subsetOf(fact.outputSet)
+          case Max(x) => x.references.nonEmpty && x.references.subsetOf(fact.outputSet)
+          case _ => false
+        }
+        case _ => false
+      }
+      if (!supported) None
+      else Some(partials.getOrElseUpdate(ae.aggregateFunction.canonicalized, {
+        Alias(AggregateExpression(ae.aggregateFunction, Complete, isDistinct = false),
+          s"graft_eager_${partials.size}")()
+      }))
+    }
+    val byFn: Map[AggregateExpression, Alias] =
+      aggFns.map(ae => ae -> (partialFor(ae).getOrElse(return refuse(s"unsupported aggregate $ae")))).toMap
+
+    val preChild = factOnly match {
+      case Seq() => fact
+      case cs => Filter(cs.reduce(And), fact)
+    }
+    val preAgg = Aggregate(preKeys, preKeys ++ partials.values.toSeq, preChild)
+    val newCondParts = equis ++ dimOnly
+    val newJoin =
+      if (factIdx == 0) Join(preAgg, dim, Inner, Some(newCondParts.reduce(And)), join.hint)
+      else Join(dim, preAgg, Inner, Some(newCondParts.reduce(And)), join.hint)
+    val carried = partials.values.map(_.toAttribute).toSeq
+    val newChild = proj match {
+      case Some(p) =>
+        val kept = p.projectList.collect {
+          case x: AttributeReference
+              if !fact.outputSet.contains(x) || preKeys.exists(_.exprId == x.exprId) => x
+        }
+        Project((kept ++ carried).distinct, newJoin)
+      case None => newJoin
+    }
+
+    val newAggExprs = aggExprs.map(_.transform {
+      case ae: AggregateExpression =>
+        val c = byFn(ae).toAttribute
+        ae.aggregateFunction match {
+          case _: Count =>
+            // Inner join: every joined row carries a genuine per-key count
+            // (never a null-extended slot), so a plain re-sum suffices —
+            // cast back because sum(long) stays long but count's contract
+            // is non-null long while sum is nullable (groups are never
+            // empty here: the join produced at least one row per group).
+            AggregateExpression(Sum(Coalesce(Seq(c, Literal(0L)))), ae.mode, isDistinct = false)
           case s: Sum =>
             val resummed = AggregateExpression(s.copy(child = c), ae.mode, isDistinct = false)
             if (resummed.dataType == ae.dataType) resummed else Cast(resummed, ae.dataType)
