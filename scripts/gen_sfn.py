@@ -20,6 +20,10 @@ OFF = 100_000_000
 con = duckdb.connect()
 con.execute("SET threads=8")
 con.execute("SET max_expression_depth TO 20000")
+# Without this, COPY materializes the ENTIRE 1000-way UNION ALL in memory
+# to preserve row order (~90 GB for sf100 lineitem before a byte hits
+# disk); row order is irrelevant for bench data — stream instead.
+con.execute("SET preserve_insertion_order=false")
 os.makedirs(OUT, exist_ok=True)
 
 for t in ["region", "nation"]:
