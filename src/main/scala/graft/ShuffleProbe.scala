@@ -48,7 +48,11 @@ object ShuffleProbe {
     }
 
     names.foreach { name =>
-      run(name, on = true) // warmup (fixtures + JIT), discarded
+      // Records/bytes are deterministic, so volume-only probes at big SF
+      // can skip the warmup execution (SPARK_GRAFT_PROBE_NOWARMUP=1);
+      // keep it when wall-clock is also being read.
+      if (!sys.env.get("SPARK_GRAFT_PROBE_NOWARMUP").contains("1"))
+        run(name, on = true) // warmup (fixtures + JIT), discarded
       val (bOn, rOn, sOn) = run(name, on = true)
       val (bOff, rOff, sOff) = run(name, on = false)
       println(f"""{"query":"$name","conf":"$conf",""" +
