@@ -243,14 +243,17 @@ object SparkEntry {
     // adj_total sums as DECIMAL on both sides: a double sum over ~45k
     // values per group is association-ordered, and at sf1 magnitudes
     // (~1e10) the two engines' partial-agg orders land on different
-    // cents after round(...,2) — decimal arithmetic is order-exact.
+    // cents after rounding — decimal arithmetic is order-exact. The sum
+    // is emitted at FULL scale (no round(...,2)): several sf0.01 groups
+    // land on exact .xx50 ties, so any half-up/half-even divergence in
+    // the oracle's decimal round() would flip cents (r12 regression).
     "q_date_string_fns" -> ((s, dir) =>
       pq(s, dir, "orders")
         .groupBy(year(col("o_orderdate")).as("yr"),
           substring(col("o_orderpriority"), 1, 1).as("prio"))
         .agg(count(lit(1)).cast("long").as("n"),
-          round(sum(col("o_totalprice").cast("decimal(18,2)") * expr("CAST(1.05 AS DECIMAL(4,2))")), 2)
-            .cast("decimal(28,2)").as("adj_total"))),
+          sum(col("o_totalprice").cast("decimal(18,2)") * expr("CAST(1.05 AS DECIMAL(4,2))"))
+            .cast("decimal(38,4)").as("adj_total"))),
 
     // ---- §2.1/2.4 Iceberg write + scan roundtrips ----
     "ice_q1_roundtrip" -> ((s, dir) =>
@@ -1113,7 +1116,7 @@ object SparkEntry {
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
         |  substring(o_orderpriority, 1, 1) AS prio,
         |  CAST(count(*) AS BIGINT) AS n,
-        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.05 AS DECIMAL(4,2))), 2) AS DECIMAL(28,2)) AS adj_total
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.05 AS DECIMAL(4,2))) AS DECIMAL(38,4)) AS adj_total
         |FROM orders GROUP BY 1, 2""".stripMargin,
 
     "ice_month_prune" ->

@@ -96,8 +96,11 @@ object TpchExtra {
 
     // q9 shape: LIKE-filtered profit by nation x year (supplycost term
     // substituted with retailprice — no partsupp table in the testdata).
+    // sum_profit stays at full decimal scale (no round): decimal sums can
+    // land on exact .xx50 ties, which made the rounded form sensitive to
+    // the oracle's round() half-up/half-even semantics (r12 regression).
     "tq9_profit" ->
-      """SELECT nat, o_year, CAST(round(sum(amount), 2) AS DECIMAL(28,2)) AS sum_profit
+      """SELECT nat, o_year, CAST(sum(amount) AS DECIMAL(38,5)) AS sum_profit
         |FROM (
         |  SELECT n_name AS nat, CAST(year(o_orderdate) AS INT) AS o_year,
         |         CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
