@@ -41,9 +41,9 @@ object ShuffleProbe {
       val b0 = bytes.get(); val r0 = records.get()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).count()
-      // Listener events are async; give the bus a moment to drain (stage
-      // events for a completed job land within milliseconds).
-      Thread.sleep(1500)
+      // Listener events are async; drain the bus deterministically so a
+      // late stage-completed event can't be attributed to the next run.
+      org.apache.spark.graft.BusDrain.drain(spark.sparkContext, 30000L)
       (bytes.get() - b0, records.get() - r0, (System.nanoTime() - t0) / 1e9)
     }
 

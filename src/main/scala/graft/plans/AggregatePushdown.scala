@@ -197,13 +197,23 @@ object PushAggThroughOuterJoin extends Rule[LogicalPlan] {
     }
 
     // Recombine each aggregate over its carried partial.
+    // Guard on byFn membership: the replacement itself contains a fresh
+    // AggregateExpression (inside Coalesce) which transform re-visits.
     val newAggExprs = aggExprs.map(_.transform {
-      case ae: AggregateExpression =>
+      case ae: AggregateExpression if byFn.contains(ae) =>
         val c = byFn(ae).toAttribute.withNullability(true)
         ae.aggregateFunction match {
           case Count(Seq(x)) =>
+            // Inner Coalesce: a null-extended slot means "left row with no
+            // match" — counts 1 for count(*), 0 for count(col). Outer
+            // Coalesce: a GLOBAL aggregate over an empty preserved side
+            // sums zero rows to NULL where count's contract is 0 (it also
+            // restores count's non-nullable long output type).
             val fallback = Literal(if (x.references.isEmpty) 1L else 0L)
-            AggregateExpression(Sum(Coalesce(Seq(c, fallback))), ae.mode, isDistinct = false)
+            Coalesce(Seq(
+              AggregateExpression(Sum(Coalesce(Seq(c, fallback))), ae.mode,
+                isDistinct = false),
+              Literal(0L)))
           case s: Sum =>
             val resummed = AggregateExpression(s.copy(child = c), ae.mode, isDistinct = false)
             if (resummed.dataType == ae.dataType) resummed else Cast(resummed, ae.dataType)
@@ -458,17 +468,22 @@ object PushAggThroughInnerJoin extends Rule[LogicalPlan] {
       case None => newJoin
     }
 
+    // Guard on byFn membership: the replacement itself contains a fresh
+    // AggregateExpression (inside Coalesce) which transform re-visits.
     val newAggExprs = aggExprs.map(_.transform {
-      case ae: AggregateExpression =>
+      case ae: AggregateExpression if byFn.contains(ae) =>
         val c = byFn(ae).toAttribute
         ae.aggregateFunction match {
           case _: Count =>
             // Inner join: every joined row carries a genuine per-key count
-            // (never a null-extended slot), so a plain re-sum suffices —
-            // cast back because sum(long) stays long but count's contract
-            // is non-null long while sum is nullable (groups are never
-            // empty here: the join produced at least one row per group).
-            AggregateExpression(Sum(Coalesce(Seq(c, Literal(0L)))), ae.mode, isDistinct = false)
+            // (never a null-extended slot), so a plain re-sum suffices per
+            // group. The OUTER Coalesce covers the one case a group can be
+            // empty — a GLOBAL aggregate over a join that produced zero
+            // rows, where sum yields NULL but count's contract is 0 — and
+            // restores count's non-nullable long output type.
+            Coalesce(Seq(
+              AggregateExpression(Sum(c), ae.mode, isDistinct = false),
+              Literal(0L)))
           case s: Sum =>
             val resummed = AggregateExpression(s.copy(child = c), ae.mode, isDistinct = false)
             if (resummed.dataType == ae.dataType) resummed else Cast(resummed, ae.dataType)

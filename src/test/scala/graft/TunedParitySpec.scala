@@ -136,10 +136,35 @@ class TunedParitySpec extends SparkSpec {
        | WHERE u.u_a = ${r.nextInt(5)} AND d.d_y < ${5 + r.nextInt(20)}""".stripMargin
   }
 
+  private def emptyJoinQuery(r: Random): String = {
+    // Empty-join GLOBAL aggregates (no GROUP BY): the fixtures above
+    // guarantee every generated join matches, so the zero-row global case
+    // — where a count() recombined as a bare re-sum yields NULL instead
+    // of 0 — was structurally unreachable by the other arms. Emptiness via
+    // an always-false dim conjunct, a disjoint key space, or an
+    // always-false fact WHERE; one arm stays non-empty as a control.
+    val joinType = if (r.nextBoolean()) "JOIN" else "LEFT JOIN"
+    val emptiness = r.nextInt(3) match {
+      case 0 => s" AND d.d_x > ${900 + r.nextInt(100)}" // dim conjunct never true
+      case 1 => " AND d.d_k > 1000"                     // disjoint key space
+      case _ => ""                                      // non-empty control
+    }
+    val where = r.nextInt(3) match {
+      case 0 => " WHERE f.f_v > 5000" // empties the preserved side too
+      case 1 => s" WHERE f.f_v < ${r.nextInt(40)}"
+      case _ => ""
+    }
+    val aggs = r.shuffle(Seq("count(*)", "count(d.d_x)", "count(f.f_v)",
+      "sum(f.f_v)", "sum(f.f_d)", "min(d.d_y)", "max(f.f_v)"))
+      .take(1 + r.nextInt(3)).zipWithIndex.map { case (a, i) => s"$a AS a$i" }
+    s"SELECT ${aggs.mkString(", ")} FROM fact f $joinType dimD d ON f.f_k = d.d_k$emptiness$where"
+  }
+
   private def generate(r: Random): String = r.nextInt(10) match {
     case 0 | 1 => semiAggQuery(r)
     case 2 | 3 => existsQuery(r)
     case 4     => chainQuery(r)
+    case 5     => emptyJoinQuery(r)
     case _     => aggJoinQuery(r)
   }
 
