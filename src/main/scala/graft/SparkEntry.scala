@@ -818,15 +818,21 @@ object SparkEntry {
     * which turn the rows-only ANN checks into exact value oracles. The
     * oracle SQL references them through the `__GRAFT_OUT__` placeholder,
     * which Verify substitutes with its absolute output dir: DuckDB then
-    * re-scores the exact candidate set and must reproduce the top-k. */
+    * re-scores the exact candidate set and must reproduce the top-k.
+    *
+    * Every entry is `side_`-prefixed: these are ORACLE INPUTS, not result
+    * claims, so they intentionally carry no oracleSql of their own — the
+    * driver's correctness artifact records them as `no_oracle`, and the
+    * prefix is the self-describing marker for that (each one's consuming
+    * query IS the check: `fn_bucket`, `meta_*`, `ann_topk_*`). */
   def sideData: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ann_candidates_lsh" -> ((s, dir) => {
+    "side_ann_candidates_lsh" -> ((s, dir) => {
       val idx = s.read.parquet(s"${Fixtures.embeddingsSigIndexed(s, dir)}/indexed")
       val q = pq(s, dir, "embeddings").filter(col("vec_id") === 1)
         .select("embedding").collect()(0).getSeq[Float](0)
       Similarity.lshCandidates(idx.filter(col("vec_id") =!= 1), q).select("vec_id")
     }),
-    "ann_candidates_ivf" -> ((s, dir) => {
+    "side_ann_candidates_ivf" -> ((s, dir) => {
       val idx = Similarity.loadIvfIndex(s, Fixtures.embeddingsIvfIndexed(s, dir))
       val q = pq(s, dir, "embeddings").filter(col("vec_id") === 1)
         .select("embedding").collect()(0).getSeq[Float](0)
@@ -839,7 +845,7 @@ object SparkEntry {
     // the scalar iceberg_bucket expression fn_bucket runs. DuckDB compares
     // the two — murmur3 itself stays spec-vector-pinned in
     // HashTransformSpec (inexpressible in SQL).
-    "bucket_expected" -> ((s, dir) => {
+    "side_bucket_expected" -> ((s, dir) => {
       val path = Fixtures.lineitemBucket16(s, dir)
       IcebergTable.load(s, path)
         .filter(col("l_orderkey") < 100)
@@ -851,7 +857,7 @@ object SparkEntry {
     // Snapshot list re-derived through Spark's OWN JSON reader over the
     // metadata file — a second, independent parser; meta_snapshots
     // (graft's jackson parse + snapshot assembly) must agree with it.
-    "snapshots_expected" -> ((s, dir) => {
+    "side_snapshots_expected" -> ((s, dir) => {
       val path = Fixtures.ordersTwoSnapshots(s, dir)._1
       val vre = "v(\\d+)\\.metadata\\.json".r
       val latest = new java.io.File(s"$path/metadata").listFiles.map(_.getName)
@@ -868,7 +874,7 @@ object SparkEntry {
     // (row counts from a fresh scan, byte sizes from an FS listing) — no
     // manifest is read; meta_manifest_entries' Avro-decoded counts/sizes
     // must agree.
-    "manifest_entries_expected" -> ((s, dir) => {
+    "side_manifest_entries_expected" -> ((s, dir) => {
       val path = Fixtures.ordersByMonth(s, dir)
       val conf = s.sessionState.newHadoopConf()
       val dataDir = new org.apache.hadoop.fs.Path(s"$path/data")
@@ -898,7 +904,7 @@ object SparkEntry {
     // physical file) — independent of the footer-stat collection path that
     // wrote the manifests; bounds render through the same Java
     // number-toString semantics on both sides.
-    "column_stats_expected" -> ((s, dir) => {
+    "side_column_stats_expected" -> ((s, dir) => {
       val path = Fixtures.lineitemPlain(s, dir)
       val d = s.read.option("recursiveFileLookup", "true").parquet(s"$path/data")
         .withColumn("file_name", regexp_extract(input_file_name(), "([^/]+)$", 1))
@@ -951,19 +957,19 @@ object SparkEntry {
     "meta_snapshots" ->
       """SELECT sequence_number, snapshot_id, timestamp_ms, manifest_list,
         |       operation
-        |FROM read_parquet('__GRAFT_OUT__/snapshots_expected/*.parquet')""".stripMargin,
+        |FROM read_parquet('__GRAFT_OUT__/side_snapshots_expected/*.parquet')""".stripMargin,
 
     // Manifest-decoded per-file facts vs a fresh data scan + FS listing.
     "meta_manifest_entries" ->
       """SELECT file_name, status, content, file_format, record_count,
         |       file_size_in_bytes, data_sequence_number
-        |FROM read_parquet('__GRAFT_OUT__/manifest_entries_expected/*.parquet')""".stripMargin,
+        |FROM read_parquet('__GRAFT_OUT__/side_manifest_entries_expected/*.parquet')""".stripMargin,
 
     // Footer-collected column bounds/counts vs re-aggregating the data.
     "meta_column_stats" ->
       """SELECT file_name, column_name, lower_bound, upper_bound,
         |       value_count, null_value_count
-        |FROM read_parquet('__GRAFT_OUT__/column_stats_expected/*.parquet')""".stripMargin,
+        |FROM read_parquet('__GRAFT_OUT__/side_column_stats_expected/*.parquet')""".stripMargin,
 
     // Partition-summary bounds are months-since-epoch ints — directly
     // recomputable from the source data in SQL.
@@ -1215,7 +1221,7 @@ object SparkEntry {
     // function's output exactly.
     "fn_bucket" ->
       """SELECT l_orderkey, bucket
-        |FROM read_parquet('__GRAFT_OUT__/bucket_expected/*.parquet')""".stripMargin,
+        |FROM read_parquet('__GRAFT_OUT__/side_bucket_expected/*.parquet')""".stripMargin,
 
     "dedup_exact" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS keeper_id,
@@ -1242,7 +1248,7 @@ object SparkEntry {
         |  AS BIGINT) AS rank, e.vec_id
         |FROM embeddings e
         |WHERE e.vec_id IN (SELECT vec_id
-        |  FROM read_parquet('__GRAFT_OUT__/ann_candidates_lsh/*.parquet'))
+        |  FROM read_parquet('__GRAFT_OUT__/side_ann_candidates_lsh/*.parquet'))
         |ORDER BY rank LIMIT 20""".stripMargin,
 
     "ann_topk_ivf" ->
@@ -1252,7 +1258,7 @@ object SparkEntry {
         |  AS BIGINT) AS rank, e.vec_id
         |FROM embeddings e
         |WHERE e.vec_id IN (SELECT vec_id
-        |  FROM read_parquet('__GRAFT_OUT__/ann_candidates_ivf/*.parquet'))
+        |  FROM read_parquet('__GRAFT_OUT__/side_ann_candidates_ivf/*.parquet'))
         |ORDER BY rank LIMIT 20""".stripMargin,
 
     "stream_incremental" -> "SELECT * FROM orders",
@@ -1309,11 +1315,13 @@ object SparkEntry {
         |  CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
         |       WHEN 2 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type,
         |  CAST(CASE doc_id % 4 WHEN 0 THEN 16 + doc_id % 13
-        |       WHEN 1 THEN 12 + doc_id % 9 ELSE 0 END AS INT) AS width,
+        |       WHEN 1 THEN 12 + doc_id % 9
+        |       WHEN 3 THEN 32 + (doc_id % 10) * 8 ELSE 0 END AS INT) AS width,
         |  CAST(CASE doc_id % 4 WHEN 0 THEN 16 + (doc_id // 13) % 11
-        |       WHEN 1 THEN 12 + (doc_id // 9) % 7 ELSE 0 END AS INT) AS height,
+        |       WHEN 1 THEN 12 + (doc_id // 9) % 7
+        |       WHEN 3 THEN 32 + ((doc_id // 10) % 10) * 8 ELSE 0 END AS INT) AS height,
         |  CAST(CASE doc_id % 4 WHEN 2 THEN 8000 + (doc_id % 5) * 4000 ELSE 0 END AS INT) AS sample_rate,
-        |  CAST(CASE doc_id % 4 WHEN 2 THEN 64 + doc_id % 64 WHEN 3 THEN 32 ELSE 0 END AS INT) AS n_frames
+        |  CAST(CASE doc_id % 4 WHEN 2 THEN 64 + doc_id % 64 WHEN 3 THEN 24 + doc_id % 48 ELSE 0 END AS INT) AS n_frames
         |FROM documents""".stripMargin,
 
     // Resize arithmetic on the generator dims: fit inside 24px with integer

@@ -13,11 +13,14 @@ import org.apache.spark.sql.types._
  * JDK's own codecs (javax.imageio, javax.sound.sampled — no external
  * jars): header metadata, full pixel decode, and a decode→scale→re-encode
  * resize, exercised end-to-end by [[realPayload]] fixtures and oracled in
- * DuckDB via closed-form round-trip checks. Only the VIDEO path stays a
- * deterministic STUB (the JDK ships no MP4 demuxer; clearly marked) — its
- * Spark-side contract (schemas, mapPartitions batching, partitioning,
- * column shapes) is real and tested, and swapping the stub for a JNI/
- * library decode keeps every plan shape identical.
+ * DuckDB via closed-form round-trip checks. VIDEO decodes container
+ * metadata for REAL through an ISO-BMFF box walker ([[parseMp4Meta]]:
+ * tkhd track dims, stsz sample count, mvhd timescale — written by
+ * [[encodeMp4]], a standards-conforming metadata muxer). The one stubbed
+ * boundary left is frame PIXEL decode (the JDK ships no video codec;
+ * [[frameSampleStub]] emits real frame indices off the real sample count
+ * with pseudo-payload hashes) — swapping it for a JNI/library codec keeps
+ * every plan shape identical.
  *
  * Scale design: decode runs per-partition on executors via `mapPartitions`
  * (one codec context per partition, not per row); payloads stay columnar
@@ -94,19 +97,26 @@ object Multimodal {
 
   /** Attach a typed metadata struct next to `binCol`. byte_length is
     * computed natively (`length` on binary = octet count, codegen'd); only
-    * the sniff + decode kernels go through typed UDFs. Image dims and
-    * audio sample rate / frame count decode for REAL (javax.imageio /
-    * javax.sound); undecodable payloads fall back to the deterministic
-    * stubs (video n_frames stays a stub: the JDK has no MP4 demuxer). */
+    * the sniff + decode kernels go through typed UDFs. Image dims, audio
+    * sample rate / frame count, and video container metadata (tkhd dims +
+    * stsz sample count via [[parseMp4Meta]]) all decode for REAL
+    * (javax.imageio / javax.sound / the ISO-BMFF walker); undecodable
+    * payloads fall back to the deterministic stubs. */
   def attachMetadata(df: DataFrame, binCol: String): DataFrame = {
     val sniff = udf((b: Array[Byte]) => sniffType(b))
     val dims = udf((b: Array[Byte], t: String) =>
-      if (t != null && t.startsWith("image/"))
+      if (t == null) (0, 0)
+      else if (t.startsWith("image/"))
         decodeImageDims(b).getOrElse(fakeDecodeDims(b)) // real decode; stub fallback
+      else if (t.startsWith("video/"))
+        parseMp4Meta(b).map(m => (m._1, m._2)).getOrElse((0, 0)) // real box walk; 0x0 fallback
       else (0, 0))
     val audio = udf((b: Array[Byte], t: String) =>
-      if (t != null && t.startsWith("audio/"))
+      if (t == null) (0, 0)
+      else if (t.startsWith("audio/"))
         decodeAudioMeta(b).map(m => (m._1, m._3)).getOrElse((16000, 0)) // real decode; stub fallback
+      else if (t.startsWith("video/"))
+        (0, parseMp4Meta(b).map(_._3).getOrElse(32)) // real stsz count; 32 stub fallback
       else (0, 0))
     df.withColumn("_mt", sniff(col(binCol)))
       .withColumn("_dims", dims(col(binCol), col("_mt")))
@@ -117,8 +127,7 @@ object Multimodal {
         col("_dims._1").as("width"),
         col("_dims._2").as("height"),
         col("_audio._1").as("sample_rate"),
-        when(col("_mt").startsWith("video/"), lit(32))
-          .otherwise(col("_audio._2")).as("n_frames")))
+        col("_audio._2").as("n_frames")))
       .drop("_mt", "_dims", "_audio")
   }
 
@@ -227,6 +236,111 @@ object Multimodal {
     bb.array()
   }
 
+  /** Assemble a structurally REAL ISO-BMFF (MP4) container carrying only
+    * metadata boxes — `ftyp` + `moov(mvhd, trak(tkhd, mdia(mdhd,
+    * minf(stbl(stsz)))))` with big-endian sizes/types per ISO/IEC
+    * 14496-12. No codec payload (`mdat` absent): the JDK ships no video
+    * codec, and the engine's video contract is container METADATA — track
+    * dimensions from `tkhd` (16.16 fixed point), sample count from
+    * `stsz`, duration/timescale from `mvhd`. Any standards-conforming
+    * demuxer parses this header. */
+  def encodeMp4(w: Int, h: Int, nFrames: Int, timescale: Int = 600): Array[Byte] = {
+    def box(tp: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length); bb.put(tp.getBytes("ASCII")); bb.put(payload)
+      bb.array()
+    }
+    def full(tp: String, payload: Array[Byte]): Array[Byte] =
+      box(tp, Array[Byte](0, 0, 0, 0) ++ payload) // version 0, flags 0
+    val duration = nFrames * timescale / 24 // nominal 24 fps
+    val ftyp = box("ftyp", "isom".getBytes ++ Array[Byte](0, 0, 0, 0) ++ "isom".getBytes)
+    val mvhd = full("mvhd", {
+      val bb = java.nio.ByteBuffer.allocate(96)
+      bb.putInt(0); bb.putInt(0)              // creation, modification
+      bb.putInt(timescale); bb.putInt(duration)
+      bb.putInt(0x00010000); bb.putShort(0x0100.toShort); bb.putShort(0) // rate, volume, reserved
+      bb.putLong(0)                            // reserved
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000).foreach(bb.putInt) // identity matrix
+      (1 to 6).foreach(_ => bb.putInt(0))      // pre_defined
+      bb.putInt(2)                             // next_track_ID
+      bb.array()
+    })
+    val tkhd = full("tkhd", {
+      val bb = java.nio.ByteBuffer.allocate(80)
+      bb.putInt(0); bb.putInt(0)              // creation, modification
+      bb.putInt(1); bb.putInt(0)              // track_ID, reserved
+      bb.putInt(duration); bb.putLong(0)      // duration, reserved
+      bb.putShort(0); bb.putShort(0); bb.putShort(0); bb.putShort(0) // layer, group, volume, reserved
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000).foreach(bb.putInt)
+      bb.putInt(w << 16); bb.putInt(h << 16)  // 16.16 fixed-point dims
+      bb.array()
+    })
+    val mdhd = full("mdhd", {
+      val bb = java.nio.ByteBuffer.allocate(20)
+      bb.putInt(0); bb.putInt(0); bb.putInt(timescale); bb.putInt(duration)
+      bb.putShort(0x55C4.toShort); bb.putShort(0) // language 'und', pre_defined
+      bb.array()
+    })
+    val stsz = full("stsz", {
+      val bb = java.nio.ByteBuffer.allocate(8)
+      bb.putInt(1000)      // constant sample_size (no per-sample table)
+      bb.putInt(nFrames)   // sample_count
+      bb.array()
+    })
+    val moov = box("moov", mvhd ++ box("trak",
+      tkhd ++ box("mdia", mdhd ++ box("minf", box("stbl", stsz)))))
+    ftyp ++ moov
+  }
+
+  /** REAL ISO-BMFF box walk: (width, height, n_frames) from `tkhd`/`stsz`.
+    * Tolerates unknown sibling boxes, 64-bit `size==1` largesize headers,
+    * `size==0` ("to end of file"), and version-1 `tkhd` (64-bit times);
+    * any structural violation returns None (caller falls back to the
+    * documented stub values). */
+  def parseMp4Meta(payload: Array[Byte]): Option[(Int, Int, Int)] = {
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+    var w, h, frames = -1
+    def walk(from: Int, to: Int): Boolean = {
+      var off = from
+      while (off + 8 <= to) {
+        val bb = java.nio.ByteBuffer.wrap(payload, off, to - off)
+        val size0 = bb.getInt.toLong & 0xFFFFFFFFL
+        val tp = new String(payload, off + 4, 4, "ASCII")
+        var hdr = 8L
+        val size =
+          if (size0 == 1) { if (off + 16 > to) return false; hdr = 16; bb.getLong }
+          else if (size0 == 0) (to - off).toLong
+          else size0
+        if (size < hdr || off + size > to) return false
+        val body = off + hdr.toInt
+        tp match {
+          case t if containers(t) => if (!walk(body, off + size.toInt)) return false
+          case "tkhd" =>
+            if (body >= payload.length) return false
+            val v = payload(body) & 0xFF
+            // fullbox verflags (4) + creation/modification/track_ID/
+            // reserved/duration (v0 = 20, v1 = 32) + reserved int[2] (8)
+            // + layer/group/volume/reserved (8) + matrix (36) → dims.
+            val fixed = body + 4 + (if (v == 1) 32 else 20) + 8 + 8 + 36
+            if (fixed + 8 > off + size) return false
+            val db = java.nio.ByteBuffer.wrap(payload)
+            w = db.getInt(fixed) >>> 16; h = db.getInt(fixed + 4) >>> 16
+          case "stsz" =>
+            // fullbox verflags (4) + sample_size (4) → sample_count.
+            if (body + 12 > off + size) return false
+            frames = java.nio.ByteBuffer.wrap(payload).getInt(body + 8)
+          case _ => ()
+        }
+        off += size.toInt
+      }
+      true
+    }
+    try {
+      if (!walk(0, payload.length)) None
+      else if (w >= 0 && h >= 0 && frames >= 0) Some((w, h, frames)) else None
+    } catch { case _: Exception => None }
+  }
+
   /** Deterministic REAL payloads keyed by id — the decodable counterpart
     * of [[syntheticPayload]]. Closed forms (mirrored by the DuckDB
     * oracles; all arithmetic is integer):
@@ -234,8 +348,10 @@ object Multimodal {
     *                 color r = id%256, g = (id*7)%256, b = (id*13)%256
     *   id % 4 == 1 → JPEG, w = 12 + id%9,  h = 12 + (id/9)%7
     *   id % 4 == 2 → WAV,  rate = 8000 + (id%5)*4000, frames = 64 + id%64
-    *   id % 4 == 3 → fake MP4 (ftyp magic only — the JDK has no MP4
-    *                 muxer; the video path stays a documented stub). */
+    *   id % 4 == 3 → MP4,  w = 32 + (id%10)*8, h = 32 + ((id/10)%10)*8,
+    *                 frames = 24 + id%48 (real ISO-BMFF metadata boxes via
+    *                 [[encodeMp4]]; frame PIXEL decode stays out of scope —
+    *                 no codec in the JDK). */
   def realPayload(idCol: Column): Column = {
     val mk = udf((id: Long) => (id % 4) match {
       case 0 =>
@@ -245,7 +361,8 @@ object Multimodal {
         val rgb = (((id % 256) << 16) | (((id * 7) % 256) << 8) | ((id * 13) % 256)).toInt
         encodeJpeg((12 + id % 9).toInt, (12 + (id / 9) % 7).toInt, rgb)
       case 2 => encodeWav((8000 + (id % 5) * 4000).toInt, (64 + id % 64).toInt)
-      case _ => Array[Byte](0, 0, 0, 8) ++ "ftyp".getBytes ++ BigInt(id).toByteArray
+      case _ => encodeMp4((32 + (id % 10) * 8).toInt, (32 + (id / 10) % 10 * 8).toInt,
+        (24 + id % 48).toInt)
     })
     mk(idCol)
   }

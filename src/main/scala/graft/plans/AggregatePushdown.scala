@@ -372,6 +372,20 @@ object PushAggThroughInnerJoin extends Rule[LogicalPlan] {
       case (Some(f), Some(d)) => if (f < d * leafFactor) return refuse(s"leaf gate $f < $d*$leafFactor")
       case other => return refuse(s"leaf sizes unknown $other")
     }
+    // Broadcast gate: when the dim side fits under the PLAN-TIME broadcast
+    // threshold (the same stats-vs-threshold test JoinSelection applies),
+    // the join has no exchange for the pre-aggregate to shrink — the
+    // fact-side partial already collapses map-side ABOVE a broadcast join,
+    // so firing only adds a hash-agg pass plus its exchange below it.
+    // Measured on q5/sf10 (supplier broadcast): identical 236 MB shuffle
+    // volume on/off, +0.8 s wall on. At sf100 supplier (17 MB parquet)
+    // crosses the 16m threshold, the join shuffles, and the rewrite is
+    // admitted again — the gate is scale-adaptive by construction.
+    if (SQLConf.get.getConfString("spark.graft.eagerInnerAgg.broadcastGate", "true").toBoolean) {
+      val bc = SQLConf.get.getConf(SQLConf.AUTO_BROADCASTJOIN_THRESHOLD)
+      if (bc >= 0 && dim.stats.sizeInBytes <= BigInt(bc))
+        return refuse(s"dim broadcastable (${dim.stats.sizeInBytes} B <= $bc)")
+    }
 
     val factKeys = equis.map { case EqualTo(a: AttributeReference, b: AttributeReference) =>
       if (sideOf(a).contains(factIdx)) a else b
@@ -392,11 +406,34 @@ object PushAggThroughInnerJoin extends Rule[LogicalPlan] {
     // key space (join-key NDV x extra-attr NDV) and the reduction
     // evaporates — measured at sf10: tq10's 7-attr key (c_custkey + 5
     // dependents + c_nationkey) INCREASED shuffle volume 14%, while q3's
-    // grouping key == join key halved it. Fire only when the fact-side
-    // grouping introduces no key beyond the join keys.
-    if (!factGroupAttrs.values.forall(g => factKeys.exists(_.exprId == g.exprId)))
-      return refuse("fact grouping attrs beyond the join keys")
-    val preKeys = factKeys.foldLeft(
+    // grouping key == join key halved it. An extra grouping attr is
+    // admitted only when its NDV is provably bounded: it is read straight
+    // off a leaf in the fact subtree whose TOTAL size is tiny (NDV ≤ leaf
+    // row count), e.g. q5's n_name sourced from the 25-row nation table —
+    // key space grows ≤ 25x while the fact collapses by its key
+    // multiplicity. Anything sourced from a big leaf (tq10's customer
+    // attrs) still refuses.
+    val extraGroups = factGroupAttrs.values.toSeq
+      .filterNot(g => factKeys.exists(_.exprId == g.exprId))
+    if (extraGroups.nonEmpty) {
+      if (extraGroups.length > 2)
+        return refuse(s"${extraGroups.length} extra grouping attrs (NDV product unbounded)")
+      val maxLeaf = BigInt(
+        SQLConf.get.getConfString("spark.graft.eagerAggGroupLeafMaxBytes",
+          (64 << 10).toString))
+      val factLeaves = fact.collect { case l: LeafNode => l }
+      extraGroups.foreach { g =>
+        val src = factLeaves.find(_.outputSet.exists(_.exprId == g.exprId))
+        src match {
+          case Some(l) if l.stats.sizeInBytes <= maxLeaf => ()
+          case Some(l) =>
+            return refuse(s"extra grouping attr $g from big leaf (${l.stats.sizeInBytes} B)")
+          case None =>
+            return refuse(s"extra grouping attr $g not a leaf column")
+        }
+      }
+    }
+    val preKeys = (factKeys ++ extraGroups).foldLeft(
       scala.collection.mutable.LinkedHashMap.empty[Long, AttributeReference]) {
       (m, a) => m.getOrElseUpdate(a.exprId.id, a); m
     }.values.toSeq

@@ -27,9 +27,18 @@ class InnerAggPushdownSpec extends SparkSpec {
   private def withRule[T](body: => T): T = {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ graft.plans.PushAggThroughInnerJoin
+    // The fixtures are KB-sized, so every dim would trip the broadcast
+    // gate (dim under the plan-time threshold -> join has no exchange to
+    // shrink); disable plan-time broadcast so the fire-shapes exercise the
+    // rewrite. The gate itself is pinned by its own test below.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try body
-    finally spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations.filterNot(_ eq graft.plans.PushAggThroughInnerJoin)
+    finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq graft.plans.PushAggThroughInnerJoin)
+    }
   }
 
   private def finalPlan(df: DataFrame): SparkPlan = {
@@ -204,17 +213,71 @@ class InnerAggPushdownSpec extends SparkSpec {
           |FROM ia_fact JOIN ia_dim ON f_k = d_k GROUP BY d_k""".stripMargin
       assert(!fired(spark.sql(q)), "leaf gate must refuse aggregating the small side")
     }
-    // Fact grouping attr beyond the join keys (tq10's shape): the key-space
-    // gate refuses — the pre-aggregate key would multiply NDVs and the
-    // reduction evaporates (measured +14% shuffle volume at sf10).
+    // Fact grouping attr beyond the join keys sourced from a BIG leaf
+    // (tq10's shape): the key-space gate refuses — the pre-aggregate key
+    // would multiply NDVs and the reduction evaporates (measured +14%
+    // shuffle volume at sf10). The test fixture's fact leaf is only ~60 KB,
+    // so pin the bound below it to model a production-sized fact.
     withRule {
-      val q =
-        """SELECT f_k, f_m, CAST(sum(f_v) AS BIGINT) AS s
-          |FROM ia_fact JOIN ia_dim ON f_k = d_k GROUP BY f_k, f_m""".stripMargin
-      val df = spark.sql(q)
-      assert(!fired(df), "must refuse fact grouping attrs beyond the join keys")
-      val plain = spark.sql(q).collect().map(_.toString).sorted.toSeq
-      assert(df.collect().map(_.toString).sorted.toSeq == plain)
+      spark.conf.set("spark.graft.eagerAggGroupLeafMaxBytes", "1024")
+      try {
+        val q =
+          """SELECT f_k, f_m, CAST(sum(f_v) AS BIGINT) AS s
+            |FROM ia_fact JOIN ia_dim ON f_k = d_k GROUP BY f_k, f_m""".stripMargin
+        val df = spark.sql(q)
+        assert(!fired(df), "must refuse fact grouping attrs beyond the join keys")
+        val plain = spark.sql(q).collect().map(_.toString).sorted.toSeq
+        assert(df.collect().map(_.toString).sorted.toSeq == plain)
+      } finally spark.conf.unset("spark.graft.eagerAggGroupLeafMaxBytes")
     }
+  }
+
+  test("broadcast gate: dim under the plan-time threshold refuses") {
+    fixtures(tmpDir("inneraggbc"))
+    val q =
+      """SELECT f_k, CAST(sum(f_v) AS BIGINT) AS s
+        |FROM ia_fact JOIN ia_dim ON f_k = d_k GROUP BY f_k""".stripMargin
+    // Same shape that fires under withRule (threshold -1): with the ~3 KB
+    // dim under a plan-time broadcast threshold, the join carries no
+    // exchange for the pre-aggregate to shrink -> refuse.
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.PushAggThroughInnerJoin
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+      val df = spark.sql(q)
+      assert(!fired(df), "broadcast gate must refuse a broadcastable dim")
+      // And the kill switch readmits it (A/B lever for ShuffleProbe).
+      spark.conf.set("spark.graft.eagerInnerAgg.broadcastGate", "false")
+      assert(fired(spark.sql(q)), "gate kill switch ignored")
+    } finally {
+      spark.conf.unset("spark.graft.eagerInnerAgg.broadcastGate")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq graft.plans.PushAggThroughInnerJoin)
+    }
+  }
+
+  test("q5 shape: extra grouping attr from a tiny leaf admitted, rows exact") {
+    val dir = tmpDir("inneraggq5")
+    fixtures(dir)
+    // A nation-like tiny enriching table joined INTO the fact side; the
+    // grouping attr nn_name reads straight off its ~3 KB leaf, so the
+    // pre-aggregate key space grows by at most its row count while the
+    // fact still collapses by key multiplicity — the q5 star shape.
+    (0 until 25).map(i => (i.toLong, s"n$i"))
+      .toDF("nn_id", "nn_name").write.mode("overwrite").parquet(s"$dir/nn")
+    spark.read.parquet(s"$dir/nn").createOrReplaceTempView("ia_nn")
+    val q =
+      """SELECT nn_name, CAST(sum(f_v) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+        |FROM ia_fact JOIN ia_nn ON f_k % 25 = nn_id JOIN ia_dim ON f_k = d_k
+        |GROUP BY nn_name""".stripMargin
+    val plain = spark.sql(q).collect().map(_.toString).sorted.toSeq
+    val (wasFired, got) = withRule {
+      val df = spark.sql(q)
+      (fired(df), df.collect().map(_.toString).sorted.toSeq)
+    }
+    assert(got == plain, "q5-shape eager-aggregate rows differ")
+    assert(wasFired, "rule did not fire on the q5 shape")
   }
 }

@@ -289,6 +289,31 @@ class PipelineExtrasSpec extends SparkSpec {
     assert(rates == Map(1L -> 22050, 2L -> 16000))
   }
 
+  test("multimodal: real MP4 container metadata round trip (tkhd dims, stsz count)") {
+    import spark.implicits._
+    val mp4 = graft.pipeline.Multimodal.encodeMp4(w = 640, h = 360, nFrames = 123)
+    assert(graft.pipeline.Multimodal.sniffType(mp4) == "video/mp4")
+    assert(graft.pipeline.Multimodal.parseMp4Meta(mp4).contains((640, 360, 123)))
+    // Structural robustness: ftyp magic with trailing junk (no moov) and a
+    // truncated container both fall back to None, never throw.
+    val bare = Array[Byte](0, 0, 0, 8) ++ "ftyp".getBytes ++ "xx".getBytes
+    assert(graft.pipeline.Multimodal.parseMp4Meta(bare).isEmpty)
+    assert(graft.pipeline.Multimodal.parseMp4Meta(mp4.take(40)).isEmpty)
+    // attachMetadata surfaces the real values for parseable video and the
+    // stub fallbacks for unparseable ftyp-magic blobs.
+    val df = Seq((1L, mp4), (2L, bare)).toDF("id", "payload")
+    val meta = graft.pipeline.Multimodal.attachMetadata(df, "payload")
+      .select("id", "media_meta.width", "media_meta.height", "media_meta.n_frames")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(meta == Map(1L -> ((640, 360, 123)), 2L -> ((0, 0, 32))))
+    // frameSampleStub walks the REAL sample count: every 10th index.
+    val frames = graft.pipeline.Multimodal.frameSampleStub(
+      graft.pipeline.Multimodal.attachMetadata(Seq((1L, mp4)).toDF("id", "payload"), "payload"),
+      "payload", everyK = 10)
+    assert(frames.select("frame_index").collect().map(_.getInt(0)).toSeq ==
+      (0 until 123 by 10))
+  }
+
   test("multimodal: real encode→decode round trips (PNG pixels, WAV frames, resize transcode)") {
     import graft.pipeline.Multimodal
     // PNG is lossless: dims and every pixel round-trip exactly.
@@ -326,7 +351,9 @@ class PipelineExtrasSpec extends SparkSpec {
           assert(r.getString(1) == "audio/wav")
           assert(r.getInt(4) == 8000 + (id % 5) * 4000 && r.getInt(5) == 64 + id % 64)
         case _ =>
-          assert(r.getString(1) == "video/mp4" && r.getInt(5) == 32)
+          assert(r.getString(1) == "video/mp4")
+          assert(r.getInt(2) == 32 + (id % 10) * 8 && r.getInt(3) == 32 + (id / 10) % 10 * 8)
+          assert(r.getInt(5) == 24 + id % 48)
       }
     }
 
