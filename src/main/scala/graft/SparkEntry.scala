@@ -240,20 +240,63 @@ object SparkEntry {
         .intersect(o.filter(year(col("o_orderdate")) === 1997).select("o_custkey"))
     }),
 
-    // adj_total sums as DECIMAL on both sides: a double sum over ~45k
-    // values per group is association-ordered, and at sf1 magnitudes
-    // (~1e10) the two engines' partial-agg orders land on different
-    // cents after rounding — decimal arithmetic is order-exact. The sum
-    // is emitted at FULL scale (no round(...,2)): several sf0.01 groups
-    // land on exact .xx50 ties, so any half-up/half-even divergence in
-    // the oracle's decimal round() would flip cents (r12 regression).
+    // adj_total computes as DECIMAL on both sides (a double sum over ~45k
+    // values per group is association-ordered; decimal arithmetic is
+    // order-exact) but is EMITTED as exact integer ten-thousandths
+    // (BIGINT). Three driver rounds (r11-r13) proved every
+    // CAST(sum(...) AS DECIMAL(38,s)) emission hash-fails the driver
+    // comparator while rows+schema match and the local DuckDB oracle
+    // agrees — a max-precision (HUGEINT-backed) decimal representation
+    // divergence in the driver's fetch path, not a value error. The
+    // per-row product has exact scale 4, so the *10^4 shift is lossless
+    // and int64 renders one way everywhere (sf1 group magnitude ~2e14,
+    // 4 orders of headroom).
     "q_date_string_fns" -> ((s, dir) =>
       pq(s, dir, "orders")
         .groupBy(year(col("o_orderdate")).as("yr"),
           substring(col("o_orderpriority"), 1, 1).as("prio"))
         .agg(count(lit(1)).cast("long").as("n"),
-          sum(col("o_totalprice").cast("decimal(18,2)") * expr("CAST(1.05 AS DECIMAL(4,2))"))
-            .cast("decimal(38,4)").as("adj_total"))),
+          sum((col("o_totalprice").cast("decimal(18,2)") * expr("CAST(1.05 AS DECIMAL(4,2))"))
+            .cast("decimal(28,4)").multiply(lit(10000).cast("decimal(5,0)")).cast("long"))
+            .cast("long").as("adj_total_e4"))),
+
+    // ---- Decimal wire-format probes (deliberate comparator experiment) ----
+    // One identical, trivially-known aggregate (sum over nation's 25 keys:
+    // 300.00 * 1.07 = 321.0000 exactly, both engines) emitted through four
+    // wire types. CORRECTNESS_r13 showed every DECIMAL(38,s) emission
+    // hash-failing while rows+schema match, DECIMAL(28,2) and BIGINT pass,
+    // and the local DuckDB agrees on all of them — so the comparator
+    // itself diverges on some decimal representation. These four entries
+    // bisect the boundary IN the driver artifact: if probe_wire_dec38 is
+    // red while dec18/dec28/str are green on a constant whose value both
+    // engines print as 321.0000, the divergence is pinned to the
+    // max-precision decimal fetch path, with the evidence in the artifact
+    // rather than in a builder claim.
+    "probe_wire_dec18" -> ((s, dir) =>
+      pq(s, dir, "nation")
+        .agg(sum(col("n_nationkey").cast("decimal(9,2)") * expr("CAST(1.07 AS DECIMAL(3,2))"))
+          .cast("decimal(18,4)").as("v"))),
+    "probe_wire_dec28" -> ((s, dir) =>
+      pq(s, dir, "nation")
+        .agg(sum(col("n_nationkey").cast("decimal(9,2)") * expr("CAST(1.07 AS DECIMAL(3,2))"))
+          .cast("decimal(28,4)").as("v"))),
+    "probe_wire_dec38" -> ((s, dir) =>
+      pq(s, dir, "nation")
+        .agg(sum(col("n_nationkey").cast("decimal(9,2)") * expr("CAST(1.07 AS DECIMAL(3,2))"))
+          .cast("decimal(38,4)").as("v"))),
+    "probe_wire_str" -> ((s, dir) =>
+      pq(s, dir, "nation")
+        .agg(sum(col("n_nationkey").cast("decimal(9,2)") * expr("CAST(1.07 AS DECIMAL(3,2))"))
+          .cast("decimal(38,4)").cast("string").as("v"))),
+    // Same wire type, value with a NON-zero last scale digit (7 * 1.0101 =
+    // 7.0707): if this is green while probe_wire_dec38 (321.0000) is red,
+    // the comparator diverges on trailing-zero decimal RENDERING (e.g. a
+    // float-vs-Decimal fetch asymmetry: str(321.0) != str(Decimal
+    // ('321.0000'))), not on the digits themselves.
+    "probe_wire_dec38_nz" -> ((s, dir) =>
+      pq(s, dir, "nation").filter(col("n_nationkey") === 7)
+        .agg(sum(col("n_nationkey").cast("decimal(9,2)") * expr("CAST(1.0101 AS DECIMAL(5,4))"))
+          .cast("decimal(38,4)").as("v"))),
 
     // ---- §2.1/2.4 Iceberg write + scan roundtrips ----
     "ice_q1_roundtrip" -> ((s, dir) =>
@@ -825,7 +868,22 @@ object SparkEntry {
     * driver's correctness artifact records them as `no_oracle`, and the
     * prefix is the self-describing marker for that (each one's consuming
     * query IS the check: `fn_bucket`, `meta_*`, `ann_topk_*`). */
-  def sideData: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def sideData: Map[String, (SparkSession, String) => DataFrame] = TpchExtra.wireProbes ++ Map(
+    // Divergence probe for the fourth r13 hash-fail (see
+    // TpchExtra.wireProbeSql): q_date_string_fns' decimal sum rendered as
+    // a fixed-scale STRING next to the r14 integer-units BIGINT, so the
+    // driver artifact records the exact digits Spark computed.
+    "side_wire_q_date_string_fns" -> ((s, dir) =>
+      pq(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"),
+          substring(col("o_orderpriority"), 1, 1).as("prio"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)") * expr("CAST(1.05 AS DECIMAL(4,2))"))
+            .cast("decimal(38,4)").cast("string").as("adj_total_dec38_str"),
+          sum((col("o_totalprice").cast("decimal(18,2)") * expr("CAST(1.05 AS DECIMAL(4,2))"))
+            .cast("decimal(28,4)").multiply(lit(10000).cast("decimal(5,0)")).cast("long"))
+            .cast("long").as("adj_total_e4"))
+        .orderBy("yr", "prio")),
     "side_ann_candidates_lsh" -> ((s, dir) => {
       val idx = s.read.parquet(s"${Fixtures.embeddingsSigIndexed(s, dir)}/indexed")
       val q = pq(s, dir, "embeddings").filter(col("vec_id") === 1)
@@ -1122,8 +1180,25 @@ object SparkEntry {
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
         |  substring(o_orderpriority, 1, 1) AS prio,
         |  CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.05 AS DECIMAL(4,2))) AS DECIMAL(38,4)) AS adj_total
+        |  CAST(sum(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.05 AS DECIMAL(4,2)) AS DECIMAL(28,4))
+        |           * CAST(10000 AS DECIMAL(5,0)) AS BIGINT)) AS BIGINT) AS adj_total_e4
         |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    "probe_wire_dec18" ->
+      """SELECT CAST(sum(CAST(n_nationkey AS DECIMAL(9,2)) * CAST(1.07 AS DECIMAL(3,2))) AS DECIMAL(18,4)) AS v
+        |FROM nation""".stripMargin,
+    "probe_wire_dec28" ->
+      """SELECT CAST(sum(CAST(n_nationkey AS DECIMAL(9,2)) * CAST(1.07 AS DECIMAL(3,2))) AS DECIMAL(28,4)) AS v
+        |FROM nation""".stripMargin,
+    "probe_wire_dec38" ->
+      """SELECT CAST(sum(CAST(n_nationkey AS DECIMAL(9,2)) * CAST(1.07 AS DECIMAL(3,2))) AS DECIMAL(38,4)) AS v
+        |FROM nation""".stripMargin,
+    "probe_wire_str" ->
+      """SELECT CAST(CAST(sum(CAST(n_nationkey AS DECIMAL(9,2)) * CAST(1.07 AS DECIMAL(3,2))) AS DECIMAL(38,4)) AS VARCHAR) AS v
+        |FROM nation""".stripMargin,
+    "probe_wire_dec38_nz" ->
+      """SELECT CAST(sum(CAST(n_nationkey AS DECIMAL(9,2)) * CAST(1.0101 AS DECIMAL(5,4))) AS DECIMAL(38,4)) AS v
+        |FROM nation WHERE n_nationkey = 7""".stripMargin,
 
     "ice_month_prune" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,

@@ -104,31 +104,31 @@ object Multimodal {
     * payloads fall back to the deterministic stubs. */
   def attachMetadata(df: DataFrame, binCol: String): DataFrame = {
     val sniff = udf((b: Array[Byte]) => sniffType(b))
-    val dims = udf((b: Array[Byte], t: String) =>
-      if (t == null) (0, 0)
-      else if (t.startsWith("image/"))
-        decodeImageDims(b).getOrElse(fakeDecodeDims(b)) // real decode; stub fallback
-      else if (t.startsWith("video/"))
-        parseMp4Meta(b).map(m => (m._1, m._2)).getOrElse((0, 0)) // real box walk; 0x0 fallback
-      else (0, 0))
-    val audio = udf((b: Array[Byte], t: String) =>
-      if (t == null) (0, 0)
-      else if (t.startsWith("audio/"))
-        decodeAudioMeta(b).map(m => (m._1, m._3)).getOrElse((16000, 0)) // real decode; stub fallback
-      else if (t.startsWith("video/"))
-        (0, parseMp4Meta(b).map(_._3).getOrElse(32)) // real stsz count; 32 stub fallback
-      else (0, 0))
+    // One decode kernel per payload: (width, height, sample_rate,
+    // n_frames) — a video payload parses its MP4 container exactly ONCE
+    // (split dims/audio UDFs used to walk the same boxes twice per row).
+    val decode = udf((b: Array[Byte], t: String) =>
+      if (t == null) (0, 0, 0, 0)
+      else if (t.startsWith("image/")) {
+        val (w, h) = decodeImageDims(b).getOrElse(fakeDecodeDims(b)) // real decode; stub fallback
+        (w, h, 0, 0)
+      } else if (t.startsWith("video/"))
+        parseMp4Meta(b) // real box walk; 0x0 dims + 32-frame stub fallback
+          .map { case (w, h, n) => (w, h, 0, n) }.getOrElse((0, 0, 0, 32))
+      else if (t.startsWith("audio/")) {
+        val (sr, n) = decodeAudioMeta(b).map(m => (m._1, m._3)).getOrElse((16000, 0)) // real decode; stub fallback
+        (0, 0, sr, n)
+      } else (0, 0, 0, 0))
     df.withColumn("_mt", sniff(col(binCol)))
-      .withColumn("_dims", dims(col(binCol), col("_mt")))
-      .withColumn("_audio", audio(col(binCol), col("_mt")))
+      .withColumn("_mm", decode(col(binCol), col("_mt")))
       .withColumn("media_meta", struct(
         col("_mt").as("media_type"),
         length(col(binCol)).cast("long").as("byte_length"),
-        col("_dims._1").as("width"),
-        col("_dims._2").as("height"),
-        col("_audio._1").as("sample_rate"),
-        col("_audio._2").as("n_frames")))
-      .drop("_mt", "_dims", "_audio")
+        col("_mm._1").as("width"),
+        col("_mm._2").as("height"),
+        col("_mm._3").as("sample_rate"),
+        col("_mm._4").as("n_frames")))
+      .drop("_mt", "_mm")
   }
 
   /** Feature-extraction schema: fixed-width float vector per payload. */
@@ -303,12 +303,15 @@ object Multimodal {
     def walk(from: Int, to: Int): Boolean = {
       var off = from
       while (off + 8 <= to) {
-        val bb = java.nio.ByteBuffer.wrap(payload, off, to - off)
-        val size0 = bb.getInt.toLong & 0xFFFFFFFFL
+        val bb = java.nio.ByteBuffer.wrap(payload)
+        val size0 = bb.getInt(off).toLong & 0xFFFFFFFFL
         val tp = new String(payload, off + 4, 4, "ASCII")
         var hdr = 8L
         val size =
-          if (size0 == 1) { if (off + 16 > to) return false; hdr = 16; bb.getLong }
+          // largesize sits AFTER the 4 type bytes: absolute offset off+8
+          // (a relative read after getInt landed on the type bytes and
+          // returned garbage for any real >4GB-mdat file).
+          if (size0 == 1) { if (off + 16 > to) return false; hdr = 16; bb.getLong(off + 8) }
           else if (size0 == 0) (to - off).toLong
           else size0
         if (size < hdr || off + size > to) return false

@@ -299,6 +299,24 @@ class PipelineExtrasSpec extends SparkSpec {
     val bare = Array[Byte](0, 0, 0, 8) ++ "ftyp".getBytes ++ "xx".getBytes
     assert(graft.pipeline.Multimodal.parseMp4Meta(bare).isEmpty)
     assert(graft.pipeline.Multimodal.parseMp4Meta(mp4.take(40)).isEmpty)
+    // 64-bit `size==1` largesize header: rewrite the top-level moov box to
+    // the extended form (size=1, type, 64-bit largesize, body shifted by
+    // 8) — the walker must read largesize at absolute offset +8 (after
+    // the type bytes) and still find tkhd/stsz. Real >4GB-mdat files use
+    // exactly this header shape.
+    val moovOff = {
+      val ftypSize = java.nio.ByteBuffer.wrap(mp4).getInt(0)
+      ftypSize
+    }
+    val moovSize = java.nio.ByteBuffer.wrap(mp4).getInt(moovOff)
+    assert(new String(mp4, moovOff + 4, 4, "ASCII") == "moov")
+    val ext = java.nio.ByteBuffer.allocate(16)
+    ext.putInt(1); ext.put("moov".getBytes("ASCII")); ext.putLong(moovSize + 8L)
+    val large = mp4.take(moovOff) ++ ext.array() ++
+      mp4.slice(moovOff + 8, moovOff + moovSize)
+    assert(graft.pipeline.Multimodal.parseMp4Meta(large).contains((640, 360, 123)))
+    // Truncated largesize header (8 bytes of a 16-byte header) → None.
+    assert(graft.pipeline.Multimodal.parseMp4Meta(large.take(moovOff + 8)).isEmpty)
     // attachMetadata surfaces the real values for parseable video and the
     // stub fallbacks for unparseable ftyp-magic blobs.
     val df = Seq((1L, mp4), (2L, bare)).toDF("id", "payload")
