@@ -51,7 +51,17 @@ case class CatalogOptions(
       * `iceberg_use_server_side_scan_planning` setting
       * (iceberg_scan_plan_provider.cpp:50-62). false = always plan
       * client-side. */
-    serverSidePlanning: Boolean = true)
+    serverSidePlanning: Boolean = true,
+    /** Transport-level transient-failure budget: 429/502/503/504
+      * responses are retried in place with exponential backoff (base
+      * `transientRetryBaseMs`, doubling per attempt, a numeric
+      * `Retry-After` header taking precedence) before surfacing. Real
+      * REST catalogs sit behind gateways that throw these under load;
+      * the Iceberg REST spec marks them retryable. Distinct from
+      * `maxCommitRetries`, which re-stages a commit after a semantic
+      * 409 conflict. */
+    maxTransientRetries: Int = 4,
+    transientRetryBaseMs: Long = 100L)
 
 class RestCatalogException(val status: Int, msg: String) extends RuntimeException(s"HTTP $status: $msg")
 
@@ -126,7 +136,23 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
       case "POST" => b.POST(HttpRequest.BodyPublishers.ofString(body.getOrElse("{}")))
       case "HEAD" => b.method("HEAD", HttpRequest.BodyPublishers.noBody())
     }).build()
-    val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+    // Transient gateway failures (429 throttle, 502/503/504) retry in
+    // place with exponential backoff; a numeric Retry-After overrides the
+    // computed delay. The HttpRequest body publisher is a replayable
+    // string, so resending the same request object is safe.
+    var resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+    var transientAttempt = 0
+    while (Set(429, 502, 503, 504).contains(resp.statusCode())
+        && transientAttempt < opts.maxTransientRetries) {
+      val retryAfterMs = {
+        val ra = resp.headers().firstValue("Retry-After")
+        if (ra.isPresent) ra.get.trim.toLongOption.map(_ * 1000L) else None
+      }
+      val backoff = retryAfterMs.getOrElse(opts.transientRetryBaseMs << transientAttempt)
+      Thread.sleep(math.min(backoff, 10000L))
+      transientAttempt += 1
+      resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+    }
     // A 401 under client-credentials means the server dropped our token
     // early (revocation, restart): reacquire ONCE and retry (reference
     // test_oauth2_token_reacquire). Static user tokens can't be reacquired
@@ -251,8 +277,17 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
             return out.result()
         }
       out ++= extract(node)
-      pageToken = Option(node.get("next-page-token")).filterNot(_.isNull).map(_.asText())
+      val next = Option(node.get("next-page-token")).filterNot(_.isNull).map(_.asText())
         .filter(_.nonEmpty)
+      // Loop guard: a broken paginator that echoes the token it was just
+      // given would otherwise spin forever. Surface the truncation as a
+      // warning and return what was read — same degrade-don't-hang policy
+      // as the 403/404 partial listing above.
+      if (next.isDefined && next == pageToken) {
+        System.err.println(s"[graft-catalog] GET $path returned its own pageToken " +
+          s"(${next.get}); stopping pagination with a possibly-truncated listing")
+        pageToken = None
+      } else pageToken = next
     }
     out.result()
   }

@@ -40,12 +40,21 @@ class TestRestServer {
   }
   def stop(): Unit = if (server != null) server.stop(0)
 
-  private def respond(ex: HttpExchange, status: Int, body: String = ""): Unit = {
+  private def respond(ex: HttpExchange, status: Int, body: String = "",
+      headers: Map[String, String] = Map.empty): Unit = {
+    headers.foreach { case (k, v) => ex.getResponseHeaders.add(k, v) }
     val bytes = body.getBytes(StandardCharsets.UTF_8)
     ex.sendResponseHeaders(status, if (bytes.isEmpty) -1 else bytes.length)
     if (bytes.nonEmpty) { val os = ex.getResponseBody; os.write(bytes); os.close() }
     ex.close()
   }
+
+  /** Fault injection: consulted after request logging, before routing.
+    * Some((status, headers)) short-circuits the response — profiles use
+    * counter-based 503 storms, commit-targeted 5xx, throttling 429s with
+    * Retry-After, etc. */
+  @volatile var failInjector: (String, String) => Option[(Int, Map[String, String])] =
+    (_, _) => None
 
   /** When non-empty, served in every LoadTableResult `config` — simulates a
     * catalog vending scoped storage credentials per table. With
@@ -92,6 +101,12 @@ class TestRestServer {
   /** Plan ids the client cancelled via DELETE /plan/{id}. */
   val cancelledPlans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
+  /** When true (with listPageSize set), the paginator echoes the offset it
+    * was GIVEN as the next-page-token instead of advancing — a broken/
+    * truncating server. Exercises the client's pagination loop guard
+    * (terminate with a warning, don't spin). */
+  @volatile var brokenPageToken: Boolean = false
+
   /** Slice a sorted listing into (page, nextPageToken) per listPageSize. */
   private def page[T](all: Seq[T], query: String): (Seq[T], Option[String]) =
     listPageSize match {
@@ -101,7 +116,8 @@ class TestRestServer {
           case kv if kv.startsWith("pageToken=") => kv.drop("pageToken=".length).toInt
         }).getOrElse(0)
         val slice = all.slice(off, off + sz)
-        (slice, if (off + sz < all.size) Some((off + sz).toString) else None)
+        if (brokenPageToken) (slice, Some(off.toString))
+        else (slice, if (off + sz < all.size) Some((off + sz).toString) else None)
     }
 
   private def loadResult(meta: TableMetadata, delegated: Boolean = true): String = {
@@ -311,6 +327,11 @@ class TestRestServer {
       val rawPath = ex.getRequestURI.getPath.replace('\u001f', '.')
       val method = ex.getRequestMethod
       requestLog.add((method, ex.getRequestURI.getPath))
+      failInjector(method, ex.getRequestURI.getPath) match {
+        case Some((status, headers)) =>
+          return respond(ex, status, s"""{"error":"injected $status"}""", headers)
+        case None =>
+      }
       // Prefix enforcement: with a vended prefix, every route except
       // /v1/config and /v1/oauth/tokens must carry it -- strip it before
       // matching; bare paths 404 like a real prefixed catalog would.
