@@ -226,6 +226,30 @@ private[plans] abstract class BloomInjectionRule extends Rule[LogicalPlan] {
       "spark.sql.optimizer.runtime.bloomFilter.expectedNumItems", "1000000").toLong
     val bits = SQLConf.get.getConfString(
       "spark.sql.optimizer.runtime.bloomFilter.numBits", "8388608").toLong
+    // Experiment (spark.graft.bloomSizeByEstimate, default off): size each
+    // injected filter from ITS carrier leaf's row estimate instead of the
+    // fixed conf pair — 8 bits/key at the estimate, floored at the conf
+    // and capped at 64M bits (8 MB) so the filter stays cache-resident.
+    // The r10 sf30 A/B showed an fpp-exact 12.5 MB filter LOSING 40-50%
+    // to a saturated 4 MB one (180M per-row probes that miss L2 cost more
+    // than the false positives they admit), so the cap is the design
+    // point and this flag only ever doubles the 4 MB default for
+    // carriers the estimate says saturate it (q3's ~9M BUILDING-filtered
+    // orderkeys at sf30). Row estimate: catalog rowCount when ANALYZEd,
+    // else leaf bytes over the schema's estimated row width.
+    val sizeByEstimate = SQLConf.get
+      .getConfString("spark.graft.bloomSizeByEstimate", "false").toBoolean
+    def sizedParams(leaf: LeafNode): (Long, Long) = {
+      if (!sizeByEstimate) return (items, bits)
+      val estRows: BigInt = leaf.stats.rowCount.getOrElse {
+        val w = org.apache.spark.sql.catalyst.plans.logical.statsEstimation
+          .EstimationUtils.getSizePerRow(leaf.output)
+        leaf.stats.sizeInBytes / w.max(1)
+      }
+      val keys = estRows.min(BigInt(Long.MaxValue)).toLong
+      val wantBits = math.min(67108864L, math.max(bits, 8L * keys))
+      (math.max(items, keys), wantBits)
+    }
 
     val dbg = sys.env.contains("GRAFT_BLOOM_DEBUG")
     plan.transformUp {
@@ -271,10 +295,11 @@ private[plans] abstract class BloomInjectionRule extends Rule[LogicalPlan] {
                       if factLeafSize < unknown && leaf.stats.sizeInBytes < unknown &&
                         leaf.stats.sizeInBytes * carrierFactor <= factLeafSize =>
                     val creation = if (late) minimalCreation(chain, ck) else chain
+                    val (useItems, useBits) = sizedParams(leaf)
                     val bloomAgg = Alias(
                       AggregateExpression(
                         new BloomFilterAggregate(new XxHash64(Seq(ck)),
-                          Literal(items), Literal(bits)),
+                          Literal(useItems), Literal(useBits)),
                         Complete, isDistinct = false), "graft_chain_bloom")()
                     val sub = Aggregate(Nil, Seq(bloomAgg), Project(Seq(ck), creation))
                     val might = BloomFilterMightContain(

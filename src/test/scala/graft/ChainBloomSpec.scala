@@ -125,4 +125,54 @@ class ChainBloomSpec extends SparkSpec {
       assert(df.as[(Long, Long)].collect().toSeq.sorted == want)
     } finally confs.keys.foreach(spark.conf.unset)
   }
+
+  test("bloomSizeByEstimate: bits scale with the carrier leaf estimate, capped at 64M") {
+    val dimRows = (0 until 50).map(i => (i.toLong, i % 5))
+    val midRows = (0 until 2000).map(i => ((i % 50).toLong, i.toLong))
+    val factRows = (0 until 20000).map(i => ((i % 4000).toLong, (i % 97).toLong))
+    val dir = tmpDir("chainbloomsized")
+    dimRows.toDF("dk", "flag").write.parquet(s"$dir/dim")
+    midRows.toDF("mdk", "mk").write.parquet(s"$dir/mid")
+    factRows.toDF("fk", "v").write.parquet(s"$dir/fact")
+    // Floor the conf pair LOW so the estimate visibly takes over: the mid
+    // carrier leaf estimates O(1000) rows, so sized bits = 8/key lands
+    // well above 1024 and far below the 64M cap.
+    val sized = confs ++ Map(
+      "spark.sql.optimizer.runtime.bloomFilter.numBits" -> "1024",
+      "spark.sql.optimizer.runtime.bloomFilter.expectedNumItems" -> "100",
+      "spark.graft.bloomSizeByEstimate" -> "true")
+    // Spark's own injection may coexist in the same plan with the conf
+    // (items=100, bits=1024) pair — only the graft-aliased agg is ours.
+    def bloomParams(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] = {
+      val re = "bloom_filter_agg\\([^)]*\\), (\\d+), (\\d+)[^\\n]*graft_chain_bloom".r
+      re.findAllMatchIn(df.queryExecution.optimizedPlan.toString)
+        .map(m => (m.group(1).toLong, m.group(2).toLong)).toSeq
+    }
+    try {
+      sized.foreach { case (k, v) => spark.conf.set(k, v) }
+      spark.read.parquet(s"$dir/dim").createOrReplaceTempView("cbs_dim")
+      spark.read.parquet(s"$dir/mid").createOrReplaceTempView("cbs_mid")
+      spark.read.parquet(s"$dir/fact").createOrReplaceTempView("cbs_fact")
+      val sql =
+        """SELECT fk, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS s
+          |FROM cbs_dim JOIN cbs_mid ON mdk = dk AND flag = 0 JOIN cbs_fact ON fk = mk
+          |GROUP BY fk""".stripMargin
+      val on = spark.sql(sql)
+      val onParams = bloomParams(on)
+      assert(onParams.nonEmpty, "no graft bloom injected under the sized flag")
+      assert(onParams.forall { case (items, bits) =>
+        bits > 1024L && bits <= 67108864L && items >= 100L },
+        s"sized params out of band: $onParams")
+      // Exactness unchanged and the flag-off path keeps the conf bits.
+      val dimOk = dimRows.filter(_._2 == 0).map(_._1).toSet
+      val midOk = midRows.filter(r => dimOk.contains(r._1)).map(_._2).toSet
+      val want = factRows.filter(r => midOk.contains(r._1))
+        .groupBy(_._1).map { case (k, rs) => (k, rs.size.toLong, rs.map(_._2).sum) }
+        .toSeq.sorted
+      assert(on.as[(Long, Long, Long)].collect().toSeq.sorted == want)
+      spark.conf.set("spark.graft.bloomSizeByEstimate", "false")
+      val offParams = bloomParams(spark.sql(sql))
+      assert(offParams.forall(_._2 == 1024L), s"flag off must keep conf bits: $offParams")
+    } finally sized.keys.foreach(spark.conf.unset)
+  }
 }
