@@ -15,6 +15,10 @@ import duckdb, json, sys, time
 sf, outdir, dest = sys.argv[1], sys.argv[2], sys.argv[3]
 excluded = set(sys.argv[4:])
 con = duckdb.connect()
+# Bound the oracle's memory and let heavy verification SQL (the quadratic
+# dedup oracles at sf1) spill instead of climbing toward the host limit.
+con.execute("SET memory_limit='40GB'")
+con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
 for t in ['region', 'nation', 'customer', 'supplier', 'part', 'orders',
           'lineitem', 'events', 'documents', 'embeddings']:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")

@@ -91,10 +91,18 @@ object TpchExtra {
          |) profit
          |GROUP BY nat, o_year""".stripMargin,
 
-    // Official q11 TEXT: part value from ps_supplycost * ps_availqty with
-    // the HAVING-over-scalar-subquery fraction. Emission is exact integer
-    // cents (BIGINT) — see the tq9_ps_profit wire-format note; the HAVING
-    // threshold comparison stays in native decimal on both engines.
+    // Official q11 SHAPE: part value from ps_supplycost * ps_availqty with
+    // the HAVING-over-scalar-subquery fraction. Two deviations from the
+    // verbatim text, both deliberate:
+    //   - the official FRACTION is 0.0001/SF (SF-parameterized by the spec
+    //     itself); a fixed 0.0001 went vacuous as data grew (0 rows at
+    //     sf1). The threshold here is SF-invariant — parts above 2x the
+    //     average part value — and expressed MULTIPLICATION-ONLY
+    //     (sum * count > 2 * total), so both engines compare exact
+    //     decimals/integers with no division-rounding divergence.
+    //     Non-vacuous at every SF (240 rows at sf0.01, 17000 at sf1).
+    //   - emission is exact integer cents (BIGINT) — see the
+    //     tq9_ps_profit wire-format note.
     "tq11_ps_value" ->
       s"""WITH $partsuppCte
          |SELECT ps_partkey,
@@ -102,8 +110,11 @@ object TpchExtra {
          |FROM partsupp, supplier, nation
          |WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_7'
          |GROUP BY ps_partkey
-         |HAVING sum(ps_supplycost * ps_availqty) > (
-         |  SELECT sum(ps_supplycost * ps_availqty) * CAST(0.0001 AS DECIMAL(6,4))
+         |HAVING sum(ps_supplycost * ps_availqty) * (
+         |  SELECT count(DISTINCT ps_partkey) FROM partsupp, supplier, nation
+         |  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_7'
+         |) > (
+         |  SELECT 2 * sum(ps_supplycost * ps_availqty)
          |  FROM partsupp, supplier, nation
          |  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_7')""".stripMargin,
 
@@ -461,8 +472,11 @@ object TpchExtra {
          |FROM partsupp, supplier, nation
          |WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_7'
          |GROUP BY ps_partkey
-         |HAVING sum(ps_supplycost * ps_availqty) > (
-         |  SELECT sum(ps_supplycost * ps_availqty) * CAST(0.0001 AS DECIMAL(6,4))
+         |HAVING sum(ps_supplycost * ps_availqty) * (
+         |  SELECT count(DISTINCT ps_partkey) FROM partsupp, supplier, nation
+         |  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_7'
+         |) > (
+         |  SELECT 2 * sum(ps_supplycost * ps_availqty)
          |  FROM partsupp, supplier, nation
          |  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_7')
          |ORDER BY ps_partkey""".stripMargin)
