@@ -227,13 +227,20 @@ object TpchExtra {
         |LIMIT 20""".stripMargin,
 
     // q11 shape: HAVING over an uncorrelated scalar-subquery fraction.
+    // The fraction is SF-invariant (parts above 3x the average part value,
+    // multiplication-only) — the earlier fixed 0.001 went vacuous as data
+    // grew (0 rows at sf1/sf10); see tq11_ps_value. 33 rows at sf0.01,
+    // 4090 at sf1.
     "tq11_part_value" ->
       """SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 2) AS part_value
         |FROM lineitem, supplier, nation
         |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_7'
         |GROUP BY l_partkey
-        |HAVING sum(l_extendedprice * l_quantity) > (
-        |  SELECT sum(l_extendedprice * l_quantity) * 0.001
+        |HAVING sum(l_extendedprice * l_quantity) * (
+        |  SELECT count(DISTINCT l_partkey) FROM lineitem, supplier, nation
+        |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_7'
+        |) > (
+        |  SELECT 3 * sum(l_extendedprice * l_quantity)
         |  FROM lineitem, supplier, nation
         |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_7')""".stripMargin,
 
