@@ -67,13 +67,20 @@ object Bench {
     val st = results.map { case (k, _, gc, mb) =>
       s""""$k":{"gcMs":$gc,"peakMb":$mb}""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"stats":$st,"sf":"$sfDir"}"""
-    println(json)
+    // stdout carries ONE compact line (totals + per-query seconds, no
+    // stats blob): the driver's tail capture parses the final line, and
+    // the stats-augmented json overflowed it two rounds running
+    // (BENCH_r13/r14 "parsed": null). The full json (with per-query
+    // gcMs/peakMb) lands in the file below instead.
+    val shortJson =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(shortJson)
     // Also land the JSON in a file: the r10 round artifact shipped with the
     // stdout tail truncated BEFORE the timings dict, making round-over-round
     // comparison impossible. A file write cannot be cut off by whatever
     // captures (or floods) stdout.
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"stats":$st,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "bench_last.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile),

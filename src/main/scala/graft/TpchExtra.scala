@@ -100,6 +100,11 @@ object TpchExtra {
     //     average part value — and expressed MULTIPLICATION-ONLY
     //     (sum * count > 2 * total), so both engines compare exact
     //     decimals/integers with no division-rounding divergence.
+    //     The operands are cast to DECIMAL(28,2) × DECIMAL(9,0) so the
+    //     products stay within decimal width 38 in BOTH engines: DuckDB
+    //     silently falls back to DOUBLE past width 38 (DECIMAL(38,2) ×
+    //     BIGINT), which could flip a group sitting within double-ulp of
+    //     the threshold vs Spark's exact decimal compare at large SF.
     //     Non-vacuous at every SF (240 rows at sf0.01, 17000 at sf1).
     //   - emission is exact integer cents (BIGINT) — see the
     //     tq9_ps_profit wire-format note.
@@ -110,11 +115,11 @@ object TpchExtra {
          |FROM partsupp, supplier, nation
          |WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_7'
          |GROUP BY ps_partkey
-         |HAVING sum(ps_supplycost * ps_availqty) * (
-         |  SELECT count(DISTINCT ps_partkey) FROM partsupp, supplier, nation
+         |HAVING CAST(sum(ps_supplycost * ps_availqty) AS DECIMAL(28,2)) * (
+         |  SELECT CAST(count(DISTINCT ps_partkey) AS DECIMAL(9,0)) FROM partsupp, supplier, nation
          |  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_7'
          |) > (
-         |  SELECT 2 * sum(ps_supplycost * ps_availqty)
+         |  SELECT CAST(2 AS DECIMAL(2,0)) * CAST(sum(ps_supplycost * ps_availqty) AS DECIMAL(28,2))
          |  FROM partsupp, supplier, nation
          |  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_7')""".stripMargin,
 
@@ -272,6 +277,10 @@ object TpchExtra {
         |WHERE l_partkey = p_partkey AND l_shipdate >= '1997-03-01' AND l_shipdate < '1997-04-01'""".stripMargin,
 
     // q15 shape: CTE revenue view + scalar MAX subquery over it.
+    // Emission is exact integer e4 units (BIGINT): the r14 wire probes
+    // proved the driver comparator hash-fails trailing-zero decimal
+    // rendering at ANY precision, so a DECIMAL(28,2) here was green only
+    // while the top revenue happened to carry nonzero cents.
     "tq15_top_supplier" ->
       """WITH revenue AS (
         |  SELECT l_suppkey AS supplier_no,
@@ -279,7 +288,8 @@ object TpchExtra {
         |  FROM lineitem
         |  WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
         |  GROUP BY l_suppkey)
-        |SELECT s_suppkey, s_name, CAST(round(total_revenue, 2) AS DECIMAL(28,2)) AS total_revenue
+        |SELECT s_suppkey, s_name,
+        |  CAST(CAST(total_revenue AS DECIMAL(28,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT) AS total_revenue_e4
         |FROM supplier, revenue
         |WHERE s_suppkey = supplier_no
         |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)""".stripMargin,
@@ -479,11 +489,11 @@ object TpchExtra {
          |FROM partsupp, supplier, nation
          |WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_7'
          |GROUP BY ps_partkey
-         |HAVING sum(ps_supplycost * ps_availqty) * (
-         |  SELECT count(DISTINCT ps_partkey) FROM partsupp, supplier, nation
+         |HAVING CAST(sum(ps_supplycost * ps_availqty) AS DECIMAL(28,2)) * (
+         |  SELECT CAST(count(DISTINCT ps_partkey) AS DECIMAL(9,0)) FROM partsupp, supplier, nation
          |  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_7'
          |) > (
-         |  SELECT 2 * sum(ps_supplycost * ps_availqty)
+         |  SELECT CAST(2 AS DECIMAL(2,0)) * CAST(sum(ps_supplycost * ps_availqty) AS DECIMAL(28,2))
          |  FROM partsupp, supplier, nation
          |  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_7')
          |ORDER BY ps_partkey""".stripMargin)

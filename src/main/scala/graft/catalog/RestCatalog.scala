@@ -65,6 +65,17 @@ case class CatalogOptions(
 
 class RestCatalogException(val status: Int, msg: String) extends RuntimeException(s"HTTP $status: $msg")
 
+/** A commit POST was answered by a gateway error (502/504) AND a fresh
+  * reload could not find the attempted snapshot: the commit may still be
+  * applied server-side (the backend can have processed the request after
+  * the gateway gave up), so neither success nor failure can be assumed and
+  * blindly re-staging risks silent row duplication. Mirrors the
+  * reference's CommitStateUnknown outcome
+  * (src/catalog/rest/transaction/iceberg_transaction.cpp): non-409
+  * commit failures are surfaced, never retried as if failed-clean. */
+class CommitStateUnknownException(status: Int, msg: String)
+  extends RestCatalogException(status, s"commit state unknown: $msg")
+
 class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
   private val mapper = new ObjectMapper()
   private val F = JsonNodeFactory.instance
@@ -136,17 +147,27 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
       case "POST" => b.POST(HttpRequest.BodyPublishers.ofString(body.getOrElse("{}")))
       case "HEAD" => b.method("HEAD", HttpRequest.BodyPublishers.noBody())
     }).build()
-    // Transient gateway failures (429 throttle, 502/503/504) retry in
-    // place with exponential backoff; a numeric Retry-After overrides the
-    // computed delay. The HttpRequest body publisher is a replayable
-    // string, so resending the same request object is safe.
+    // Transient gateway failures retry in place with exponential backoff;
+    // a numeric Retry-After overrides the computed delay (clamped to >= 0:
+    // a malformed negative header must not turn a retryable response into
+    // an IllegalArgumentException from Thread.sleep). The retryable set
+    // depends on idempotency: 429/503 mean the server explicitly did NOT
+    // process the request, so any method may resend; 502/504 are gateway
+    // ambiguity — the backend may have processed the request before the
+    // gateway gave up — so only idempotent methods (GET/HEAD/DELETE)
+    // resend blindly. A POST answered 502/504 surfaces to the caller;
+    // commit call sites resolve the ambiguity by reloading the table and
+    // checking whether the attempted snapshot landed (never re-staging
+    // blind, which would duplicate rows).
+    val idempotent = method != "POST"
+    val retryable: Int => Boolean =
+      st => st == 429 || st == 503 || (idempotent && (st == 502 || st == 504))
     var resp = http.send(req, HttpResponse.BodyHandlers.ofString())
     var transientAttempt = 0
-    while (Set(429, 502, 503, 504).contains(resp.statusCode())
-        && transientAttempt < opts.maxTransientRetries) {
+    while (retryable(resp.statusCode()) && transientAttempt < opts.maxTransientRetries) {
       val retryAfterMs = {
         val ra = resp.headers().firstValue("Retry-After")
-        if (ra.isPresent) ra.get.trim.toLongOption.map(_ * 1000L) else None
+        if (ra.isPresent) ra.get.trim.toLongOption.filter(_ >= 0).map(_ * 1000L) else None
       }
       val backoff = retryAfterMs.getOrElse(opts.transientRetryBaseMs << transientAttempt)
       Thread.sleep(math.min(backoff, 10000L))
@@ -263,6 +284,7 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
   private def pagedList[T](basePath: String, extract: JsonNode => Seq[T]): Seq[T] = {
     val out = Seq.newBuilder[T]
     var pageToken: Option[String] = None
+    val seenTokens = scala.collection.mutable.Set.empty[String]
     var first = true
     while (first || pageToken.isDefined) {
       first = false
@@ -279,12 +301,13 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
       out ++= extract(node)
       val next = Option(node.get("next-page-token")).filterNot(_.isNull).map(_.asText())
         .filter(_.nonEmpty)
-      // Loop guard: a broken paginator that echoes the token it was just
-      // given would otherwise spin forever. Surface the truncation as a
-      // warning and return what was read — same degrade-don't-hang policy
-      // as the 403/404 partial listing above.
-      if (next.isDefined && next == pageToken) {
-        System.err.println(s"[graft-catalog] GET $path returned its own pageToken " +
+      // Loop guard: a broken paginator that re-issues ANY previously seen
+      // token (echoing the current one, or cycling A→B→A) would otherwise
+      // spin forever. Surface the truncation as a warning and return what
+      // was read — same degrade-don't-hang policy as the 403/404 partial
+      // listing above.
+      if (next.isDefined && !seenTokens.add(next.get)) {
+        System.err.println(s"[graft-catalog] GET $path returned an already-seen pageToken " +
           s"(${next.get}); stopping pagination with a possibly-truncated listing")
         pageToken = None
       } else pageToken = next
@@ -607,7 +630,24 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
       assertCreate: Boolean = false, preUpdates: Seq[ObjectNode] = Nil): LoadedTable = {
     val o = F.objectNode()
     fillCommitBody(o, expectedRefSnapshot, snapshot, extraUpdates, assertCreate, preUpdates)
-    val node = request("POST", s"$apiRoot/namespaces/${nsPath(ns)}/tables/$name", Some(mapper.writeValueAsString(o)))
+    val node =
+      try request("POST", s"$apiRoot/namespaces/${nsPath(ns)}/tables/$name", Some(mapper.writeValueAsString(o)))
+      catch {
+        // 502/504 on a commit POST is ambiguous (the backend may have
+        // applied the commit after the gateway gave up — transport-level
+        // retry is deliberately NOT done for non-idempotent POSTs, see
+        // requestAttempt). Resolve by reloading: if our snapshot-id is in
+        // the fresh metadata the commit landed and this IS a success;
+        // otherwise surface commit-state-unknown so callers' 409 re-stage
+        // loops don't append the same data twice.
+        case e: RestCatalogException if e.status == 502 || e.status == 504 =>
+          invalidate(ns, name)
+          val reloaded =
+            try loadTable(ns, name)
+            catch { case _: Exception => throw new CommitStateUnknownException(e.status, e.getMessage) }
+          if (reloaded.metadata.snapshots.exists(_.snapshotId == snapshot.snapshotId)) return reloaded
+          throw new CommitStateUnknownException(e.status, e.getMessage)
+      }
     invalidate(ns, name)
     parseLoadResult(node)
   }
@@ -636,7 +676,19 @@ class RestCatalog(baseUri: String, opts: CatalogOptions = CatalogOptions()) {
       fillCommitBody(t, c.expectedRefSnapshot, c.snapshot, c.extraUpdates)
       arr.add(t)
     }
-    request("POST", s"$apiRoot/transactions/commit", Some(mapper.writeValueAsString(o)))
+    try request("POST", s"$apiRoot/transactions/commit", Some(mapper.writeValueAsString(o)))
+    catch {
+      // Same gateway-ambiguity resolution as commitSnapshot, atomically:
+      // the transaction applied ALL tables' snapshots or none, so checking
+      // every change distinguishes landed from unknown.
+      case e: RestCatalogException if e.status == 502 || e.status == 504 =>
+        changes.foreach(c => invalidate(c.ns, c.name))
+        val landed =
+          try changes.forall(c =>
+            loadTable(c.ns, c.name).metadata.snapshots.exists(_.snapshotId == c.snapshot.snapshotId))
+          catch { case _: Exception => throw new CommitStateUnknownException(e.status, e.getMessage) }
+        if (!landed) throw new CommitStateUnknownException(e.status, e.getMessage)
+    }
     changes.foreach(c => invalidate(c.ns, c.name))
   }
 

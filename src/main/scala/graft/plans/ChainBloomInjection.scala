@@ -246,8 +246,20 @@ private[plans] abstract class BloomInjectionRule extends Rule[LogicalPlan] {
           .EstimationUtils.getSizePerRow(leaf.output)
         leaf.stats.sizeInBytes / w.max(1)
       }
-      val keys = estRows.min(BigInt(Long.MaxValue)).toLong
-      val wantBits = math.min(67108864L, math.max(bits, 8L * keys))
+      // BloomFilterAggregate silently Math.min-caps its numItems/numBits
+      // arguments at the session maxNumItems/maxNumBits confs (defaults 4M
+      // items / 64M bits). Clamp to those caps HERE so the hash-function
+      // count k = m/n·ln2 is computed from the values the filter will
+      // actually be built with — passing 9M items against a 4M cap would
+      // build a filter whose k was chosen for n=4M while we believed
+      // n=9M. To size beyond the caps, raise the two Spark confs alongside
+      // this flag (the sf30 A/B harness does).
+      val itemsCap = SQLConf.get.getConfString(
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+      val bitsCap = SQLConf.get.getConfString(
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+      val keys = estRows.min(BigInt(Long.MaxValue)).toLong.min(itemsCap)
+      val wantBits = math.min(math.min(67108864L, bitsCap), math.max(bits, 8L * keys))
       (math.max(items, keys), wantBits)
     }
 

@@ -173,6 +173,16 @@ class ChainBloomSpec extends SparkSpec {
       spark.conf.set("spark.graft.bloomSizeByEstimate", "false")
       val offParams = bloomParams(spark.sql(sql))
       assert(offParams.forall(_._2 == 1024L), s"flag off must keep conf bits: $offParams")
+      // Sized params must respect BloomFilterAggregate's silent caps: with
+      // maxNumItems forced below the carrier estimate, the computed items
+      // value clamps to the cap (so the hash count k is derived from the n
+      // the filter is actually built with, not a wished-for larger one).
+      spark.conf.set("spark.graft.bloomSizeByEstimate", "true")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "500")
+      val capped = bloomParams(spark.sql(sql))
+      assert(capped.nonEmpty && capped.forall(_._1 <= 500L),
+        s"items must clamp to maxNumItems: $capped")
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.maxNumItems")
     } finally sized.keys.foreach(spark.conf.unset)
   }
 }

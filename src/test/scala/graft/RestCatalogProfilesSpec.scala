@@ -1,6 +1,6 @@
 package graft
 
-import graft.catalog.{CatalogOptions, RestCatalog}
+import graft.catalog.{CatalogOptions, CommitStateUnknownException, RestCatalog}
 import graft.core.IcebergTypes
 
 /**
@@ -202,6 +202,84 @@ class RestCatalogProfilesSpec extends SparkSpec {
       assert(posts >= 4, s"expected >=4 commit POSTs (2x503 + 401'd + 409'd + final), saw $posts")
       assert(server.loggedRequests.count(_._2 == "/v1/oauth/tokens") >= 2,
         "mid-retry token expiry must force a re-exchange")
+    } finally server.stop()
+  }
+
+  test("commit POST answered 502 after the server applied it: resolved by reload, no duplicate rows") {
+    val server = new TestRestServer
+    server.start()
+    try {
+      val cat = new RestCatalog(server.uri, CatalogOptions(
+        token = Some(server.token), transientRetryBaseMs = 1L))
+      val src = spark.read.parquet(s"$sfDir/region.parquet")
+      cat.createNamespace(Seq("db"), Map.empty)
+      cat.createTable(Seq("db"), "t",
+        graft.core.IcebergTypes.fromSpark(src.schema), tmpDir("gwdrop_t"))
+      cat.appendDF(src, Seq("db"), "t")
+      // Gateway drops the SUCCESS response of exactly one commit POST: the
+      // server applied the snapshot, the client saw 502. A blind transport
+      // retry (or a blind re-stage) would append the batch twice; the
+      // client must instead reload the table, find its snapshot-id landed,
+      // and report success.
+      val dropped = new java.util.concurrent.atomic.AtomicInteger
+      server.successMangler = (m, p) =>
+        if (m == "POST" && p.endsWith("/tables/t") && dropped.incrementAndGet() == 1)
+          Some((502, Map.empty))
+        else None
+      cat.appendDF(src, Seq("db"), "t")
+      assert(dropped.get == 1, "the mangled commit POST must be the only one")
+      assert(cat.loadDF(spark, Seq("db"), "t").count() == 2 * src.count(),
+        "the gateway-dropped commit landed once — a resend would have doubled the batch")
+    } finally server.stop()
+  }
+
+  test("commit POST answered 502 with the commit NOT applied: CommitStateUnknown surfaces, no re-stage") {
+    val server = new TestRestServer
+    server.start()
+    try {
+      val cat = new RestCatalog(server.uri, CatalogOptions(
+        token = Some(server.token), transientRetryBaseMs = 1L))
+      val src = spark.read.parquet(s"$sfDir/region.parquet")
+      cat.createNamespace(Seq("db"), Map.empty)
+      cat.createTable(Seq("db"), "t",
+        graft.core.IcebergTypes.fromSpark(src.schema), tmpDir("gwfail_t"))
+      cat.appendDF(src, Seq("db"), "t")
+      // Pre-routing 502 on the commit POST: the request never reaches the
+      // backend. Reload finds no new snapshot → the outcome is genuinely
+      // unknown; the client must surface it rather than loop-appendDF into
+      // potential duplication (the 502 could have raced a slow backend).
+      server.failInjector = (m, p) =>
+        if (m == "POST" && p.endsWith("/tables/t")) Some((502, Map.empty)) else None
+      val e = intercept[CommitStateUnknownException] { cat.appendDF(src, Seq("db"), "t") }
+      assert(e.status == 502)
+      server.failInjector = (_, _) => None
+      assert(cat.loadDF(spark, Seq("db"), "t").count() == src.count(),
+        "the failed commit must not have been re-staged into a duplicate")
+      val posts = server.loggedRequests.count(r => r._1 == "POST" && r._2.endsWith("/tables/t"))
+      assert(posts == 2, s"502 on a commit POST must not transport-retry (first append + 1 attempt), saw $posts")
+    } finally server.stop()
+  }
+
+  test("broken paginator cycling tokens (A->B->A) terminates via the seen-token guard") {
+    val server = new TestRestServer
+    server.start()
+    server.listPageSize = Some(2)
+    server.cyclePageTokens = true
+    try {
+      val cat = new RestCatalog(server.uri, CatalogOptions(token = Some(server.token)))
+      cat.createNamespace(Seq("db"), Map.empty)
+      val src = spark.read.parquet(s"$sfDir/region.parquet")
+      (0 until 3).foreach { i =>
+        cat.createTable(Seq("db"), s"t$i",
+          graft.core.IcebergTypes.fromSpark(src.schema), tmpDir(s"cycle_page_t$i"))
+      }
+      // Tokens cycle 0->1->0: the client reads pages for tokens {none,1,0}
+      // then sees token 1 AGAIN and must stop (an immediate-echo-only guard
+      // spins forever here).
+      assert(cat.listTables(Seq("db")).nonEmpty)
+      val listGets = server.loggedRequests.count { case (m, p) =>
+        m == "GET" && p.endsWith("/namespaces/db/tables") }
+      assert(listGets == 3, s"seen-token guard must stop after the first repeated token, saw $listGets GETs")
     } finally server.stop()
   }
 

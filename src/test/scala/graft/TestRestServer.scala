@@ -42,6 +42,20 @@ class TestRestServer {
 
   private def respond(ex: HttpExchange, status: Int, body: String = "",
       headers: Map[String, String] = Map.empty): Unit = {
+    // Gateway-drop simulation: the route has ALREADY executed (state
+    // mutated server-side) but the client sees an injected gateway error
+    // instead of the success body — the commit-state-unknown scenario.
+    if (status < 300) {
+      successMangler(ex.getRequestMethod, ex.getRequestURI.getPath) match {
+        case Some((st, h)) =>
+          h.foreach { case (k, v) => ex.getResponseHeaders.add(k, v) }
+          val b = s"""{"error":"gateway dropped response ($st)"}""".getBytes(StandardCharsets.UTF_8)
+          ex.sendResponseHeaders(st, b.length)
+          val os = ex.getResponseBody; os.write(b); os.close(); ex.close()
+          return
+        case None =>
+      }
+    }
     headers.foreach { case (k, v) => ex.getResponseHeaders.add(k, v) }
     val bytes = body.getBytes(StandardCharsets.UTF_8)
     ex.sendResponseHeaders(status, if (bytes.isEmpty) -1 else bytes.length)
@@ -54,6 +68,12 @@ class TestRestServer {
     * counter-based 503 storms, commit-targeted 5xx, throttling 429s with
     * Retry-After, etc. */
   @volatile var failInjector: (String, String) => Option[(Int, Map[String, String])] =
+    (_, _) => None
+
+  /** Fault injection AFTER routing: the handler ran (server state already
+    * mutated) but the response is replaced with the injected status —
+    * models a gateway that dropped the backend's success response. */
+  @volatile var successMangler: (String, String) => Option[(Int, Map[String, String])] =
     (_, _) => None
 
   /** When non-empty, served in every LoadTableResult `config` — simulates a
@@ -107,6 +127,12 @@ class TestRestServer {
     * (terminate with a warning, don't spin). */
   @volatile var brokenPageToken: Boolean = false
 
+  /** When true (with listPageSize set), the paginator CYCLES tokens
+    * (0→1→0→1…) instead of advancing — a broken server the simple
+    * echoed-token guard can't catch; the client must track all seen
+    * tokens to terminate. */
+  @volatile var cyclePageTokens: Boolean = false
+
   /** Slice a sorted listing into (page, nextPageToken) per listPageSize. */
   private def page[T](all: Seq[T], query: String): (Seq[T], Option[String]) =
     listPageSize match {
@@ -117,6 +143,7 @@ class TestRestServer {
         }).getOrElse(0)
         val slice = all.slice(off, off + sz)
         if (brokenPageToken) (slice, Some(off.toString))
+        else if (cyclePageTokens) (slice, Some(((off + 1) % 2).toString))
         else (slice, if (off + sz < all.size) Some((off + sz).toString) else None)
     }
 
