@@ -164,6 +164,18 @@ object BenchSession {
       //     broadcast is 4MB.
       .config("spark.sql.optimizer.runtime.bloomFilter.expectedNumItems", "4000000")
       .config("spark.sql.optimizer.runtime.bloomFilter.numBits", "33554432")
+      //   - Estimate-sized graft chain blooms (r15 sf30 interleaved A/B,
+      //     3 reps/arm, isolated JVMs): ON-with-caps-untouched took
+      //     q3_shipping 75.5s -> 62.2s median (saturating ~45M-row orders
+      //     carrier; tight 60-65s spread vs OFF's noisy 53-96s) with
+      //     q5_region_revenue at noise (45.8 -> 48.6s, inside OFF's own
+      //     spread). Sizing is a NO-OP for carriers whose leaf estimate
+      //     stays under the 4M-item conf, so small-SF plans are
+      //     byte-identical. The global maxNumItems cap is deliberately NOT
+      //     raised: a 16M cap helped q3 another ~15% but regressed q5 ~35%
+      //     through Spark's OWN InjectRuntimeFilter (which reads the same
+      //     cap when sizing native filters from creation-side stats).
+      .config("spark.graft.bloomSizeByEstimate", "true")
       .config("spark.sql.extensions", classOf[graft.catalog.GraftSparkExtensions].getName)
     // Experiment passthrough: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" for A/B
     // runs (e.g. CBO on/off) without editing the tuned defaults above.

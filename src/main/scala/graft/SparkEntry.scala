@@ -536,6 +536,37 @@ object SparkEntry {
       Dedup.resolveClusters(all, "doc_id", pairs)
     }),
 
+    // Planted-truth variant: cluster verification at ANY SF for an O(n)
+    // oracle. The quadratic exact-Jaccard oracle above costs ~80 min of
+    // DuckDB at sf1 (the one tuned-oracle exclusion through r14); here the
+    // corpus is GENERATED from doc ids with pairwise-disjoint token sets
+    // across families — family i = base (80 unique tokens "w<i>a<j>") plus
+    // 3 near-dup variants (two appended tail tokens each, pairwise Jaccard
+    // 78/82 ≈ 0.951 ≥ 0.9), families i % 7 == 0 planted as singletons to
+    // cover the unlabeled-coalesce path. Cross-family shingle sets are
+    // disjoint, so any LSH band collision is killed by the exact re-score
+    // and TRUE membership (cluster = min id of the family) is known by
+    // construction: the oracle checks the full minhash → banded LSH →
+    // exact re-score → connected-components path without a similarity
+    // join. Same pipeline code as dedup_clusters; only the corpus is
+    // synthetic.
+    "dedup_clusters_planted" -> ((s, dir) => {
+      val ids = pq(s, dir, "documents").select(col("doc_id").as("i"))
+      val fam = ids.select(col("i"), explode(
+        when(col("i") % 7 === 0, array(lit(0)))
+          .otherwise(array(lit(0), lit(1), lit(2), lit(3)))).as("k"))
+      val corpus = fam.select(
+        (col("i") * 10 + col("k")).cast("long").as("doc_id"),
+        concat(
+          concat_ws(" ", transform(sequence(lit(1), lit(80)),
+            j => concat(lit("w"), col("i"), lit("a"), j))),
+          when(col("k") === 0, lit("")).otherwise(
+            concat(lit(" tail"), col("k"), lit("a tail"), col("k"), lit("b"))))
+          .as("text"))
+      val pairs = Dedup.minhashNearDuplicatesExact(corpus, "text", "doc_id", threshold = 0.9)
+      Dedup.resolveClusters(corpus, "doc_id", pairs)
+    }),
+
     "dedup_simhash" -> ((s, dir) => {
       val d = pq(s, dir, "documents").select("doc_id", "text")
       val mutated = d.select((col("doc_id") + 1000000).as("doc_id"),
@@ -1647,6 +1678,20 @@ object SparkEntry {
         |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
         |  CAST(coalesce(l.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
         |FROM docs d LEFT JOIN lab l ON l.id = d.doc_id""".stripMargin,
+
+    // Planted truth: membership is known by construction (cluster = the
+    // family's min id, singletons where i % 7 == 0), so the oracle is a
+    // pure O(n) projection from doc ids — no similarity join — and stays
+    // cheap at sf1+ where the quadratic dedup_clusters oracle above costs
+    // ~80 min of DuckDB.
+    "dedup_clusters_planted" ->
+      """WITH fam AS (
+        |  SELECT doc_id AS i, k
+        |  FROM documents, (VALUES (0),(1),(2),(3)) v(k)
+        |  WHERE k = 0 OR doc_id % 7 <> 0)
+        |SELECT CAST(i * 10 + k AS BIGINT) AS doc_id,
+        |  CAST(i * 10 AS BIGINT) AS cluster_id
+        |FROM fam""".stripMargin,
 
     // Exact cosine >= 0.99 pair set over the duplicated corpus; the Spark
     // banding has deterministic recall on the planted identical copies.

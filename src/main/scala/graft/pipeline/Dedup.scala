@@ -50,8 +50,27 @@ object Dedup {
   val Bands = 16
   val RowsPerBand = MinhashPerms / Bands
   // Deterministic permutation parameters (odd multipliers).
-  private val permA: Array[Long] = Array.tabulate(MinhashPerms)(i => 0x9E3779B97F4A7C15L * (2 * i + 1) | 1L)
-  private val permB: Array[Long] = Array.tabulate(MinhashPerms)(i => 0xC2B2AE3D27D4EB4FL * (i + 1))
+  /** Per-permutation seeds for the splitmix64 row hashes. The original
+    * linear "permutations" a_p*x+b_p with multiplicatively-related a_p
+    * (golden-ratio times small odd numbers) are CORRELATED: writing
+    * y = C*x, perm p compares (2p+1)*y + b_p, so the argmin tracks the
+    * same y ordering across every p and one unlucky shingle can capture
+    * the minimum in ALL 64 permutations at once. Observed (r15, planted
+    * sf1 family 600000637): an append-two-tokens variant at exact
+    * Jaccard 0.975 shared 0/16 LSH bands with its own family — a recall
+    * collapse the independence model puts at 5.6e-17. splitmix64 with an
+    * independent seed per permutation restores pairwise-independent row
+    * orderings (standard finalizer; public domain Steele et al.). */
+  private val permSeed: Array[Long] =
+    Array.tabulate(MinhashPerms)(i => 0x9E3779B97F4A7C15L * (i + 1) + 0xC2B2AE3D27D4EB4FL)
+
+  /** splitmix64 finalizer: decorrelates the per-permutation orderings. */
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
 
   /** MinHash signature of a document: word-shingle set -> 64 min-hashes.
     * Shingle hashes are combined from per-word FNV hashes (order-sensitive
@@ -79,11 +98,11 @@ object Dedup {
       }
       var p = 0
       while (p < MinhashPerms) {
-        val a = permA(p); val b = permB(p)
+        val seed = permSeed(p)
         var mn = Long.MaxValue
         var j = 0
         while (j < n) {
-          val v = a * sh(j) + b
+          val v = mix64(sh(j) ^ seed)
           if (v < mn) mn = v
           j += 1
         }
