@@ -30,7 +30,30 @@ object Bench {
     // queries measure GC pressure, not their own plan (observed 27s -> 737s
     // on identical code at sf1). The reference benchmark runs each query
     // against fresh state too.
-    def cleanup(): Unit = spark.catalog.clearCache()
+    //
+    // r15 measurement-hygiene fix (guide §1): clearCache() only drops
+    // CacheManager entries from persist(); localCheckpoint() blocks (the
+    // cluster-resolution loop's label frames) are raw RDD blocks it never
+    // sees, so they leaked across queries until driver GC noticed the
+    // dropped references. Unpersist every surviving RDD block explicitly,
+    // then GC between queries so each timed query measures its own
+    // allocation, not its predecessors' garbage — the r15 in-suite-vs-
+    // isolated probe showed identical queries 3x slower mid-suite
+    // (q_semi_join 2.41 s in-suite vs 0.67 s isolated; r14 stats: peakMb
+    // climbing 1.3 -> 8 GB through the alphabet). The timed region is
+    // untouched: cleanup runs strictly BETWEEN queries.
+    // r15 A/B (three full-suite arms, identical code): clearCache-only
+    // total 72.6 s, +blocking-RDD-unpersist 70.4 s (and the best
+    // non-cluster sum, 49.8 vs 56.0), +System.gc() 86.3 s — an explicit
+    // full GC between queries makes the NEXT queries uniformly slower
+    // (class-unloading discards JITted codegen; the collector's heuristics
+    // reset), so it is rejected. Unpersists are BLOCKING: a non-blocking
+    // removal enqueues block deletion on the async cleaner thread, which
+    // then storms the block manager during the next query's timed region.
+    def cleanup(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    }
     // Warmup: fixture builds + JIT (failures surface in the timed pass).
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).count()

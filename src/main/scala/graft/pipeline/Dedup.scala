@@ -399,10 +399,15 @@ object Dedup {
       maxRounds: Int = 20): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val ids = docs.select(col(idCol).cast("long").as("id")).distinct()
+    // No distinct() on the edge set: min() aggregation over a multiset of
+    // neighbors equals min() over the set, so duplicate pairs cannot change
+    // any label below — the dedup shuffle the earlier revision paid at
+    // setup bought nothing (this module's pair producers already emit
+    // unique (id_a, id_b) rows; a caller-supplied duplicate only costs its
+    // own join row, never a wrong answer).
     val edges = pairs
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .union(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
-      .distinct()
       .persist(lvl)
     // Each round's label frame is EAGERLY LOCAL-CHECKPOINTED, not persisted:
     // persist caches the data but the lineage still embeds ~4 copies of the
@@ -412,8 +417,23 @@ object Dedup {
     // it OOMs the driver before any data cost matters. Checkpointing
     // truncates each round's plan at the cached blocks (a one-node
     // LogicalRDD), making every round's plan constant-size.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    //
+    // Initialization folds the classic first propagation round into ONE
+    // aggregation over the edge list: label0(v) = min(v, min neighbor(v))
+    // is exactly what round 1's neighbor-min hop would compute from
+    // identity labels, for the cost of the node-set distinct the earlier
+    // init paid anyway (both are one shuffle of the edge list; groupBy src
+    // covers every node because edges carries both directions). For
+    // clique-shaped near-dup families — every member directly adjacent to
+    // the family minimum, the dominant real-corpus shape — label0 is
+    // already the fixpoint and the loop below runs exactly one
+    // verification round. Labels only ever decrease, so starting one hop
+    // further along converges to the same component-minimum fixpoint in
+    // the same or fewer rounds (monotone iteration, r15 A/B: sf0.1
+    // dedup_clusters 2 rounds -> 1).
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("_nmin"))
+      .select(col("id"), least(col("id"), col("_nmin")).as("label"))
       .localCheckpoint(true)
     maxClusterLoopPlanNodes = planNodes(labels)
     var changed = 1L
@@ -423,18 +443,23 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("label").as("_nl")), "dst")
         .groupBy(col("src").as("id")).agg(min("_nl").as("_nmin"))
       val hopped = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("_old"),
           least(col("label"), coalesce(col("_nmin"), col("label"))).as("label"))
       // Pointer jumping: label <- label(label); halves chain length.
       val rep = hopped.select(col("id").as("label"), col("label").as("_ll"))
       val nextPlan = hopped.join(rep, Seq("label"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("_ll"), col("label"))).as("label"))
+        .select(col("id"), col("_old"),
+          least(col("label"), coalesce(col("_ll"), col("label"))).as("label"))
       maxClusterLoopPlanNodes = math.max(maxClusterLoopPlanNodes, planNodes(nextPlan))
       val next = nextPlan.localCheckpoint(true)
-      changed = next.join(labels.select(col("id"), col("label").as("_old")), "id")
-        .filter(col("label") =!= col("_old")).count()
+      // Convergence check reads the _old label CARRIED through the round's
+      // own plan instead of re-joining against the previous label frame —
+      // the join was a second label-sized shuffle per round that existed
+      // only to line up (id, old, new), which the checkpointed frame
+      // already holds. One narrow scan of the cached blocks per round.
+      changed = next.filter(col("label") =!= col("_old")).count()
       releaseCheckpoint(labels)
-      labels = next
+      labels = next.select("id", "label")
       round += 1
     }
     if (changed > 0)
