@@ -176,6 +176,14 @@ object BenchSession {
       //     through Spark's OWN InjectRuntimeFilter (which reads the same
       //     cap when sizing native filters from creation-side stats).
       .config("spark.graft.bloomSizeByEstimate", "true")
+      // Streaming: skip the extra NO-DATA micro-batch Spark appends after
+      // the last data batch (it exists to fire event-time timers; none of
+      // the streaming operators here uses event-time timeouts, and state
+      // eviction timing is the only thing it can change — never output).
+      // The stage trace showed it re-opening and re-committing all 32
+      // state-store partitions for zero rows: stream_dedup paid a second
+      // 32-task stateful stage (4.05 s cold / 0.04 s warm) per run.
+      .config("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       .config("spark.sql.extensions", classOf[graft.catalog.GraftSparkExtensions].getName)
     // Experiment passthrough: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" for A/B
     // runs (e.g. CBO on/off) without editing the tuned defaults above.

@@ -151,7 +151,19 @@ object Dedup {
       textCol: String,
       idCol: String,
       shingleSize: Int = 3,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000): DataFrame =
+    minhashCandidatePairsCounted(df, textCol, idCol, shingleSize, maxBucket)._1
+
+  /** [[minhashCandidatePairs]] plus the materialized pair count — the
+    * persist + count already runs inside materialization, so callers that
+    * gate on the count (broadcast-vs-shuffle cutover) read it here instead
+    * of paying a second count job over the cached frame. */
+  private def minhashCandidatePairsCounted(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleSize: Int,
+      maxBucket: Int): (DataFrame, Long) = {
     // One UDF evaluation per document emits all 16 band hashes; posexplode
     // fans them out to (id, band, hash) rows. The 64-long signature never
     // appears in the plan at all.
@@ -169,7 +181,7 @@ object Dedup {
     // shuffle hash by (_b, _h), so the banding pass is shuffled once and
     // reused (ReusedExchange), not recomputed.
     val (pairs, keep) = bandedBucketPairs(banded, maxBucket, Seq.empty)
-    materializeReleasing(pairs.select("id_a", "id_b").dropDuplicates("id_a", "id_b"), keep)
+    materializeCounted(pairs.select("id_a", "id_b").dropDuplicates("id_a", "id_b"), keep)
   }
 
   /** Persist + materialize `result`, then release every `upstream` cache —
@@ -180,11 +192,16 @@ object Dedup {
     * IS persisted; callers that are done with it may `unpersist()` it —
     * it is the only cache this module retains, sized by the (small)
     * near-dup pair output, not the corpus. */
-  private def materializeReleasing(result: DataFrame, upstream: DataFrame*): DataFrame = {
+  private def materializeReleasing(result: DataFrame, upstream: DataFrame*): DataFrame =
+    materializeCounted(result, upstream: _*)._1
+
+  /** [[materializeReleasing]] that also hands back the row count its
+    * materializing action already computed. */
+  private def materializeCounted(result: DataFrame, upstream: DataFrame*): (DataFrame, Long) = {
     val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
+    val n = out.count()
     upstream.foreach(_.unpersist(false))
-    out
+    (out, n)
   }
 
   /** (id_a, id_b [, carried cols suffixed _a/_b]) for every intra-bucket
@@ -241,11 +258,11 @@ object Dedup {
     val docs = df.select(col(idCol).cast("long").as("_id"), col(textCol).as("_text"))
 
     // Candidate pairs are tiny relative to the corpus and referenced by
-    // three downstream branches — minhashCandidatePairs returns them
+    // three downstream branches — minhashCandidatePairsCounted returns them
     // already persisted + materialized (and has released the banding
-    // cache). The cached count drives the broadcast/shuffle cutover below.
-    val candPairs = minhashCandidatePairs(df, textCol, idCol, shingleSize, maxBucket)
-    val nCand = candPairs.count()
+    // cache) along with the count that drives the broadcast/shuffle
+    // cutover below (no second count job over the cached frame).
+    val (candPairs, nCand) = minhashCandidatePairsCounted(df, textCol, idCol, shingleSize, maxBucket)
 
     // Phase 2 — score candidates only: recompute signatures for candidate
     // ids (semi-join prunes the doc scan), then a codegen'd element-wise
@@ -284,8 +301,7 @@ object Dedup {
       threshold: Double = 0.9,
       shingleSize: Int = 3,
       maxBucket: Int = 1000): DataFrame = {
-    val cands = minhashCandidatePairs(df, textCol, idCol, shingleSize, maxBucket)
-    val nCand = cands.count()
+    val (cands, nCand) = minhashCandidatePairsCounted(df, textCol, idCol, shingleSize, maxBucket)
     val texts = df.select(col(idCol).cast("long").as("_id"), col(textCol).as("_text"))
     val gramsUdf = udf((t: String) => ngramHashes(if (t == null) "" else t, shingleSize))
       .asNondeterministic()
