@@ -28,6 +28,14 @@ import org.apache.spark.sql.types._
  */
 object Multimodal {
 
+  // ImageIO's default useCache=true backs every ImageInputStream with a
+  // TEMP FILE, so each header sniff / decode / re-encode of an in-memory
+  // byte[] payload paid a disk round-trip (create + write + delete in
+  // java.io.tmpdir) before the codec saw a byte. All payloads here arrive
+  // as columnar binary already in memory — decode straight from it.
+  // (Object initializer: runs once per executor JVM on first use.)
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Media metadata schema attached next to a binary payload column. */
   val mediaMetaSchema: StructType = StructType(Seq(
     StructField("media_type", StringType),

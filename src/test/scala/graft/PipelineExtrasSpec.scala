@@ -223,6 +223,48 @@ class PipelineExtrasSpec extends SparkSpec {
     assert(found == n, s"expected $n exact-dup pairs, found $found")
   }
 
+  test("cosineNearDuplicates: pair set AND scores bit-equal to a driver-side banding reference") {
+    // Pins the operator's exact semantics (same banding via signatureOf,
+    // same bucket cap, float products widened into double accumulators,
+    // dot / (sqrt * sqrt)): every emitted cosine must match the reference
+    // bit-for-bit, not approximately. Added in r15 after a self-join
+    // rewrite attempt — measured 6-10x SLOWER (pair rows carry both
+    // vectors through the join, guide §8 anti-pattern) and reverted; this
+    // net stays so the next restructuring attempt can prove equivalence.
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet").select("vec_id", "embedding")
+    val dup = e.union(e.select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+    val threshold = 0.9
+    val got = graft.pipeline.Similarity
+      .cosineNearDuplicates(dup, "embedding", "vec_id", threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    val rows = dup.select(col("vec_id").cast("long"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val buckets = scala.collection.mutable.Map
+      .empty[(Int, Long), Vector[(Long, Seq[Float])]].withDefaultValue(Vector())
+    rows.foreach { case (id, v) =>
+      val sig = graft.pipeline.Similarity.signatureOf(v, 32)
+      (0 until 4).foreach { b => buckets((b, (sig >>> (b * 8)) & 0xFFL)) :+= ((id, v)) }
+    }
+    val want = scala.collection.mutable.Map.empty[(Long, Long), Double]
+    buckets.values.filter(ms => ms.size >= 2 && ms.size <= 1000).foreach { ms =>
+      val s = ms.sortBy(_._1)
+      for (i <- s.indices; j <- i + 1 until s.size) {
+        val (ia, va) = s(i); val (ib, vb) = s(j)
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var k = 0
+        val n = math.min(va.length, vb.length)
+        while (k < n) { dot += va(k) * vb(k); na += va(k) * va(k); nb += vb(k) * vb(k); k += 1 }
+        val cos = if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+        if (cos >= threshold) want.getOrElseUpdate((ia, ib), cos)
+      }
+    }
+    assert(got.keySet == want.keySet,
+      s"pair-set mismatch: only-got=${(got.keySet -- want.keySet).take(3)}, " +
+        s"only-want=${(want.keySet -- got.keySet).take(3)}")
+    got.foreach { case (k, c) =>
+      assert(c == want(k), s"cosine not bit-equal at $k: got $c, want ${want(k)}") }
+  }
+
   test("estimateRows: manifest-derived cardinality with and without filters") {
     val src = spark.read.parquet(s"$sfDir/nation.parquet")
     val path = tmpDir("graft_cardinality")
