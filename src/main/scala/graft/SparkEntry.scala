@@ -283,6 +283,25 @@ object SparkEntry {
       pq(s, dir, "nation").filter(col("n_nationkey") === 7)
         .agg(sum(col("n_nationkey").cast("decimal(9,2)") * expr("CAST(1.0101 AS DECIMAL(5,4))"))
           .cast("decimal(38,4)").as("v"))),
+    // Wire-safe re-coverage of the retired precisions (r15 verdict item 1):
+    // the same sum(n_nationkey * 1.07) aggregate is computed AT each target
+    // precision (the cast to DECIMAL(p,4) happens before any shift), then
+    // crosses the wire as BIGINT e4 units per the wire rule. dec38 narrows
+    // losslessly to (18,4) after the 38-wide roundtrip because a direct
+    // (38,4)x(5,0) product needs width 43, which DuckDB cannot represent.
+    "probe_wire_dec18_units" -> ((s, dir) =>
+      pq(s, dir, "nation")
+        .agg(sum(col("n_nationkey").cast("decimal(9,2)") * expr("CAST(1.07 AS DECIMAL(3,2))"))
+          .cast("decimal(18,4)").multiply(lit(10000).cast("decimal(5,0)")).cast("long").as("v_e4"))),
+    "probe_wire_dec28_units" -> ((s, dir) =>
+      pq(s, dir, "nation")
+        .agg(sum(col("n_nationkey").cast("decimal(9,2)") * expr("CAST(1.07 AS DECIMAL(3,2))"))
+          .cast("decimal(28,4)").multiply(lit(10000).cast("decimal(5,0)")).cast("long").as("v_e4"))),
+    "probe_wire_dec38_units" -> ((s, dir) =>
+      pq(s, dir, "nation")
+        .agg(sum(col("n_nationkey").cast("decimal(9,2)") * expr("CAST(1.07 AS DECIMAL(3,2))"))
+          .cast("decimal(38,4)").cast("decimal(18,4)")
+          .multiply(lit(10000).cast("decimal(5,0)")).cast("long").as("v_e4"))),
     // Retired bisection probes — self-describing dumps only (no oracle):
     // kept so the artifact still RECORDS the failing wire shapes next to
     // the green canaries without training readers to ignore red rows.
@@ -1222,6 +1241,18 @@ object SparkEntry {
     "probe_wire_dec38_nz" ->
       """SELECT CAST(sum(CAST(n_nationkey AS DECIMAL(9,2)) * CAST(1.0101 AS DECIMAL(5,4))) AS DECIMAL(38,4)) AS v
         |FROM nation WHERE n_nationkey = 7""".stripMargin,
+    "probe_wire_dec18_units" ->
+      """SELECT CAST(CAST(sum(CAST(n_nationkey AS DECIMAL(9,2)) * CAST(1.07 AS DECIMAL(3,2))) AS DECIMAL(18,4))
+        |  * CAST(10000 AS DECIMAL(5,0)) AS BIGINT) AS v_e4
+        |FROM nation""".stripMargin,
+    "probe_wire_dec28_units" ->
+      """SELECT CAST(CAST(sum(CAST(n_nationkey AS DECIMAL(9,2)) * CAST(1.07 AS DECIMAL(3,2))) AS DECIMAL(28,4))
+        |  * CAST(10000 AS DECIMAL(5,0)) AS BIGINT) AS v_e4
+        |FROM nation""".stripMargin,
+    "probe_wire_dec38_units" ->
+      """SELECT CAST(CAST(CAST(sum(CAST(n_nationkey AS DECIMAL(9,2)) * CAST(1.07 AS DECIMAL(3,2))) AS DECIMAL(38,4)) AS DECIMAL(18,4))
+        |  * CAST(10000 AS DECIMAL(5,0)) AS BIGINT) AS v_e4
+        |FROM nation""".stripMargin,
 
     "ice_month_prune" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,

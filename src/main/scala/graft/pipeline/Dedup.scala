@@ -168,7 +168,8 @@ object Dedup {
     // fans them out to (id, band, hash) rows. The 64-long signature never
     // appears in the plan at all.
     val bandsUdf = udf((t: String) => minhashBandHashes(if (t == null) "" else t, shingleSize))
-    val docs = df.select(col(idCol).cast("long").as("_id"), col(textCol).as("_text"))
+    val docs = cpuParallel(
+      df.select(col(idCol).cast("long").as("_id"), col(textCol).as("_text")), "_id")
     val banded = docs.select(col("_id"), posexplode(bandsUdf(col("_text"))))
       .toDF("_id", "_b", "_h")
 
@@ -200,6 +201,10 @@ object Dedup {
   private def materializeCounted(result: DataFrame, upstream: DataFrame*): (DataFrame, Long) = {
     val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = out.count()
+    if (sys.env.contains("SPARK_GRAFT_DEDUP_DEBUG")) {
+      println(s"===== materializeCounted n=$n AQE-final plan =====")
+      println(out.queryExecution.executedPlan.toString.take(8000))
+    }
     upstream.foreach(_.unpersist(false))
     (out, n)
   }
@@ -243,8 +248,78 @@ object Dedup {
     * path for the common tiny-candidate case only. Overridable for tests. */
   @volatile var broadcastCandidateLimit: Long = 100000L
 
+  /** Candidate-pair count at/above which the CORPUS-side candidate pruning
+    * falls back from a broadcast Bloom filter to a shuffle semi-join. A
+    * Bloom at 1% fpp costs ~1.2 bytes per key — two orders of magnitude
+    * lighter than a broadcast hash relation — so the no-corpus-shuffle
+    * pruning path survives far past [[broadcastCandidateLimit]]; at ~1e8
+    * pairs the filter is ~100 MB and a shuffle is the honest choice. */
+  @volatile var bloomCandidateLimit: Long = 100000000L
+
   private def gated(d: DataFrame, nCand: Long): DataFrame =
     if (nCand < broadcastCandidateLimit) broadcast(d) else d
+
+  /** Prune the corpus frame to (approximately) the candidate ids WITHOUT
+    * shuffling it: a broadcast Bloom filter over both pair sides drops
+    * non-candidate rows at the scan (guide §3.2/§8 — the document payload
+    * never crosses the wire; only the pair frame, which is persisted and
+    * tiny relative to the corpus, is scanned to build the filter). False
+    * positives only cost their own feature computation — every downstream
+    * use inner-joins back to the exact pair set, so the result is
+    * identical. Past [[bloomCandidateLimit]] the filter itself would be
+    * driver-heavy and the caller's exact semi-join takes over. */
+  private def pruneToCandidates(corpus: DataFrame, idCol: String,
+      cands: DataFrame, nCand: Long): DataFrame = {
+    if (nCand >= bloomCandidateLimit) {
+      val candIds = cands.select(col("id_a").as(idCol))
+        .union(cands.select(col("id_b").as(idCol))).distinct()
+      corpus.join(candIds, idCol)
+    } else {
+      val ids = cands.select(col("id_a")).union(cands.select(col("id_b")))
+      // Size the filter by the (approximate) DISTINCT id count, not the
+      // pair count: docs appear in many pairs, so 2*nCand oversizes the
+      // filter 10-20x and the partial-filter merge (one bitset OR per
+      // input partition, single-threaded in treeAggregate's final step)
+      // dominated the build. HLL under-estimation only raises fpp a
+      // little — false positives cost a wasted feature row, never a
+      // wrong result — and the coalesce keeps the number of partials
+      // (hence merge work) bounded regardless of the pair cache's
+      // partitioning.
+      val nIds = ids.agg(approx_count_distinct("id_a")).head.getLong(0)
+      val bf = ids.coalesce(math.min(ids.rdd.getNumPartitions, 16))
+        .stat.bloomFilter("id_a", math.max((1.25 * nIds).toLong, 1000L), 0.01)
+      val bfB = corpus.sparkSession.sparkContext.broadcast(bf)
+      val mightBeCand = udf((id: Long) => bfB.value.mightContainLong(id))
+      corpus.filter(mightBeCand(col(idCol)))
+    }
+  }
+
+  /** At least cluster-core parallelism for per-document CPU kernels. A
+    * small corpus (one file under the 4 MB open-cost floor) scans as 1–2
+    * splits, serializing the tokenize/hash UDF stages on a many-core
+    * cluster (guide §2.5: unsplittable/small input — repartition right
+    * after the read). The repartition is a one-time hash shuffle of an
+    * input that is small BY CONSTRUCTION (a corpus big enough to split
+    * past the core count never enters this branch), and a no-op at real
+    * scale where the file/split count dwarfs the cores. */
+  private def cpuParallel(df: DataFrame, idCol: String): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.queryExecution.toRdd.getNumPartitions < p) df.repartition(p, col(idCol)) else df
+  }
+
+  /** The pair frame re-keyed for the per-pair scoring join. The pairs are
+    * 16-byte rows, so AQE's BYTE-sized coalescing packs the whole frame
+    * into 1–2 cached partitions — right for I/O, wrong for the scoring
+    * stage, whose per-row cost (array intersection over shingle/signature
+    * arrays) is CPU-bound: the sf1 re-score ran 13+ CPU-seconds in 2
+    * tasks. An explicit hash repartition to the cluster's core count is a
+    * near-free shuffle (ids only) that AQE leaves alone (user-specified
+    * numPartitions), restoring CPU-proportional parallelism at every
+    * scale. */
+  private def scoreParallel(pairs: DataFrame): DataFrame = {
+    val p = pairs.sparkSession.sparkContext.defaultParallelism
+    pairs.repartition(p, col("id_a"), col("id_b"))
+  }
 
   def minhashNearDuplicates(
       df: DataFrame,
@@ -265,16 +340,15 @@ object Dedup {
     val (candPairs, nCand) = minhashCandidatePairsCounted(df, textCol, idCol, shingleSize, maxBucket)
 
     // Phase 2 — score candidates only: recompute signatures for candidate
-    // ids (semi-join prunes the doc scan), then a codegen'd element-wise
-    // match count. No UDF touches non-candidate rows here; materialized so
-    // the corpus scan behind it runs once, not per join.
-    val candIds = candPairs.select(col("id_a").as("_id"))
-      .union(candPairs.select(col("id_b").as("_id"))).distinct()
-    val candSigs = docs.join(gated(candIds, nCand), "_id")
+    // ids (a broadcast Bloom prunes the doc scan in place — the corpus is
+    // never shuffled and the candidate-id distinct/broadcast is gone),
+    // then a codegen'd element-wise match count. Only ~1% Bloom false
+    // positives pay a wasted signature; the inner joins below drop them.
+    val candSigs = cpuParallel(pruneToCandidates(docs, "_id", candPairs, nCand), "_id")
       .select(col("_id"), sigUdf(col("_text")).as("_sig"))
       .persist()
 
-    val scored = candPairs
+    val scored = scoreParallel(candPairs)
       .join(gated(candSigs.select(col("_id").as("id_a"), col("_sig").as("_sa")), nCand), "id_a")
       .join(gated(candSigs.select(col("_id").as("id_b"), col("_sig").as("_sb")), nCand), "id_b")
       .withColumn("est_jaccard",
@@ -305,12 +379,13 @@ object Dedup {
     val texts = df.select(col(idCol).cast("long").as("_id"), col(textCol).as("_text"))
     val gramsUdf = udf((t: String) => ngramHashes(if (t == null) "" else t, shingleSize))
       .asNondeterministic()
-    val candIds = cands.select(col("id_a").as("_id"))
-      .union(cands.select(col("id_b").as("_id"))).distinct()
-    val candGrams = texts.join(gated(candIds, nCand), "_id")
+    val candGrams = cpuParallel(pruneToCandidates(texts, "_id", cands, nCand), "_id")
       .select(col("_id"), gramsUdf(col("_text")).as("_g"))
       .persist()
-    val scored = cands
+    if (sys.env.contains("SPARK_GRAFT_DEDUP_DEBUG"))
+      println(s"===== candGrams parts=${candGrams.queryExecution.toRdd.getNumPartitions} plan:\n" +
+        candGrams.queryExecution.executedPlan.toString.take(3000))
+    val scored = scoreParallel(cands)
       .join(gated(candGrams.select(col("_id").as("id_a"), col("_g").as("_ga")), nCand), "id_a")
       .join(gated(candGrams.select(col("_id").as("id_b"), col("_g").as("_gb")), nCand), "id_b")
       .withColumn("_i", size(array_intersect(col("_ga"), col("_gb"))).cast("double"))
@@ -362,7 +437,8 @@ object Dedup {
     // asNondeterministic: see minhashNearDuplicates — prevents projection
     // collapse from re-evaluating the hash UDF once per band row.
     val shUdf = udf((t: String) => simhash(if (t == null) "" else t)).asNondeterministic()
-    val withH = df.select(col(idCol).cast("long").as("_id"), shUdf(col(textCol)).as("_sh"))
+    val withH = cpuParallel(df.select(col(idCol).cast("long").as("_id"), col(textCol).as("_t")), "_id")
+      .select(col("_id"), shUdf(col("_t")).as("_sh"))
     val banded = withH.withColumn("_b", explode(array((0 until 4).map(lit): _*)))
       .withColumn("_h", expr("shiftrightunsigned(_sh, _b * 16)").bitwiseAND(lit(0xFFFFL)))
     // One window count over the same (_b,_h) shuffle the join needs splits
@@ -447,33 +523,72 @@ object Dedup {
     // further along converges to the same component-minimum fixpoint in
     // the same or fewer rounds (monotone iteration, r15 A/B: sf0.1
     // dedup_clusters 2 rounds -> 1).
-    var labels = edges.groupBy(col("src").as("id"))
+    val initObs = "graft_cluster_nodes"
+    val init = edges.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("_nmin"))
       .select(col("id"), least(col("id"), col("_nmin")).as("label"))
-      .localCheckpoint(true)
+      .observe(initObs, count(lit(1)).as("n"))
+    var labels = init.localCheckpoint(true)
+    // Node count, measured by the init materialization itself (observed
+    // metric — no extra job). A local-checkpointed frame is a stats-less
+    // LogicalRDD, so without help the planner guesses its size as
+    // defaultSizeInBytes and BROADCASTS THE EDGE CACHE instead (observed at
+    // sf1: a 1.8M-row / 44 MB edge broadcast rebuilt in every round while
+    // the 16-byte-per-row label frame shuffled). The measured count drives
+    // an explicit size gate: labels broadcast only while they verifiably
+    // fit, and at corpus scale the loop degrades to shuffle joins.
+    val nNodes = init.queryExecution.observedMetrics(initObs).getLong(0)
+    def lbl(d: DataFrame): DataFrame = if (nNodes < 1000000L) broadcast(d) else d
     maxClusterLoopPlanNodes = planNodes(labels)
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("dst"), col("label").as("_nl")), "dst")
-        .groupBy(col("src").as("id")).agg(min("_nl").as("_nmin"))
-      val hopped = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("label").as("_old"),
-          least(col("label"), coalesce(col("_nmin"), col("label"))).as("label"))
-      // Pointer jumping: label <- label(label); halves chain length.
-      val rep = hopped.select(col("id").as("label"), col("label").as("_ll"))
-      val nextPlan = hopped.join(rep, Seq("label"), "left")
-        .select(col("id"), col("_old"),
-          least(col("label"), coalesce(col("_ll"), col("label"))).as("label"))
-      maxClusterLoopPlanNodes = math.max(maxClusterLoopPlanNodes, planNodes(nextPlan))
-      val next = nextPlan.localCheckpoint(true)
-      // Convergence check reads the _old label CARRIED through the round's
-      // own plan instead of re-joining against the previous label frame —
-      // the join was a second label-sized shuffle per round that existed
-      // only to line up (id, old, new), which the checkpointed frame
-      // already holds. One narrow scan of the cached blocks per round.
-      changed = next.filter(col("label") =!= col("_old")).count()
+      // Fused neighbor-min hop: every node's OWN label rides the same
+      // (id)-keyed aggregation as its neighbors' labels (tagged by _own so
+      // the pre-round label comes back for the convergence metric), which
+      // replaces the old nbrMin-then-join-back-to-labels shape — one whole
+      // join (and its exchange / broadcast-build job) less per round. The
+      // union branch is exactly one row per labeled node, so
+      // min(when(_own, _l)) recovers the old label and min(_l) is
+      // min(own, min-neighbor) — identical to the previous hop.
+      val contrib = edges
+        .join(lbl(labels.select(col("id").as("dst"), col("label").as("_nl"))), "dst")
+        .select(col("src").as("id"), col("_nl").as("_l"), lit(false).as("_own"))
+        .union(labels.select(col("id"), col("label").as("_l"), lit(true).as("_own")))
+      val hopped = contrib.groupBy("id").agg(
+        min(col("_l")).as("label"),
+        min(when(col("_own"), col("_l"))).as("_old"))
+      // Pointer jumping: label <- label(label); halves chain length per
+      // jump. Every label value is itself a node id present in the frame
+      // (labels are minima over node ids), so the left join always matches;
+      // left + coalesce only guards the empty-frame degenerate case.
+      def jump(df: DataFrame): DataFrame = {
+        val rep = df.select(col("id").as("label"), col("label").as("_ll"))
+        df.join(rep, Seq("label"), "left")
+          .select(col("id"), col("_old"),
+            least(col("label"), coalesce(col("_ll"), col("label"))).as("label"))
+      }
+      // Round 1 jumps once: clique-shaped families (the dominant real
+      // corpus shape) are already at the fixpoint after init, so a second
+      // jump would be two extra exchanges for nothing. From round 2 on the
+      // component is provably deep, so each checkpoint barrier carries TWO
+      // jumps — chain distance quarters per round and a diameter-d
+      // component pays ~log4(d) driver barriers instead of ~log2(d).
+      val jumped = if (round == 0) jump(hopped) else jump(jump(hopped))
+      // The convergence count rides the checkpoint job as an observed
+      // metric (CollectMetrics accumulates during the materialization pass)
+      // instead of a separate count() job per round — one action, one
+      // driver barrier per round.
+      val obsName = s"graft_cluster_changed_r$round"
+      val observed = jumped.observe(obsName,
+        coalesce(sum(when(col("label") =!= col("_old"), 1L).otherwise(0L)), lit(0L))
+          .as("changed"))
+      maxClusterLoopPlanNodes = math.max(maxClusterLoopPlanNodes, planNodes(observed))
+      val next = observed.localCheckpoint(true)
+      changed = observed.queryExecution.observedMetrics(obsName).getLong(0)
+      if (sys.env.contains("SPARK_GRAFT_DEDUP_DEBUG"))
+        println(s"===== cluster round $round changed=$changed plan:\n" +
+          observed.queryExecution.executedPlan.toString.take(8000))
       releaseCheckpoint(labels)
       labels = next.select("id", "label")
       round += 1
@@ -481,18 +596,24 @@ object Dedup {
     if (changed > 0)
       throw new IllegalStateException(
         s"cluster resolution did not converge in $maxRounds rounds (component diameter > 2^$maxRounds)")
-    val out = ids.join(labels, Seq("id"), "left")
+    val out = ids.join(lbl(labels), Seq("id"), "left")
       .select(col("id").as("doc_id"), coalesce(col("label"), col("id")).as("cluster_id"))
     // The FINAL labels checkpoint is NOT explicitly released: the result's
     // (truncated) lineage bottoms out in it, so a lost result block must
     // be able to recompute through those blocks — releasing them here
-    // would turn an executor loss into a job failure, breaking the
-    // materializeReleasing recompute contract. The frame is small (two
-    // long columns, one row per clustered id) and Spark's ContextCleaner
-    // unpersists it once the returned frame drops the last reference;
-    // only the per-round INTERMEDIATE checkpoints (unreferenced by any
-    // lineage) are released eagerly in the loop above.
-    materializeReleasing(out, edges)
+    // would turn an executor loss into a job failure. The frame is small
+    // (two long columns, one row per clustered id) and Spark's
+    // ContextCleaner unpersists it once the returned frame drops the last
+    // reference; only the per-round INTERMEDIATE checkpoints (unreferenced
+    // by any lineage) are released eagerly in the loop above.
+    //
+    // The result itself is NOT persisted+counted here (it was through r15):
+    // unlike the pair frames, `out` no longer references any cache that is
+    // released below — its plan is ids ⋈ labels-checkpoint only — so the
+    // caller's own action computes it directly and an extra materialization
+    // job bought nothing. edges fed only the (already-checkpointed) loop.
+    edges.unpersist(false)
+    out
   }
 
   /** Largest analyzed-plan node count seen inside the last
