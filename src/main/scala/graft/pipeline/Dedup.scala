@@ -233,7 +233,17 @@ object Dedup {
     def side(suffix: String) = keep.select(
       (Seq(col("_b"), col("_h"), col("_id").as(s"id$suffix")) ++
         carry.map(c => col(c).as(s"$c$suffix"))): _*)
-    val pairs = side("_a").join(side("_b"), Seq("_b", "_h"))
+    // SHUFFLE_HASH: both sides read the SAME cached frame already hash
+    // partitioned by (_b,_h) from the window pass, so the shuffled-hash
+    // join builds per-partition tables straight off the cache with no new
+    // exchange. Left to itself, AQE instead converts to broadcast whenever
+    // the banded frame's runtime size clears the adaptive threshold, which
+    // COLLECTS the whole banded side to the driver and builds one hashed
+    // relation single-threaded (observed 1.0-1.8 s at sf1); at corpus
+    // scale the size estimate blocks the broadcast and the planner picks
+    // this same shuffled-hash shape anyway, so the hint only removes the
+    // small-scale pothole.
+    val pairs = side("_a").join(side("_b").hint("SHUFFLE_HASH"), Seq("_b", "_h"))
       .filter(col("id_a") < col("id_b"))
       .drop("_b", "_h")
     // The caller materializes `pairs`, then unpersists the returned `keep`
@@ -302,7 +312,7 @@ object Dedup {
     * input that is small BY CONSTRUCTION (a corpus big enough to split
     * past the core count never enters this branch), and a no-op at real
     * scale where the file/split count dwarfs the cores. */
-  private def cpuParallel(df: DataFrame, idCol: String): DataFrame = {
+  private[pipeline] def cpuParallel(df: DataFrame, idCol: String): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.queryExecution.toRdd.getNumPartitions < p) df.repartition(p, col(idCol)) else df
   }
