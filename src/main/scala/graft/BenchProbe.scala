@@ -29,7 +29,10 @@ object BenchProbe {
         override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
           val si = s.stageInfo
           val dur = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1e3
-          println(f"    STAGE ${si.stageId}%3d ${si.name.take(40)}%-40s tasks=${si.numTasks}%3d ${dur}%.2f s")
+          val m = si.taskMetrics
+          val sw = m.shuffleWriteMetrics.bytesWritten / 1e6
+          val sr = m.shuffleReadMetrics.totalBytesRead / 1e6
+          println(f"    STAGE ${si.stageId}%3d ${si.name.take(40)}%-40s tasks=${si.numTasks}%3d ${dur}%.2f s swMB=$sw%.1f srMB=$sr%.1f")
         }
       })
     }

@@ -571,9 +571,18 @@ object SparkEntry {
     // synthetic.
     "dedup_clusters_planted" -> ((s, dir) => {
       val ids = pq(s, dir, "documents").select(col("doc_id").as("i"))
+      // Repartition the 16-byte (id, variant) rows BEFORE the text
+      // generation expressions (guide §8: move the lightweight proxy, not
+      // the payload): the documents fixture is one scan split, so the
+      // ~80-token concat_ws generation otherwise runs single-threaded —
+      // twice, once per corpus consumer (observed: 2 x ~6.8 s one-task
+      // stages at sf1) — and any later repartition ships the generated
+      // text. Hash-partitioned id rows make both generation passes
+      // core-parallel for a ~1 MB shuffle.
       val fam = ids.select(col("i"), explode(
         when(col("i") % 7 === 0, array(lit(0)))
           .otherwise(array(lit(0), lit(1), lit(2), lit(3)))).as("k"))
+        .repartition(s.sparkContext.defaultParallelism, col("i"), col("k"))
       val corpus = fam.select(
         (col("i") * 10 + col("k")).cast("long").as("doc_id"),
         concat(
